@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run DuckDB oracle SQL
+against the sf parquet tables and compare (schema-insensitively, columns
+sorted by name, rows sorted) with the Verify.scala parquet dumps."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for qname in sorted(os.listdir(out_dir)):
+    qdir = os.path.join(out_dir, qname)
+    if not os.path.isdir(qdir):
+        continue
+    got = duckdb.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+    if qname not in oracle:
+        print(f"{qname:24s} NO-ORACLE rows={len(got)}")
+        continue
+    exp = con.execute(oracle[qname]).df()
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list,)):
+                df[c] = df[c].apply(tuple)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    g, e = norm(got), norm(exp)
+    ok = True
+    if list(g.columns) != list(e.columns):
+        print(f"{qname:24s} FAIL cols: got {list(g.columns)} vs {list(e.columns)}")
+        ok = False
+    elif len(g) != len(e):
+        print(f"{qname:24s} FAIL rows: got {len(g)} vs {len(e)}")
+        ok = False
+    else:
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        except AssertionError as ex:
+            print(f"{qname:24s} FAIL values: {str(ex).splitlines()[-1][:160]}")
+            diff = (g != e) & ~(g.isna() & e.isna())
+            for c in g.columns:
+                if diff[c].any():
+                    i = diff[c].idxmax()
+                    print(f"   first diff col={c} row={i}: got={g[c].iloc[i]!r} exp={e[c].iloc[i]!r}")
+            ok = False
+    if ok:
+        print(f"{qname:24s} OK rows={len(g)}")
+    else:
+        fails += 1
+print("FAILS:", fails)
+sys.exit(1 if fails else 0)

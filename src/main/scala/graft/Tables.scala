@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.DecimalType
+
+/** Table loading + oracle-parity helpers shared by all query modules. */
+object Tables {
+  /** Read one of the driver-generated parquet tables from an sf dir.
+    * events.ts is physically TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects — read it as raw nanos and truncate to micros (exactly
+    * what DuckDB does when it narrows ns → its us-precision timestamp). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Exact money-sum: cast each double to DECIMAL(scale) first so the sum is
+    * order-independent (float summation order differs between Spark's partial
+    * aggregation and DuckDB's scan order; decimals make both exact), then cast
+    * the final sum back to double for a stable comparable value. */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  /** Order-independent average built from the exact decimal sum. */
+  def davg(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double") / count(lit(1))
+
+  /** Lower-cased whitespace tokens — the shared tokenizer of the text ops.
+    * Documents in the testdata are single-space separated, so a plain split
+    * matches DuckDB's string_split(lower(text), ' ') exactly. */
+  def toks(c: Column): Column = split(lower(c), " ")
+}

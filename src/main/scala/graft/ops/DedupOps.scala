@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale corpus cleaning: exact first-wins
+  * dedup (the reference's ON CONFLICT DO NOTHING, transform_data.py:570),
+  * pairwise n-gram Jaccard (quadratic baseline), MinHash+LSH (the 100 TB
+  * path: band-bucket shuffle instead of a cross join), and SimHash with
+  * pigeonhole banding for Hamming-distance candidate pairs.
+  */
+object DedupOps {
+
+  /** First-wins dedup with a deterministic tiebreak (dropDuplicates is
+    * order-nondeterministic under parallelism — SURVEY.md §7 hard parts). */
+  def firstWins(df: DataFrame, keys: Seq[String], orderBy: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Idempotent append: keep only rows whose key is absent from `existing`
+    * (left-anti join ≙ ON CONFLICT (url) DO NOTHING across batches). */
+  def antiJoinNew(batch: DataFrame, existing: DataFrame, key: String): DataFrame =
+    batch.join(existing.select(key).distinct(), Seq(key), "left_anti")
+
+  /** Exact Jaccard over two distinct-element arrays, as a double ∈ [0,1]. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** All pairs (a_id < b_id) with token-set Jaccard ≥ threshold. Quadratic —
+    * the correctness baseline; use minhashLshPairs at scale. `toksCol` must
+    * already be distinct elements. */
+  def jaccardPairs(df: DataFrame, idCol: String, toksCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(toksCol).as("a_toks"))
+    val b = df.select(col(idCol).as("b_id"), col(toksCol).as("b_toks"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("jaccard", round(jaccard(col("a_toks"), col("b_toks")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** MinHash signature (numHashes values) over a distinct string-array column.
+    * Universal hashing over the 32-bit murmur3 of each element:
+    * h_i(x) = (a_i * x + b_i) mod p, with a deterministic seed schedule.
+    * Pure expressions — computed in one codegen'd projection per row. */
+  def minhashSignature(elems: Column, numHashes: Int): Column = {
+    val p = 4294967311L // smallest prime > 2^32
+    val hashes = transform(elems, x => hash(x).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    val seeds = array((0 until numHashes).map { i =>
+      struct(lit(2L * i + 1).as("a"), lit(1000003L * (i + 1) % p).as("b"))
+    }: _*)
+    transform(seeds, s =>
+      array_min(transform(hashes, h =>
+        pmod(s.getField("a") * h + s.getField("b"), lit(p)))))
+  }
+
+  /** MinHash + LSH near-dup pairs at `threshold` Jaccard over word
+    * `shingleK`-shingles. bands×rowsPerBand = signature length; candidate
+    * generation is a groupBy on (band, band-hash) — a key shuffle, not a
+    * cross join — then candidates are verified with exact Jaccard.
+    * This is the partition strategy that survives 100 TB: bucket sizes are
+    * bounded by collision rate, and the only quadratic work is within-bucket. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)
+    val withSig = df
+      .select(col(idCol).as("id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+    // band index -> hash of the signature slice for that band
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+    }
+    val buckets = withSig
+      .select(col("id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
+    val a = buckets.select(col("bk"), col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = buckets.select(col("bk"), col("id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").dropDuplicates("a_id", "b_id")
+      .withColumn("jaccard", round(jaccard(col("a_sh"), col("b_sh")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** 64-bit SimHash of a token array: bit j of the result is set iff the
+    * majority of token xxhash64s have bit j set. Pure expressions. */
+  def simhash64(toks: Column): Column = {
+    val th = transform(toks, x => xxhash64(x))
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val bits = transform(masks, m =>
+      when(size(filter(th, h => h.bitwiseAND(m) =!= 0)) * 2 >= size(th), m)
+        .otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. Pigeonhole
+    * banding: split the 64-bit hash into (maxHamming+1) chunks; any pair
+    * within distance must agree on ≥1 chunk, so candidates come from a
+    * chunk-equality shuffle join, then exact popcount verification. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val withH = df.select(col(idCol).as("id"),
+      simhash64(TextOps.tokens(col(textCol))).as("h"))
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("h"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)).as("cv"))
+    }
+    val buckets = withH.select(col("id"), col("h"),
+      explode(array(chunkCols: _*)).as("bk"))
+    val a = buckets.select(col("bk"), col("id").as("a_id"), col("h").as("a_h"))
+    val b = buckets.select(col("bk"), col("id").as("b_id"), col("h").as("b_h"))
+    a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_h", "b_h").dropDuplicates("a_id", "b_id")
+      .withColumn("hamming",
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+}

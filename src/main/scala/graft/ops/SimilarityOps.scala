@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (ARRAY<FLOAT>). Brute-force cosine is the correctness baseline; the scale
+  * path buckets vectors with random-hyperplane LSH so a query probes only a
+  * few buckets instead of the full corpus. All arithmetic in double with
+  * explicit left-to-right folds for cross-engine determinism.
+  */
+object SimilarityOps {
+
+  /** Σ aᵢ·bᵢ as a sequential left fold (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k by cosine against one query vector. The scan is a
+    * single codegen'd projection + TakeOrderedAndProject — O(n) with no
+    * shuffle beyond the final top-k merge, so it parallelizes trivially;
+    * it is "brute" only in that it touches every vector. */
+  def cosineTopK(vectors: DataFrame, vecCol: String, query: DataFrame,
+      queryVecCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(queryVecCol).as("__qv")))
+    vectors.crossJoin(q)
+      .withColumn("cos_sim", round(cosine(col(vecCol), col("__qv")), 6))
+      .drop("__qv")
+      .orderBy(desc("cos_sim"), asc(vectors.columns.head))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(v · hᵢ) for `nPlanes`
+    * deterministic pseudo-random hyperplanes. Vectors with small angle agree
+    * on most bits, so grouping by the signature buckets near neighbors. */
+  def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int): Column = {
+    // deterministic "random" plane components from a splitmix-style sequence
+    def comp(p: Int, d: Int): Double = {
+      var z = (p.toLong * 7919 + d.toLong * 104729 + 12345) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)).toDouble / Long.MaxValue)
+    }
+    val bits = (0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(d => lit(comp(p, d))): _*)
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: probe only vectors whose hyperplane bucket matches the
+    * query's (multi-probe over `probes` nearest buckets by flipping one
+    * bit). Recall < 1 by construction; intended as the 100 TB path where
+    * the bucket column is also the storage partition key. */
+  def annTopK(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+      query: DataFrame, queryVecCol: String, k: Int,
+      nPlanes: Int = 8): DataFrame = {
+    val sigged = vectors.withColumn("__sig",
+      hyperplaneSig(col(vecCol), dim, nPlanes))
+    val qSig = broadcast(query.select(col(queryVecCol).as("__qv"))
+      .withColumn("__qsig", hyperplaneSig(col("__qv"), dim, nPlanes)))
+    // probe exact bucket + all 1-bit-flip buckets
+    val probeSigs = explode(array(
+      (Seq(col("__qsig")) ++ (0 until nPlanes).map(p =>
+        col("__qsig").bitwiseXOR(lit(1L << p)))): _*)).as("__probe")
+    val probes = qSig.select(col("__qv"), probeSigs)
+    sigged.join(probes, col("__sig") === col("__probe"))
+      .withColumn("cos_sim", round(cosine(col(vecCol), col("__qv")), 6))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs top-k neighbor join via LSH buckets (each vector keeps its k
+    * nearest within its bucket) — the scalable self-similarity-join shape. */
+  def annSelfJoin(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nPlanes: Int = 8): DataFrame = {
+    val sigged = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", hyperplaneSig(col("v"), dim, nPlanes))
+    val a = sigged.select(col("sig"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = sigged.select(col("sig"), col("id").as("b_id"), col("v").as("b_v"))
+    val pairs = a.join(b, Seq("sig")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos_sim", round(cosine(col("a_v"), col("b_v")), 6))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(desc("cos_sim"), asc("b_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("a_id", "b_id", "cos_sim")
+  }
+}

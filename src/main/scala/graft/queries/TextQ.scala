@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.{DedupOps, TextOps}
+
+/** Text-analysis / search / dedup queries over the `documents` table —
+  * the reference's flagship full-text capability (SURVEY.md §2.8)
+  * generalized to corpus-scale text ops. */
+object TextQ {
+
+  private val searchTerms = Seq("spark", "join")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dashboard-style search: AND token match + tf relevance ranking + top-k
+    // (db_extractor.py:33-58 reproduced as one declarative plan).
+    "q11_search_rank" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .withColumn("score", TextOps.tfScore(tk, searchTerms))
+        .filter(TextOps.matchesAll(tk, searchTerms))
+        .select("doc_id", "source", "score")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(25)
+    }),
+
+    // Token statistics per document (token counting op).
+    "q12_token_stats" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tk).cast("long").as("n_tokens"),
+          size(array_distinct(tk)).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: stopword ratio, mean token length, composite score.
+    "q13_quality" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          TextOps.avgTokenLen(col("text"), tk).as("avg_token_len"),
+          TextOps.stopwordRatio(tk).as("stopword_ratio"),
+          TextOps.qualityScore(tk).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID by marker-word counts; ties alphabetical-first.
+    "q14_langid" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      val scores = TextOps.langScores(tk)
+      val scoreCols = scores.map { case (l, c) => c.as(s"s_$l") }
+      t(s, dir, "documents")
+        .select(Seq(col("doc_id"), col("lang")) ++ scoreCols
+          :+ TextOps.langPredict(scores).as("pred_lang"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprints: whole-doc md5 + order-insensitive min-token-hash.
+    "q15_fingerprint" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.docFingerprint(col("text")).as("fp"),
+          TextOps.minTokenHash(tk).as("min_tok_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact pairwise token-set Jaccard near-dup pairs (quadratic baseline;
+    // the LSH variants below are the at-scale path).
+    "q16_jaccard_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      DedupOps.jaccardPairs(d, "doc_id", "toks", 0.8)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash + LSH near-dup candidates, verified by exact shingle Jaccard.
+    // No SQL oracle (hash-family specific) — rows-only check.
+    "q17_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+        .orderBy("a_id", "b_id")),
+
+    // SimHash near-dup pairs within Hamming distance 16 (pigeonhole-banded).
+    // No SQL oracle — rows-only check.
+    "q18_simhash" -> ((s, dir) =>
+      DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+        .orderBy("a_id", "b_id")),
+
+    // Rule-cascade categorizer generalized from categorizer.py:1-32:
+    // first-match-wins keyword rules over the lower-cased text.
+    "q21_categorize" -> ((s, dir) => {
+      val lo = lower(col("text"))
+      val category = when(lo.contains("window"), "Analytics")
+        .when(lo.contains("join"), "Join")
+        .when(lo.contains("group"), "Aggregation")
+        .when(lo.contains("filter"), "Filter")
+        .otherwise("Scan")
+      val genre = when(lo.contains("fast"), "fast")
+        .when(lo.contains("slow"), "slow")
+        .otherwise("general")
+      t(s, dir, "documents")
+        .select(col("doc_id"), category.as("category"), genre.as("genre"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  private def lf(term: String) =
+    s"len(list_filter(string_split(lower(text), ' '), x -> x = '$term'))"
+
+  private def langCountSql(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ($set))) AS BIGINT)"
+  }
+
+  private val langPredSql: String = {
+    val langs = TextOps.langMarkers.map(_._1)
+    val cases = langs.map { l =>
+      val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'de' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q11_search_rank" ->
+      s"""SELECT doc_id, source,
+         | CAST(${lf("spark")} + ${lf("join")} AS BIGINT) AS score
+         |FROM documents
+         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+         |  AND list_contains(string_split(lower(text), ' '), 'join')
+         |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin,
+
+    "q12_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q13_quality" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, length(text) AS len_chars,
+         |  string_split(lower(text), ' ') AS toks,
+         |  length(regexp_replace(text, '\\s', '', 'g')) AS nosp
+         | FROM documents),
+         |st AS (
+         | SELECT doc_id, len_chars, len(toks) AS n,
+         |  len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','on','for'))) AS nstop,
+         |  nosp
+         | FROM tk)
+         |SELECT doc_id, CAST(len_chars AS BIGINT) AS len_chars,
+         | round(CAST(nosp AS DOUBLE) / n, 4) AS avg_token_len,
+         | round(CAST(nstop AS DOUBLE) / n, 4) AS stopword_ratio,
+         | round(least(1.0, n / 100.0) * (1.0 - CAST(nstop AS DOUBLE) / n), 4) AS quality
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q14_langid" -> {
+      val scoreSelects = TextOps.langMarkers.map { case (l, ws) =>
+        s"${langCountSql(ws)} AS s_$l"
+      }.mkString(",\n ")
+      s"""WITH sc AS (
+         | SELECT doc_id, lang,
+         | $scoreSelects
+         | FROM documents)
+         |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+         | $langPredSql AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q15_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        | list_min(list_transform(list_distinct(string_split(lower(text), ' ')),
+        |   x -> md5(x))) AS min_tok_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q16_jaccard_pairs" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+        | FROM documents),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.toks, b.toks)) AS inter,
+        |  len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS un
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
+        |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q21_categorize" ->
+      """SELECT doc_id,
+        | CASE WHEN lower(text) LIKE '%window%' THEN 'Analytics'
+        |      WHEN lower(text) LIKE '%join%' THEN 'Join'
+        |      WHEN lower(text) LIKE '%group%' THEN 'Aggregation'
+        |      WHEN lower(text) LIKE '%filter%' THEN 'Filter'
+        |      ELSE 'Scan' END AS category,
+        | CASE WHEN lower(text) LIKE '%fast%' THEN 'fast'
+        |      WHEN lower(text) LIKE '%slow%' THEN 'slow'
+        |      ELSE 'general' END AS genre
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
