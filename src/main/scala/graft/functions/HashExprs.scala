@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for sketch signatures.
+  *
+  * The declarative formulation (transform/filter/aggregate higher-order
+  * functions) evaluates interpreted per array element — O(tokens × hashes)
+  * boxed evaluations per row made MinHash/SimHash the bench bottleneck.
+  * These expressions compute the whole signature in one tight JVM loop per
+  * row: hash each element once, update all accumulators. Still a narrow
+  * per-row map — no change to the distribution/shuffle story.
+  */
+object HashExprs {
+  /** 64-bit MinHash signature column over a string-array column. */
+  def minhash_sig(elems: Column, numHashes: Int): Column =
+    toCol(MinHashSigExpr(toExpr(elems), numHashes))
+
+  /** 64-bit SimHash column over a string-array column. */
+  def simhash64(toks: Column): Column = toCol(SimHash64Expr(toExpr(toks)))
+
+  private[functions] def murmur(s: UTF8String): Long =
+    Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42) & 0xFFFFFFFFL
+
+  /** 64-bit avalanche (splitmix64 finalizer) of the 32-bit murmur. */
+  private[functions] def mix64(x0: Long): Long = {
+    var z = x0 * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash signature: for hash family h_i(x) = (a_i·m(x) + b_i) mod p over
+  * the 32-bit murmur m, returns array[numHashes] of per-function minima.
+  * Same family as the declarative DedupOps.minhashSignature. */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val P = 4294967311L // smallest prime > 2^32
+  private val as = Array.tabulate(numHashes)(i => 2L * i + 1)
+  private val bs = Array.tabulate(numHashes)(i => 1000003L * (i + 1) % P)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = HashExprs.murmur(arr.getUTF8String(i))
+      var j = 0
+      while (j < numHashes) {
+        val hv = (as(j) * h + bs(j)) % P
+        if (hv < mins(j)) mins(j) = hv
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
+/** 64-bit SimHash: bit j set iff ≥ half of the element hashes have bit j
+  * set (matches the declarative DedupOps.simhash64 majority rule). */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = HashExprs.mix64(HashExprs.murmur(arr.getUTF8String(i)))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr =
+    copy(child = c)
+}
+
+/** Word k-shingles in one pass (the HOF sequence/transform/concat version
+  * is interpreted per element): distinct, order-preserving. */
+case class ShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (n <= k) {
+      out.add(UTF8String.concatWs(UTF8String.fromString(" "),
+        Array.tabulate(n)(arr.getUTF8String): _*))
+    } else {
+      var i = 0
+      while (i + k <= n) {
+        out.add(UTF8String.concatWs(UTF8String.fromString(" "),
+          Array.tabulate(k)(j => arr.getUTF8String(i + j)): _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr =
+    copy(child = c)
+}
+
+object ShinglesExpr {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
+  def shingles(toks: Column, k: Int): Column =
+    toCol(ShinglesExpr(toExpr(toks), k))
+}

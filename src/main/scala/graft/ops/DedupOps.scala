@@ -31,15 +31,27 @@ object DedupOps {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** All pairs (a_id < b_id) with token-set Jaccard ≥ threshold. Quadratic —
-    * the correctness baseline; use minhashLshPairs at scale. `toksCol` must
-    * already be distinct elements. */
+  /** All pairs (a_id < b_id) with element-set Jaccard ≥ threshold, via an
+    * inverted index: explode to (element, id) postings, equi-join postings
+    * on the element, count co-occurrences = |A∩B|, then join back the set
+    * sizes for |A∪B|. Exact (pairs sharing no element have Jaccard 0 <
+    * threshold) but never materializes the cross join — the shuffle key is
+    * the element, so cost is Σ|posting|², the SSJoin bound that holds at
+    * scale. `toksCol` must already be distinct elements. */
   def jaccardPairs(df: DataFrame, idCol: String, toksCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), col(toksCol).as("a_toks"))
-    val b = df.select(col(idCol).as("b_id"), col(toksCol).as("b_toks"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("jaccard", round(jaccard(col("a_toks"), col("b_toks")), 4))
+    val base = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
+    val sizes = base.select(col("id"), size(col("toks")).as("sz"))
+    val posts = base.select(col("id"), explode(col("toks")).as("tok"))
+    val inter = posts.as("x").join(posts.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("a_sz") + col("b_sz") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -68,11 +80,13 @@ object DedupOps {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)
+    val sh = graft.functions.ShinglesExpr.shingles(
+      TextOps.tokens(col(textCol)), shingleK)
     val withSig = df
       .select(col(idCol).as("id"), sh.as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      .withColumn("sig", graft.functions.HashExprs.minhash_sig(
+        col("sh"), bands * rowsPerBand))
     // band index -> hash of the signature slice for that band
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -109,7 +123,7 @@ object DedupOps {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val withH = df.select(col(idCol).as("id"),
-      simhash64(TextOps.tokens(col(textCol))).as("h"))
+      graft.functions.HashExprs.simhash64(TextOps.tokens(col(textCol))).as("h"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("h"), c * bitsPer)

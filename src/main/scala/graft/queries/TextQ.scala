@@ -68,13 +68,14 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
-    // Exact pairwise token-set Jaccard near-dup pairs (quadratic baseline;
-    // the LSH variants below are the at-scale path).
+    // Exact n-gram (3-word-shingle) Jaccard near-dup pairs via an inverted
+    // index join — finds the corpus's planted near-duplicates exactly; the
+    // LSH variants below are the sub-quadratic at-scale path.
     "q16_jaccard_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-        .select(col("doc_id"),
-          array_distinct(TextOps.tokens(col("text"))).as("toks"))
-      DedupOps.jaccardPairs(d, "doc_id", "toks", 0.8)
+        .select(col("doc_id"), graft.functions.ShinglesExpr
+          .shingles(TextOps.tokens(col("text")), 3).as("shs"))
+      DedupOps.jaccardPairs(d, "doc_id", "shs", 0.5)
         .orderBy("a_id", "b_id")
     }),
 
@@ -82,14 +83,14 @@ object TextQ {
     // No SQL oracle (hash-family specific) — rows-only check.
     "q17_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+        shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy("a_id", "b_id")),
 
     // SimHash near-dup pairs within Hamming distance 16 (pigeonhole-banded).
     // No SQL oracle — rows-only check.
     "q18_simhash" -> ((s, dir) =>
       DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16)
+        maxHamming = 3)
         .orderBy("a_id", "b_id")),
 
     // Rule-cascade categorizer generalized from categorizer.py:1-32:
@@ -181,15 +182,18 @@ object TextQ {
 
     "q16_jaccard_pairs" ->
       """WITH s AS (
-        | SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
-        | FROM documents),
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+        | FROM s),
         |p AS (
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  len(list_intersect(a.toks, b.toks)) AS inter,
-        |  len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS un
-        | FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |  len(list_intersect(a.shs, b.shs)) AS inter,
+        |  len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS un
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
-        |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.8
+        |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q21_categorize" ->
