@@ -73,7 +73,9 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
 }
 
 /** 64-bit SimHash: bit j set iff ≥ half of the element hashes have bit j
-  * set (matches the declarative DedupOps.simhash64 majority rule). */
+  * set. Uses the same xxhash64(seed 42) as Spark's `xxhash64` function, so
+  * the declarative DedupOps.simhash64 formulation is bit-identical (the
+  * DedupOpsSpec cross-check relies on this). */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -83,7 +85,9 @@ case class SimHash64Expr(child: Expression)
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = HashExprs.mix64(HashExprs.murmur(arr.getUTF8String(i)))
+      val s = arr.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata, processed in partition-sized batches.
+  *
+  * The Spark-side shape is real — schema, binaryFile source, mapPartitions
+  * batching, deterministic partitioning by content hash — while the media
+  * decode itself is behind [[MediaDecoder]]: the container has no codec
+  * libraries, so the default is a deterministic stub; a deployment swaps
+  * in a real decoder without touching the plumbing. */
+object BinaryOps {
+
+  /** media row: content + typed metadata (the multimodal table schema). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),      // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  final case class MediaFeature(media_id: Long, kind: String,
+      n_bytes: Long, content_hash: Long, feature: Array[Float])
+
+  /** Pluggable decode/feature step — the only non-plumbing piece. */
+  trait MediaDecoder extends Serializable {
+    def features(kind: String, bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic offline stub: 8 moments of the byte stream. A real
+    * implementation would decode pixels/samples here. */
+  object StubDecoder extends MediaDecoder {
+    def features(kind: String, bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](8)
+      var i = 0
+      while (i < bytes.length) {
+        out(i % 8) += (bytes(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      if (bytes.length > 0) (0 until 8).foreach(j => out(j) /= bytes.length)
+      out
+    }
+  }
+
+  /** Read a directory of media files as a binary DataFrame (built-in
+    * binaryFile source: path, modificationTime, length, content). */
+  def readMediaDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+
+  /** Decode + feature-extract via mapPartitions: one decoder instance per
+    * partition (not per row), rows streamed — the batch shape that holds
+    * when `content` is megabytes and partitions are thousands of rows. */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder)
+      : Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, bytes) =>
+          MediaFeature(id, kind, bytes.length.toLong,
+            org.apache.spark.unsafe.hash.Murmur3_x86_32
+              .hashUnsafeBytes(bytes,
+                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                bytes.length, 42).toLong,
+            decoder.features(kind, bytes))
+        }
+      }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.TextOps
+
+/** The reference's single user-facing query (§3.1: app.py:56-67 +
+  * db_extractor.py:28-62) as one declarative plan builder over a silver
+  * events DataFrame carrying a `search_tokens` array column.
+  *
+  * filter(source, category) → [AND-token match + tf relevance] → sort
+  * (relevance when searching, else event_date,name) → page slice. The
+  * page-1 fast path compiles to TakeOrderedAndProject (top-k, no global
+  * sort); deep pages use a row_number window. Sibling plans: total count
+  * and the DISTINCT dropdown domains. */
+object Dashboard {
+
+  val PerPage = 25 // app.py:10, db_extractor.py:6
+
+  final case class Page(rows: DataFrame, total: Long, totalPages: Long)
+
+  private def predicate(source: Option[String], category: Option[String],
+      terms: Seq[String]): Column = {
+    val base = lit(true)
+    val s = source.fold(base)(v => col("source") === v)
+    val c = category.fold(s && base)(v => s && col("category") === v)
+    if (terms.isEmpty) c
+    else c && terms.map(t => array_contains(col("search_tokens"), t))
+      .reduce(_ && _)
+  }
+
+  private def normalizeQuery(q: Option[String]): Seq[String] =
+    q.toSeq.flatMap(_.toLowerCase.split("[^\\p{L}\\p{Nd}]+"))
+      .filter(t => t.length > 1 && !TextOps.stopwords.contains(t))
+
+  def query(events: DataFrame, source: Option[String] = None,
+      category: Option[String] = None, search: Option[String] = None,
+      page: Int = 1): Page = {
+    val terms = normalizeQuery(search)
+    val filtered = events.filter(predicate(source, category, terms))
+
+    val sortCols: Seq[Column] =
+      if (terms.nonEmpty) {
+        val score = terms
+          .map(t => size(filter(col("search_tokens"), x => x === lit(t))))
+          .reduce(_ + _)
+        Seq(score.desc, asc("event_date"), asc("name"))
+      } else Seq(asc("event_date"), asc("name"), asc("url"))
+
+    val total = filtered.count()
+    val rows =
+      if (page <= 1) filtered.orderBy(sortCols: _*).limit(PerPage)
+      else {
+        val w = Window.orderBy(sortCols: _*)
+        filtered.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn").between((page - 1) * PerPage + 1,
+            page * PerPage))
+          .drop("__rn")
+      }
+    Page(rows, total, (total + PerPage - 1) / PerPage)
+  }
+
+  /** A2: dropdown domains. */
+  def distinctDomain(events: DataFrame, column: String): DataFrame =
+    events.select(column).where(col(column).isNotNull)
+      .distinct().orderBy(column)
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.Schemas
+import graft.pipeline.Etl
+
+/** Event-driven ingestion (§3.3 / R2): a Structured Streaming file source
+  * watching an uploads directory of JSONL envelopes; each micro-batch runs
+  * the same normalize→dedup→append pipeline via foreachBatch.
+  *
+  * `Trigger.AvailableNow` drains everything present then stops — the
+  * deterministic test/backfill mode; a deployment would use
+  * `Trigger.ProcessingTime` (the reference's 3-hourly Celery beat, R1).
+  * Checkpointing + the url anti-join give exactly-once effective loads on
+  * top of at-least-once task retries (R4). */
+object UploadStream {
+
+  def start(spark: SparkSession, uploadsDir: String, silverDir: String,
+      checkpointDir: String, refYear: Int = 2025): StreamingQuery = {
+    val bronze = spark.readStream
+      .schema(Schemas.rawEnvelope)
+      .json(uploadsDir)
+
+    bronze.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try Some(spark.read.parquet(silverDir))
+          catch { case _: Exception => None } // first batch: no silver yet
+        val appended = Etl.dedupForLoad(Etl.transform(batch, refYear),
+          existing)
+        appended.write.mode("append").parquet(silverDir)
+      }
+      .start()
+  }
+
+  /** Windowed streaming aggregation with a watermark (R5 note): hourly
+    * counts per source with 10-minute lateness bound — the streaming twin
+    * of EtlQ.q24. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n"))
+}

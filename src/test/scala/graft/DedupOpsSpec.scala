@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashExprs, ShinglesExpr}
+import graft.ops.{DedupOps, TextOps}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words entirely here now"),
+  ).toDF("id", "text")
+
+  test("custom MinHash expression ≡ declarative HOF formulation") {
+    val toks = TextOps.tokens($"text")
+    val got = docs.select(
+      HashExprs.minhash_sig(toks, 16).as("fast"),
+      DedupOps.minhashSignature(toks, 16).as("slow"))
+    assert(got.filter($"fast" =!= $"slow").count() == 0)
+  }
+
+  test("custom SimHash expression ≡ declarative HOF formulation") {
+    val toks = TextOps.tokens($"text")
+    val got = docs.select(
+      HashExprs.simhash64(toks).as("fast"),
+      DedupOps.simhash64(toks).as("slow"))
+    assert(got.filter($"fast" =!= $"slow").count() == 0)
+  }
+
+  test("custom shingles expression ≡ declarative HOF formulation") {
+    val toks = TextOps.tokens($"text")
+    val got = docs.select(
+      ShinglesExpr.shingles(toks, 3).as("fast"),
+      TextOps.shingles(toks, 3).as("slow"))
+    assert(got.filter($"fast" =!= $"slow").count() == 0)
+  }
+
+  test("inverted-index jaccardPairs matches hand computation") {
+    val d = docs.select($"id", array_distinct(TextOps.tokens($"text"))
+      .as("toks"))
+    val pairs = DedupOps.jaccardPairs(d, "id", "toks", 0.1)
+      .orderBy("a_id", "b_id").collect()
+    // docs 1,2: 8 distinct tokens each, 7 shared -> J = 7/9 = 0.7778
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1 && pairs.head.getLong(1) == 2)
+    assert(pairs.head.getDouble(2) == 0.7778)
+  }
+
+  test("minhash LSH finds the near-dup pair and skips the unrelated doc") {
+    val pairs = DedupOps.minhashLshPairs(docs, "id", "text",
+      shingleK = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash pairs: near-dups within small hamming distance") {
+    val pairs = DedupOps.simhashPairs(docs, "id", "text", maxHamming = 16)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("firstWins keeps lowest-priority row per key deterministically") {
+    val df = Seq((1L, "u1", "a"), (2L, "u1", "b"), (3L, "u2", "c"))
+      .toDF("id", "url", "v")
+    val got = DedupOps.firstWins(df, Seq("url"), asc("id"))
+      .orderBy("id").select("v").as[String].collect().toSeq
+    assert(got == Seq("a", "c"))
+  }
+
+  test("antiJoinNew is idempotent") {
+    val existing = Seq((1L, "u1")).toDF("id", "url")
+    val batch = Seq((9L, "u1"), (10L, "u3")).toDF("id", "url")
+    val fresh = DedupOps.antiJoinNew(batch, existing, "url")
+    assert(fresh.select("url").as[String].collect().toSeq == Seq("u3"))
+  }
+}
