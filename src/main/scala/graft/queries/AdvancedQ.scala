@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Advanced relational/temporal operators beyond the reference's own
+  * surface: as-of join, sessionization, percentiles, pivot, semi join,
+  * exact + approximate distinct, histograms, regex extraction. Each is
+  * shaped for scale: as-of and sessionization are single-shuffle window
+  * plans (no self-join), pivot is a map-side conditional aggregation. */
+object AdvancedQ {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Semi join: customers having any order above 400k (EXISTS pushdown).
+    "q27_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(big, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // As-of join: each purchase matched to the user's most recent signup
+    // at-or-before it. One union + one window over (user, time) — the
+    // shape that scales (no per-user self-join); ties resolved
+    // signup-first so an equal-timestamp signup is visible (>= semantics).
+    "q28_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val both = ev.filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"),
+          when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"),
+          when(col("event_type") === "signup", 0).otherwise(1).asc,
+          asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      both.withColumn("signup_ts", max(col("sig_ts")).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("signup_ts").isNotNull)
+        .select("event_id", "user_id", "ts", "signup_ts")
+        .orderBy("event_id")
+    }),
+
+    // Gap-based sessionization (30-minute inactivity): lag + running sum
+    // of session-start flags, then per-session rollup. Two window passes
+    // over one (user, time) shuffle.
+    "q29_sessionize" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"))
+      val flagged = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+            1L).otherwise(0L))
+        .withColumn("session_no", sum(col("new_s")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value"), 2).as("sum_value"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_no")
+    }),
+
+    // Top-k per group: 3 priciest parts per brand.
+    "q30_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(desc("p_retailprice"), asc("p_partkey"))
+      t(s, dir, "part")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+        .orderBy("p_brand", "rn")
+    }),
+
+    // Exact percentiles (linear interpolation) per order status.
+    "q31_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Pivot: per-user event-type counts as columns (conditional agg —
+    // partial aggregation map-side, no extra shuffle vs plain groupBy).
+    "q32_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types).agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("user_id")
+    }),
+
+    // Regex extraction + aggregation: numeric brand id from 'Brand#NN'.
+    "q33_regex_extract" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("brand_id",
+          regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("long"))
+        .filter(col("p_type").isin("ECONOMY", "SMALL"))
+        .groupBy("brand_id")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("p_retailprice"), 2).as("sum_price"))
+        .orderBy("brand_id")
+    }),
+
+    // Exact distinct counting per group.
+    "q34_distinct_exact" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    // HLL approximate distinct — the at-scale variant of q34 (no oracle:
+    // sketch-specific values; rows-only check).
+    "q35_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+        .orderBy("event_type")
+    }),
+
+    // Value histogram: fixed-width buckets over order totals.
+    "q36_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q27_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q28_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q29_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, value, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts, value,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        | FROM flagged)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    "q30_topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rn
+        | FROM part) x
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "q31_percentiles" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q32_pivot" ->
+      """SELECT user_id,
+        | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        | CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q33_regex_extract" ->
+      """SELECT CAST(regexp_extract(p_brand, '#(\d+)', 1) AS BIGINT) AS brand_id,
+        | count(*) AS n,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |FROM part WHERE p_type IN ('ECONOMY', 'SMALL')
+        |GROUP BY 1 ORDER BY brand_id""".stripMargin,
+
+    "q34_distinct_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q36_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape assertions: the properties that matter at 100 TB — filter
+  * and projection pushdown into the parquet scan, broadcast joins for
+  * small build sides, top-k instead of global sorts — verified on the
+  * actual optimized plans of the registered queries. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), s"no pushed filter in:\n$p")
+    // only the referenced columns are read
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+    assert(!p.contains("l_partkey")) // pruned: not referenced by q01
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q02_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("3-way join broadcasts the small dimensions") {
+    val p = planOf("q03_join_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      s"expected broadcast join:\n$p")
+  }
+
+  test("aggregations are partial (map-side) before the shuffle") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("partial"), p) // HashAggregate(partial_*)
+  }
+
+  test("whole-stage codegen covers the scan→aggregate pipeline") {
+    // AQE only inserts codegen stages at execution — run, then inspect the
+    // final plan; codegen'd operators print with the "*(n)" stage marker.
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p)
+  }
+
+  test("semi join stays a join (no materialized distinct)") {
+    val p = planOf("q27_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("pagination pushes limit (no full materialization)") {
+    val p = planOf("q08_pagination")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
