@@ -14,27 +14,40 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   SELECT minhash_sig(shingles(tokens, 3), 64) FROM docs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
 
+/** The engine's SQL function set, also installable on an already-built
+  * session: `GraftFunctions.register(spark)`. */
+object GraftFunctions {
   private def intArg(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$name expects a literal int, got $other")
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
-      (args: Seq[Expression]) =>
-        MinHashSigExpr(args.head, intArg(args(1), "numHashes"))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64Expr(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("shingles"),
-      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
-      (args: Seq[Expression]) =>
-        ShinglesExpr(args.head, intArg(args(1), "k"))))
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+        (args: Seq[Expression]) =>
+          MinHashSigExpr(args.head, intArg(args(1), "numHashes"))),
+      (FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+        (args: Seq[Expression]) => SimHash64Expr(args.head)),
+      (FunctionIdentifier("shingles"),
+        new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
+        (args: Seq[Expression]) =>
+          ShinglesExpr(args.head, intArg(args(1), "k"))),
+      (FunctionIdentifier("stem_tokens"),
+        new ExpressionInfo(classOf[StemTokensExpr].getName, "stem_tokens"),
+        (args: Seq[Expression]) => StemTokensExpr(args.head)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = org.apache.spark.sql.graftglue.ColumnGlue.functionRegistry(spark)
+    all.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
   }
 }

@@ -1,0 +1,102 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** U4: the document/PDF text → event-records state machine
+  * (pdf_spider.py:51-101, document_spider.py:217-253) as a typed flatMap —
+  * one text blob in, N records out. The fold is inherently sequential per
+  * document, so it runs as a per-row JVM loop inside mapPartitions-style
+  * execution; documents parallelize across partitions. */
+object DocParse {
+
+  final case class DocRecord(
+      name: Option[String],
+      venue_name: Option[String],
+      venue_address: Option[String],
+      event_date: Option[String],
+      url: Option[String],
+      description: Option[String])
+
+  private val labelAliases: Map[String, String] = Map(
+    "venue" -> "venue_name", "location" -> "venue_name",
+    "place" -> "venue_name",
+    "name" -> "name", "event" -> "name", "title" -> "name",
+    "address" -> "venue_address", "addr" -> "venue_address",
+    "date" -> "event_date", "when" -> "event_date",
+    "time" -> "event_date",
+    "website" -> "url", "url" -> "url", "link" -> "url")
+
+  private val monthRe =
+    "(?i).*(january|february|march|april|may|june|july|august|september|" +
+      "october|november|december)\\s+\\d{1,2}.*"
+  private def isDate(l: String): Boolean =
+    l.matches(".*\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}.*") ||
+      l.matches(monthRe) || l.matches(".*\\d{4}-\\d{2}-\\d{2}.*")
+  private def isUrl(l: String): Boolean = l.matches("^https?://.*")
+  private def isAddress(l: String): Boolean =
+    l.toLowerCase.matches("\\d+\\s+\\w+.*\\b(street|st|avenue|ave|road|rd|" +
+      "boulevard|blvd|drive|dr|lane|ln|way|pike|place)\\b.*")
+  private def looksLikeName(l: String): Boolean =
+    l.length >= 5 && l.length <= 150 && l.headOption.exists(_.isUpper)
+
+  /** Parse one text blob into records: "key: value" labeled lines update
+    * the in-flight record; a new name-looking line flushes the previous
+    * record; leftover lines accumulate into the description. */
+  def parseText(text: String): Seq[DocRecord] = {
+    val out = Seq.newBuilder[DocRecord]
+    var name, venue, addr, date, url = Option.empty[String]
+    var desc = List.empty[String]
+    def flush(): Unit = {
+      if (name.exists(n => n.length >= 3 && n.exists(_.isLetter))) // P7
+        out += DocRecord(name, venue, addr, date, url,
+          if (desc.isEmpty) None
+          else Some(desc.reverse.mkString(" ").take(500))) // F7 cap
+      name = None; venue = None; addr = None; date = None; url = None
+      desc = Nil
+    }
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      val kv = line.split(":", 2) // F11
+      val label = labelAliases.get(kv(0).trim.toLowerCase)
+      (label, kv.length) match {
+        case (Some("name"), 2) => flush(); name = Some(kv(1).trim)
+        case (Some(field), 2) =>
+          val v = Some(kv(1).trim).filter(_.nonEmpty)
+          field match {
+            case "venue_name" => venue = v
+            case "venue_address" => addr = v
+            case "event_date" => date = v
+            case "url" => url = v
+            case _ =>
+          }
+        case _ => // heuristic classification (F12)
+          if (isUrl(line)) url = url.orElse(Some(line))
+          else if (isDate(line)) date = date.orElse(Some(line))
+          else if (isAddress(line)) addr = addr.orElse(Some(line))
+          else if (looksLikeName(line) && name.isEmpty) name = Some(line)
+          else desc ::= line
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** DataFrame adapter: explode each (docId, text) row into its parsed
+    * records with a synthetic stable url when the text provided none (F9:
+    * md5-12 of name|address|file). */
+  def parse(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parsed = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Option(text).toSeq.flatMap(parseText).map(r => (id, r))
+      }
+      .select(col("_1").as("doc_id"), col("_2.*"))
+    parsed.withColumn("url",
+      coalesce(col("url"), graft.ops.Standardize.syntheticUrl("document",
+        col("name"), col("venue_address"), col("doc_id"))))
+  }
+}

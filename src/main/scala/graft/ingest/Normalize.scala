@@ -107,14 +107,17 @@ object Normalize {
   }
 
   /** Load-time search vector (T1, transform_data.py:566-571): normalized
-    * stopword-filtered tokens over the searchable fields. */
-  def withSearchTokens(df: DataFrame): DataFrame =
+    * stopword-filtered tokens over the searchable fields; `stem = true`
+    * adds Porter stemming for full to_tsvector('english') fidelity. */
+  def withSearchTokens(df: DataFrame, stem: Boolean = false): DataFrame = {
+    val raw = filter(
+      TextOps.normTokens(concat_ws(" ",
+        coalesce(col("name"), lit("")),
+        coalesce(col("venue_name"), lit("")),
+        coalesce(col("venue_address"), lit("")),
+        coalesce(col("description"), lit("")))),
+      tok => !tok.isInCollection(TextOps.stopwords) && length(tok) > 1)
     df.withColumn("search_tokens",
-      filter(
-        TextOps.normTokens(concat_ws(" ",
-          coalesce(col("name"), lit("")),
-          coalesce(col("venue_name"), lit("")),
-          coalesce(col("venue_address"), lit("")),
-          coalesce(col("description"), lit("")))),
-        tok => !tok.isInCollection(TextOps.stopwords) && length(tok) > 1))
+      if (stem) graft.functions.Porter.stemTokens(raw) else raw)
+  }
 }

@@ -30,14 +30,17 @@ object Dashboard {
       .reduce(_ && _)
   }
 
-  private def normalizeQuery(q: Option[String]): Seq[String] =
+  /** Query-side twin of the load-time tokenization (plainto_tsquery): same
+    * normalization + stopword filter, optionally the same Porter stem. */
+  private def normalizeQuery(q: Option[String], stem: Boolean): Seq[String] =
     q.toSeq.flatMap(_.toLowerCase.split("[^\\p{L}\\p{Nd}]+"))
       .filter(t => t.length > 1 && !TextOps.stopwords.contains(t))
+      .map(t => if (stem) graft.functions.Porter.stem(t) else t)
 
   def query(events: DataFrame, source: Option[String] = None,
       category: Option[String] = None, search: Option[String] = None,
-      page: Int = 1): Page = {
-    val terms = normalizeQuery(search)
+      page: Int = 1, stemmed: Boolean = false): Page = {
+    val terms = normalizeQuery(search, stemmed)
     val filtered = events.filter(predicate(source, category, terms))
 
     val sortCols: Seq[Column] =

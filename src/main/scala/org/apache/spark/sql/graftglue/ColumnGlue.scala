@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnGlue {
   def col(e: Expression): Column = ExpressionUtils.column(e)
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Function registry of a live session (for registering the engine's SQL
+    * functions on sessions built without GraftExtensions). */
+  def functionRegistry(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.sessionState.functionRegistry
 }

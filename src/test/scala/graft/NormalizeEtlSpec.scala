@@ -97,4 +97,16 @@ class NormalizeEtlSpec extends SparkSpec {
     val p2 = Dashboard.query(silver, page = 2)
     assert(p2.rows.count() == 0) // only 5 rows -> page 2 empty
   }
+
+  test("stemmed search matches morphological variants") {
+    val stemmedSilver = graft.ingest.Normalize.withSearchTokens(
+      silver.drop("search_tokens"), stem = true)
+    // "games" must find the doc whose tokens contain "game" (stemmed)
+    val hit = Dashboard.query(stemmedSilver, search = Some("hockey games"),
+      stemmed = true)
+    assert(hit.total == 1)
+    // unstemmed search for the same plural misses
+    val miss = Dashboard.query(silver, search = Some("games"))
+    assert(miss.total == 0)
+  }
 }
