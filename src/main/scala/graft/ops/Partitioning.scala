@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-shape utilities for the 100 TB regime: skew-salted two-stage
+  * aggregation, co-partitioned writes, and AQE-aware repartitioning.
+  *
+  * Salting: a groupBy on a key with hot values puts one executor on the
+  * hot key's entire partition. Stage 1 groups on (key, salt) — hot keys
+  * split across `saltBuckets` reducers and partial-aggregate map-side;
+  * stage 2 merges the per-salt partials. Results are bit-identical to the
+  * unsalted plan for decomposable aggregates (sum/count/min/max). */
+object Partitioning {
+
+  /** Two-stage salted sum/count aggregation over decomposable aggregates.
+    * `aggs` maps output column name → (stage1 agg of input, stage2 merge
+    * of the stage-1 partial). */
+  def saltedAgg(df: DataFrame, key: String, saltBuckets: Int,
+      aggs: Map[String, (Column, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+    val stage1 = salted.groupBy(col(key), col("__salt"))
+      .agg(aggs.head._2._1.as(s"__p_${aggs.head._1}"),
+        aggs.tail.map { case (n, (a, _)) => a.as(s"__p_$n") }.toSeq: _*)
+    stage1.groupBy(col(key))
+      .agg(aggs.head._2._2(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
+        aggs.tail.map { case (n, (_, m)) => m(col(s"__p_$n")).as(n) }
+          .toSeq: _*)
+  }
+
+  /** Convenience: salted count + decimal-exact sum (the common hot-key
+    * rollup), result identical to plain groupBy(key). */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+      scale: Int, saltBuckets: Int = 16): DataFrame =
+    saltedAgg(df, key, saltBuckets, Map(
+      "n" -> (count(lit(1)), (c: Column) => sum(c).cast("long")),
+      "sum_value" -> (
+        sum(col(valueCol).cast(
+          org.apache.spark.sql.types.DecimalType(30, scale))),
+        (c: Column) => sum(c).cast("double"))))
+
+  /** Write co-partitioned by a join key: downstream equi-joins on `key`
+    * against tables written the same way need no shuffle (bucket-join
+    * analogue for path-based tables). */
+  def writePartitioned(df: DataFrame, path: String, key: String,
+      numFiles: Int): Unit =
+    df.repartition(numFiles, col(key))
+      .write.mode("overwrite").parquet(path)
+}

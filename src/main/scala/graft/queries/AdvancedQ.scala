@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 
 /** Advanced relational/temporal operators beyond the reference's own
@@ -135,6 +136,45 @@ object AdvancedQ {
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
     }),
+
+    // Running cumulative revenue per market segment over order dates —
+    // frame-based window aggregation (rows unbounded preceding).
+    "q37_running_total" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderkey",
+        "o_orderdate", "o_totalprice")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .withColumn("running_rev",
+          sum(col("o_totalprice").cast(DecimalType(30, 2))).over(w)
+            .cast("double"))
+        .select("c_mktsegment", "o_orderkey", "o_orderdate", "running_rev")
+        .orderBy("c_mktsegment", "o_orderdate", "o_orderkey")
+        .limit(1000)
+    }),
+
+    // Quartile assignment via ntile over order totals per status.
+    "q38_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("o_orderstatus", "quartile")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus", "quartile")
+    }),
+
+    // Skew-salted two-stage aggregation — must be bit-identical to the
+    // plain GROUP BY (the oracle IS the unsalted query), proving the
+    // hot-key strategy preserves semantics.
+    "q39_salted_agg" -> ((s, dir) =>
+      graft.ops.Partitioning
+        .saltedCountSum(t(s, dir, "events"), "event_type", "value", 2,
+          saltBuckets = 16)
+        .orderBy("event_type")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -209,5 +249,30 @@ object AdvancedQ {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q37_running_total" ->
+      """SELECT c_mktsegment, o_orderkey, o_orderdate,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
+        |   OVER (PARTITION BY c_mktsegment
+        |     ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_mktsegment, o_orderdate, o_orderkey LIMIT 1000""".stripMargin,
+
+    "q38_ntile" ->
+      """SELECT o_orderstatus, quartile, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        | SELECT o_orderstatus, o_totalprice,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        | FROM orders) x
+        |GROUP BY o_orderstatus, quartile
+        |ORDER BY o_orderstatus, quartile""".stripMargin,
+
+    "q39_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
