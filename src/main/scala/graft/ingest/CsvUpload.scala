@@ -1,0 +1,96 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Standardize
+
+/** S7 + N3/N4: the CSV document-upload path — read with encoding fallback,
+  * normalize arbitrary headers via the synonym map, clean per-record, and
+  * project onto the canonical schema (document_spider.py:25-33,118-134,
+  * 255-301). Header resolution is driver-side schema work (no shuffle);
+  * the value cleanup is one codegen'd projection. */
+object CsvUpload {
+
+  /** canonical field → header synonyms, lowercase (COLUMN_MAPPINGS,
+    * document_spider.py:25-33). First present synonym wins. */
+  val columnSynonyms: Seq[(String, Seq[String])] = Seq(
+    "name" -> Seq("name", "title", "event", "event_name", "business",
+      "business_name"),
+    "url" -> Seq("url", "link", "website", "web", "site"),
+    "venue_name" -> Seq("venue_name", "venue", "location", "place",
+      "where"),
+    "venue_address" -> Seq("venue_address", "address", "addr", "street",
+      "street_address"),
+    "event_date" -> Seq("event_date", "date", "when", "day", "datetime",
+      "start_date"),
+    "description" -> Seq("description", "desc", "details", "info",
+      "about", "summary"),
+    "category" -> Seq("category", "type", "kind", "genre_type"),
+    "venue_city" -> Seq("venue_city", "city", "town"),
+    "latitude" -> Seq("latitude", "lat"),
+    "longitude" -> Seq("longitude", "lng", "lon", "long"),
+    "neighborhood" -> Seq("neighborhood", "area", "district"),
+    "genre" -> Seq("genre", "music_genre", "style"),
+    "season" -> Seq("season", "time_of_year"),
+    "price" -> Seq("price", "cost", "admission", "ticket_price", "fee"))
+
+  /** Read a CSV with utf-8 → latin-1 fallback (document_spider.py:118-134):
+    * a malformed-encoding read surfaces as a parse failure; retry with the
+    * fallback charset. */
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    def read(enc: String) = spark.read
+      .option("header", "true").option("encoding", enc)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    try {
+      val df = read("UTF-8")
+      df.take(1) // force a scan so charset errors surface here
+      df
+    } catch { case _: Exception => read("ISO-8859-1") }
+  }
+
+  /** N3: lowercase headers, then coalesce each canonical field from its
+    * present synonyms (missing → null literal). N4: trim values, blank →
+    * null. Unknown columns drop out (the reference ignores them). */
+  def normalizeHeaders(df: DataFrame): DataFrame = {
+    val present: Map[String, String] =
+      df.columns.map(c => c.trim.toLowerCase.replace(' ', '_') -> c).toMap
+    val cols: Seq[Column] = columnSynonyms.map { case (canonical, syns) =>
+      val hits = syns.flatMap(present.get).map(c =>
+        nullif(trim(col(s"`$c`")), lit("")))
+      (if (hits.isEmpty) lit(null).cast("string")
+       else coalesce(hits: _*)).as(canonical)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Full upload parse: headers → canonical, safe casts for coords (F13),
+    * price normalization (F5), P7 name validity, F9 synthetic url from
+    * name|address|file when absent. */
+  def parse(spark: SparkSession, path: String,
+      sourceTag: String = "Document Upload (CSV)"): DataFrame = {
+    val norm = normalizeHeaders(readCsv(spark, path))
+    norm
+      .withColumn("latitude", Standardize.safeDouble(col("latitude")))
+      .withColumn("longitude", Standardize.safeDouble(col("longitude")))
+      .withColumn("price", Standardize.parsePrice(col("price")))
+      .withColumn("source", lit(sourceTag))
+      .filter(length(coalesce(col("name"), lit(""))) >= 3 &&
+        col("name").rlike("[A-Za-z]"))
+      .withColumn("url", coalesce(col("url"),
+        Standardize.syntheticUrl("document", col("name"),
+          col("venue_address"), lit(path))))
+  }
+
+  /** A5: run-statistics tally — rejects by reason plus yield counts
+    * (nashville_arcgis.py:41-42,95-101,180-186 generalized). One pass,
+    * one tiny aggregation. */
+  def rejectStats(df: DataFrame): DataFrame = {
+    val reason = when(col("name").isNull, "no_name")
+      .when(length(col("name")) < 3 || !col("name").rlike("[A-Za-z]"),
+        "invalid_name")
+      .otherwise("yielded")
+    normalizeHeaders(df).groupBy(reason.as("reason"))
+      .agg(count(lit(1)).as("n")).orderBy("reason")
+  }
+}

@@ -55,8 +55,8 @@ object Normalize {
       col("j.category").as("category"),
       col("j.genre").as("genre"),
       col("j.season").as("season"),
-      col("j.latitude").cast("double").as("latitude"),
-      col("j.longitude").cast("double").as("longitude"))
+      Standardize.safeDouble(col("j.latitude")).as("latitude"),
+      Standardize.safeDouble(col("j.longitude")).as("longitude"))
     val named = base.filter(Standardize.isValidString(col("name")))
     if (requireVenue) named.filter(col("venue_name").isNotNull) else named
   }

@@ -74,6 +74,15 @@ object Standardize {
     concat(lit(s"$scheme://"),
       substring(md5(concat_ws("|", identity: _*).cast("binary")), 1, 12))
 
+  /** F10: URL absolutization against a base url (generic_spider.py:60,69) —
+    * java.net.URI.resolve semantics, ingest-side. */
+  val resolveUrl = udf { (base: String, href: String) =>
+    if (href == null) null
+    else if (base == null) href
+    else try new java.net.URI(base).resolve(href).toString
+    catch { case _: Exception => href }
+  }
+
   /** F11: split a "key: value" line into a 2-element array
     * (pdf_spider.py:82-86). */
   def keyValueSplit(c: Column): Column = split(c, ":", 2)
@@ -99,8 +108,10 @@ object Standardize {
         "null") &&
       length(trim(c)) >= 2
 
-  /** F13: safe double cast — null on failure (transform_data.py:268-273). */
-  def safeDouble(c: Column): Column = c.cast("double")
+  /** F13: safe double cast — null on failure (transform_data.py:268-273).
+    * Spark 4 runs ANSI mode by default, where a plain cast on malformed
+    * input throws — try_cast restores the reference's null-on-failure. */
+  def safeDouble(c: Column): Column = c.try_cast("double")
 
   // ───────────────────────── dates (D1–D5) ─────────────────────────
 

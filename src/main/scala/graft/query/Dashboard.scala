@@ -68,4 +68,12 @@ object Dashboard {
   def distinctDomain(events: DataFrame, column: String): DataFrame =
     events.select(column).where(col(column).isNotNull)
       .distinct().orderBy(column)
+
+  /** W5: sliding window of ≤5 page links around the current page
+    * (app.py:35-50) — driver-side arithmetic. */
+  def pageLinks(current: Int, totalPages: Long): Seq[Int] = {
+    val lo = math.max(1L, math.min(current - 2L, totalPages - 4L))
+    val hi = math.min(totalPages, lo + 4)
+    (lo to hi).map(_.toInt)
+  }
 }

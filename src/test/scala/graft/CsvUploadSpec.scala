@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.CsvUpload
+import graft.ops.Standardize
+import graft.query.Dashboard
+
+class CsvUploadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def res(name: String): String =
+    getClass.getResource(s"/$name").getPath
+
+  test("clean CSV: canonical headers pass through") {
+    val df = CsvUpload.parse(spark, res("sample_clean.csv"))
+    assert(df.count() == 2)
+    val fest = df.filter($"name" === "Music Fest").collect().head
+    assert(fest.getAs[String]("url") == "http://ex.com/fest")
+    assert(fest.getAs[Double]("latitude") == 36.16)
+  }
+
+  test("messy CSV: 11 synonym headers resolve to canonical fields") {
+    val df = CsvUpload.parse(spark, res("messy_headers.csv"))
+    val honky = df.filter($"name" === "Honky Tonk Night").collect().head
+    assert(honky.getAs[String]("url") == "http://ex.com/honky") // Link
+    assert(honky.getAs[String]("venue_name") == "Broadway Bar") // Venue
+    assert(honky.getAs[String]("venue_address") == "412 Broadway")
+    assert(honky.getAs[String]("event_date") == "October 2 @ 8:00 pm")
+    assert(honky.getAs[Double]("price") == 15.0)                // Cost F5
+    val slam = df.filter($"name" === "Poetry Slam").collect().head
+    assert(slam.getAs[Double]("price") == 0.0)                  // FREE
+    assert(slam.getAs[String]("url").startsWith("document://")) // F9
+  }
+
+  test("extreme CSV: invalid values degrade to null, bad rows drop") {
+    val df = CsvUpload.parse(spark, res("extreme.csv"))
+    assert(df.count() == 2) // single-char name dropped (P7)
+    val food = df.filter($"name" === "Food Truck Fest").collect().head
+    assert(food.getAs[Any]("latitude") == null)       // 36.abc -> null F13
+    assert(food.getAs[Double]("longitude") == -86.9)
+    assert(food.getAs[Double]("price") == 5.0)        // $5
+    assert(food.getAs[String]("url") == "www.foodtruckfest")
+    // unparseable dates kept raw (D1 fallthrough happens downstream)
+    assert(food.getAs[String]("event_date") == "2025-13-45 25:99")
+  }
+
+  test("A5 reject statistics tally") {
+    val raw = CsvUpload.readCsv(spark, res("extreme.csv"))
+    val stats = CsvUpload.rejectStats(raw).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("yielded") == 2 && stats("invalid_name") == 1)
+  }
+
+  test("F10 url absolutization") {
+    val got = Seq(("http://ex.com/events/", "details/5"),
+      ("http://ex.com/a", "http://other.com/x"))
+      .toDF("base", "href")
+      .select(Standardize.resolveUrl($"base", $"href"))
+      .as[String].collect().toSeq
+    assert(got == Seq("http://ex.com/events/details/5", "http://other.com/x"))
+  }
+
+  test("W5 page-link window") {
+    assert(Dashboard.pageLinks(1, 10) == Seq(1, 2, 3, 4, 5))
+    assert(Dashboard.pageLinks(6, 10) == Seq(4, 5, 6, 7, 8))
+    assert(Dashboard.pageLinks(10, 10) == Seq(6, 7, 8, 9, 10))
+    assert(Dashboard.pageLinks(1, 2) == Seq(1, 2))
+  }
+}
