@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Porter
+import graft.ops.{DedupOps, Standardize}
+
+/** Property tests (SURVEY.md §5.3): totality and idempotence of the
+  * standardizers and dedup over generated inputs. Raw ScalaCheck
+  * generators with fixed seeds (deterministic, no scalatest bridge). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val weird = Gen.oneOf("", " ", "\t\n", "FREE", "free admission",
+    "$1.50", "abc", "12..5", "-", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢", "null", "25:99",
+    "October 2 @ 8:00 pm", "2025-13-45 25:99")
+  private val anyStr: Gen[String] =
+    Gen.oneOf(weird, Gen.alphaNumStr, Gen.asciiPrintableStr)
+
+  test("parsePrice is total: never throws, free -> 0") {
+    val ss = samples(anyStr, 200)
+    val rows = ss.toDF("s").select(Standardize.parsePrice($"s")).collect()
+    assert(rows.length == ss.length) // no exception = total
+    ss.zip(rows).foreach { case (in, r) =>
+      if (in.toLowerCase.contains("free")) assert(r.getDouble(0) == 0.0)
+    }
+  }
+
+  test("collapseWs and pyTitle are idempotent") {
+    val ss = samples(anyStr, 200)
+    val once = ss.toDF("s").select(Standardize.collapseWs($"s").as("c"),
+      Standardize.pyTitle($"s").as("t"))
+    val twice = once.select(Standardize.collapseWs($"c"),
+      Standardize.pyTitle($"t"))
+    assert(once.collect().map(r => (r.get(0), r.get(1))).toSeq
+      == twice.collect().map(r => (r.get(0), r.get(1))).toSeq)
+  }
+
+  test("Porter stem is total and never grows a word by more than one char") {
+    samples(Gen.alphaLowerStr.suchThat(_.length < 40), 500).foreach { w =>
+      val s = Porter.stem(w)
+      assert(s != null && s.length <= w.length + 1, s"stem($w)=$s")
+    }
+  }
+
+  test("firstWins dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val pairs = samples(Gen.zip(Gen.choose(1L, 20L), Gen.choose(1L, 8L)), 120)
+    val df = pairs.zipWithIndex
+      .map { case ((k, v), i) => (i.toLong, s"k$k", v) }
+      .toDF("id", "url", "v")
+    val once = DedupOps.firstWins(df, Seq("url"), asc("id"))
+    val againRows = DedupOps.firstWins(once, Seq("url"), asc("id"))
+      .orderBy("id").collect().toSeq
+    assert(once.orderBy("id").collect().toSeq == againRows)
+    // and the kept row per key is the minimum id
+    val kept = once.select("url", "id").as[(String, Long)].collect().toMap
+    pairs.zipWithIndex.foreach { case ((k, _), i) =>
+      assert(kept(s"k$k") <= i.toLong)
+    }
+  }
+
+  test("standardizeDate is total over garbage for every source branch") {
+    val ss = samples(anyStr, 150)
+    Seq("Ticketmaster", "Yelp", "Underdog", "Nashville.com Events", "other")
+      .foreach { src =>
+        val n = ss.toDF("d")
+          .select(Standardize.standardizeDate($"d", lit(src), 2025))
+          .collect().length
+        assert(n == ss.length, src)
+      }
+  }
+}
