@@ -107,6 +107,44 @@ case class SimHash64Expr(child: Expression)
     copy(child = c)
 }
 
+/** Cosine similarity of two numeric arrays in one JVM pass per row —
+  * bit-identical to the declarative zip_with/aggregate left fold
+  * (accumulates dot and both norms left-to-right in doubles) but without
+  * the per-element interpreted-lambda overhead that dominates pairwise
+  * similarity joins. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  private def elem(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case org.apache.spark.sql.types.FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val et1 = left.dataType.asInstanceOf[ArrayType].elementType
+    val et2 = right.dataType.asInstanceOf[ArrayType].elementType
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, i, et1); val y = elem(b, i, et2)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : CosineSimExpr = copy(left = l, right = r)
+}
+
+object CosineSimExpr {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
+  def cosine(a: Column, b: Column): Column =
+    toCol(CosineSimExpr(toExpr(a), toExpr(b)))
+}
+
 /** Word k-shingles in one pass (the HOF sequence/transform/concat version
   * is interpreted per element): distinct, order-preserving. */
 case class ShinglesExpr(child: Expression, k: Int)

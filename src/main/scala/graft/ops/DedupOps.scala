@@ -40,16 +40,21 @@ object DedupOps {
     * scale. `toksCol` must already be distinct elements. */
   def jaccardPairs(df: DataFrame, idCol: String, toksCol: String,
       threshold: Double): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
-    val sizes = base.select(col("id"), size(col("toks")).as("sz"))
-    val posts = base.select(col("id"), explode(col("toks")).as("tok"))
-    val inter = posts.as("x").join(posts.as("y"),
+    // carry each set's size through its postings: the pair join then has
+    // both sizes in hand — no extra joins back to a sizes table, and the
+    // two posting sides are identical subplans, so the shuffle is planned
+    // once and reused for the other side (ReusedExchange)
+    val posts = df
+      .select(col(idCol).as("id"), col(toksCol).as("toks"))
+      .select(col("id"), size(col("toks")).as("sz"),
+        explode(col("toks")).as("tok"))
+    val pairs = posts.as("x").join(posts.as("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.sz").as("a_sz"), col("y.sz").as("b_sz"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("inter"))
+    pairs
       .withColumn("jaccard", round(col("inter").cast("double")
         / (col("a_sz") + col("b_sz") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

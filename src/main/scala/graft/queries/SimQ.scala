@@ -29,6 +29,21 @@ object SimQ {
         "embedding", 64, q, "embedding", 25)
     }),
 
+    // Embedding-cosine near-dup pairs: exact pairwise at this scale (the
+    // oracle-checkable baseline); annSelfJoin is the LSH-bucketed path
+    // for corpora where the cross join is impossible.
+    "q40_embedding_dups" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos_sim",
+          round(SimilarityOps.cosine(col("av"), col("bv")), 6))
+        .filter(col("cos_sim") >= 0.4)
+        .select("a_id", "b_id", "cos_sim")
+        .orderBy("a_id", "b_id")
+    }),
+
     // Label centroid distance: per-label mean vector then each label's
     // cosine to the global mean — exercises array aggregation at scale.
     "q26_label_stats" -> ((s, dir) => {
@@ -56,6 +71,15 @@ object SimQ {
         | round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos_sim
         |FROM ex GROUP BY vec_id
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 25""".stripMargin,
+
+    "q40_embedding_dups" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q26_label_stats" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n_components,

@@ -93,6 +93,19 @@ object TextQ {
         maxHamming = 3)
         .orderBy("a_id", "b_id")),
 
+    // BPE-style subword-ish token counting via the GPT-2-like segmentation
+    // regex (contractions / letter runs / digit runs / punctuation runs),
+    // next to the plain whitespace count.
+    "q41_bpe_tokens" -> ((s, dir) => {
+      val bpe = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit(bpe), lit(0)))
+            .cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // Rule-cascade categorizer generalized from categorizer.py:1-32:
     // first-match-wins keyword rules over the lower-cased text.
     "q21_categorize" -> ((s, dir) => {
@@ -195,6 +208,13 @@ object TextQ {
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
         |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q41_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text,
+        |   '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+', 0)) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q21_categorize" ->
       """SELECT doc_id,
