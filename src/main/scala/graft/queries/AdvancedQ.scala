@@ -167,6 +167,31 @@ object AdvancedQ {
         .orderBy("o_orderstatus", "quartile")
     }),
 
+    // Outer join with zero-fill: big-order counts per customer, keeping
+    // customers with none (null-producing left join + count(col)).
+    "q42_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val big = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      c.join(big, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+          coalesce(sum(col("o_totalprice").cast(DecimalType(30, 2))), lit(0))
+            .cast("double").as("big_total"))
+        .orderBy("c_custkey")
+    }),
+
+    // Fuzzy string matching: edit distance against a probe name.
+    "q43_fuzzy_match" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("dist",
+          levenshtein(col("p_name"), lit("small ring")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select("p_partkey", "p_name", "dist")
+        .orderBy("dist", "p_partkey")
+    }),
+
     // Skew-salted two-stage aggregation — must be bit-identical to the
     // plain GROUP BY (the oracle IS the unsalted query), proving the
     // hot-key strategy preserves semantics.
@@ -269,6 +294,22 @@ object AdvancedQ {
         | FROM orders) x
         |GROUP BY o_orderstatus, quartile
         |ORDER BY o_orderstatus, quartile""".stripMargin,
+
+    "q42_outer_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        | count(o_orderkey) AS n_big_orders,
+        | CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,2))), 0) AS DOUBLE) AS big_total
+        |FROM customer LEFT JOIN
+        | (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        | ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q43_fuzzy_match" ->
+      """SELECT p_partkey, p_name,
+        | CAST(levenshtein(p_name, 'small ring') AS BIGINT) AS dist
+        |FROM part WHERE levenshtein(p_name, 'small ring') <= 3
+        |ORDER BY dist, p_partkey""".stripMargin,
 
     "q39_salted_agg" ->
       """SELECT event_type, count(*) AS n,
