@@ -82,6 +82,68 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest of K
+    * centroid "cells"; a query probes only the `nprobe` nearest cells.
+    * Centroids here are a deterministic stride-sample of the corpus (a
+    * k-means refinement would slot in without changing the query path).
+    * At scale the cell id is the storage partition key, so a probe reads
+    * `nprobe/K` of the data. */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val cellScores = centroids.map { case (cid, cv) =>
+      struct(lit(cid).as("cell"),
+        cosine(col(vecCol), array(cv.map(lit(_)): _*)).as("sim"))
+    }
+    // argmax over cells: sort the (cell, sim) structs by sim desc, take 1
+    vectors.withColumn("__cells", array(cellScores: _*))
+      .withColumn("cell",
+        element_at(array_sort(col("__cells"),
+          (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
+            .when(l.getField("sim") < r.getField("sim"), 1)
+            .otherwise(when(l.getField("cell") < r.getField("cell"), -1)
+              .otherwise(1))), 1).getField("cell"))
+      .drop("__cells")
+  }
+
+  /** Deterministic centroid sample: every (n/k)-th vector by id order. */
+  def strideCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Int, Array[Double])] = {
+    val w = Window.orderBy(col(idCol))
+    val n = vectors.count()
+    val stride = math.max(1L, n / k)
+    vectors.select(col(idCol), col(vecCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % stride === 0 && col("__rn") <= stride * k)
+      .orderBy(idCol)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }.toSeq
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest cells only. */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      centroids: Seq[(Int, Array[Double])], nprobe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(vectors, idCol, vecCol, centroids)
+    val qAssigned = query.select(col(queryVecCol).as("__qv"))
+    // rank cells for the query, keep nprobe best
+    val qCells = broadcast(qAssigned.withColumn("__cells",
+        array(centroids.map { case (cid, cv) =>
+          struct(cosine(col("__qv"), array(cv.map(lit(_)): _*)).as("sim"),
+            lit(cid).as("cell"))
+        }: _*))
+      .withColumn("probe", explode(slice(array_sort(col("__cells"),
+        (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
+          .otherwise(1)), 1, nprobe).getField("cell")))
+      .select(col("__qv"), col("probe")))
+    assigned.join(qCells, col("cell") === col("probe"))
+      .withColumn("cos_sim", round(cosine(col(vecCol), col("__qv")), 6))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbor join via LSH buckets (each vector keeps its k
     * nearest within its bucket) — the scalable self-similarity-join shape. */
   def annSelfJoin(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -29,6 +29,16 @@ object SimQ {
         "embedding", 64, q, "embedding", 25)
     }),
 
+    // IVF-bucketed ANN: deterministic stride centroids, probe the 2
+    // nearest cells (approximate; rows-only check).
+    "q44_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = SimilarityOps.strideCentroids(e, "vec_id", "embedding", 16)
+      val q = e.filter(col("vec_id") === 1).select(col("embedding"))
+      SimilarityOps.ivfTopK(e.select("vec_id", "embedding"), "vec_id",
+        "embedding", q, "embedding", 25, cents, nprobe = 2)
+    }),
+
     // Embedding-cosine near-dup pairs: exact pairwise at this scale (the
     // oracle-checkable baseline); annSelfJoin is the LSH-bucketed path
     // for corpora where the cross join is impossible.

@@ -51,6 +51,25 @@ class GeoSimSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("IVF ANN: probes cells only, self is top-1, sims exact") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = SimilarityOps.strideCentroids(e, "vec_id", "embedding", 8)
+    assert(cents.length == 8 && cents.head._2.length == 64)
+    val q = e.filter($"vec_id" === 1).select($"embedding")
+    val got = SimilarityOps.ivfTopK(e.select("vec_id", "embedding"),
+      "vec_id", "embedding", q, "embedding", 10, cents, nprobe = 2)
+      .collect()
+    assert(got.nonEmpty && got.head.getLong(0) == 1L)
+    assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-6) // self cos = 1
+    // every cell assignment is one of the 8 cells and cells partition rows
+    val assigned = SimilarityOps.ivfAssign(
+      e.select("vec_id", "embedding"), "vec_id", "embedding", cents)
+    assert(assigned.count() == e.count())
+    val cells = assigned.select("cell").distinct().as[Int].collect().toSet
+    assert(cells.subsetOf((0 until 8).toSet))
+  }
+
   test("ANN results are a subset of brute-force and self is top-1") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

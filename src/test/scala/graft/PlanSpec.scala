@@ -60,4 +60,48 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q08_pagination")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("identical posting subplans share one shuffle (ReusedExchange)") {
+    // the inverted-index jaccard self-join: both sides are the same
+    // explode+project subplan. At bench SF AQE broadcasts the postings
+    // (no exchange at all — even better); force the at-scale sort-merge
+    // path here and check the one planned exchange is reused.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q16_jaccard_pairs")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedShuffle"),
+        s"expected exchange reuse:\n${p.take(4000)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("bucketed tables join without a shuffle") {
+    // co-located join: both sides bucketed+sorted on the key -> the
+    // sort-merge join reads buckets directly, no Exchange in the plan.
+    // This is the storage-level strategy for repeated 100 TB joins.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = graft.Tables.t(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val l = graft.Tables.t(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      l.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
