@@ -192,6 +192,32 @@ object AdvancedQ {
         .orderBy("dist", "p_partkey")
     }),
 
+    // Bag-semantics set op: EXCEPT ALL keeps duplicate multiplicity.
+    "q45_except_all" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val all = e.filter(col("value") > 100).select("user_id")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id")
+      all.exceptAll(purchases)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // Raw SQL entry with a correlated scalar subquery — the engine's
+    // spark.sql surface over registered views. The threshold compare is
+    // phrased as price*count > exact-decimal-sum so both engines evaluate
+    // identical IEEE doubles (a plain avg differs in the last ulp).
+    "q46_sql_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n_above_avg
+        FROM orders_v
+        WHERE o_totalprice * (SELECT count(*) FROM orders_v) >
+          (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+           FROM orders_v)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // Skew-salted two-stage aggregation — must be bit-identical to the
     // plain GROUP BY (the oracle IS the unsalted query), proving the
     // hot-key strategy preserves semantics.
@@ -310,6 +336,21 @@ object AdvancedQ {
         | CAST(levenshtein(p_name, 'small ring') AS BIGINT) AS dist
         |FROM part WHERE levenshtein(p_name, 'small ring') <= 3
         |ORDER BY dist, p_partkey""".stripMargin,
+
+    "q45_except_all" ->
+      """SELECT user_id, count(*) AS n FROM (
+        | SELECT user_id FROM events WHERE value > 100
+        | EXCEPT ALL
+        | SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q46_sql_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n_above_avg
+        |FROM orders
+        |WHERE o_totalprice * (SELECT count(*) FROM orders) >
+        |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |   FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q39_salted_agg" ->
       """SELECT event_type, count(*) AS n,
