@@ -192,6 +192,19 @@ object AdvancedQ {
         .orderBy("dist", "p_partkey")
     }),
 
+    // Custom typed Aggregator (UDAF surface): weighted mean with an exact
+    // decimal accumulator — order-independent, hence oracle-checkable.
+    "q47_weighted_mean" -> ((s, dir) => {
+      val wm = udaf(graft.functions.WeightedMean)
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull && col("k") > 0)
+        .groupBy("event_type")
+        .agg(round(wm(col("value"), col("k")), 6).as("wmean"),
+          sum(col("k")).as("sum_w"))
+        .orderBy("event_type")
+    }),
+
     // Bag-semantics set op: EXCEPT ALL keeps duplicate multiplicity.
     "q45_except_all" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -336,6 +349,18 @@ object AdvancedQ {
         | CAST(levenshtein(p_name, 'small ring') AS BIGINT) AS dist
         |FROM part WHERE levenshtein(p_name, 'small ring') <= 3
         |ORDER BY dist, p_partkey""".stripMargin,
+
+    "q47_weighted_mean" ->
+      """WITH e AS (
+        | SELECT event_type, value,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events)
+        |SELECT event_type,
+        | round(CAST(sum(CAST(value AS DECIMAL(30,2)) * k) AS DOUBLE)
+        |   / CAST(sum(k) AS DOUBLE), 6) AS wmean,
+        | CAST(sum(k) AS BIGINT) AS sum_w
+        |FROM e WHERE k IS NOT NULL AND k > 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q45_except_all" ->
       """SELECT user_id, count(*) AS n FROM (
