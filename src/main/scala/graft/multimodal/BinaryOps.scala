@@ -53,6 +53,59 @@ object BinaryOps {
   def readMediaDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
 
+  final case class ResizedMedia(media_id: Long, kind: String,
+      target_w: Int, target_h: Int, content: Array[Byte])
+
+  /** Pluggable resize step (image/video thumbnailing). The stub emits a
+    * deterministic downsample of the byte stream sized target_w*target_h;
+    * a real decoder-backed implementation swaps in without touching the
+    * plumbing (schema, per-partition batching). */
+  def resize(media: DataFrame, targetW: Int, targetH: Int)
+      : Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, bytes) =>
+          val n = targetW * targetH
+          val out = new Array[Byte](n)
+          if (bytes.nonEmpty) {
+            var i = 0
+            while (i < n) { // stride-sample the source bytes
+              out(i) = bytes((i.toLong * bytes.length / n).toInt)
+              i += 1
+            }
+          }
+          ResizedMedia(id, kind, targetW, targetH, out)
+        }
+      }
+  }
+
+  final case class Frame(media_id: Long, frame_idx: Int, offset: Long,
+      frame: Array[Byte])
+
+  /** Frame sampling for video blobs: 1 row in → `nFrames` rows out
+    * (flatMap), each carrying its source offset. The stub slices the byte
+    * stream at even offsets; a real demuxer keeps the same 1→N shape. */
+  def sampleFrames(media: DataFrame, nFrames: Int,
+      frameBytes: Int = 256): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes.isEmpty) Iterator.empty
+        else (0 until nFrames).iterator.map { f =>
+          val off = (f.toLong * bytes.length / nFrames)
+          Frame(id, f, off,
+            bytes.slice(off.toInt,
+              math.min(off.toInt + frameBytes, bytes.length)))
+        }
+      }
+  }
+
   /** Decode + feature-extract via mapPartitions: one decoder instance per
     * partition (not per row), rows streamed — the batch shape that holds
     * when `content` is megabytes and partitions are thousands of rows. */

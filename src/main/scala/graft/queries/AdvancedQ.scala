@@ -192,6 +192,23 @@ object AdvancedQ {
         .orderBy("dist", "p_partkey")
     }),
 
+    // RANGE-frame window: trailing-7-day order count and revenue per
+    // status, frame defined on event time (epoch seconds), not row count.
+    "q48_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("es"))
+        .rangeBetween(-604800L, 0L)
+      t(s, dir, "orders")
+        .withColumn("es", unix_timestamp(col("o_orderdate")))
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("sum7",
+          sum(col("o_totalprice").cast(DecimalType(30, 2))).over(w)
+            .cast("double"))
+        .select("o_orderkey", "o_orderstatus", "n7", "sum7")
+        .orderBy("o_orderkey")
+        .limit(1000)
+    }),
+
     // Custom typed Aggregator (UDAF surface): weighted mean with an exact
     // decimal accumulator — order-independent, hence oracle-checkable.
     "q47_weighted_mean" -> ((s, dir) => {
@@ -349,6 +366,16 @@ object AdvancedQ {
         | CAST(levenshtein(p_name, 'small ring') AS BIGINT) AS dist
         |FROM part WHERE levenshtein(p_name, 'small ring') <= 3
         |ORDER BY dist, p_partkey""".stripMargin,
+
+    "q48_range_window" ->
+      """SELECT o_orderkey, o_orderstatus, n7, sum7 FROM (
+        | SELECT o_orderkey, o_orderstatus,
+        |  count(*) OVER w AS n7,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum7
+        | FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS es FROM orders)
+        | WINDOW w AS (PARTITION BY o_orderstatus ORDER BY es
+        |   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)) x
+        |ORDER BY o_orderkey LIMIT 1000""".stripMargin,
 
     "q47_weighted_mean" ->
       """WITH e AS (

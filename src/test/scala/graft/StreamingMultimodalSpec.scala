@@ -52,6 +52,27 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(feats(2L).feature.toSeq == again(2L).feature.toSeq)
   }
 
+  test("multimodal: resize and frame-sampling plumbing") {
+    val media = Seq(
+      (1L, "image", Array.tabulate(1000)(_.toByte)),
+      (2L, "video", Array.tabulate(4096)(i => (i * 7).toByte)),
+      (3L, "video", Array.emptyByteArray))
+      .toDF("media_id", "kind", "content")
+    val resized = BinaryOps.resize(media, 8, 8).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(resized(1L).content.length == 64)
+    assert(resized(1L).target_w == 8)
+    // deterministic: stride sample reproducible
+    assert(BinaryOps.resize(media, 8, 8).collect()
+      .find(_.media_id == 1L).get.content.toSeq
+      == resized(1L).content.toSeq)
+    val frames = BinaryOps.sampleFrames(media, nFrames = 4).collect()
+    assert(frames.count(_.media_id == 2L) == 4)  // 1 video -> 4 frames
+    assert(frames.forall(_.media_id == 2L))      // empty video drops out
+    val offsets = frames.filter(_.media_id == 2L).map(_.offset).sorted
+    assert(offsets.toSeq == Seq(0L, 1024L, 2048L, 3072L))
+  }
+
   test("streaming windowed agg compiles against a batch frame (smoke)") {
     val df = Seq(("2024-01-01 00:10:00", "a"), ("2024-01-01 00:20:00", "a"))
       .toDF("ts", "source").withColumn("ts", $"ts".cast("timestamp"))
