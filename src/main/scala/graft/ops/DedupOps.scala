@@ -87,22 +87,27 @@ object DedupOps {
       threshold: Double = 0.5): DataFrame = {
     val sh = graft.functions.ShinglesExpr.shingles(
       TextOps.tokens(col(textCol)), shingleK)
-    val withSig = df
-      .select(col(idCol).as("id"), sh.as("sh"))
+    val withSh = df.select(col(idCol).as("id"), sh.as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", graft.functions.HashExprs.minhash_sig(
-        col("sh"), bands * rowsPerBand))
-    // band index -> hash of the signature slice for that band
+    val withSig = withSh.withColumn("sig",
+      graft.functions.HashExprs.minhash_sig(col("sh"), bands * rowsPerBand))
+    // band index -> hash of the signature slice for that band. Only
+    // (id, band-hash) flows through candidate generation — the shingle
+    // payload is joined back for the (small) verified candidate set, so
+    // the bucket shuffle moves ids, not documents.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }
     val buckets = withSig
-      .select(col("id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
-    val a = buckets.select(col("bk"), col("id").as("a_id"), col("sh").as("a_sh"))
-    val b = buckets.select(col("bk"), col("id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").dropDuplicates("a_id", "b_id")
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    val a = buckets.select(col("bk"), col("id").as("a_id"))
+    val b = buckets.select(col("bk"), col("id").as("b_id"))
+    val candidates = a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    candidates
+      .join(withSh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(withSh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard", round(jaccard(col("a_sh"), col("b_sh")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
