@@ -192,6 +192,22 @@ object AdvancedQ {
         .orderBy("dist", "p_partkey")
     }),
 
+    // Explicit GROUPING SETS with grouping() disambiguation of the
+    // all-rows null from a genuine null key (SQL surface).
+    "q49_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
+          count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST,
+          o_orderpriority ASC NULLS FIRST""")
+    }),
+
     // RANGE-frame window: trailing-7-day order count and revenue per
     // status, frame defined on event time (epoch seconds), not row count.
     "q48_range_window" -> ((s, dir) => {
@@ -366,6 +382,17 @@ object AdvancedQ {
         | CAST(levenshtein(p_name, 'small ring') AS BIGINT) AS dist
         |FROM part WHERE levenshtein(p_name, 'small ring') <= 3
         |ORDER BY dist, p_partkey""".stripMargin,
+
+    "q49_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+        | CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q48_range_window" ->
       """SELECT o_orderkey, o_orderstatus, n7, sum7 FROM (
