@@ -192,6 +192,19 @@ object AdvancedQ {
         .orderBy("dist", "p_partkey")
     }),
 
+    // Ordered list aggregation: nations per region as a sorted csv
+    // (collect_list is order-nondeterministic — sort before joining).
+    "q50_listagg" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      r.join(n, col("r_regionkey") === col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    }),
+
     // Explicit GROUPING SETS with grouping() disambiguation of the
     // all-rows null from a genuine null key (SQL surface).
     "q49_grouping_sets" -> ((s, dir) => {
@@ -382,6 +395,12 @@ object AdvancedQ {
         | CAST(levenshtein(p_name, 'small ring') AS BIGINT) AS dist
         |FROM part WHERE levenshtein(p_name, 'small ring') <= 3
         |ORDER BY dist, p_partkey""".stripMargin,
+
+    "q50_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(*) AS n_nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q49_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
