@@ -60,6 +60,21 @@ class CsvUploadSpec extends SparkSpec {
     assert(got == Seq("http://ex.com/events/details/5", "http://other.com/x"))
   }
 
+  test("S6 config-driven field extraction builder") {
+    import graft.ingest.ConfigSelect
+    import graft.ingest.ConfigSelect.FieldRule
+    val raw = Seq(("big show", "8pm", null: String))
+      .toDF("title", "showtime", "loc")
+    val got = ConfigSelect(raw, Seq(
+      FieldRule("name", "initcap(title)"),
+      FieldRule("event_date", "concat('today ', showtime)"),
+      FieldRule("venue_city", "loc", default = Some("Nashville"))))
+      .collect().head
+    assert(got.getString(0) == "Big Show")
+    assert(got.getString(1) == "today 8pm")
+    assert(got.getString(2) == "Nashville") // default injected
+  }
+
   test("W5 page-link window") {
     assert(Dashboard.pageLinks(1, 10) == Seq(1, 2, 3, 4, 5))
     assert(Dashboard.pageLinks(6, 10) == Seq(4, 5, 6, 7, 8))
