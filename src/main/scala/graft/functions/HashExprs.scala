@@ -3,13 +3,34 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen support for the custom one-pass expressions: emit a call back
+  * into the expression's own nullSafeEval via a captured reference. The
+  * per-row work is the JVM loop either way, but participating in codegen
+  * keeps the surrounding stage in WholeStageCodegen (no interpreted
+  * projection fallback) and makes the call eligible for subexpression
+  * elimination when the optimizer duplicates it (e.g. the inferred
+  * `size(shingles(...)) > 0` filter next to the explode projection). */
+trait EvalCallCodegen extends UnaryExpression {
+  /** public bridge so generated Java can reach the protected eval */
+  def evalOne(v: Any): Any = nullSafeEval(v)
+  /** java expression wrapping `src` (the evalOne call) to the result type */
+  protected def castEval(src: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this,
+      classOf[EvalCallCodegen].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${castEval(s"$ref.evalOne($c)")};")
+  }
+}
 
 /** Custom Catalyst expressions for sketch signatures.
   *
@@ -45,7 +66,9 @@ object HashExprs {
   * the 32-bit murmur m, returns array[numHashes] of per-function minima.
   * Same family as the declarative DedupOps.minhashSignature. */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with EvalCallCodegen {
+  override protected def castEval(src: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
   private val P = 4294967311L // smallest prime > 2^32
   private val as = Array.tabulate(numHashes)(i => 2L * i + 1)
   private val bs = Array.tabulate(numHashes)(i => 1000003L * (i + 1) % P)
@@ -77,7 +100,9 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   * the declarative DedupOps.simhash64 formulation is bit-identical (the
   * DedupOpsSpec cross-check relies on this). */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with EvalCallCodegen {
+  override protected def castEval(src: String): String =
+    s"((java.lang.Long) $src).longValue()"
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -113,9 +138,17 @@ case class SimHash64Expr(child: Expression)
   * the per-element interpreted-lambda overhead that dominates pairwise
   * similarity joins. */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  /** public bridge for generated code */
+  def evalTwo(l: Any, r: Any): Any = nullSafeEval(l, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("cosExpr", this,
+      classOf[CosineSimExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ((java.lang.Double) $ref.evalTwo($a, $b)).doubleValue();")
+  }
   private def elem(arr: ArrayData, i: Int, et: DataType): Double = et match {
     case org.apache.spark.sql.types.FloatType => arr.getFloat(i).toDouble
     case _ => arr.getDouble(i)
@@ -148,7 +181,9 @@ object CosineSimExpr {
 /** Word k-shingles in one pass (the HOF sequence/transform/concat version
   * is interpreted per element): distinct, order-preserving. */
 case class ShinglesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with EvalCallCodegen {
+  override protected def castEval(src: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {

@@ -129,7 +129,9 @@ object Porter {
 }
 
 case class StemTokensExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with graft.functions.EvalCallCodegen {
+  override protected def castEval(src: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
