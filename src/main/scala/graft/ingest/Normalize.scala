@@ -73,6 +73,26 @@ object Normalize {
       .when(spider.contains("csv") || spider.contains("document"), "document")
       .otherwise("generic")
 
+  /** Bad-row tolerance (SURVEY.md §4): rows whose payload fails to parse
+    * as a JSON object are split into a quarantine frame (with the raw
+    * payload preserved for replay/debugging) instead of silently becoming
+    * all-null projections. Returns (parseable, quarantined). */
+  def quarantine(bronze: DataFrame): (DataFrame, DataFrame) = {
+    // from_json yields a null-fielded row (not null) on malformed input,
+    // so detection goes through the PERMISSIVE corrupt-record column
+    val probeSchema = Schemas.businessItem
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = bronze.withColumn("__probe",
+      from_json(col("raw_json"), probeSchema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+    val isBad = col("raw_json").isNotNull &&
+      col("__probe._corrupt_record").isNotNull
+    val bad = parsed.filter(isBad)
+      .select(col("id"), col("source_spider"), col("raw_json"))
+    val good = parsed.filter(!coalesce(isBad, lit(false))).drop("__probe")
+    (good, bad)
+  }
+
   /** Full bronze → canonical normalization (batch or foreachBatch body). */
   def normalize(bronze: DataFrame, refYear: Int = 2025): DataFrame = {
     val tagged = bronze.withColumn("kind", kind(col("source_spider")))

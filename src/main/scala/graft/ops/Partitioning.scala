@@ -40,6 +40,21 @@ object Partitioning {
           org.apache.spark.sql.types.DecimalType(30, scale))),
         (c: Column) => sum(c).cast("double"))))
 
+  /** Skew-salted equi-join: the big (skewed) side gets a random salt in
+    * [0, buckets); the small side is replicated once per salt value, so a
+    * hot key's rows spread across `buckets` reducers instead of one.
+    * Result is row-identical to the plain inner join. (AQE's skew-join
+    * handles sort-merge cases automatically; this is the explicit variant
+    * for when the planner can't see the skew.) */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Write co-partitioned by a join key: downstream equi-joins on `key`
     * against tables written the same way need no shuffle (bucket-join
     * analogue for path-based tables). */
