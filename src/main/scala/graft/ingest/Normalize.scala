@@ -140,4 +140,21 @@ object Normalize {
     df.withColumn("search_tokens",
       if (stem) graft.functions.Porter.stemTokens(raw) else raw)
   }
+
+  /** Field-weighted variant of the search vector (ts_rank's A/B/C/D field
+    * weights): separate token arrays for the name (weight A) and the rest
+    * (weight D), enabling Dashboard's weighted relevance mode. */
+  def withWeightedTokens(df: DataFrame, stem: Boolean = false): DataFrame = {
+    def toks(c: org.apache.spark.sql.Column) = {
+      val raw = filter(TextOps.normTokens(coalesce(c, lit(""))),
+        tok => !tok.isInCollection(TextOps.stopwords) && length(tok) > 1)
+      if (stem) graft.functions.Porter.stemTokens(raw) else raw
+    }
+    withSearchTokens(df, stem)
+      .withColumn("name_tokens", toks(col("name")))
+      .withColumn("body_tokens", toks(concat_ws(" ",
+        coalesce(col("venue_name"), lit("")),
+        coalesce(col("venue_address"), lit("")),
+        coalesce(col("description"), lit("")))))
+  }
 }

@@ -37,17 +37,28 @@ object Dashboard {
       .filter(t => t.length > 1 && !TextOps.stopwords.contains(t))
       .map(t => if (stem) graft.functions.Porter.stem(t) else t)
 
+  /** ts_rank-style field weights: name hits count WeightA, body hits
+    * WeightD (Postgres defaults 1.0 / 0.1). */
+  val WeightA = 1.0
+  val WeightD = 0.1
+
   def query(events: DataFrame, source: Option[String] = None,
       category: Option[String] = None, search: Option[String] = None,
-      page: Int = 1, stemmed: Boolean = false): Page = {
+      page: Int = 1, stemmed: Boolean = false,
+      weighted: Boolean = false): Page = {
     val terms = normalizeQuery(search, stemmed)
     val filtered = events.filter(predicate(source, category, terms))
 
+    def tf(column: String, t: String) =
+      size(filter(col(column), x => x === lit(t)))
     val sortCols: Seq[Column] =
       if (terms.nonEmpty) {
-        val score = terms
-          .map(t => size(filter(col("search_tokens"), x => x === lit(t))))
-          .reduce(_ + _)
+        val score =
+          if (weighted)
+            terms.map(t => tf("name_tokens", t) * WeightA +
+              tf("body_tokens", t) * WeightD).reduce(_ + _)
+          else terms.map(t => tf("search_tokens", t).cast("double"))
+            .reduce(_ + _)
         Seq(score.desc, asc("event_date"), asc("name"))
       } else Seq(asc("event_date"), asc("name"), asc("url"))
 

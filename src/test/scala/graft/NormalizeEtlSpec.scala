@@ -98,6 +98,29 @@ class NormalizeEtlSpec extends SparkSpec {
     assert(p2.rows.count() == 0) // only 5 rows -> page 2 empty
   }
 
+  test("weighted relevance ranks name hits above description hits") {
+    val rows = Seq(
+      ("Jazz Night", "http://a", "plain evening", "V1"),
+      ("Open Mic", "http://b", "jazz jazz jazz jazz jazz jazz jazz", "V2"))
+      .toDF("name", "url", "description", "venue_name")
+      .withColumn("event_date", lit(null).cast("string"))
+      .withColumn("venue_address", lit(null).cast("string"))
+      .withColumn("venue_city", lit("Nashville"))
+      .withColumn("source", lit("Yelp"))
+      .withColumn("category", lit(null).cast("string"))
+      .withColumn("genre", lit(null).cast("string"))
+      .withColumn("season", lit(null).cast("string"))
+      .withColumn("latitude", lit(null).cast("double"))
+      .withColumn("longitude", lit(null).cast("double"))
+    val indexed = graft.ingest.Normalize.withWeightedTokens(rows)
+    // weighted: one name hit (1.0) beats seven description hits (0.7)
+    val w = Dashboard.query(indexed, search = Some("jazz"), weighted = true)
+    assert(w.rows.select("url").as[String].collect().head == "http://a")
+    // unweighted tf: the description-stuffed doc wins
+    val u = Dashboard.query(indexed, search = Some("jazz"))
+    assert(u.rows.select("url").as[String].collect().head == "http://b")
+  }
+
   test("stemmed search matches morphological variants") {
     val stemmedSilver = graft.ingest.Normalize.withSearchTokens(
       silver.drop("search_tokens"), stem = true)
