@@ -192,6 +192,19 @@ object AdvancedQ {
         .orderBy("dist", "p_partkey")
     }),
 
+    // Analytic distribution functions: percent_rank + cume_dist of each
+    // customer's account balance within their market segment (top decile).
+    "q51_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(asc("c_acctbal"), asc("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .filter(col("pr") >= 0.9)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "pr", "cd")
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // Ordered list aggregation: nations per region as a sorted csv
     // (collect_list is order-nondeterministic — sort before joining).
     "q50_listagg" -> ((s, dir) => {
@@ -395,6 +408,16 @@ object AdvancedQ {
         | CAST(levenshtein(p_name, 'small ring') AS BIGINT) AS dist
         |FROM part WHERE levenshtein(p_name, 'small ring') <= 3
         |ORDER BY dist, p_partkey""".stripMargin,
+
+    "q51_percent_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, pr, cd FROM (
+        | SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_mktsegment
+        |   ORDER BY c_acctbal, c_custkey)) x
+        |WHERE pr >= 0.9 ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q50_listagg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
