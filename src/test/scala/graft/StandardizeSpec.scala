@@ -100,6 +100,37 @@ class StandardizeSpec extends SparkSpec {
     assert(got == Seq(null, "every saturday", "2025-13-45 25:99"))
   }
 
+  test("F6/F7 description assembly with caps") {
+    val got = one(Seq(("4.5/5", "$$", null: String)).toDF("r", "p", "c")
+      .select(assembleDescription(Seq(
+        "Rating" -> $"r", "Price" -> $"p", "Categories" -> $"c"))))
+    assert(got == Seq("Rating: 4.5/5 | Price: $$")) // null part drops out
+    val capped = one(Seq("x" * 600).toDF("s").select(capDescription($"s")))
+    assert(capped.head.toString.length == 500)
+  }
+
+  test("F11 key:value split keeps colons in the value") {
+    val got = Seq("website: https://x.y:8080/p").toDF("s")
+      .select(keyValueSplit($"s")).as[Seq[String]].collect().head
+    assert(got == Seq("website", " https://x.y:8080/p"))
+  }
+
+  test("D2/D5 date concat and coalesce") {
+    assert(one(Seq(("2025-10-02", "20:00:00")).toDF("d", "t")
+      .select(concatDateTime($"d", $"t"))) == Seq("2025-10-02 20:00:00"))
+    assert(one(Seq((null: String, "2025-10-02T19:00:00")).toDF("u", "l")
+      .select(coalesceDates($"u", $"l"))) == Seq("2025-10-02T19:00:00"))
+  }
+
+  test("eventTs derives a typed timestamp from the stringly event_date") {
+    val got = Seq("2025-10-02T20:00:00-05:00", "2025-10-02T20:00:00",
+      "garbage").toDF("s")
+      .select(eventTs($"s").cast("string")).collect().map(_.getString(0))
+    assert(got(0) == "2025-10-03 01:00:00") // offset applied (UTC session)
+    assert(got(1) == "2025-10-02 20:00:00")
+    assert(got(2) == null)
+  }
+
   test("D3 display format") {
     val got = one(Seq("2024-01-01 00:09:58").toDF("s")
       .select(displayDate($"s".cast("timestamp"))))
