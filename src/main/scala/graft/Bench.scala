@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     // warm the session once (JIT, codegen, parquet reader init) so startup
     // cost isn't attributed to whichever query happens to run first
     try spark.read.parquet(s"$sfDir/region.parquet").count()
