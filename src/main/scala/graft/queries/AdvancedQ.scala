@@ -46,6 +46,43 @@ object AdvancedQ {
         .orderBy("event_id")
     }),
 
+    // As-of join with a tolerance bound: only signups within the last 24h
+    // of the purchase qualify (same single-window plan + bound filter).
+    "q52_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val both = ev.filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"),
+          when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"),
+          when(col("event_type") === "signup", 0).otherwise(1).asc,
+          asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      both.withColumn("signup_ts", max(col("sig_ts")).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("signup_ts").isNotNull &&
+          unix_timestamp(col("ts")) - unix_timestamp(col("signup_ts"))
+            <= 86400L)
+        .select("event_id", "user_id", "ts", "signup_ts")
+        .orderBy("event_id")
+    }),
+
+    // Mixed-schema union: unionByName with missing columns null-filled.
+    "q53_union_by_name" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val recent = o.filter(col("o_orderdate") >= lit("2000-01-01")
+          .cast("timestamp"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      recent.unionByName(urgent, allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    }),
+
     // Gap-based sessionization (30-minute inactivity): lag + running sum
     // of session-start flags, then per-session rollup. Two window passes
     // over one (user, time) shuffle.
@@ -313,6 +350,26 @@ object AdvancedQ {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q52_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |WHERE date_diff('second', s.ts, p.ts) <= 86400
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q53_union_by_name" ->
+      """SELECT * FROM (
+        | SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |  NULL AS o_orderstatus
+        | FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        | UNION ALL
+        | SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority,
+        |  o_orderstatus
+        | FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q29_sessionize" ->
       """WITH flagged AS (
