@@ -106,6 +106,21 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // Deterministic content-keyed sampling (training-data splits must be
+    // reproducible and engine-independent — rand()/TABLESAMPLE are not):
+    // keep docs whose md5(doc_id) starts with one of 2/16 hex chars
+    // (12.5% expected), stratified stats per source.
+    "q54_deterministic_sample" -> ((s, dir) => {
+      val bucket = substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 1)
+      t(s, dir, "documents")
+        .filter(bucket.isin("0", "1"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // Rule-cascade categorizer generalized from categorizer.py:1-32:
     // first-match-wins keyword rules over the lower-cased text.
     "q21_categorize" -> ((s, dir) => {
@@ -215,6 +230,13 @@ object TextQ {
         | CAST(len(regexp_extract_all(text,
         |   '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+', 0)) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q54_deterministic_sample" ->
+      """SELECT source, count(*) AS n_sampled,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q21_categorize" ->
       """SELECT doc_id,
