@@ -45,4 +45,15 @@ object UploadStream {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("source"))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming url-dedup with bounded state (R5): duplicates arriving
+    * within the watermark horizon are dropped; state for urls older than
+    * the watermark is evicted, so state size tracks the recent window,
+    * not history. (Cross-horizon idempotence still comes from the load
+    * anti-join in dedupForLoad.) */
+  def dedupedWithinWatermark(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("url")
 }

@@ -73,6 +73,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(offsets.toSeq == Seq(0L, 1024L, 2048L, 3072L))
   }
 
+  test("streaming dedup within watermark drops in-horizon duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "url", "value")
+    val out = java.nio.file.Files.createTempDirectory("graft_dd").toString
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // data must exist before start: AvailableNow snapshots offsets then
+    input.addData(
+      (ts(0), "http://a", 1.0),
+      (ts(1), "http://a", 2.0), // dup within horizon -> dropped
+      (ts(2), "http://b", 3.0))
+    val q = UploadStream.dedupedWithinWatermark(events)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.exception.foreach(e => fail(s"query failed: $e"))
+    val got = spark.read.parquet(s"$out/data")
+    assert(got.count() == 2)
+    assert(got.select("url").as[String].collect().toSet
+      == Set("http://a", "http://b"))
+  }
+
   test("streaming windowed agg compiles against a batch frame (smoke)") {
     val df = Seq(("2024-01-01 00:10:00", "a"), ("2024-01-01 00:20:00", "a"))
       .toDF("ts", "source").withColumn("ts", $"ts".cast("timestamp"))
