@@ -133,21 +133,32 @@ case class SimHash64Expr(child: Expression)
 }
 
 /** Cosine similarity of two numeric arrays in one JVM pass per row —
-  * bit-identical to the declarative zip_with/aggregate left fold
-  * (accumulates dot and both norms left-to-right in doubles) but without
-  * the per-element interpreted-lambda overhead that dominates pairwise
-  * similarity joins. */
+  * accumulates dot and both norms left-to-right in doubles like the
+  * declarative zip_with/aggregate fold, but without the per-element
+  * interpreted-lambda overhead that dominates pairwise similarity joins.
+  *
+  * Malformed inputs yield null, never a silent wrong value: mismatched
+  * lengths (the zip_with twin null-pads, so its fold is null too) and
+  * zero-norm vectors (where IEEE would give 0/0 = NaN) both return null,
+  * so bad embeddings surface as missing similarities downstream. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
   /** public bridge for generated code */
   def evalTwo(l: Any, r: Any): Any = nullSafeEval(l, r)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode = {
     val ref = ctx.addReferenceObj("cosExpr", this,
       classOf[CosineSimExpr].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = ((java.lang.Double) $ref.evalTwo($a, $b)).doubleValue();")
+    val r = ctx.freshName("graftCos")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |Object $r = $ref.evalTwo($a, $b);
+      |if ($r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ((java.lang.Double) $r).doubleValue();
+      |}""".stripMargin)
   }
   private def elem(arr: ArrayData, i: Int, et: DataType): Double = et match {
     case org.apache.spark.sql.types.FloatType => arr.getFloat(i).toDouble
@@ -156,9 +167,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val et1 = left.dataType.asInstanceOf[ArrayType].elementType
     val et2 = right.dataType.asInstanceOf[ArrayType].elementType
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -166,7 +178,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : CosineSimExpr = copy(left = l, right = r)
@@ -179,7 +192,10 @@ object CosineSimExpr {
 }
 
 /** Word k-shingles in one pass (the HOF sequence/transform/concat version
-  * is interpreted per element): distinct, order-preserving. */
+  * is interpreted per element): distinct, order-preserving. A row with
+  * fewer than k tokens yields an empty array (standard shingling — same
+  * semantics as the declarative TextOps.shingles twin and the q16 oracle's
+  * range-based formulation, which both emit nothing below k). */
 case class ShinglesExpr(child: Expression, k: Int)
     extends UnaryExpression with EvalCallCodegen {
   override protected def castEval(src: String): String =
@@ -190,16 +206,11 @@ case class ShinglesExpr(child: Expression, k: Int)
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = new java.util.LinkedHashSet[UTF8String]()
-    if (n <= k) {
+    var i = 0
+    while (i + k <= n) {
       out.add(UTF8String.concatWs(UTF8String.fromString(" "),
-        Array.tabulate(n)(arr.getUTF8String): _*))
-    } else {
-      var i = 0
-      while (i + k <= n) {
-        out.add(UTF8String.concatWs(UTF8String.fromString(" "),
-          Array.tabulate(k)(j => arr.getUTF8String(i + j)): _*))
-        i += 1
-      }
+        Array.tabulate(k)(j => arr.getUTF8String(i + j)): _*))
+      i += 1
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
   }

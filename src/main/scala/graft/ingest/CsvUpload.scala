@@ -34,19 +34,61 @@ object CsvUpload {
     "season" -> Seq("season", "time_of_year"),
     "price" -> Seq("price", "cost", "admission", "ticket_price", "fee"))
 
-  /** Read a CSV with utf-8 → latin-1 fallback (document_spider.py:118-134):
-    * a malformed-encoding read surfaces as a parse failure; retry with the
-    * fallback charset. */
+  /** Read a CSV with utf-8 → latin-1 fallback (document_spider.py:118-134).
+    * Spark's CSV reader never throws on bad encoding — it substitutes
+    * U+FFFD — so the fallback must be decided by an explicit strict decode
+    * (CodingErrorAction.REPORT) of the file bytes, mirroring the
+    * reference's UnicodeDecodeError retry. Detection samples the first
+    * 1 MiB of each file (an upload-path helper: files are small and local;
+    * not a distributed scan). */
   def readCsv(spark: SparkSession, path: String): DataFrame = {
     def read(enc: String) = spark.read
       .option("header", "true").option("encoding", enc)
       .option("mode", "PERMISSIVE")
       .csv(path)
+    val enc = if (filesDecodeAsUtf8(spark, path)) "UTF-8" else "ISO-8859-1"
+    read(enc)
+  }
+
+  /** Strict UTF-8 check over each file's leading bytes. `endOfInput=false`
+    * tolerates a multi-byte codepoint cut at the sample boundary; only a
+    * definitively malformed sequence fails. Undetectable paths (remote FS
+    * errors, empty dir) default to UTF-8. */
+  private[graft] def filesDecodeAsUtf8(spark: SparkSession,
+      path: String): Boolean = {
+    import java.nio.{ByteBuffer, CharBuffer}
+    import java.nio.charset.{CodingErrorAction, StandardCharsets}
+    import org.apache.hadoop.fs.Path
     try {
-      val df = read("UTF-8")
-      df.take(1) // force a scan so charset errors surface here
-      df
-    } catch { case _: Exception => read("ISO-8859-1") }
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        else Array(p)
+      files.forall { f =>
+        val in = fs.open(f)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var off = 0
+          var r = in.read(buf, 0, buf.length)
+          while (r > 0 && off + r < buf.length) { off += r
+            r = in.read(buf, off, buf.length - off) }
+          val n = off + math.max(r, 0)
+          if (n <= 0) true
+          else {
+            val dec = StandardCharsets.UTF_8.newDecoder()
+              .onMalformedInput(CodingErrorAction.REPORT)
+              .onUnmappableCharacter(CodingErrorAction.REPORT)
+            val bb = ByteBuffer.wrap(buf, 0, n)
+            val cb = CharBuffer.allocate(8192)
+            var res = dec.decode(bb, cb, false)
+            while (res.isOverflow) { cb.clear(); res = dec.decode(bb, cb, false) }
+            !res.isError
+          }
+        } finally in.close()
+      }
+    } catch { case _: Exception => true }
   }
 
   /** N3: lowercase headers, then coalesce each canonical field from its

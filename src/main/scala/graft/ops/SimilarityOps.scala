@@ -105,21 +105,22 @@ object SimilarityOps {
       .drop("__cells")
   }
 
-  /** Deterministic centroid sample: every (n/k)-th vector by id order. */
+  /** Deterministic centroid sample: the k vectors with the smallest
+    * xxhash64(id) — a uniform bottom-k-by-hash sketch. Plans as
+    * TakeOrderedAndProject (per-partition top-k, driver merge): no count
+    * pass, no global sort, no single-partition window, so it holds at any
+    * corpus size. Centroid ids are assigned in id order for stability. */
   def strideCentroids(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int): Seq[(Int, Array[Double])] = {
-    val w = Window.orderBy(col(idCol))
-    val n = vectors.count()
-    val stride = math.max(1L, n / k)
+      k: Int): Seq[(Int, Array[Double])] =
     vectors.select(col(idCol), col(vecCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") - 1) % stride === 0 && col("__rn") <= stride * k)
-      .orderBy(idCol)
-      .collect().zipWithIndex
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .collect()
+      .sortBy(_.get(0).toString)
+      .zipWithIndex
       .map { case (r, i) =>
         i -> r.getSeq[Float](1).map(_.toDouble).toArray
       }.toSeq
-  }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells only. */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,

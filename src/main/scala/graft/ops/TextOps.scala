@@ -85,10 +85,15 @@ object TextOps {
   def minTokenHash(toks: Column): Column =
     array_min(transform(array_distinct(toks), x => md5(x.cast("binary"))))
 
-  /** Word k-shingles ("a b c") from a token array, for MinHash/Jaccard. */
+  /** Word k-shingles ("a b c") from a token array, for MinHash/Jaccard.
+    * Fewer than k tokens yields an empty array (standard shingling; same
+    * semantics as the one-pass ShinglesExpr twin). The size guard keeps
+    * every element_at index in [1, size] so ANSI mode cannot throw. */
   def shingles(toks: Column, k: Int): Column = {
-    val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+    val idx = sequence(lit(0), size(toks) - k)
+    when(size(toks) >= k,
+      array_distinct(transform(idx, i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 }

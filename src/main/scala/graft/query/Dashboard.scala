@@ -2,7 +2,6 @@ package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.ops.TextOps
 
 /** The reference's single user-facing query (§3.1: app.py:56-67 +
@@ -10,10 +9,11 @@ import graft.ops.TextOps
   * events DataFrame carrying a `search_tokens` array column.
   *
   * filter(source, category) → [AND-token match + tf relevance] → sort
-  * (relevance when searching, else event_date,name) → page slice. The
-  * page-1 fast path compiles to TakeOrderedAndProject (top-k, no global
-  * sort); deep pages use a row_number window. Sibling plans: total count
-  * and the DISTINCT dropdown domains. */
+  * (relevance when searching, else event_date,name) → page slice. Every
+  * page compiles to TakeOrderedAndProject (per-partition top
+  * offset+limit, driver merge — no global sort, no single-partition
+  * window). Sibling plans: total count and the DISTINCT dropdown
+  * domains. */
 object Dashboard {
 
   val PerPage = 25 // app.py:10, db_extractor.py:6
@@ -63,15 +63,11 @@ object Dashboard {
       } else Seq(asc("event_date"), asc("name"), asc("url"))
 
     val total = filtered.count()
-    val rows =
-      if (page <= 1) filtered.orderBy(sortCols: _*).limit(PerPage)
-      else {
-        val w = Window.orderBy(sortCols: _*)
-        filtered.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn").between((page - 1) * PerPage + 1,
-            page * PerPage))
-          .drop("__rn")
-      }
+    // offset+limit after orderBy plans as TakeOrderedAndProject (each
+    // partition keeps offset+limit rows, driver merges) — unlike a global
+    // row_number window, which would move every row to one partition.
+    val rows = filtered.orderBy(sortCols: _*)
+      .offset(math.max(page - 1, 0) * PerPage).limit(PerPage)
     Page(rows, total, (total + PerPage - 1) / PerPage)
   }
 

@@ -32,6 +32,28 @@ class CsvUploadSpec extends SparkSpec {
     assert(slam.getAs[String]("url").startsWith("document://")) // F9
   }
 
+  test("encoding: latin-1 bytes are detected and decoded without mojibake") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc")
+    val f = dir.resolve("latin1.csv")
+    // "Café Olé" in ISO-8859-1: 0xE9 is malformed as UTF-8
+    java.nio.file.Files.write(f,
+      "name,url\nCafé Olé,http://ex.com/cafe\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(!CsvUpload.filesDecodeAsUtf8(spark, f.toString))
+    val names = CsvUpload.parse(spark, f.toString)
+      .select("name").as[String].collect()
+    assert(names.toSeq == Seq("Café Olé"))
+    // and a genuine UTF-8 file with the same text stays UTF-8
+    val g = dir.resolve("utf8.csv")
+    java.nio.file.Files.write(g,
+      "name,url\nCafé Olé,http://ex.com/cafe\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(CsvUpload.filesDecodeAsUtf8(spark, g.toString))
+    val names2 = CsvUpload.parse(spark, g.toString)
+      .select("name").as[String].collect()
+    assert(names2.toSeq == Seq("Café Olé"))
+  }
+
   test("extreme CSV: invalid values degrade to null, bad rows drop") {
     val df = CsvUpload.parse(spark, res("extreme.csv"))
     assert(df.count() == 2) // single-char name dropped (P7)

@@ -37,6 +37,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.filter($"fast" =!= $"slow").count() == 0)
   }
 
+  test("shingles: fewer than k tokens yields empty (both twins, ANSI-safe)") {
+    val short = Seq((1L, "only two"), (2L, "one"), (3L, "exactly three words"))
+      .toDF("id", "text")
+    val toks = TextOps.tokens($"text")
+    val got = short.select($"id",
+      ShinglesExpr.shingles(toks, 3).as("fast"),
+      TextOps.shingles(toks, 3).as("slow")).orderBy("id").collect()
+    assert(got.forall(r => r.getSeq[String](1) == r.getSeq[String](2)))
+    assert(got(0).getSeq[String](1).isEmpty) // 2 < k
+    assert(got(1).getSeq[String](1).isEmpty) // 1 < k
+    assert(got(2).getSeq[String](1) == Seq("exactly three words")) // n == k
+  }
+
   test("inverted-index jaccardPairs matches hand computation") {
     val d = docs.select($"id", array_distinct(TextOps.tokens($"text"))
       .as("toks"))

@@ -51,6 +51,17 @@ class GeoSimSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("cosine: mismatched lengths and zero-norm vectors yield null") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f), Seq(0.0f, 0.0f)))
+      .toDF("a", "b", "z")
+    val r = df.select(SimilarityOps.cosine($"a", $"b"),
+      SimilarityOps.cosine($"a", $"z"),
+      SimilarityOps.cosine($"a", $"a")).collect().head
+    assert(r.isNullAt(0)) // length mismatch
+    assert(r.isNullAt(1)) // zero norm
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("IVF ANN: probes cells only, self is top-1, sims exact") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
