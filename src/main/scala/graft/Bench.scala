@@ -11,11 +11,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    // warm the session once (JIT, codegen, parquet reader init) so startup
-    // cost isn't attributed to whichever query happens to run first
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm the session once (JIT, codegen, parquet reader init, and the
+    // custom sketch expressions' hash loops) so one-time startup cost
+    // isn't attributed to whichever query happens to run first
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      import org.apache.spark.sql.functions._
+      import graft.ops.{DedupOps, SimilarityOps}
+      val tiny = spark.range(64).select(col("id"),
+        concat_ws(" ", (0 until 24).map(i =>
+          concat(lit(s"w$i"), pmod(col("id") + i, lit(7)))): _*).as("text"))
+      DedupOps.simhashPairs(tiny, "id", "text", maxHamming = 12).count()
+      DedupOps.minhashLshPairs(tiny, "id", "text", 3, 16, 4, 0.1).count()
+      val vecs = spark.range(64).select(col("id"),
+        array((0 until 64).map(i =>
+          pmod(col("id") + i, lit(13)).cast("float")): _*).as("v"))
+      SimilarityOps.exactCosinePairs(vecs, "id", "v", 0.99).count()
+    } catch { case _: Throwable => () }
+    // dev convenience: SPARK_GRAFT_ONLY=q16_jaccard_pairs,q18_simhash
+    // restricts the run; unset (the driver's mode) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -44,8 +44,8 @@ object DedupOps {
     // both sizes in hand — no extra joins back to a sizes table, and the
     // two posting sides are identical subplans, so the shuffle is planned
     // once and reused for the other side (ReusedExchange)
-    val posts = df
-      .select(col(idCol).as("id"), col(toksCol).as("toks"))
+    val posts = Partitioning.ensureParallel(
+        df.select(col(idCol).as("id"), col(toksCol).as("toks")))
       .select(col("id"), size(col("toks")).as("sz"),
         explode(col("toks")).as("tok"))
     val pairs = posts.as("x").join(posts.as("y"),
@@ -86,8 +86,10 @@ object DedupOps {
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val sh = graft.functions.ShinglesExpr.shingles(
-      TextOps.tokens(col(textCol)), shingleK)
-    val withSh = df.select(col(idCol).as("id"), sh.as("sh"))
+      TextOps.tokens(col("__text")), shingleK)
+    val withSh = Partitioning.ensureParallel(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), sh.as("sh"))
       .filter(size(col("sh")) > 0)
     val withSig = withSh.withColumn("sig",
       graft.functions.HashExprs.minhash_sig(col("sh"), bands * rowsPerBand))
@@ -132,8 +134,11 @@ object DedupOps {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val withH = df.select(col(idCol).as("id"),
-      graft.functions.HashExprs.simhash64(TextOps.tokens(col(textCol))).as("h"))
+    val withH = Partitioning.ensureParallel(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        graft.functions.HashExprs.simhash64(TextOps.tokens(col("__text")))
+          .as("h"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("h"), c * bitsPer)

@@ -55,6 +55,18 @@ object Partitioning {
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Guarantee at least default-parallelism-way input partitioning ahead
+    * of a compute-heavy per-row stage (sketch signatures, shingling,
+    * pairwise similarity). A big scan already has enough splits and passes
+    * through untouched — no extra shuffle at scale; a small single-file
+    * scan (where the whole downstream stage would otherwise run as ONE
+    * task) gets one cheap round-robin shuffle so the work uses every
+    * core. */
+  def ensureParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Write co-partitioned by a join key: downstream equi-joins on `key`
     * against tables written the same way need no shuffle (bucket-join
     * analogue for path-based tables). */

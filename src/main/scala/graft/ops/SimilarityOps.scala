@@ -145,6 +145,24 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Exact all-pairs cosine near-duplicates (a_id < b_id, sim ≥ minSim).
+    * The broadcast side is the whole corpus — valid only when it fits in
+    * executor memory (≤ a few hundred MB of vectors); annSelfJoin is the
+    * sub-quadratic path beyond that. The stream side is spread to
+    * default parallelism so the O(n²/2) cosine work runs on every core
+    * instead of inheriting a small scan's single partition. */
+  def exactCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+      minSim: Double): DataFrame = {
+    val a = Partitioning.ensureParallel(
+      vectors.select(col(idCol).as("a_id"), col(vecCol).as("av")))
+    val b = broadcast(
+      vectors.select(col(idCol).as("b_id"), col(vecCol).as("bv")))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(cosine(col("av"), col("bv")), 6))
+      .filter(col("cos_sim") >= minSim)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
   /** All-pairs top-k neighbor join via LSH buckets (each vector keeps its k
     * nearest within its bucket) — the scalable self-similarity-join shape. */
   def annSelfJoin(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -42,17 +42,10 @@ object SimQ {
     // Embedding-cosine near-dup pairs: exact pairwise at this scale (the
     // oracle-checkable baseline); annSelfJoin is the LSH-bucketed path
     // for corpora where the cross join is impossible.
-    "q40_embedding_dups" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("cos_sim",
-          round(SimilarityOps.cosine(col("av"), col("bv")), 6))
-        .filter(col("cos_sim") >= 0.4)
-        .select("a_id", "b_id", "cos_sim")
-        .orderBy("a_id", "b_id")
-    }),
+    "q40_embedding_dups" -> ((s, dir) =>
+      SimilarityOps.exactCosinePairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 0.4)
+        .orderBy("a_id", "b_id")),
 
     // Label centroid distance: per-label mean vector then each label's
     // cosine to the global mean — exercises array aggregation at scale.
