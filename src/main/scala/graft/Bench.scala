@@ -23,6 +23,15 @@ object Bench {
           concat(lit(s"w$i"), pmod(col("id") + i, lit(7)))): _*).as("text"))
       DedupOps.simhashPairs(tiny, "id", "text", maxHamming = 12).count()
       DedupOps.minhashLshPairs(tiny, "id", "text", 3, 16, 4, 0.1).count()
+      tiny.select(explode(graft.functions.ShinglesExpr
+        .ngrams(split(col("text"), " "), 2)).as("g"))
+        .groupBy("g").count().count()
+      DedupOps.jaccardPairs(tiny.select(col("id"),
+        graft.functions.ShinglesExpr.shingles(split(col("text"), " "), 3)
+          .as("sh")), "id", "sh", 0.1).count()
+      DedupOps.connectedComponents(
+        spark.range(8).select(col("id").as("a_id"),
+          (col("id") + 1).as("b_id"))).count()
       val vecs = spark.range(64).select(col("id"),
         array((0 until 64).map(i =>
           pmod(col("id") + i, lit(13)).cast("float")): _*).as("v"))

@@ -191,12 +191,14 @@ object CosineSimExpr {
     toCol(CosineSimExpr(toExpr(a), toExpr(b)))
 }
 
-/** Word k-shingles in one pass (the HOF sequence/transform/concat version
-  * is interpreted per element): distinct, order-preserving. A row with
-  * fewer than k tokens yields an empty array (standard shingling — same
-  * semantics as the declarative TextOps.shingles twin and the q16 oracle's
-  * range-based formulation, which both emit nothing below k). */
-case class ShinglesExpr(child: Expression, k: Int)
+/** Word k-grams in one pass (the HOF sequence/transform/concat version is
+  * interpreted per element): order-preserving, distinct when `distinct`
+  * (shingles for MinHash/Jaccard), with multiplicity otherwise (n-gram
+  * counting). A row with fewer than k tokens yields an empty array
+  * (standard shingling — same semantics as the declarative
+  * TextOps.shingles/ngrams twins and the oracle range formulations, which
+  * all emit nothing below k). */
+case class ShinglesExpr(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression with EvalCallCodegen {
   override protected def castEval(src: String): String =
     s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
@@ -205,7 +207,9 @@ case class ShinglesExpr(child: Expression, k: Int)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val out = new java.util.LinkedHashSet[UTF8String]()
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](math.max(n - k + 1, 0))
     var i = 0
     while (i + k <= n) {
       out.add(UTF8String.concatWs(UTF8String.fromString(" "),
@@ -222,4 +226,7 @@ object ShinglesExpr {
   import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
   def shingles(toks: Column, k: Int): Column =
     toCol(ShinglesExpr(toExpr(toks), k))
+  /** n-grams with multiplicity — the counting form. */
+  def ngrams(toks: Column, k: Int): Column =
+    toCol(ShinglesExpr(toExpr(toks), k, distinct = false))
 }

@@ -115,6 +115,43 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Connected components over an undirected edge list (a_id, b_id) by
+    * iterative min-label propagation: every node repeatedly adopts the
+    * smallest label among itself and its neighbors until a fixpoint. Each
+    * round is one shuffle join + aggregate, all distributed; the driver
+    * only checks a change count, so the loop runs diameter-many rounds —
+    * small for near-dup clusters, which are dense by construction. (For
+    * graphs with long chains the large-star/small-star variant halves the
+    * round count; not needed here.) Returns (node, cluster) with cluster
+    * = the component's minimum node id — a deterministic representative,
+    * which is what makes the op oracle-checkable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNbr = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("lab"))
+      val next = labels.union(viaNbr)
+        .groupBy("node").agg(min("lab").as("lab")).persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.lab") < col("o.lab")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("lab", "cluster")
+  }
+
   /** 64-bit SimHash of a token array: bit j of the result is set iff the
     * majority of token xxhash64s have bit j set. Pure expressions. */
   def simhash64(toks: Column): Column = {

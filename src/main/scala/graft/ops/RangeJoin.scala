@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join as an equi-join.
+  *
+  * A naive `p.ts BETWEEN i.start AND i.end` join has no equality conjunct,
+  * so Spark plans a broadcast-nested-loop — quadratic and single-minded at
+  * scale. Bucketizing time converts it to a shuffle equi-join: intervals
+  * are exploded to every fixed-width bucket they overlap, points map to
+  * exactly one bucket, the join key is the bucket id, and the exact range
+  * predicate refines the matches. Each point lands in one bucket, so no
+  * dedup is needed. Shuffle volume is |points| + |intervals|·(span/width
+  * + 1), and the join parallelizes across buckets — the standard
+  * interval-bucketing shape that survives large inputs. Width should be
+  * chosen near the typical interval span (wider wastes refine work,
+  * narrower replicates intervals more).
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to the `intervals` whose [startCol, endCol) range
+    * contains ptCol. All three columns are epoch microseconds (LONG). */
+  def pointInInterval(points: DataFrame, ptCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidthUs: Long): DataFrame = {
+    val w = lit(bucketWidthUs)
+    val iv = intervals.withColumn("__bk",
+      explode(sequence(floor(col(startCol) / w),
+        floor((col(endCol) - 1) / w))))
+    val pt = points.withColumn("__bk", floor(col(ptCol) / w))
+    pt.join(iv, Seq("__bk"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bk")
+  }
+}

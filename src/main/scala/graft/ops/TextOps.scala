@@ -85,6 +85,33 @@ object TextOps {
   def minTokenHash(toks: Column): Column =
     array_min(transform(array_distinct(toks), x => md5(x.cast("binary"))))
 
+  /** Word k-grams with multiplicity (unlike `shingles`, which is distinct)
+    * — the counting form for n-gram frequency / language-model statistics.
+    * Fewer than k tokens yields an empty array. */
+  def ngrams(toks: Column, k: Int): Column = {
+    val idx = sequence(lit(0), size(toks) - k)
+    when(size(toks) >= k,
+      transform(idx, i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** PII patterns shared by redaction and counting — deliberately in the
+    * common regex subset (no backreferences, no lookaround) so the same
+    * pattern runs identically under Java regex and RE2-style engines. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}"
+
+  /** Redact emails and phone numbers (training-data hygiene op): every
+    * match replaced with a stable tag, one codegen'd projection. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+
+  /** Count of PII matches of `re` in the text. */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
   /** Word k-shingles ("a b c") from a token array, for MinHash/Jaccard.
     * Fewer than k tokens yields an empty array (standard shingling; same
     * semantics as the one-pass ShinglesExpr twin). The size guard keeps

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.{DedupOps, Partitioning, PrefixSum, RangeJoin, TextOps}
+
+/** Scale-shaped operators round 2: distributed prefix sum, dedup
+  * clustering (connected components), PII redaction, unpivot, date-spine
+  * gap filling, n-gram counting, and a bucketized range join. Every query
+  * is the at-scale plan shape (no single-partition stage, no nested-loop
+  * range predicates) verified against an exact DuckDB oracle. */
+object ScaleQ {
+
+  private val hourUs = 3600L * 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Global running total via the two-phase distributed prefix sum —
+    // the scalable answer to what a Window.orderBy(key) running sum does
+    // on one partition. Output sampled post-computation to stay small.
+    "q55_running_total_global" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      PrefixSum.runningTotal(o, "o_orderkey", col("o_totalprice"),
+          "running_rev", buckets = 32)
+        .filter(pmod(col("o_orderkey"), lit(100)) === 1)
+        .select("o_orderkey", "running_rev")
+        .orderBy("o_orderkey")
+    }),
+
+    // Near-duplicate CLUSTERS (not just pairs): exact shingle-Jaccard
+    // edges, then connected components by min-label propagation. The
+    // cluster id is the component's min doc_id — deterministic, so the
+    // whole pipeline is oracle-checkable (recursive CTE on the DuckDB
+    // side).
+    "q56_dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.ShinglesExpr.shingles(toks(col("text")), 3)
+          .as("shs"))
+      val edges = DedupOps.jaccardPairs(d, "doc_id", "shs", 0.5)
+      DedupOps.connectedComponents(edges)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(array_sort(collect_list(col("node"))),
+            _.cast("string")), ",").as("members"))
+        .orderBy("cluster")
+    }),
+
+    // PII redaction (training-data hygiene): deterministic synthetic
+    // contact strings are injected per doc_id, then counted and redacted.
+    // The md5 of the redacted text proves byte-identical redaction.
+    "q57_pii_redact" -> ((s, dir) => {
+      val email = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" mail u"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit(""))
+      val phone = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit(" call (615) 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit(""))
+      val doc = concat(col("text"), email, phone)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.piiCount(doc, TextOps.emailRe).as("n_emails"),
+          TextOps.piiCount(doc, TextOps.phoneRe).as("n_phones"),
+          md5(TextOps.redactPii(doc).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Unpivot (wide → long): lineitem measures melted to (metric, val)
+    // rows, then per-metric exact aggregates. Map-side explode, one
+    // shuffle on the 3-value metric key.
+    "q58_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), dsum(col("val"), 6).as("sum_val"))
+        .orderBy("metric")
+    }),
+
+    // Date-spine gap filling: generate the full day range (two-row scalar
+    // agg → sequence; the spine is tiny by construction), left-join daily
+    // aggregates, zero-fill missing days — the time-series densification
+    // every training pipeline needs.
+    "q59_date_spine" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      val spine = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      val daily = o.groupBy("d")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("rev"))
+      spine.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("rev"), lit(0.0)).as("rev"))
+        .orderBy("d")
+    }),
+
+    // Bigram frequency (n-gram with multiplicity, unlike the distinct
+    // shingles of the dedup path): corpus-wide top-25.
+    "q60_bigram_counts" -> ((s, dir) => {
+      val d = Partitioning.ensureParallel(
+        t(s, dir, "documents").select("text"))
+      d.select(explode(graft.functions.ShinglesExpr
+          .ngrams(toks(col("text")), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram")).limit(25)
+    }),
+
+    // Range join done scalably: clicks inside each purchase's 2-hour
+    // window via interval bucketing — an equi-join on the bucket id with
+    // an exact refine, not a nested-loop inequality join.
+    "q61_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("start_us"))
+        .withColumn("end_us", col("start_us") + lit(2 * hourUs))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), unix_micros(col("ts")).as("c_us"))
+      RangeJoin.pointInInterval(clicks, "c_us", purchases,
+          "start_us", "end_us", bucketWidthUs = 2 * hourUs)
+        .groupBy("p_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy(desc("n_clicks"), asc("p_id")).limit(25)
+        .select(col("p_id").as("event_id"), col("n_clicks"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q55_running_total_global" ->
+      """SELECT o_orderkey, running_rev FROM (
+        | SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
+        |    OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE) AS running_rev
+        | FROM orders)
+        |WHERE o_orderkey % 100 = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q56_dedup_clusters" ->
+      """WITH RECURSIVE
+        |s AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+        | FROM s),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.shs, b.shs)) AS inter,
+        |  len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS un
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (
+        | SELECT a_id, b_id FROM p
+        | WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5),
+        |sym AS (
+        | SELECT a_id AS src, b_id AS dst FROM e
+        | UNION ALL SELECT b_id, a_id FROM e),
+        |reach(node, r) AS (
+        | SELECT src, src FROM sym
+        | UNION
+        | SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.node),
+        |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+        |SELECT cluster, count(*) AS n_docs,
+        | string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q57_pii_redact" -> {
+      val em = TextOps.emailRe
+      val ph = TextOps.phoneRe
+      s"""WITH d AS (
+         | SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |   THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |   ELSE '' END ||
+         |  CASE WHEN doc_id % 2 = 0
+         |   THEN ' call (615) 555-' ||
+         |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |   ELSE '' END AS doc
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(doc, '$em', 0)) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(doc, '$ph', 0)) AS BIGINT) AS n_phones,
+         | md5(regexp_replace(regexp_replace(doc, '$em', '[EMAIL]', 'g'),
+         |   '$ph', '[PHONE]', 'g')) AS redacted_md5
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    "q58_unpivot" ->
+      """SELECT metric, count(*) AS n,
+        | CAST(sum(CAST(val AS DECIMAL(30,6))) AS DOUBLE) AS sum_val
+        |FROM (
+        | SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
+
+    "q59_date_spine" ->
+      """WITH spine AS (
+        | SELECT CAST(unnest(generate_series(
+        |   (SELECT min(CAST(o_orderdate AS DATE)) FROM orders),
+        |   (SELECT max(CAST(o_orderdate AS DATE)) FROM orders),
+        |   INTERVAL 1 DAY)) AS DATE) AS d),
+        |daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+        | FROM orders GROUP BY 1)
+        |SELECT spine.d, coalesce(daily.n, 0) AS n,
+        | coalesce(daily.rev, 0.0) AS rev
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY spine.d""".stripMargin,
+
+    "q60_bigram_counts" ->
+      """WITH s AS (
+        | SELECT string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (
+        | SELECT unnest(list_transform(range(1, len(toks)),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        | FROM s)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
+
+    "q61_range_join" ->
+      """SELECT p.event_id, count(*) AS n_clicks
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+        | ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 2 HOUR
+        |GROUP BY p.event_id
+        |ORDER BY n_clicks DESC, p.event_id LIMIT 25""".stripMargin,
+  )
+}

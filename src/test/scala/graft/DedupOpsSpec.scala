@@ -50,6 +50,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(2).getSeq[String](1) == Seq("exactly three words")) // n == k
   }
 
+  test("custom ngrams expression ≡ declarative HOF formulation") {
+    val rep = Seq((1L, "a b a b a"), (2L, "x"), (3L, "x y")).toDF("id", "text")
+    val toks = TextOps.tokens($"text")
+    val got = rep.select(
+      ShinglesExpr.ngrams(toks, 2).as("fast"),
+      TextOps.ngrams(toks, 2).as("slow"))
+    assert(got.filter($"fast" =!= $"slow").count() == 0)
+  }
+
   test("inverted-index jaccardPairs matches hand computation") {
     val d = docs.select($"id", array_distinct(TextOps.tokens($"text"))
       .as("toks"))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, PrefixSum, RangeJoin, TextOps}
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runningTotal matches the sequential prefix sum, negatives included") {
+    val df = Seq((1L, 10.0), (2L, -5.0), (3L, 2.5), (7L, 100.0), (9L, -0.5),
+      (12L, 4.0), (20L, 1.0)).toDF("k", "v")
+    val got = PrefixSum.runningTotal(df, "k", col("v"), "run", buckets = 3)
+      .orderBy("k").select("k", "run").as[(Long, Double)].collect().toSeq
+    val expected = Seq(1L -> 10.0, 2L -> 5.0, 3L -> 7.5, 7L -> 107.5,
+      9L -> 107.0, 12L -> 111.0, 20L -> 112.0)
+    assert(got == expected)
+  }
+
+  test("connectedComponents: chain merges to one cluster, islands stay apart") {
+    // chain 1-2-3-4-5 (diameter forces several propagation rounds), pair
+    // 10-11, and 20-21-22 as a triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val got = DedupOps.connectedComponents(edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("pointInInterval: bucket-spanning intervals, inclusive start, exclusive end") {
+    // width 10: interval A [5, 25) spans buckets 0,1,2; B [30, 40) exactly
+    // bucket 3; points at the boundaries probe inclusivity
+    val intervals = Seq(("A", 5L, 25L), ("B", 30L, 40L)).toDF("iv", "s", "e")
+    val points = Seq(("p5", 5L), ("p24", 24L), ("p25", 25L), ("p30", 30L),
+      ("p39", 39L), ("p40", 40L)).toDF("p", "ts")
+    val got = RangeJoin.pointInInterval(points, "ts", intervals, "s", "e", 10L)
+      .select("p", "iv").as[(String, String)].collect().toSet
+    assert(got == Set("p5" -> "A", "p24" -> "A", "p30" -> "B", "p39" -> "B"))
+  }
+
+  test("ngrams keeps multiplicity where shingles dedups") {
+    val df = Seq("a b a b a").toDF("text")
+    val r = df.select(
+      TextOps.ngrams(TextOps.tokens($"text"), 2).as("ng"),
+      TextOps.shingles(TextOps.tokens($"text"), 2).as("sh")).collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
+    assert(r.getSeq[String](1) == Seq("a b", "b a"))
+  }
+
+  test("redactPii masks emails and phones; counts match") {
+    val df = Seq(
+      "reach me at jane.doe+x@ex-ample.org or (615) 555-0101 / 615-555-0199",
+      "no pii here").toDF("text")
+    val got = df.select(
+      TextOps.redactPii($"text").as("red"),
+      TextOps.piiCount($"text", TextOps.emailRe).as("ne"),
+      TextOps.piiCount($"text", TextOps.phoneRe).as("np"))
+      .collect()
+    assert(got(0).getString(0) ==
+      "reach me at [EMAIL] or [PHONE] / [PHONE]")
+    assert(got(0).getLong(1) == 1 && got(0).getLong(2) == 2)
+    assert(got(1).getString(0) == "no pii here")
+    assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 0)
+  }
+}
