@@ -106,6 +106,52 @@ object ScaleQ {
         .orderBy(desc("n"), asc("bigram")).limit(25)
     }),
 
+    // Stratified deterministic sampling: exactly 20 docs per source,
+    // chosen by content-hash order (reproducible train subsets, no
+    // rand()). One partitioned window — parallel across strata.
+    "q62_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "rn")
+    }),
+
+    // TF-IDF relevance (upgrade of the tf-only dashboard rank q11): per-
+    // term document frequencies come from one corpus aggregate broadcast
+    // to the scoring scan — no per-term join, one pass over the docs.
+    "q63_tfidf_rank" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val terms = Seq("spark", "join")
+      val stats = d.agg(count(lit(1)).as("n"),
+        terms.map(tm => sum(when(array_contains(col("tk"), tm), 1L)
+          .otherwise(0L)).as(s"df_$tm")): _*)
+      val score = terms.map { tm =>
+        size(filter(col("tk"), x => x === lit(tm))).cast("double") *
+          log((col("n") + lit(1.0)) / (col(s"df_$tm") + lit(1.0)))
+      }.reduce(_ + _)
+      d.crossJoin(broadcast(stats))
+        .filter(terms.map(tm => array_contains(col("tk"), tm)).reduce(_ && _))
+        .select(col("doc_id"), round(score, 4).as("tfidf"))
+        .orderBy(desc("tfidf"), asc("doc_id")).limit(25)
+    }),
+
+    // Explicit left-anti join: customers with no large order, rolled up
+    // per segment (the complement of the q27 semi join).
+    "q64_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(big, Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Range join done scalably: clicks inside each purchase's 2-hour
     // window via interval bucketing — an equi-join on the bucket id with
     // an exact refine, not a nested-loop inequality join.
@@ -217,6 +263,36 @@ object ScaleQ {
         | FROM s)
         |SELECT bigram, count(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
+
+    "q62_stratified_sample" ->
+      """SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+        | SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents) x
+        |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
+
+    "q63_tfidf_rank" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |st AS (
+        | SELECT count(*) AS n,
+        |  sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS df_spark,
+        |  sum(CASE WHEN list_contains(tk, 'join') THEN 1 ELSE 0 END) AS df_join
+        | FROM d)
+        |SELECT doc_id, round(
+        |  len(list_filter(tk, x -> x = 'spark')) * ln((n + 1.0) / (df_spark + 1.0)) +
+        |  len(list_filter(tk, x -> x = 'join')) * ln((n + 1.0) / (df_join + 1.0)),
+        |  4) AS tfidf
+        |FROM d, st
+        |WHERE list_contains(tk, 'spark') AND list_contains(tk, 'join')
+        |ORDER BY tfidf DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q64_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q61_range_join" ->
       """SELECT p.event_id, count(*) AS n_clicks
