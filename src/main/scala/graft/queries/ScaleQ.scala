@@ -152,6 +152,25 @@ object ScaleQ {
         .orderBy("c_mktsegment")
     }),
 
+    // Boundary picks per group: first/last/nth order key in date order —
+    // the full-frame window functions (first_value needs no frame, but
+    // last_value/nth_value are correct only with an explicit unbounded
+    // frame; the default frame silently returns the current row).
+    "q65_first_last" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+        .distinct()
+        .orderBy("o_orderstatus")
+    }),
+
     // Range join done scalably: clicks inside each purchase's 2-hour
     // window via interval bucketing — an equi-join on the bucket id with
     // an exact refine, not a nested-loop inequality join.
@@ -293,6 +312,17 @@ object ScaleQ {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q65_first_last" ->
+      """SELECT DISTINCT o_orderstatus,
+        | first_value(o_orderkey) OVER w AS first_key,
+        | last_value(o_orderkey) OVER w AS last_key,
+        | nth_value(o_orderkey, 3) OVER w AS third_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q61_range_join" ->
       """SELECT p.event_id, count(*) AS n_clicks

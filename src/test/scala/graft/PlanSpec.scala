@@ -76,6 +76,45 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bucketized range join is an equi-join, not a nested loop") {
+    val p = planOf("q61_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested loop:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("distributed prefix sum windows by bucket, not one partition") {
+    val p = planOf("q55_running_total_global")
+    assert(p.contains("hashpartitioning(__bucket"),
+      s"expected bucket-partitioned window:\n${p.take(3000)}")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"single-partition stage in prefix sum:\n${p.take(3000)}")
+  }
+
+  test("dashboard deep page plans as top-(offset+limit), no global window") {
+    val events = graft.Tables.t(spark, dir, "events")
+      .withColumnRenamed("event_type", "source")
+      .withColumn("category",
+        org.apache.spark.sql.functions.lit("x"))
+      .withColumn("event_date", org.apache.spark.sql.functions.col("ts")
+        .cast("string"))
+      .withColumn("name", org.apache.spark.sql.functions.col("event_id")
+        .cast("string"))
+      .withColumn("url", org.apache.spark.sql.functions.col("event_id")
+        .cast("string"))
+    val page3 = graft.query.Dashboard.query(events, page = 3).rows
+    val p = page3.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), s"deep page still windows:\n${p.take(3000)}")
+  }
+
+  test("stratified sample windows per stratum, not globally") {
+    val p = planOf("q62_stratified_sample")
+    assert(p.contains("hashpartitioning(source"),
+      s"expected per-source window partitioning:\n${p.take(3000)}")
+  }
+
   test("bucketed tables join without a shuffle") {
     // co-located join: both sides bucketed+sorted on the key -> the
     // sort-merge join reads buckets directly, no Exchange in the plan.
