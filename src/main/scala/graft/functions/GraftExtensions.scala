@@ -40,6 +40,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
         (args: Seq[Expression]) =>
           ShinglesExpr(args.head, intArg(args(1), "k"))),
+      (FunctionIdentifier("ngrams"),
+        new ExpressionInfo(classOf[ShinglesExpr].getName, "ngrams"),
+        (args: Seq[Expression]) =>
+          ShinglesExpr(args.head, intArg(args(1), "k"), distinct = false)),
+      (FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+        (args: Seq[Expression]) => CosineSimExpr(args.head, args(1))),
       (FunctionIdentifier("stem_tokens"),
         new ExpressionInfo(classOf[StemTokensExpr].getName, "stem_tokens"),
         (args: Seq[Expression]) => StemTokensExpr(args.head)))

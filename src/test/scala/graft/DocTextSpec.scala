@@ -91,4 +91,16 @@ class DocTextSpec extends SparkSpec {
     assert(viaSql.get(1).isInstanceOf[Long])
     assert(viaSql.getSeq[Long](2).length == 4)
   }
+
+  test("ngrams + cosine_sim SQL registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT ngrams(array('a','b','a','b'), 2), " +
+        "cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), " +
+        "cosine_sim(array(1.0D), array(1.0D, 2.0D))")
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.isNullAt(2)) // length mismatch -> null
+  }
 }
