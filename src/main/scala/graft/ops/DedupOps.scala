@@ -115,6 +115,51 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin shape): same
+    * result set as `jaccardPairs`, far fewer joined postings. Under any
+    * global token order, two sets with J ≥ t must share a token within
+    * their first |S| - ⌈t·|S|⌉ + 1 tokens — so only those prefix postings
+    * enter the pair join. Ordering tokens by ascending document frequency
+    * puts the rarest tokens (shortest posting lists) in the prefixes,
+    * which is what bounds the join at corpus scale; the df table is one
+    * extra aggregation over the postings already in hand. Candidates that
+    * survive a size-ratio prune (t·|A| ≤ |B| ≤ |A|/t) are verified with
+    * the exact intersection of the full sets.
+    *
+    * When to prefer which: on Zipfian token distributions (real text) the
+    * hot tokens dominate the Σdf² posting-join bound and sit at the END
+    * of the df-ascending order — the prefix never posts them, so this
+    * form wins by orders of magnitude. On flat df distributions (the
+    * synthetic corpus here: 27k shingles, max df 25) the posting join is
+    * already cheap and its count-based intersection beats per-candidate
+    * array verification — `jaccardPairs` wins there, measured 2-3× at
+    * sf0.1. */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, toksCol: String,
+      threshold: Double): DataFrame = {
+    val full = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
+    val posts = Partitioning.ensureParallel(full)
+      .select(col("id"), size(col("toks")).as("sz"),
+        explode(col("toks")).as("tok"))
+    val dfreq = posts.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(asc("df"), asc("tok"))
+    val pfx = posts.join(dfreq, "tok")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "sz", "tok")
+    val cands = pfx.as("x").join(pfx.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
+          col("y.sz") >= ceil(col("x.sz") * threshold) &&
+          col("y.sz") <= floor(col("x.sz") / threshold))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .join(full.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
+      .join(full.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .withColumn("jaccard", round(jaccard(col("a_toks"), col("b_toks")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Connected components over an undirected edge list (a_id, b_id) by
     * iterative min-label propagation: every node repeatedly adopts the
     * smallest label among itself and its neighbors until a fixpoint. Each

@@ -70,6 +70,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 0.7778)
   }
 
+  test("prefix-filtered jaccardPairsPrefix ≡ jaccardPairs on a real corpus") {
+    val docs01 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", array_distinct(TextOps.tokens($"text")).as("toks"))
+    val a = DedupOps.jaccardPairs(docs01, "doc_id", "toks", 0.3)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val b = DedupOps.jaccardPairsPrefix(docs01, "doc_id", "toks", 0.3)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("minhash LSH finds the near-dup pair and skips the unrelated doc") {
     val pairs = DedupOps.minhashLshPairs(docs, "id", "text",
       shingleK = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
