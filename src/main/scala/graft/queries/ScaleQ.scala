@@ -152,6 +152,41 @@ object ScaleQ {
         .orderBy("c_mktsegment")
     }),
 
+    // Document chunking for training: 20-token windows at stride 10
+    // (overlapping), each chunk fingerprinted. Pure per-row explode —
+    // embarrassingly parallel, no shuffle before the output sort.
+    "q66_doc_chunks" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("tk")), lit(10))).as("start"),
+          col("tk"))
+        .select(col("doc_id"), col("start").cast("long").as("start"),
+          size(slice(col("tk"), col("start"), lit(20))).cast("long")
+            .as("n_chunk_tokens"),
+          md5(concat_ws(" ", slice(col("tk"), col("start"), lit(20)))
+            .cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "start")
+    }),
+
+    // Token packing: assign docs (in id order) to fixed-budget training
+    // bins by the tokens-before-this-doc prefix sum — the deterministic,
+    // shuffle-light approximation of sequential batch packing, built on
+    // the distributed PrefixSum (no single-partition window).
+    "q67_token_packing" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+      graft.ops.PrefixSum
+        .runningTotal(d, "doc_id", col("n_tokens"), "cum", buckets = 32)
+        .withColumn("bin",
+          floor((col("cum") - col("n_tokens")) / 4096).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
+        .orderBy("bin")
+    }),
+
     // Boundary picks per group: first/last/nth order key in date order —
     // the full-frame window functions (first_value needs no frame, but
     // last_value/nth_value are correct only with an explicit unbounded
@@ -312,6 +347,31 @@ object ScaleQ {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q66_doc_chunks" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |st AS (
+        | SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 10)) AS start
+        | FROM d)
+        |SELECT doc_id, CAST(start AS BIGINT) AS start,
+        | CAST(len(tk[start:least(start + 19, len(tk))]) AS BIGINT)
+        |   AS n_chunk_tokens,
+        | md5(array_to_string(tk[start:least(start + 19, len(tk))], ' '))
+        |   AS chunk_md5
+        |FROM st ORDER BY doc_id, start""".stripMargin,
+
+    "q67_token_packing" ->
+      """WITH d AS (
+        | SELECT doc_id, len(string_split(lower(text), ' ')) AS n
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, n,
+        |  sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM d)
+        |SELECT CAST(floor((cum - n) / 4096) AS BIGINT) AS bin,
+        | count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q65_first_last" ->
       """SELECT DISTINCT o_orderstatus,
