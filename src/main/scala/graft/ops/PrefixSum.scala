@@ -28,15 +28,32 @@ import org.apache.spark.sql.functions._
 object PrefixSum {
 
   /** Append `outCol` = running sum of `valueCol` over rows ordered by
-    * `keyCol` (a unique numeric key). */
+    * `keyCol` (a unique numeric key). `quantileBuckets = true` swaps the
+    * fixed-width ranges for approxQuantile boundaries, which keeps bucket
+    * sizes even under skewed keys at the cost of one sampling pass. */
   def runningTotal(df: DataFrame, keyCol: String, valueCol: Column,
-      outCol: String, buckets: Int): DataFrame = {
+      outCol: String, buckets: Int,
+      quantileBuckets: Boolean = false): DataFrame = {
     val key = col(keyCol)
-    val Array(bounds) = df.agg(min(key).as("lo"), max(key).as("hi")).collect()
-    val lo = bounds.getLong(0)
-    val hi = bounds.getLong(1)
-    val width = math.max(1L, (hi - lo) / buckets + 1)
-    val bucket = ((key - lit(lo)) / lit(width)).cast("long")
+    val bucket =
+      if (quantileBuckets) {
+        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+        val cuts = df.stat.approxQuantile(keyCol, probs, 0.001)
+          .map(_.toLong).distinct.sorted
+        // bucket = number of boundaries strictly below the key: keys in
+        // the same cut range share a bucket, order across buckets follows
+        // key order — exactly what the offset cumsum needs
+        cuts.foldLeft(lit(0L)) { (acc, c) =>
+          acc + when(key > lit(c), 1L).otherwise(0L)
+        }
+      } else {
+        val Array(bounds) =
+          df.agg(min(key).as("lo"), max(key).as("hi")).collect()
+        val lo = bounds.getLong(0)
+        val hi = bounds.getLong(1)
+        val width = math.max(1L, (hi - lo) / buckets + 1)
+        ((key - lit(lo)) / lit(width)).cast("long")
+      }
 
     val dec = valueCol.cast(org.apache.spark.sql.types.DecimalType(30, 2))
     val w = Window.partitionBy(col("__bucket")).orderBy(key)

@@ -16,6 +16,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("runningTotal with quantile buckets matches on heavily skewed keys") {
+    // keys clustered at the low end + far outliers: fixed-width ranges
+    // would put almost everything in bucket 0
+    val rows = ((1L to 50L) ++ Seq(1000000L, 2000000L, 3000000L))
+      .map(k => (k, k.toDouble))
+    val df = rows.toDF("k", "v")
+    val got = PrefixSum.runningTotal(df, "k", col("v"), "run", buckets = 4,
+        quantileBuckets = true)
+      .orderBy("k").select("k", "run").as[(Long, Double)].collect().toSeq
+    val expected = rows.scanLeft(0.0)(_ + _._2).drop(1)
+      .zip(rows.map(_._1)).map { case (run, k) => (k, run) }
+    assert(got == expected)
+  }
+
+  test("formats round-trip: json, orc, csv sinks preserve the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val df = Seq((1L, "a,b \"q\"", 1.5), (2L, null, -0.25), (3L, "äöü", 0.0))
+      .toDF("id", "s", "x")
+    df.write.mode("overwrite").json(s"$dir/j")
+    df.write.mode("overwrite").orc(s"$dir/o")
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    val j = spark.read.schema(df.schema).json(s"$dir/j")
+    val o = spark.read.orc(s"$dir/o")
+    val c = spark.read.schema(df.schema).option("header", "true")
+      .csv(s"$dir/c")
+    Seq(j, o, c).foreach { back =>
+      assert(back.orderBy("id").collect().toSeq ==
+        df.orderBy("id").collect().toSeq)
+    }
+  }
+
   test("connectedComponents: chain merges to one cluster, islands stay apart") {
     // chain 1-2-3-4-5 (diameter forces several propagation rounds), pair
     // 10-11, and 20-21-22 as a triangle
