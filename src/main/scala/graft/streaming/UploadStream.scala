@@ -46,6 +46,14 @@ object UploadStream {
       .groupBy(window(col("ts"), "1 hour"), col("source"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-static enrichment: join each micro-batch against a (small,
+    * slowly-changing) dimension table — the J3 config-lookup join in
+    * streaming form. The broadcast keeps the stream side shuffle-free;
+    * the static side is re-resolved per trigger, so a refreshed dimension
+    * file is picked up without restarting the query. */
+  def enriched(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming url-dedup with bounded state (R5): duplicates arriving
     * within the watermark horizon are dropped; state for urls older than
     * the watermark is evicted, so state size tracks the recent window,

@@ -99,6 +99,29 @@ class StreamingMultimodalSpec extends SparkSpec {
       == Set("http://a", "http://b"))
   }
 
+  test("stream-static broadcast enrichment joins each micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val stream = input.toDF().toDF("source", "value")
+    val dim = Seq(("tm", "Ticketmaster"), ("sg", "SeatGeek"))
+      .toDF("source", "display")
+    input.addData(("tm", 1.0), ("sg", 2.0), ("zz", 3.0))
+    val out = java.nio.file.Files.createTempDirectory("graft_en").toString
+    val q = UploadStream.enriched(stream, dim, "source")
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.exception.foreach(e => fail(s"query failed: $e"))
+    val got = spark.read.parquet(s"$out/data")
+      .orderBy("source").collect()
+    assert(got.map(_.getAs[String]("display")).toSeq ==
+      Seq("SeatGeek", "Ticketmaster", null))
+  }
+
   test("streaming windowed agg compiles against a batch frame (smoke)") {
     val df = Seq(("2024-01-01 00:10:00", "a"), ("2024-01-01 00:20:00", "a"))
       .toDF("ts", "source").withColumn("ts", $"ts".cast("timestamp"))
