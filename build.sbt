@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// stream the forked process's output raw instead of via sbt's logger:
+// the bench/verify harness lines (e.g. Bench's one-line JSON) must reach
+// stdout without an "[info] " prefix so callers can parse them
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
