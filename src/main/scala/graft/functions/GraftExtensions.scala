@@ -47,6 +47,10 @@ object GraftFunctions {
       (FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
         (args: Seq[Expression]) => CosineSimExpr(args.head, args(1))),
+      (FunctionIdentifier("winnow"),
+        new ExpressionInfo(classOf[WinnowExpr].getName, "winnow"),
+        (args: Seq[Expression]) =>
+          WinnowExpr(args.head, intArg(args(1), "k"), intArg(args(2), "w"))),
       (FunctionIdentifier("stem_tokens"),
         new ExpressionInfo(classOf[StemTokensExpr].getName, "stem_tokens"),
         (args: Seq[Expression]) => StemTokensExpr(args.head)))

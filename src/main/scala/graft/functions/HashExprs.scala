@@ -230,3 +230,61 @@ object ShinglesExpr {
   def ngrams(toks: Column, k: Int): Column =
     toCol(ShinglesExpr(toExpr(toks), k, distinct = false))
 }
+
+/** Winnowing document fingerprints (the rolling-hash scheme of MOSS):
+  * hash every k-gram, slide a window of `w` consecutive hashes, keep each
+  * window's minimum (rightmost on ties), dedupe. Guarantees any shared
+  * substring of ≥ w+k-1 tokens yields ≥ 1 shared fingerprint, while
+  * storing ~2/(w+1) of the hashes — the standard robust fingerprint for
+  * near-dup/plagiarism detection at corpus scale. One pass per row; the
+  * hash family is engine-internal, so queries over it get the driver's
+  * rows-only check (properties are spec-verified instead). */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with EvalCallCodegen {
+  require(k >= 1 && w >= 1)
+  override protected def castEval(src: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // k-gram rolling hashes: combine member-token murmurs via mix64 chain
+    val gh = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = HashExprs.mix64(h ^ HashExprs.murmur(arr.getUTF8String(i + j)))
+        j += 1
+      }
+      gh(i) = h
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val lastWin = math.max(nGrams - w, 0)
+    var s = 0
+    while (s <= lastWin) {
+      val end = math.min(s + w, nGrams)
+      var minIdx = s
+      var j = s + 1
+      while (j < end) {
+        if (gh(j) <= gh(minIdx)) minIdx = j // rightmost minimum
+        j += 1
+      }
+      out.add(gh(minIdx))
+      s += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+}
+
+object WinnowExpr {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
+  def winnow(toks: Column, k: Int, w: Int): Column =
+    toCol(WinnowExpr(toExpr(toks), k, w))
+}

@@ -187,6 +187,26 @@ object ScaleQ {
         .orderBy("bin")
     }),
 
+    // Winnowing (rolling-hash) fingerprint near-dups: docs sharing ≥ 5
+    // selected k-gram hashes, via the same inverted-index join shape as
+    // q16 but over the ~2/(w+1)-sampled fingerprint set — smaller
+    // postings for the same guarantee. Hash-family specific → rows-only
+    // check; the winnowing guarantee itself is spec-verified.
+    "q68_winnow_dups" -> ((s, dir) => {
+      val d = Partitioning.ensureParallel(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("id"),
+          graft.functions.WinnowExpr.winnow(toks(col("text")), 3, 4)
+            .as("fps"))
+      val posts = d.select(col("id"), explode(col("fps")).as("fp"))
+      posts.as("x").join(posts.as("y"),
+          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Boundary picks per group: first/last/nth order key in date order —
     // the full-frame window functions (first_value needs no frame, but
     // last_value/nth_value are correct only with an explicit unbounded

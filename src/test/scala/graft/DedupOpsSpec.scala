@@ -94,6 +94,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("winnowing: shared long substring guarantees a shared fingerprint") {
+    import graft.functions.WinnowExpr
+    val k = 3; val w = 4
+    val common = "one two three four five six seven eight nine ten"
+    val pair = Seq(
+      (1L, s"alpha beta $common gamma delta"),
+      (2L, s"zeta eta theta $common iota"),
+      (3L, "completely unrelated words that overlap with nothing at all"))
+      .toDF("id", "text")
+    val fps = pair.select($"id",
+      WinnowExpr.winnow(TextOps.tokens($"text"), k, w).as("fps"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // the shared 10-token run >= w+k-1 = 6 tokens -> >=1 shared fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // winnowing stores a fraction of the grams and is deterministic
+    val nGrams = common.split(" ").length + 4 - k + 1
+    assert(fps(1L).size < nGrams)
+    val again = pair.select(WinnowExpr.winnow(TextOps.tokens($"text"), k, w))
+      .orderBy($"id").collect().map(_.getSeq[Long](0).toSet)
+    assert(again(0) == fps(1L))
+  }
+
   test("firstWins keeps lowest-priority row per key deterministically") {
     val df = Seq((1L, "u1", "a"), (2L, "u1", "b"), (3L, "u2", "c"))
       .toDF("id", "url", "v")
