@@ -187,6 +187,53 @@ object ScaleQ {
         .orderBy("bin")
     }),
 
+    // TPC-H Q5 shape: 6-way join (fact + 2 mid tables + 3 dims) with the
+    // region filter pushed to the smallest dim and local-supplier
+    // correlation (c_nationkey = s_nationkey). Catalyst broadcasts the
+    // dims; the fact table shuffles once per mid join under AQE.
+    "q69_regional_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(30, 6)).as("rev"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    // Gap sessionization via the built-in session_window (the engine-
+    // native twin of the lag+cumsum q29): merges events closer than the
+    // 30-minute gap; end = last event + gap.
+    "q70_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "s_start")
+    }),
+
     // Winnowing (rolling-hash) fingerprint near-dups: docs sharing ≥ 5
     // selected k-gram hashes, via the same inverted-index join shape as
     // q16 but over the ~2/(w+1)-sampled fingerprint set — smaller
@@ -367,6 +414,44 @@ object ScaleQ {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q69_regional_revenue" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |   AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q70_session_window" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, value, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_no
+        | FROM flagged)
+        |SELECT user_id, min(ts) AS s_start,
+        | max(ts) + INTERVAL 30 MINUTE AS s_end,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_no
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "q66_doc_chunks" ->
       """WITH d AS (
