@@ -64,6 +64,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("runningTotal ≡ sequential scanLeft over random keyed values") {
+    val gen = for {
+      k <- Gen.chooseNum(-100000L, 100000L)
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+    } yield (k, math.rint(v * 100) / 100)
+    (0 until 3).foreach { round =>
+      val rows = samples(gen, 300).distinctBy(_._1).sortBy(_._1)
+      val df = scala.util.Random.shuffle(rows).toDF("k", "v")
+      Seq(false, true).foreach { quantile =>
+        val got = graft.ops.PrefixSum
+          .runningTotal(df, "k", $"v", "run", buckets = 7,
+            quantileBuckets = quantile)
+          .orderBy("k").select("k", "run").as[(Long, Double)]
+          .collect().toSeq
+        val expected = rows.scanLeft(BigDecimal(0))(_ + _._2).drop(1)
+          .zip(rows.map(_._1)).map { case (run, k) => (k, run.toDouble) }
+        assert(got == expected, s"round=$round quantile=$quantile")
+      }
+    }
+  }
+
+  test("connectedComponents labels match brute-force on random graphs") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 30L)
+      b <- Gen.chooseNum(0L, 30L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    (0 until 3).foreach { round =>
+      val edges = samples(edgeGen, 25).distinct
+      val got = DedupOps.connectedComponents(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min node id per component
+      val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      nodes.foreach { n =>
+        assert(got(n) == minOf(find(n)), s"round=$round node=$n")
+      }
+    }
+  }
+
   test("standardizeDate is total over garbage for every source branch") {
     val ss = samples(anyStr, 150)
     Seq("Ticketmaster", "Yelp", "Underdog", "Nashville.com Events", "other")
