@@ -171,12 +171,15 @@ object DedupOps {
     * = the component's minimum node id — a deterministic representative,
     * which is what makes the op oracle-checkable. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): iterative plans nest their inputs, so
+    // without lineage truncation the plan tree grows exponentially with
+    // rounds (planning itself OOMs long before the data does)
     val sym = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).persist()
+      .withColumn("lab", col("node")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -184,17 +187,65 @@ object DedupOps {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("lab"))
       val next = labels.union(viaNbr)
-        .groupBy("node").agg(min("lab").as("lab")).persist()
+        .groupBy("node").agg(min("lab").as("lab")).localCheckpoint()
       val changed = next.as("n")
         .join(labels.as("o"), "node")
         .filter(col("n.lab") < col("o.lab")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
     labels.withColumnRenamed("lab", "cluster")
+  }
+
+  /** Connected components in O(log²) rounds via alternating large-star /
+    * small-star contractions (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — the variant to prefer over plain min-label
+    * propagation when components can be long chains, where label
+    * propagation needs diameter-many rounds. Each round is two
+    * grouped-min aggregations + joins over the shrinking edge list.
+    *
+    *   large-star: every node links its LARGER neighbors to the minimum
+    *   of its closed neighborhood; small-star: every node links its
+    *   smaller neighbors (and itself) to that minimum. The edge list
+    *   converges to stars rooted at each component's minimum id.
+    *
+    * Same output contract as [[connectedComponents]]: (node, cluster). */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30)
+      : DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+    var e = canon(edges.select(col("a_id").as("u"), col("b_id").as("v")))
+      .localCheckpoint() // truncate lineage per round — see above
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m1 = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(m1, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val lsE = canon(ls.union(m1.select(col("u"), col("m").as("v"))))
+      val m2 = lsE.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = lsE.join(m2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m2.select(col("u"), col("m").as("v")))
+      val newE = canon(ss).localCheckpoint()
+      val changed =
+        newE.except(e).limit(1).count() + e.except(newE).limit(1).count()
+      e = newE
+      converged = changed == 0
+      iter += 1
+    }
+    val pointed = e.select(col("u").as("node"), col("v").as("lab"))
+      .groupBy("node").agg(min("lab").as("cluster"))
+    val roots = e.select(col("v").as("node")).distinct()
+      .join(pointed, Seq("node"), "left_anti")
+      .withColumn("cluster", col("node"))
+    pointed.union(roots)
   }
 
   /** 64-bit SimHash of a token array: bit j of the result is set iff the

@@ -92,7 +92,10 @@ class PropertySpec extends SparkSpec {
     } yield (math.min(a, b), math.max(a, b))
     (0 until 3).foreach { round =>
       val edges = samples(edgeGen, 25).distinct
-      val got = DedupOps.connectedComponents(edges.toDF("a_id", "b_id"))
+      val df = edges.toDF("a_id", "b_id")
+      val got = DedupOps.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      val gotStar = DedupOps.connectedComponentsStar(df)
         .as[(Long, Long)].collect().toMap
       // driver-side union-find reference
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -109,8 +112,19 @@ class PropertySpec extends SparkSpec {
       val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
       nodes.foreach { n =>
         assert(got(n) == minOf(find(n)), s"round=$round node=$n")
+        assert(gotStar(n) == minOf(find(n)), s"star round=$round node=$n")
       }
     }
+  }
+
+  test("star components solve a 64-node chain within the log-round budget") {
+    // a path graph is label propagation's worst case (diameter rounds);
+    // alternating stars must finish well under the 30-round cap
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = DedupOps.connectedComponentsStar(chain.toDF("a_id", "b_id"),
+        maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 0L))
   }
 
   test("standardizeDate is total over garbage for every source branch") {
