@@ -25,14 +25,17 @@ object Explain {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
     val stages = new org.apache.spark.scheduler.SparkListener {
+      // appended from the listener-bus thread, read/cleared from main —
+      // every access synchronizes on the buffer itself
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val m = si.taskMetrics
-        buf += f"[stage ${si.stageId}%3d] ${si.numTasks}%3d tasks " +
+        val line = f"[stage ${si.stageId}%3d] ${si.numTasks}%3d tasks " +
           f"run=${m.executorRunTime / 1e3}%6.2fs cpu=${m.executorCpuTime / 1e9}%6.2fs " +
           f"shufW=${m.shuffleWriteMetrics.recordsWritten}%8d recs ${si.name.take(60)}"
+        buf.synchronized { buf += line }
       }
     }
     spark.sparkContext.addSparkListener(stages)
@@ -43,14 +46,16 @@ object Explain {
           println(s"\n===== $name =====")
           fn(spark, sfDir).explain("formatted")
           val times = (0 to runs).map { i =>
-            if (i == 1) stages.buf.clear() // keep only post-warm-up stages
+            if (i == 1) stages.buf.synchronized(stages.buf.clear()) // drop warm-up stages
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }.drop(1) // warm-up
-          Thread.sleep(300) // let stage events drain
-          stages.buf.foreach(println)
-          stages.buf.clear()
+          Thread.sleep(300) // let stage events drain (best effort)
+          stages.buf.synchronized {
+            stages.buf.foreach(println)
+            stages.buf.clear()
+          }
           println(f"[explain] $name timed: ${times.map(t => f"$t%.2f").mkString(", ")} s (median ${times.sorted.apply(times.size / 2)}%.2f)")
       }
     }

@@ -142,14 +142,20 @@ object DedupOps {
         explode(col("toks")).as("tok"))
     val dfreq = posts.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(asc("df"), asc("tok"))
+    // All bounds are conservative against double rounding (an epsilon
+    // widens each prune window; ceil(7.000000000000001) must not reject
+    // what exact arithmetic keeps): over-included candidates cost one
+    // extra verification, while an over-tight bound would silently drop
+    // a true pair. Ratio checks compare products, never divide.
+    val eps = 1e-9
     val pfx = posts.join(dfreq, "tok")
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("__rn") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
       .select("id", "sz", "tok")
     val cands = pfx.as("x").join(pfx.as("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
-          col("y.sz") >= ceil(col("x.sz") * threshold) &&
-          col("y.sz") <= floor(col("x.sz") / threshold))
+          col("y.sz") + eps >= col("x.sz") * threshold &&
+          col("y.sz") * threshold <= col("x.sz") + eps)
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     cands
@@ -195,6 +201,11 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "the graph has components of larger diameter; raise maxIter " +
+          "or use connectedComponentsStar (log-round convergence)")
     labels.withColumnRenamed("lab", "cluster")
   }
 
@@ -240,6 +251,9 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
     val pointed = e.select(col("u").as("node"), col("v").as("lab"))
       .groupBy("node").agg(min("lab").as("cluster"))
     val roots = e.select(col("v").as("node")).distinct()

@@ -61,7 +61,14 @@ object Partitioning {
     * through untouched — no extra shuffle at scale; a small single-file
     * scan (where the whole downstream stage would otherwise run as ONE
     * task) gets one cheap round-robin shuffle so the work uses every
-    * core. */
+    * core.
+    *
+    * Cost note: reading `df.rdd.getNumPartitions` compiles the input's
+    * physical plan once just for the probe (driver-side only, no job).
+    * That is deliberate: callers pass a cheap projection over a scan, and
+    * a wrong answer in either direction (skipping the spread on a
+    * one-split scan, or blind-repartitioning a petabyte input) costs far
+    * more than one extra planning pass. */
   def ensureParallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)

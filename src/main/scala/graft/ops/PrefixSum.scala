@@ -34,12 +34,16 @@ object PrefixSum {
   def runningTotal(df: DataFrame, keyCol: String, valueCol: Column,
       outCol: String, buckets: Int,
       quantileBuckets: Boolean = false): DataFrame = {
-    val key = col(keyCol)
+    // all bucket math in double so any numeric key type works: the
+    // mapping only has to be monotonic in the key (keys are unique, so
+    // double rounding cannot merge distinct orderings incorrectly — at
+    // worst two adjacent keys share a bucket)
+    val key = col(keyCol).cast("double")
     val bucket =
       if (quantileBuckets) {
         val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-        val cuts = df.stat.approxQuantile(keyCol, probs, 0.001)
-          .map(_.toLong).distinct.sorted
+        val cuts = df.select(key.as("__k")).stat
+          .approxQuantile("__k", probs, 0.001).distinct.sorted
         // bucket = number of boundaries strictly below the key: keys in
         // the same cut range share a bucket, order across buckets follows
         // key order — exactly what the offset cumsum needs
@@ -49,10 +53,12 @@ object PrefixSum {
       } else {
         val Array(bounds) =
           df.agg(min(key).as("lo"), max(key).as("hi")).collect()
-        val lo = bounds.getLong(0)
-        val hi = bounds.getLong(1)
-        val width = math.max(1L, (hi - lo) / buckets + 1)
-        ((key - lit(lo)) / lit(width)).cast("long")
+        if (bounds.isNullAt(0)) // empty input: keep the schema contract
+          return df.withColumn(outCol, lit(null).cast("double"))
+        val lo = bounds.getDouble(0)
+        val hi = bounds.getDouble(1)
+        val width = math.max(1e-12, (hi - lo) / buckets)
+        floor((key - lit(lo)) / lit(width)).cast("long")
       }
 
     val dec = valueCol.cast(org.apache.spark.sql.types.DecimalType(30, 2))

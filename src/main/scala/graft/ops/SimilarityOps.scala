@@ -109,14 +109,14 @@ object SimilarityOps {
     * xxhash64(id) — a uniform bottom-k-by-hash sketch. Plans as
     * TakeOrderedAndProject (per-partition top-k, driver merge): no count
     * pass, no global sort, no single-partition window, so it holds at any
-    * corpus size. Centroid ids are assigned in id order for stability. */
+    * corpus size. Centroid ids follow the (deterministic) hash order the
+    * bottom-k sort already established. */
   def strideCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int): Seq[(Int, Array[Double])] =
     vectors.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(k)
       .collect()
-      .sortBy(_.get(0).toString)
       .zipWithIndex
       .map { case (r, i) =>
         i -> r.getSeq[Float](1).map(_.toDouble).toArray

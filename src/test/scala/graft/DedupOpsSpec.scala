@@ -94,6 +94,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("jaccardPairsPrefix survives floating-point threshold boundaries") {
+    // |A| = 7 ⊂ |B| = 100, J = 7/100 = 0.07 exactly at the threshold:
+    // naive floor(7/0.07) = 99 < 100 would prune the pair before verify
+    val a = (1 to 7).map(i => s"t$i")
+    val b = (1 to 100).map(i => s"t$i")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "toks")
+    val got = DedupOps.jaccardPairsPrefix(df, "id", "toks", 0.07).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 0.07)
+    val same = DedupOps.jaccardPairs(df, "id", "toks", 0.07).collect()
+    assert(same.length == 1)
+  }
+
+  test("connectedComponents throws on non-convergence instead of lying") {
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, maxIter = 5).collect()
+    }
+    // the star variant handles the same chain within its round budget
+    val ok = DedupOps.connectedComponentsStar(chain, maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(ok.length == 26 && ok.forall(_._2 == 0L))
+  }
+
   test("winnowing: shared long substring guarantees a shared fingerprint") {
     import graft.functions.WinnowExpr
     val k = 3; val w = 4

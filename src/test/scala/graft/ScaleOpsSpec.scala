@@ -16,6 +16,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("runningTotal handles empty input and non-long key types") {
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(PrefixSum.runningTotal(empty, "k", col("v"), "run", 4)
+      .count() == 0)
+    val ints = Seq((1, 2.0), (5, 3.0), (9, 4.0)).toDF("k", "v")
+    val gotInt = PrefixSum.runningTotal(ints, "k", col("v"), "run", 2)
+      .orderBy("k").select("run").as[Double].collect().toSeq
+    assert(gotInt == Seq(2.0, 5.0, 9.0))
+    val dbl = Seq((0.5, 1.0), (1.5, 1.0), (2.5, 1.0)).toDF("k", "v")
+    val gotDbl = PrefixSum.runningTotal(dbl, "k", col("v"), "run", 2)
+      .orderBy("k").select("run").as[Double].collect().toSeq
+    assert(gotDbl == Seq(1.0, 2.0, 3.0))
+  }
+
   test("runningTotal with quantile buckets matches on heavily skewed keys") {
     // keys clustered at the low end + far outliers: fixed-width ranges
     // would put almost everything in bucket 0
