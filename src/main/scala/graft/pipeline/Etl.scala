@@ -38,4 +38,25 @@ object Etl {
     val count = appended.count() // A6: items_loaded
     (count, silver.fold(appended)(s => s.unionByName(appended)))
   }
+
+  /** A5 run counters as observed metrics: the tallies ride along with
+    * whatever action executes the load — one pass, no second aggregation
+    * job (the engine-native form of the reference's per-spider
+    * total/yielded/no_coords statistics, nashville_arcgis.py:41-42,
+    * 95-101). Read the map from the returned Observation after an action
+    * on the returned DataFrame. */
+  def observedLoad(batch: DataFrame)
+      : (org.apache.spark.sql.Observation, DataFrame) = {
+    val obs = org.apache.spark.sql.Observation("etl_load")
+    val observed = batch.observe(obs,
+      count(lit(1)).as("rows"),
+      sum(when(col("url").isNull, 1L).otherwise(0L)).as("null_url"),
+      sum(when(col("latitude").isNull || col("longitude").isNull, 1L)
+        .otherwise(0L)).as("no_coords"),
+      // DISTINCT aggregates are disallowed in observed metrics (they
+      // would break single-pass collection) — the HLL sketch is the
+      // correct one-pass cardinality here
+      approx_count_distinct(col("source")).as("n_sources"))
+    (obs, observed)
+  }
 }

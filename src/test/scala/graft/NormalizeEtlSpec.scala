@@ -68,6 +68,15 @@ class NormalizeEtlSpec extends SparkSpec {
     assert(yl.getAs[String]("venue_city") == "Nashville")    // default city
   }
 
+  test("A5 observed load metrics ride along with the action (one pass)") {
+    val (obs, observed) = Etl.observedLoad(silver)
+    observed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("rows") == 5L)
+    assert(m("null_url") == 0L)
+    assert(m("n_sources").asInstanceOf[Long] >= 2L)
+  }
+
   test("K2 idempotence: re-loading the same bronze appends nothing") {
     val (again, silver2) = Etl.run(bronze, Some(silver), refYear = 2025)
     assert(again == 0 && silver2.count() == 5)
