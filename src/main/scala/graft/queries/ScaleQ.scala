@@ -187,6 +187,26 @@ object ScaleQ {
         .orderBy("bin")
     }),
 
+    // Weight-proportional deterministic sampling: each doc is kept with
+    // probability ∝ its length, decided by comparing a content-hash
+    // pseudo-uniform against the scaled weight — no RNG, reproducible
+    // across engines and runs (the Bernoulli form of weighted sampling;
+    // an Efraimidis-Spirakis reservoir would rank by u^(1/w) instead).
+    // The uniform comes from the first 8 md5 hex chars, so only
+    // +-*/ and comparisons are involved — no pow/ln ulp hazards.
+    "q71_weighted_sample" -> ((s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+      val d = t(s, dir, "documents")
+      val maxChars = d.agg(max(col("n_chars")).as("mx"))
+      d.crossJoin(broadcast(maxChars))
+        .filter(u < col("n_chars").cast("double") / col("mx") * 0.2)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // TPC-H Q5 shape: 6-way join (fact + 2 mid tables + 3 dims) with the
     // region filter pushed to the smallest dim and local-supplier
     // correlation (c_nationkey = s_nationkey). Catalyst broadcasts the
@@ -414,6 +434,16 @@ object ScaleQ {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q71_weighted_sample" ->
+      """WITH mx AS (SELECT max(n_chars) AS mx FROM documents)
+        |SELECT source, count(*) AS n_sampled,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, mx
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS UBIGINT) / 4294967296.0
+        |  < CAST(n_chars AS DOUBLE) / mx * 0.2
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q69_regional_revenue" ->
       """SELECT n_name,
