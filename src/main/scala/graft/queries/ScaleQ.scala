@@ -240,8 +240,11 @@ object ScaleQ {
     }),
 
     // Gap sessionization via the built-in session_window (the engine-
-    // native twin of the lag+cumsum q29): merges events closer than the
-    // 30-minute gap; end = last event + gap.
+    // native twin of the lag+cumsum q29): end = last event + gap, and a
+    // touching event (diff == gap exactly) MERGES — session_window starts
+    // a new session only when the gap is strictly exceeded. (Found the
+    // hard way: sf0.1 has one exact-1800s gap, so a >= oracle was one
+    // session off.)
     "q70_session_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -467,7 +470,7 @@ object ScaleQ {
       """WITH flagged AS (
         | SELECT user_id, ts, value, event_id,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |    OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+        |    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
         |   THEN 1 ELSE 0 END AS new_s
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

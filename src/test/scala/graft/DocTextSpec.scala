@@ -92,6 +92,16 @@ class DocTextSpec extends SparkSpec {
     assert(viaSql.getSeq[Long](2).length == 4)
   }
 
+  test("GraftSession.local yields a session with engine functions ready") {
+    val s = graft.GraftSession.local(2)
+    val r = s.sql("SELECT size(shingles(array('a','b','c'), 2)), " +
+      "cosine_sim(array(1.0D), array(2.0D)), " +
+      "size(winnow(array('a','b','c','d'), 2, 2))").first()
+    assert(r.getInt(0) == 2)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getInt(2) >= 1)
+  }
+
   test("ngrams + cosine_sim SQL registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
