@@ -81,4 +81,10 @@ object Partitioning {
       numFiles: Int): Unit =
     df.repartition(numFiles, col(key))
       .write.mode("overwrite").parquet(path)
+
+  /** Hive-style directory partitioning on a low-cardinality column:
+    * reads filtered on `key` prune to matching directories (the storage
+    * analogue of the reference's btree-on-source index, SURVEY §4). */
+  def writePartitionedBy(df: DataFrame, path: String, key: String): Unit =
+    df.write.mode("overwrite").partitionBy(key).parquet(path)
 }

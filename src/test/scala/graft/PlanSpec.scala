@@ -115,6 +115,23 @@ class PlanSpec extends SparkSpec {
       s"expected per-source window partitioning:\n${p.take(3000)}")
   }
 
+  test("partitioned silver writes prune partitions at read time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = graft.Tables.t(spark, dir, "events")
+      .select("event_id", "event_type", "value")
+    graft.ops.Partitioning.writePartitionedBy(events, tmp, "event_type")
+    val back = spark.read.parquet(tmp)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.contains("(event_type#") && p.contains("= purchase"),
+      s"expected partition pruning:\n${p.take(2500)}")
+    // only the purchase partition directory is actually read
+    assert(back.count() ==
+      events.filter(org.apache.spark.sql.functions.col("event_type") ===
+        "purchase").count())
+  }
+
   test("bucketed tables join without a shuffle") {
     // co-located join: both sides bucketed+sorted on the key -> the
     // sort-merge join reads buckets directly, no Exchange in the plan.
