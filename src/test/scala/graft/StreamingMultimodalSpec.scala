@@ -52,6 +52,24 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(feats(2L).feature.toSeq == again(2L).feature.toSeq)
   }
 
+  test("multimodal end-to-end: features feed the embedding dedup path") {
+    import graft.ops.SimilarityOps
+    // two near-identical images (one byte differs), one unrelated blob
+    val base = Array.tabulate(256)(i => (i % 23).toByte)
+    val nearDup = base.clone(); nearDup(100) = 9
+    val media = Seq(
+      (1L, "image", base),
+      (2L, "image", nearDup),
+      (3L, "image", Array.tabulate(256)(i => (255 - i * 7).toByte)))
+      .toDF("media_id", "kind", "content")
+    val feats = BinaryOps.extractFeatures(media)
+      .select($"media_id".as("vec_id"), $"feature".as("embedding"))
+    val dups = SimilarityOps
+      .exactCosinePairs(feats, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.toSeq == Seq((1L, 2L)))
+  }
+
   test("multimodal: resize and frame-sampling plumbing") {
     val media = Seq(
       (1L, "image", Array.tabulate(1000)(_.toByte)),
