@@ -152,7 +152,13 @@ object SimilarityOps {
     * default parallelism so the O(n²/2) cosine work runs on every core
     * instead of inheriting a small scan's single partition. */
   def exactCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
-      minSim: Double): DataFrame = {
+      minSim: Double, maxBroadcastRows: Long = 1000000L): DataFrame = {
+    // fail loudly before building a broadcast that cannot fit, with the
+    // fix in the message; the probe scans at most maxBroadcastRows+1 rows
+    val probe = vectors.limit((maxBroadcastRows + 1).toInt).count()
+    require(probe <= maxBroadcastRows,
+      s"exactCosinePairs would broadcast > $maxBroadcastRows vectors; " +
+        "use annSelfJoin (LSH-bucketed) for corpora this size")
     val a = Partitioning.ensureParallel(
       vectors.select(col(idCol).as("a_id"), col(vecCol).as("av")))
     val b = broadcast(

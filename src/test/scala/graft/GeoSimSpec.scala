@@ -51,6 +51,15 @@ class GeoSimSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("exactCosinePairs refuses corpora beyond the broadcast bound") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.exactCosinePairs(e, "vec_id", "embedding", 0.9,
+        maxBroadcastRows = 10)
+    }
+  }
+
   test("cosine: mismatched lengths and zero-norm vectors yield null") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f), Seq(0.0f, 0.0f)))
       .toDF("a", "b", "z")
