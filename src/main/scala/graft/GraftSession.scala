@@ -25,8 +25,10 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Shared config for any builder (cluster or local). */
+  /** Shared config for any builder (cluster or local). Functions are
+    * injected as session extensions, so both paths get the SQL surface. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")

@@ -154,8 +154,12 @@ object SimilarityOps {
   def exactCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
       minSim: Double, maxBroadcastRows: Long = 1000000L): DataFrame = {
     // fail loudly before building a broadcast that cannot fit, with the
-    // fix in the message; the probe scans at most maxBroadcastRows+1 rows
-    val probe = vectors.limit((maxBroadcastRows + 1).toInt).count()
+    // fix in the message. The probe is one bounded job over the pruned id
+    // column (at most maxBroadcastRows+1 rows, clamped against Int
+    // overflow); callers whose `vectors` is an expensive computed plan
+    // should cache it first, since the probe re-evaluates it.
+    val cap = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+    val probe = vectors.select(col(idCol)).limit(cap).count()
     require(probe <= maxBroadcastRows,
       s"exactCosinePairs would broadcast > $maxBroadcastRows vectors; " +
         "use annSelfJoin (LSH-bucketed) for corpora this size")

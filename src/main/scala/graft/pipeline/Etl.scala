@@ -47,7 +47,9 @@ object Etl {
     * on the returned DataFrame. */
   def observedLoad(batch: DataFrame)
       : (org.apache.spark.sql.Observation, DataFrame) = {
-    val obs = org.apache.spark.sql.Observation("etl_load")
+    // unnamed Observation => unique generated name, so several observed
+    // loads can compose into one query without duplicate-metric errors
+    val obs = org.apache.spark.sql.Observation()
     val observed = batch.observe(obs,
       count(lit(1)).as("rows"),
       sum(when(col("url").isNull, 1L).otherwise(0L)).as("null_url"),

@@ -93,13 +93,19 @@ class DocTextSpec extends SparkSpec {
   }
 
   test("GraftSession.local yields a session with engine functions ready") {
-    val s = graft.GraftSession.local(2)
-    val r = s.sql("SELECT size(shingles(array('a','b','c'), 2)), " +
-      "cosine_sim(array(1.0D), array(2.0D)), " +
-      "size(winnow(array('a','b','c','d'), 2, 2))").first()
-    assert(r.getInt(0) == 2)
-    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
-    assert(r.getInt(2) >= 1)
+    // getOrCreate returns the suite's shared session and applies the
+    // builder's modifiable confs to it — snapshot and restore so this
+    // test can't leak a different shuffle parallelism into later suites
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val s = graft.GraftSession.local(before.toInt)
+      val r = s.sql("SELECT size(shingles(array('a','b','c'), 2)), " +
+        "cosine_sim(array(1.0D), array(2.0D)), " +
+        "size(winnow(array('a','b','c','d'), 2, 2))").first()
+      assert(r.getInt(0) == 2)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+      assert(r.getInt(2) >= 1)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
   test("ngrams + cosine_sim SQL registration") {
