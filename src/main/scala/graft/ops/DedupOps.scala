@@ -231,6 +231,7 @@ object DedupOps {
       .distinct()
     var e = canon(edges.select(col("a_id").as("u"), col("b_id").as("v")))
       .localCheckpoint() // truncate lineage per round — see above
+    var eCount = e.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -245,9 +246,14 @@ object DedupOps {
         .select(col("v").as("u"), col("m").as("v"))
         .union(m2.select(col("u"), col("m").as("v")))
       val newE = canon(ss).localCheckpoint()
+      val newCount = newE.count()
+      // a changed count settles it without the set comparison; only an
+      // equal-count round (usually the final one) pays the except check
       val changed =
-        newE.except(e).limit(1).count() + e.except(newE).limit(1).count()
+        if (newCount != eCount) 1L
+        else newE.except(e).limit(1).count() + e.except(newE).limit(1).count()
       e = newE
+      eCount = newCount
       converged = changed == 0
       iter += 1
     }

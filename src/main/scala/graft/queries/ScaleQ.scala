@@ -45,6 +45,25 @@ object ScaleQ {
         .orderBy("cluster")
     }),
 
+    // Same clustering, different algorithm: large-star/small-star
+    // contraction (log rounds — the long-chain-safe variant) over the
+    // same exact edge set, checked against the SAME recursive-CTE oracle
+    // as q56. Two independent distributed algorithms hash-matching one
+    // sequential reference is the strongest correctness evidence the
+    // gate can give.
+    "q72_dedup_clusters_star" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.ShinglesExpr.shingles(toks(col("text")), 3)
+          .as("shs"))
+      val edges = DedupOps.jaccardPairs(d, "doc_id", "shs", 0.5)
+      DedupOps.connectedComponentsStar(edges)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(array_sort(collect_list(col("node"))),
+            _.cast("string")), ",").as("members"))
+        .orderBy("cluster")
+    }),
+
     // PII redaction (training-data hygiene): deterministic synthetic
     // contact strings are injected per doc_id, then counted and redacted.
     // The md5 of the redacted text proves byte-identical redaction.
@@ -325,7 +344,12 @@ object ScaleQ {
         | FROM orders)
         |WHERE o_orderkey % 100 = 1 ORDER BY o_orderkey""".stripMargin,
 
-    "q56_dedup_clusters" ->
+    "q56_dedup_clusters" -> dedupClustersOracle,
+    // two distributed algorithms, one sequential reference:
+    "q72_dedup_clusters_star" -> dedupClustersOracle,
+  ) ++ oraclesTail
+
+  private lazy val dedupClustersOracle: String =
       """WITH RECURSIVE
         |s AS (
         | SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
@@ -351,8 +375,9 @@ object ScaleQ {
         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
         |SELECT cluster, count(*) AS n_docs,
         | string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
-        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin,
+        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  private lazy val oraclesTail: Map[String, String] = Map(
     "q57_pii_redact" -> {
       val em = TextOps.emailRe
       val ph = TextOps.phoneRe
