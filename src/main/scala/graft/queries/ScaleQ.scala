@@ -206,6 +206,25 @@ object ScaleQ {
         .orderBy("bin")
     }),
 
+    // Corpus-adaptive stopword discovery: tokens present in > half of
+    // all documents. One distinct-explode + term-keyed aggregation; the
+    // doc total broadcasts from a scalar aggregate. Feeds quality
+    // scoring / index pruning without a hand-curated list.
+    "q73_adaptive_stopwords" -> ((s, dir) => {
+      val d = Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tk")))
+      val total = d.agg(count(lit(1)).as("n_docs"))
+      d.select(explode(array_distinct(col("tk"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(total))
+        .filter(col("df") > col("n_docs") * 0.5)
+        .select(col("tok"), col("df"),
+          round(col("df").cast("double") / col("n_docs"), 4)
+            .as("doc_ratio"))
+        .orderBy(desc("df"), asc("tok"))
+    }),
+
     // Weight-proportional deterministic sampling: each doc is kept with
     // probability ∝ its length, decided by comparing a content-hash
     // pseudo-uniform against the scaled weight — no RNG, reproducible
@@ -462,6 +481,20 @@ object ScaleQ {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q73_adaptive_stopwords" ->
+      """WITH d AS (
+        | SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+        | FROM documents),
+        |tot AS (SELECT count(*) AS n_docs FROM d),
+        |dfs AS (
+        | SELECT tok, count(*) AS df
+        | FROM (SELECT doc_id, unnest(tk) AS tok FROM d)
+        | GROUP BY tok)
+        |SELECT tok, df,
+        | round(CAST(df AS DOUBLE) / n_docs, 4) AS doc_ratio
+        |FROM dfs, tot WHERE df > n_docs * 0.5
+        |ORDER BY df DESC, tok""".stripMargin,
 
     "q71_weighted_sample" ->
       """WITH mx AS (SELECT max(n_chars) AS mx FROM documents)

@@ -140,6 +140,38 @@ class StreamingMultimodalSpec extends SparkSpec {
       Seq("SeatGeek", "Ticketmaster", null))
   }
 
+  test("streaming session_window emits closed sessions under a watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // user 1: two sessions separated by > 30 min; user 2: one session
+    input.addData(
+      (ts(0), 1L, 1.0), (ts(10), 1L, 2.0), // session A (merged, gap 10m)
+      (ts(60), 1L, 4.0),                   // session B (gap 50m > 30m)
+      (ts(5), 2L, 8.0),
+      (ts(600), 9L, 0.0)) // late sentinel advances the watermark past A+B
+    val out = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    val q = events.withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("n"), col("sum_v"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.exception.foreach(e => fail(s"query failed: $e"))
+    val got = spark.read.parquet(s"$out/data")
+      .filter($"user_id" === 1L).orderBy("s")
+      .select("n", "sum_v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 3.0), (1L, 4.0)))
+  }
+
   test("streaming windowed agg compiles against a batch frame (smoke)") {
     val df = Seq(("2024-01-01 00:10:00", "a"), ("2024-01-01 00:20:00", "a"))
       .toDF("ts", "source").withColumn("ts", $"ts".cast("timestamp"))
