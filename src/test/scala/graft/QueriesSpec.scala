@@ -21,6 +21,15 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("rows-only queries are exactly the documented hash-family set") {
+    // everything else MUST carry a DuckDB oracle — this pins the
+    // coverage claim so a new query can't silently ship unchecked
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q17_minhash_lsh", "q18_simhash", "q25_ann_topk",
+      "q35_approx_distinct", "q44_ivf_ann", "q68_winnow_dups"),
+      s"undocumented rows-only queries: $rowsOnly")
+  }
+
   test("oracle column names match spark result columns") {
     // the driver sorts columns by name before hashing — a name mismatch
     // fails the whole query, so catch it here (names parsed from SQL).
