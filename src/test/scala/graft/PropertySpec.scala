@@ -127,6 +127,30 @@ class PropertySpec extends SparkSpec {
     assert(got.length == 64 && got.forall(_._2 == 0L))
   }
 
+  test("pointInInterval ≡ brute force on random intervals, any bucket width") {
+    val ptGen = Gen.chooseNum(0L, 1000L)
+    val ivGen = for {
+      s <- Gen.chooseNum(0L, 950L)
+      len <- Gen.chooseNum(1L, 300L) // spans up to 30 buckets at width 10
+    } yield (s, s + len)
+    (0 until 2).foreach { round =>
+      val pts = samples(ptGen, 60).distinct.map(p => (s"p$p", p))
+      val ivs = samples(ivGen, 25).distinct.zipWithIndex
+        .map { case ((a, b), i) => (s"iv$i", a, b) }
+      val expected = (for {
+        (pn, p) <- pts
+        (ivn, a, b) <- ivs if p >= a && p < b
+      } yield (pn, ivn)).toSet
+      Seq(7L, 10L, 1000L).foreach { width =>
+        val got = graft.ops.RangeJoin.pointInInterval(
+            pts.toDF("p", "ts"), "ts",
+            ivs.toDF("iv", "s", "e"), "s", "e", width)
+          .select("p", "iv").as[(String, String)].collect().toSet
+        assert(got == expected, s"round=$round width=$width")
+      }
+    }
+  }
+
   test("standardizeDate is total over garbage for every source branch") {
     val ss = samples(anyStr, 150)
     Seq("Ticketmaster", "Yelp", "Underdog", "Nashville.com Events", "other")
