@@ -151,6 +151,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow guarantee holds on random docs with a planted shared run") {
+    val k = 3; val w = 4
+    val word = Gen.oneOf((0 until 40).map(i => s"w$i"))
+    val docGen = Gen.listOfN(30, word)
+    val runGen = Gen.listOfN(w + k - 1, word) // the guarantee's threshold
+    val docs = samples(docGen, 40)
+    val runs = samples(runGen, 20)
+    (0 until 20).foreach { i =>
+      val a = docs(2 * i); val b = docs(2 * i + 1)
+      val run = runs(i)
+      // plant the run mid-document in both
+      val da = (a.take(15) ++ run ++ a.drop(15)).mkString(" ")
+      val db = (b.take(7) ++ run ++ b.drop(7)).mkString(" ")
+      val fps = Seq(da, db).toDF("text")
+        .select(graft.functions.WinnowExpr
+          .winnow(graft.ops.TextOps.tokens($"text"), k, w))
+        .collect().map(_.getSeq[Long](0).toSet)
+      assert((fps(0) & fps(1)).nonEmpty, s"case $i: no shared fingerprint")
+    }
+  }
+
   test("standardizeDate is total over garbage for every source branch") {
     val ss = samples(anyStr, 150)
     Seq("Ticketmaster", "Yelp", "Underdog", "Nashville.com Events", "other")
