@@ -45,13 +45,22 @@ object Bench {
       SparkEntry.queries.filter { case (n, _) => names(n) })
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    // Per-query detail first; the short total line LAST so the driver's
+    // tail-capture always sees a complete, parseable total (BENCH_r02 lost
+    // its headline number to a front-loaded total on one very long line).
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

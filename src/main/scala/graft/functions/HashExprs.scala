@@ -60,6 +60,23 @@ object HashExprs {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+
+  /** Deterministic "random" hyperplane component (plane p, dimension d)
+    * from a splitmix-style sequence — the single source for both the
+    * declarative SimilarityOps.hyperplaneSig and HyperplaneSigsExpr, so
+    * the two formulations bucket identically. */
+  def planeComp(p: Int, d: Int): Double = {
+    var z = (p.toLong * 7919 + d.toLong * 104729 + 12345) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)).toDouble / Long.MaxValue)
+  }
+
+  /** All banded hyperplane-LSH signatures of a numeric vector in one JVM
+    * pass: array[bands] of planesPerBand-bit signatures. */
+  def hyperplane_sigs(vec: Column, dim: Int, planesPerBand: Int,
+      bands: Int): Column =
+    toCol(HyperplaneSigsExpr(toExpr(vec), dim, planesPerBand, bands))
 }
 
 /** MinHash signature: for hash family h_i(x) = (a_i·m(x) + b_i) mod p over
@@ -189,6 +206,65 @@ object CosineSimExpr {
   import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
   def cosine(a: Column, b: Column): Column =
     toCol(CosineSimExpr(toExpr(a), toExpr(b)))
+}
+
+/** Banded random-hyperplane LSH signatures in one pass per row: for band
+  * b and in-band plane j, bit j of signature b is sign(v · h(b·ppb + j)),
+  * with plane components from [[HashExprs.planeComp]] — bit-identical to
+  * `bands` calls of the declarative SimilarityOps.hyperplaneSig at plane
+  * offsets b·ppb. The declarative form evaluates an interpreted
+  * zip_with/aggregate fold per plane (bands × planes × dim boxed lambda
+  * steps per row); this computes every dot product in one tight loop over
+  * a precomputed plane matrix. A vector of the wrong length yields null
+  * (malformed embeddings surface as missing, never mis-bucketed). */
+case class HyperplaneSigsExpr(child: Expression, dim: Int,
+    planesPerBand: Int, bands: Int)
+    extends UnaryExpression with EvalCallCodegen {
+  require(dim >= 1 && planesPerBand >= 1 && planesPerBand <= 64 && bands >= 1)
+  override protected def castEval(src: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val planes: Array[Double] = {
+    val total = bands * planesPerBand
+    val a = new Array[Double](total * dim)
+    var p = 0
+    while (p < total) {
+      var d = 0
+      while (d < dim) { a(p * dim + d) = HashExprs.planeComp(p, d); d += 1 }
+      p += 1
+    }
+    a
+  }
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var j = 0
+      while (j < planesPerBand) {
+        val base = (b * planesPerBand + j) * dim
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+          dot += x * planes(base + d)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1L << j)
+        j += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : HyperplaneSigsExpr = copy(child = c)
 }
 
 /** Word k-grams in one pass (the HOF sequence/transform/concat version is

@@ -42,18 +42,15 @@ object SimilarityOps {
   }
 
   /** Random-hyperplane LSH signature: bit i = sign(v · hᵢ) for `nPlanes`
-    * deterministic pseudo-random hyperplanes. Vectors with small angle agree
-    * on most bits, so grouping by the signature buckets near neighbors. */
-  def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int): Column = {
-    // deterministic "random" plane components from a splitmix-style sequence
-    def comp(p: Int, d: Int): Double = {
-      var z = (p.toLong * 7919 + d.toLong * 104729 + 12345) * 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      ((z ^ (z >>> 31)).toDouble / Long.MaxValue)
-    }
+    * deterministic pseudo-random hyperplanes starting at plane index
+    * `planeOffset` (bands of a multi-table scheme use disjoint plane
+    * ranges). Vectors with small angle agree on most bits, so grouping by
+    * the signature buckets near neighbors. */
+  def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int,
+      planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val plane = array((0 until dim).map(d => lit(comp(p, d))): _*)
+      val plane = array((0 until dim).map(d =>
+        lit(graft.functions.HashExprs.planeComp(planeOffset + p, d))): _*)
       when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -173,15 +170,39 @@ object SimilarityOps {
       .select("a_id", "b_id", "cos_sim")
   }
 
-  /** All-pairs top-k neighbor join via LSH buckets (each vector keeps its k
-    * nearest within its bucket) — the scalable self-similarity-join shape. */
+  /** All-pairs top-k neighbor join via banded multi-table LSH (each vector
+    * keeps its k nearest among its bucket-mates) — the scalable
+    * self-similarity-join shape.
+    *
+    * Standard OR-of-ANDs banding (the hyperplane analogue of MinHash LSH
+    * bands): `bands` independent tables of `planesPerBand` hyperplanes
+    * each; a pair becomes a candidate when it agrees on EVERY plane of at
+    * least one band. With per-plane agreement p = 1 − θ/π, candidate
+    * probability is 1 − (1 − p^b)^L — an S-curve whose threshold
+    * (1/L)^(1/b) the caller tunes to the target similarity: (8, 16)
+    * suits real near-dup thresholds (cos ≥ 0.8); looser thresholds need
+    * fewer planes / more bands. Each band is one shuffle key
+    * ((band, sig) pair), so the whole join is L bucket-joins that never
+    * materialize the cross product; duplicate candidates across bands are
+    * collapsed BEFORE the cosine so each pair is verified exactly once. */
   def annSelfJoin(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, nPlanes: Int = 8): DataFrame = {
-    val sigged = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", hyperplaneSig(col("v"), dim, nPlanes))
-    val a = sigged.select(col("sig"), col("id").as("a_id"), col("v").as("a_v"))
-    val b = sigged.select(col("sig"), col("id").as("b_id"), col("v").as("b_v"))
-    val pairs = a.join(b, Seq("sig")).filter(col("a_id") =!= col("b_id"))
+      k: Int, planesPerBand: Int = 8, bands: Int = 16): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // all band signatures in one codegen'd pass per row (the declarative
+    // per-plane fold is interpreted and costs bands × planes × dim boxed
+    // steps), then one row per (band, sig) bucket key
+    val sigged = base.select(col("id"), posexplode(
+        graft.functions.HashExprs.hyperplane_sigs(col("v"), dim,
+          planesPerBand, bands)).as(Seq("band", "sig")))
+    val a = sigged.select(col("band"), col("sig"), col("id").as("a_id"))
+    val b = sigged.select(col("band"), col("sig"), col("id").as("b_id"))
+    val cands = a.join(b, Seq("band", "sig"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val pairs = cands
+      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
       .withColumn("cos_sim", round(cosine(col("a_v"), col("b_v")), 6))
     val w = Window.partitionBy(col("a_id"))
       .orderBy(desc("cos_sim"), asc("b_id"))

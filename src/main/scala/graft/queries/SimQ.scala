@@ -47,6 +47,21 @@ object SimQ {
           "vec_id", "embedding", 0.4)
         .orderBy("a_id", "b_id")),
 
+    // Sub-quadratic near-dup self-join: LSH-bucketed top-k neighbors per
+    // vector (approximate; rows-only check). This is the registered scale
+    // path for embedding near-dup at corpus sizes where q40's exact
+    // broadcast cross-join is impossible; AnnContainmentSpec asserts its
+    // candidate recall against q40's exact pairs.
+    // Band params tuned to this corpus's pair-similarity range (max
+    // pairwise cos ≈ 0.51, so the S-curve threshold must sit near 0.55):
+    // 32 bands × 6 planes. Production near-dup thresholds (cos ≥ 0.8)
+    // would use the default (8, 16) — fewer, more selective buckets.
+    "q74_ann_self_join" -> ((s, dir) =>
+      SimilarityOps.annSelfJoin(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 64, k = 5, planesPerBand = 6, bands = 32)
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy("a_id", "b_id")),
+
     // Label centroid distance: per-label mean vector then each label's
     // cosine to the global mean — exercises array aggregation at scale.
     "q26_label_stats" -> ((s, dir) => {

@@ -79,6 +79,19 @@ object TextQ {
         .orderBy("a_id", "b_id")
     }),
 
+    // The same near-dup semantics through the prefix-filtered AllPairs/
+    // PPJoin plan — the variant that wins on Zipfian (real-text) token
+    // distributions where hot tokens dominate the posting join. Two
+    // independent algorithms against one oracle (q16's SQL), the same
+    // pattern as q56/q72.
+    "q75_jaccard_prefix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.ShinglesExpr
+          .shingles(TextOps.tokens(col("text")), 3).as("shs"))
+      DedupOps.jaccardPairsPrefix(d, "doc_id", "shs", 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
     // MinHash + LSH near-dup candidates, verified by exact shingle Jaccard.
     // No SQL oracle (hash-family specific) — rows-only check.
     "q17_minhash_lsh" -> ((s, dir) =>
@@ -209,6 +222,24 @@ object TextQ {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q16_jaccard_pairs" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+        | FROM s),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.shs, b.shs)) AS inter,
+        |  len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS un
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
+        |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Same oracle as q16 on purpose: jaccardPairsPrefix must reproduce the
+    // inverted-index join's exact result through an independent plan.
+    "q75_jaccard_prefix" ->
       """WITH s AS (
         | SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.SimilarityOps
+
+/** q74 (annSelfJoin, banded hyperplane LSH) is the registered
+  * sub-quadratic embedding near-dup path; this spec pins its recall
+  * against q40's exact pairs at sf0.01.
+  *
+  * Two claims, each made where the LSH math supports it:
+  *  1. containment — at real near-dup similarity (cos ≥ 0.99, planted
+  *     twins) the default (8 planes × 16 bands) scheme misses a pair
+  *     with probability < 1e-20: every planted pair MUST be found;
+  *  2. recall — this corpus's true pairs sit at cos 0.4–0.51 (no planted
+  *     near-dups in embeddings), where the registered (6 × 32) banding
+  *     has expected recall ≈ 0.87; observed 0.949 on this fixed,
+  *     deterministic data — asserted with margin at 0.75.
+  */
+class AnnContainmentSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+
+  private def undirected(df: DataFrame): Set[(Long, Long)] =
+    pairSet(df.select(least(col("a_id"), col("b_id")).as("a_id"),
+      greatest(col("a_id"), col("b_id")).as("b_id")))
+
+  test("HyperplaneSigsExpr is bit-identical to the declarative fold") {
+    val e = Tables.t(spark, dir, "embeddings").limit(50)
+    val fast = e.select(col("vec_id"), graft.functions.HashExprs
+      .hyperplane_sigs(col("embedding"), 64, 6, 4).as("sigs"))
+    val slow = e.select(col("vec_id"), array((0 until 4).map(b =>
+      SimilarityOps.hyperplaneSig(col("embedding"), 64, 6,
+        planeOffset = b * 6)): _*).as("sigs"))
+    assert(fast.orderBy("vec_id").collect().toSeq ==
+      slow.orderBy("vec_id").collect().toSeq)
+  }
+
+  test("planted near-duplicate twins are all found (containment)") {
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(200)
+    // deterministic twin: same direction, one component nudged 1% —
+    // cosine to the original ≈ 0.9999 (a genuine near-duplicate)
+    val twins = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x * 1.01f).otherwise(x)).as("embedding"))
+    val all = e.unionByName(twins)
+    val found = undirected(
+      SimilarityOps.annSelfJoin(all, "vec_id", "embedding", 64, k = 1000)
+        .filter(col("cos_sim") >= 0.99))
+    val expected = pairSet(e.select(col("vec_id").as("a_id"),
+      (col("vec_id") + 1000000L).as("b_id")))
+    val missed = expected -- found
+    assert(expected.size == 200)
+    assert(missed.isEmpty, s"LSH bands missed planted twins: $missed")
+  }
+
+  test("registered banding covers the exact pairs at the q74 threshold") {
+    val e = Tables.t(spark, dir, "embeddings")
+    val exact = undirected(
+      SimilarityOps.exactCosinePairs(e, "vec_id", "embedding", 0.4))
+    val ann = undirected(
+      SimilarityOps.annSelfJoin(e, "vec_id", "embedding", 64, k = 1000,
+          planesPerBand = 6, bands = 32)
+        .filter(col("cos_sim") >= 0.4))
+    assert(exact.nonEmpty)
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"recall vs ${exact.size} exact pairs at 0.4: $recall%.3f")
+    assert(recall >= 0.75, s"recall vs exact pairs at 0.4 was $recall")
+  }
+}

@@ -26,7 +26,8 @@ class QueriesSpec extends SparkSpec {
     // coverage claim so a new query can't silently ship unchecked
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q17_minhash_lsh", "q18_simhash", "q25_ann_topk",
-      "q35_approx_distinct", "q44_ivf_ann", "q68_winnow_dups"),
+      "q35_approx_distinct", "q44_ivf_ann", "q68_winnow_dups",
+      "q74_ann_self_join"),
       s"undocumented rows-only queries: $rowsOnly")
   }
 
