@@ -14,16 +14,23 @@ import org.apache.spark.sql.functions._
   *   1. one cheap scalar pass finds the key's min/max; rows map to one of
   *      `buckets` fixed-width key ranges — a pure function of the row;
   *   2. a window partitioned BY BUCKET (parallel across buckets) computes
-  *      the within-bucket running sum;
-  *   3. per-bucket totals (a `buckets`-row aggregate) are collected,
-  *      prefix-summed on the driver, and broadcast-joined back as each
-  *      bucket's starting offset.
+  *      the within-bucket running sum; the bucketed+windowed projection is
+  *      persisted (memory, spilling to local disk) at this point;
+  *   3. per-bucket totals are read OFF THE PERSISTED PARTIALS — the total
+  *      of a bucket is its last running value, `max_by(__local, key)` —
+  *      prefix-summed on the driver (≤ `buckets` rows), and
+  *      broadcast-joined back as each bucket's starting offset.
   *
-  * Wall-clock is two data passes and one key-range shuffle; no stage sees
-  * more than 1/buckets of the rows in one task. Fixed-width ranges assume
-  * a roughly uniform key (true for synthetic order keys); a skewed key
-  * would swap step 1 for quantile-based boundaries without changing the
-  * rest. Sums run in DECIMAL for order-independent exactness.
+  * The input is scanned exactly twice (the scalar min/max probe + the
+  * window pass); the totals aggregate and the final join both reuse the
+  * persisted partials instead of re-reading and re-windowing the input,
+  * which at 100 TB removes a full scan-and-shuffle. No stage sees more
+  * than 1/buckets of the rows in one task. Fixed-width ranges assume a
+  * roughly uniform key (true for synthetic order keys); a skewed key
+  * swaps step 1 for quantile boundaries without changing the rest. Sums
+  * run in DECIMAL for order-independent exactness. The persisted partials
+  * are released by Spark's context cleaner when the result goes out of
+  * scope (same lifecycle as any cached intermediate).
   */
 object PrefixSum {
 
@@ -66,10 +73,15 @@ object PrefixSum {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = df.withColumn("__bucket", bucket)
       .withColumn("__local", sum(dec).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // per-bucket totals: at most `buckets` rows — driver-side prefix sum
-    val totals = df.withColumn("__bucket", bucket)
-      .groupBy("__bucket").agg(sum(dec).as("__tot"))
+    // per-bucket totals from the persisted partials: a bucket's total is
+    // its running sum at the bucket's last key (max_by, not max — correct
+    // for negative values too). ≤ `buckets` rows — driver-side prefix sum.
+    // This job also materializes `local`, so the final join below reads
+    // the persisted partials instead of re-running the window pass.
+    val totals = local.groupBy("__bucket")
+      .agg(max_by(col("__local"), key).as("__tot"))
       .collect()
       .map(r => r.getLong(0) ->
         Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))

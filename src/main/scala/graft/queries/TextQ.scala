@@ -25,6 +25,36 @@ object TextQ {
         .limit(25)
     }),
 
+    // Porter-stemmed search end-to-end through the production path:
+    // Normalize.withSearchTokens(stem = true) builds the stemmed search
+    // vector, Dashboard.query(stemmed = true) stems the query terms the
+    // same way — "querying merges" matches docs containing query+merge
+    // because both sides meet at the stems (queri, merg). Oracle stance
+    // (declared): the corpus vocabulary is closed, and PorterSearchSpec
+    // proves {query} and {merge} are EXACTLY the vocab preimages of the
+    // two query-term stems — so the oracle matches raw tokens against
+    // that literal map. Tie-break columns are zero-padded doc_id strings,
+    // so the page order is reproducible in SQL.
+    "q76_stemmed_search" -> ((s, dir) => {
+      val frame = graft.ingest.Normalize.withSearchTokens(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          lpad(col("doc_id").cast("string"), 10, "0").as("name"),
+          lit(null).cast("string").as("venue_name"),
+          lit(null).cast("string").as("venue_address"),
+          col("text").as("description"),
+          lpad(col("doc_id").cast("string"), 10, "0").as("event_date")),
+        stem = true)
+      graft.query.Dashboard.query(frame,
+          search = Some("querying merges"), stemmed = true)
+        .rows
+        .withColumn("n_hits",
+          (size(filter(col("search_tokens"), x => x === lit("queri"))) +
+            size(filter(col("search_tokens"), x => x === lit("merg"))))
+            .cast("long"))
+        .select("doc_id", "n_hits")
+    }),
+
     // Token statistics per document (token counting op).
     "q12_token_stats" -> ((s, dir) => {
       val tk = TextOps.tokens(col("text"))
@@ -236,6 +266,22 @@ object TextQ {
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
         |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Literal-map stance (declared; PorterSearchSpec pins it): on this
+    // closed vocabulary the only token stemming to 'queri' is 'query' and
+    // to 'merg' is 'merge', so stemmed matching over raw tokens is exact.
+    "q76_stemmed_search" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  len(list_filter(toks, x -> x = 'query')) AS nq,
+        |  len(list_filter(toks, x -> x = 'merge')) AS nm
+        | FROM s)
+        |SELECT doc_id, CAST(nq + nm AS BIGINT) AS n_hits
+        |FROM m WHERE nq > 0 AND nm > 0
+        |ORDER BY n_hits DESC, lpad(CAST(doc_id AS VARCHAR), 10, '0')
+        |LIMIT 25""".stripMargin,
 
     // Same oracle as q16 on purpose: jaccardPairsPrefix must reproduce the
     // inverted-index join's exact result through an independent plan.

@@ -92,6 +92,21 @@ class PlanSpec extends SparkSpec {
       s"single-partition stage in prefix sum:\n${p.take(3000)}")
   }
 
+  test("prefix sum consumer reads the persisted partials, not the input") {
+    // the totals job materializes the bucketed+windowed partials; the
+    // final plan must read that cache (InMemoryTableScan) and never
+    // re-scan parquet — i.e. 2 input passes total: min/max probe + window
+    val p = planOf("q55_running_total_global")
+    val cacheAt = p.indexOf("InMemoryRelation")
+    assert(cacheAt >= 0,
+      s"expected cached partials in the consumer plan:\n${p.take(3000)}")
+    // the InMemoryRelation rendering embeds the CACHED plan (which keeps
+    // its original parquet scan); only the consumer part above the cache
+    // node must be scan-free
+    assert(!p.substring(0, cacheAt).contains("Scan parquet"),
+      s"consumer plan re-scans the input:\n${p.take(3000)}")
+  }
+
   test("dashboard deep page plans as top-(offset+limit), no global window") {
     val events = graft.Tables.t(spark, dir, "events")
       .withColumnRenamed("event_type", "source")
