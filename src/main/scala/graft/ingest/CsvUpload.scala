@@ -124,6 +124,24 @@ object CsvUpload {
           col("venue_address"), lit(path))))
   }
 
+  /** S8: the Excel workbook path (document_spider.py:136-161) with the
+    * workbook materialized as per-sheet tabular files (no Excel codec in
+    * this container — declared stance; a sheet decoder would slot in as
+    * another `parse` source without changing these semantics): read the
+    * FIRST sheet; only when it yields no valid items, re-read and union
+    * ALL sheets (unionByName with missing-column fill — sheets may carry
+    * different header synonyms). The yield probe is one bounded count on
+    * the already-filtered first sheet, mirroring the reference's
+    * `if not items` check. */
+  def parseWorkbookSheets(spark: SparkSession, sheetPaths: Seq[String],
+      sourceTag: String = "Document Upload (Excel)"): DataFrame = {
+    require(sheetPaths.nonEmpty, "workbook has no sheets")
+    val first = parse(spark, sheetPaths.head, sourceTag)
+    if (first.limit(1).count() > 0) first
+    else sheetPaths.map(parse(spark, _, sourceTag))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** A5: run-statistics tally — rejects by reason plus yield counts
     * (nashville_arcgis.py:41-42,95-101,180-186 generalized). One pass,
     * one tiny aggregation. */

@@ -10,22 +10,25 @@ import graft.pipeline.Etl
   * watching an uploads directory of JSONL envelopes; each micro-batch runs
   * the same normalize→dedup→append pipeline via foreachBatch.
   *
-  * `Trigger.AvailableNow` drains everything present then stops — the
-  * deterministic test/backfill mode; a deployment would use
-  * `Trigger.ProcessingTime` (the reference's 3-hourly Celery beat, R1).
+  * `Trigger.AvailableNow` (the default) drains everything present then
+  * stops — the deterministic test/backfill mode; a deployment passes
+  * `Trigger.ProcessingTime` for the cron mode (the reference's 3-hourly
+  * Celery beat, R1) — the long-lived query then picks up files as they
+  * arrive, one micro-batch per interval, same pipeline per batch.
   * Checkpointing + the url anti-join give exactly-once effective loads on
   * top of at-least-once task retries (R4). */
 object UploadStream {
 
   def start(spark: SparkSession, uploadsDir: String, silverDir: String,
-      checkpointDir: String, refYear: Int = 2025): StreamingQuery = {
+      checkpointDir: String, refYear: Int = 2025,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val bronze = spark.readStream
       .schema(Schemas.rawEnvelope)
       .json(uploadsDir)
 
     bronze.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val existing =
           try Some(spark.read.parquet(silverDir))

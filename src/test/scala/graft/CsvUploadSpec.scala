@@ -97,6 +97,42 @@ class CsvUploadSpec extends SparkSpec {
     assert(got.getString(2) == "Nashville") // default injected
   }
 
+  test("S8 workbook: valid first sheet wins, ignoring later sheets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx")
+    val s1 = dir.resolve("sheet1.csv")
+    val s2 = dir.resolve("sheet2.csv")
+    java.nio.file.Files.writeString(s1,
+      "name,url\nMusic Fest,http://ex.com/fest\n")
+    java.nio.file.Files.writeString(s2,
+      "title,link\nOther Show,http://ex.com/other\n")
+    val df = CsvUpload.parseWorkbookSheets(spark,
+      Seq(s1.toString, s2.toString))
+    // first sheet yielded items -> reference returns ONLY sheet 0
+    assert(df.select("name").as[String].collect().toSeq == Seq("Music Fest"))
+  }
+
+  test("S8 workbook: empty first sheet falls back to union of all sheets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx2")
+    val s1 = dir.resolve("sheet1.csv")
+    val s2 = dir.resolve("sheet2.csv")
+    val s3 = dir.resolve("sheet3.csv")
+    // sheet 1 has rows but none survive the P7 name gate (no valid items,
+    // matching the reference's `if not items` — not merely an empty file)
+    java.nio.file.Files.writeString(s1, "name,url\nab,http://ex.com/x\n")
+    // sheets use DIFFERENT header synonyms; unionByName must align them
+    java.nio.file.Files.writeString(s2,
+      "title,link,cost\nHonky Tonk Night,http://ex.com/honky,$15\n")
+    java.nio.file.Files.writeString(s3,
+      "event_name,website\nPoetry Slam,http://ex.com/slam\n")
+    val df = CsvUpload.parseWorkbookSheets(spark,
+      Seq(s1.toString, s2.toString, s3.toString))
+    val rows = df.orderBy("name").collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq ==
+      Seq("Honky Tonk Night", "Poetry Slam"))
+    assert(rows.head.getAs[Double]("price") == 15.0) // Cost synonym, F5
+    assert(rows.head.getAs[String]("url") == "http://ex.com/honky")
+  }
+
   test("W5 page-link window") {
     assert(Dashboard.pageLinks(1, 10) == Seq(1, 2, 3, 4, 5))
     assert(Dashboard.pageLinks(6, 10) == Seq(4, 5, 6, 7, 8))

@@ -34,6 +34,42 @@ class StreamingMultimodalSpec extends SparkSpec {
       == Set("http://tm/a", "http://tm/b", "http://tm/c"))
   }
 
+  test("R1 cron mode: ProcessingTime trigger spans micro-batches, dedups") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_cron").toString
+    val up = s"$base/uploads"; val silver = s"$base/silver"
+    Files.createDirectories(Paths.get(up))
+    def envelope(id: Long, url: String): String =
+      s"""{"id": $id, "source_spider": "ticketmaster", "raw_json": "{\\"name\\": \\"show $id\\", \\"url\\": \\"$url\\", \\"venue_name\\": \\"ryman\\"}"}"""
+    Files.writeString(Paths.get(s"$up/batch1.jsonl"),
+      Seq(envelope(1, "http://tm/a"), envelope(2, "http://tm/b"))
+        .mkString("\n"))
+
+    // one long-lived query, short interval: the deployment shape
+    val q = UploadStream.start(spark, up, silver, s"$base/ck",
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      def silverUrls(): Set[String] =
+        try spark.read.parquet(silver).select("url").as[String]
+          .collect().toSet
+        catch { case _: Exception => Set.empty }
+      def awaitUrls(want: Set[String]): Unit = {
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        while (silverUrls() != want && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(silverUrls() == want)
+      }
+      awaitUrls(Set("http://tm/a", "http://tm/b"))
+      // a later file lands between triggers: next micro-batch picks it
+      // up and the anti-join drops the re-delivered url across batches
+      Files.writeString(Paths.get(s"$up/batch2.jsonl"),
+        Seq(envelope(9, "http://tm/a"), envelope(10, "http://tm/c"))
+          .mkString("\n"))
+      awaitUrls(Set("http://tm/a", "http://tm/b", "http://tm/c"))
+      assert(spark.read.parquet(silver).count() == 3) // no dup rows either
+    } finally q.stop()
+  }
+
   test("multimodal: binary columns + mapPartitions feature extraction") {
     val media = Seq(
       (1L, "image", Array.tabulate(64)(_.toByte)),
