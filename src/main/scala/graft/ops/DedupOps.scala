@@ -151,11 +151,23 @@ object DedupOps {
     val pfx = posts.join(dfreq, "tok")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
-      .select("id", "sz", "tok")
+      .select("id", "sz", "tok", "__rn")
+    // PPJoin positional filter: at a shared prefix token sitting at
+    // positions (i, j) of the df-ascending orders, total overlap cannot
+    // exceed 1 + min(|A|-i, |B|-j) (everything else shared must lie in
+    // both suffixes). J ≥ t needs overlap ≥ t(|A|+|B|)/(1+t), so a pair
+    // whose EVERY shared prefix token fails the bound is safely pruned —
+    // the first-in-order shared token makes the bound tight, later ones
+    // only over-prune rows (never the pair: any passing row keeps it).
+    val ubound = lit(1) +
+      least(col("x.sz") - col("x.__rn"), col("y.sz") - col("y.__rn"))
+    val needed =
+      (col("x.sz") + col("y.sz")) * threshold / (1 + threshold) - eps
     val cands = pfx.as("x").join(pfx.as("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
           col("y.sz") + eps >= col("x.sz") * threshold &&
-          col("y.sz") * threshold <= col("x.sz") + eps)
+          col("y.sz") * threshold <= col("x.sz") + eps &&
+          ubound >= needed)
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     cands

@@ -39,6 +39,30 @@ object TextOps {
     terms.map(t => size(filter(toks, x => x === lit(t))).cast("long"))
       .reduce(_ + _)
 
+  /** ts_rank's documented normalization bitmask (PostgreSQL docs §12.3.3),
+    * applied to a raw relevance score in the documented order. The
+    * within-document accumulation stays the declared simplified tf score;
+    * the length normalizations here are the faithful part:
+    *   1  — divide by 1 + ln(document token count)
+    *   2  — divide by document token count
+    *   8  — divide by the number of unique tokens
+    *   16 — divide by 1 + ln(unique token count)
+    *   32 — rank / (rank + 1)
+    * (4 — mean harmonic distance — applies to ts_rank_cd's cover density
+    * only and is out of scope for the tf score.) Zero-length documents
+    * divide by 1, matching Postgres's guard. */
+  def tsRankNormalize(score: Column, toks: Column, bits: Int): Column = {
+    val n = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    var r = score.cast("double")
+    if ((bits & 1) != 0) r = r / (lit(1.0) + log(greatest(n, lit(1.0))))
+    if ((bits & 2) != 0) r = r / greatest(n, lit(1.0))
+    if ((bits & 8) != 0) r = r / greatest(uniq, lit(1.0))
+    if ((bits & 16) != 0) r = r / (lit(1.0) + log(greatest(uniq, lit(1.0))))
+    if ((bits & 32) != 0) r = r / (r + lit(1.0))
+    r
+  }
+
   /** Stopword ratio ∈ [0,1], 4dp. */
   def stopwordRatio(toks: Column): Column =
     round(countIn(toks, stopwords).cast("double") / size(toks), 4)

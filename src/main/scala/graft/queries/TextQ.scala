@@ -55,6 +55,21 @@ object TextQ {
         .select("doc_id", "n_hits")
     }),
 
+    // q11's ranking under ts_rank's documented length-normalization
+    // flags 1|32 (divide by 1+ln(doc length), then rank/(rank+1)) — the
+    // faithful part of the T3 surface; the within-doc accumulation stays
+    // the declared simplified tf score.
+    "q77_rank_normalized" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .withColumn("score", round(TextOps.tsRankNormalize(
+          TextOps.tfScore(tk, searchTerms), tk, 1 | 32), 6))
+        .filter(TextOps.matchesAll(tk, searchTerms))
+        .select("doc_id", "source", "score")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(25)
+    }),
+
     // Token statistics per document (token counting op).
     "q12_token_stats" -> ((s, dir) => {
       val tk = TextOps.tokens(col("text"))
@@ -266,6 +281,25 @@ object TextQ {
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
         |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q77_rank_normalized" ->
+      """WITH s AS (
+        | SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, source,
+        |  len(list_filter(toks, x -> x = 'spark')) AS t1,
+        |  len(list_filter(toks, x -> x = 'join')) AS t2,
+        |  len(toks) AS n
+        | FROM s),
+        |r AS (
+        | SELECT doc_id, source, t1, t2,
+        |  CAST(t1 + t2 AS DOUBLE) /
+        |    (1 + ln(greatest(CAST(n AS DOUBLE), 1.0))) AS r1
+        | FROM m)
+        |SELECT doc_id, source, round(r1 / (r1 + 1), 6) AS score
+        |FROM r WHERE t1 > 0 AND t2 > 0
+        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin,
 
     // Literal-map stance (declared; PorterSearchSpec pins it): on this
     // closed vocabulary the only token stemming to 'queri' is 'query' and

@@ -45,7 +45,7 @@ object Dashboard {
   def query(events: DataFrame, source: Option[String] = None,
       category: Option[String] = None, search: Option[String] = None,
       page: Int = 1, stemmed: Boolean = false,
-      weighted: Boolean = false): Page = {
+      weighted: Boolean = false, normalization: Int = 0): Page = {
     val terms = normalizeQuery(search, stemmed)
     val filtered = events.filter(predicate(source, category, terms))
 
@@ -53,12 +53,16 @@ object Dashboard {
       size(filter(col(column), x => x === lit(t)))
     val sortCols: Seq[Column] =
       if (terms.nonEmpty) {
-        val score =
+        val raw =
           if (weighted)
             terms.map(t => tf("name_tokens", t) * WeightA +
               tf("body_tokens", t) * WeightD).reduce(_ + _)
           else terms.map(t => tf("search_tokens", t).cast("double"))
             .reduce(_ + _)
+        // ts_rank's documented normalization flags (doc-length penalties)
+        val score = if (normalization == 0) raw
+          else TextOps.tsRankNormalize(raw, col("search_tokens"),
+            normalization)
         Seq(score.desc, asc("event_date"), asc("name"))
       } else Seq(asc("event_date"), asc("name"), asc("url"))
 
