@@ -63,6 +63,19 @@ object TextOps {
     r
   }
 
+  /** Corpus text cleaning (training-data hygiene): NFC-normalize, strip
+    * control + zero-width/format characters (keeping \n and \t as
+    * whitespace), collapse whitespace runs, trim. Deterministic and
+    * engine-reproducible — the DuckDB twin is nfc_normalize +
+    * regexp_replace with the same classes (q82's oracle). One codegen'd
+    * projection; no UDF. */
+  def cleanText(c: Column): Column = {
+    val nfc = graft.functions.NfcNormalizeExpr.nfc(c)
+    val noCtrl = regexp_replace(nfc,
+      "[\\u0000-\\u0008\\u000B-\\u001F\\u007F\\u200B-\\u200D\\uFEFF]", "")
+    trim(regexp_replace(noCtrl, "\\s+", " "))
+  }
+
   /** Stopword ratio ∈ [0,1], 4dp. */
   def stopwordRatio(toks: Column): Column =
     round(countIn(toks, stopwords).cast("double") / size(toks), 4)

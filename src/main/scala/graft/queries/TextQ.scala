@@ -70,6 +70,23 @@ object TextQ {
         .limit(25)
     }),
 
+    // Corpus text cleaning: deterministic dirt (decomposed é, zero-width
+    // space, a control char, ragged whitespace) injected around each
+    // document, then NFC + strip + collapse via TextOps.cleanText. The
+    // md5 proves byte-identical cleaning against DuckDB's nfc_normalize
+    // twin; the char counts show the normalization actually contracted.
+    "q82_text_clean" -> ((s, dir) => {
+      val dirty = concat(lit("cafe\u0301 \u200B "), col("text"),
+        lit("\u0007  trailing\t"))
+      val clean = TextOps.cleanText(dirty)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(clean.cast("binary")).as("clean_md5"),
+          length(dirty).cast("long").as("n_before"),
+          length(clean).cast("long").as("n_after"))
+        .orderBy("doc_id")
+    }),
+
     // Token statistics per document (token counting op).
     "q12_token_stats" -> ((s, dir) => {
       val tk = TextOps.tokens(col("text"))
@@ -281,6 +298,24 @@ object TextQ {
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
         |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q82_text_clean" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  'cafe' || chr(769) || ' ' || chr(8203) || ' ' || text ||
+        |    chr(7) || '  trailing' || chr(9) AS dirty
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, dirty,
+        |  trim(regexp_replace(
+        |    regexp_replace(nfc_normalize(dirty),
+        |      '[\x00-\x08\x0B-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        | FROM d)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        | CAST(length(dirty) AS BIGINT) AS n_before,
+        | CAST(length(clean) AS BIGINT) AS n_after
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q77_rank_normalized" ->
       """WITH s AS (

@@ -18,6 +18,24 @@ class PorterSearchSpec extends SparkSpec {
     assert(Porter.stem("merge") == "merg")
   }
 
+  test("cleanText: NFC composes, controls vanish, whitespace collapses") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val got = Seq(
+      "cafe\u0301 \u200B x",   // decomposed e+acute + zero-width space
+      "caf\u00e9 x",            // already NFC - must be identical
+      "  ab\u0007\tc\nd  ",   // control stripped, tab/newline are ws
+      "")
+      .toDF("t")
+      .select(TextOps.cleanText($"t")).as[String].collect().toSeq
+    assert(got == Seq("caf\u00e9 x", "caf\u00e9 x", "ab c d", ""))
+    // idempotent: cleaning clean text is the identity
+    val twice = Seq("cafe\u0301 x").toDF("t")
+      .select(TextOps.cleanText(TextOps.cleanText($"t")))
+      .as[String].collect().head
+    assert(twice == "caf\u00e9 x")
+  }
+
   test("corpus vocabulary preimages of the query stems are exact") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val vocab = Tables.t(spark, dir, "documents")
