@@ -33,4 +33,26 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bk")
   }
+
+  /** Interval-overlap join: pairs from `a` × `b` whose half-open ranges
+    * [start, end) intersect, optionally scoped by extra equi-join keys
+    * (e.g. the user the intervals belong to). Both sides explode to their
+    * bucket span; an overlapping pair shares ≥ 1 bucket, and is emitted
+    * from exactly ONE — the first bucket both cover,
+    * max(⌊aStart/w⌋, ⌊bStart/w⌋) — so no post-join dedup (and therefore
+    * no extra shuffle) is needed. Column names must be disjoint across
+    * `a` and `b` apart from `extraKeys`. */
+  def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      bucketWidthUs: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    val w = lit(bucketWidthUs)
+    def burst(df: DataFrame, s: String, e: String) = df.withColumn("__bk",
+      explode(sequence(floor(col(s) / w), floor((col(e) - 1) / w))))
+    burst(a, aStart, aEnd).join(burst(b, bStart, bEnd),
+        ("__bk" +: extraKeys).toSeq)
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__bk") ===
+        greatest(floor(col(aStart) / w), floor(col(bStart) / w)))
+      .drop("__bk")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.JoinOps
+import graft.ops.{JoinOps, RangeJoin}
 
 /** Warehouse-pipeline operators round 3: CDC latest-wins compaction,
   * SCD type-2 history build, bloom-pruned join, heavy-hitter detection.
@@ -61,6 +61,76 @@ object PipelineQ {
         .orderBy("s_suppkey")
     }),
 
+    // Interval-overlap join (two interval sets, not point-in-interval):
+    // per user, purchase windows [ts, ts+2h) overlapping error windows
+    // [ts, ts+2h). Bucketized to an equi-join on (bucket, user); each
+    // overlapping pair is emitted from exactly one bucket (the first
+    // shared one), so there is no dedup shuffle. Oracle is the plain
+    // quadratic theta-join.
+    "q83_interval_overlap" -> ((s, dir) => {
+      val twoH = 2L * 3600L * 1000000L
+      val e = t(s, dir, "events")
+      def iv(tpe: String, sCol: String, eCol: String) =
+        e.filter(col("event_type") === tpe)
+          .select(col("user_id"),
+            unix_micros(col("ts")).as(sCol),
+            (unix_micros(col("ts")) + twoH).as(eCol))
+      RangeJoin.intervalOverlap(
+          iv("purchase", "p_start", "p_end"),
+          "p_start", "p_end",
+          iv("error", "e_start", "e_end"),
+          "e_start", "e_end",
+          bucketWidthUs = twoH, extraKeys = Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("user_id")
+    }),
+
+    // Funnel conversion: users whose first purchase follows their first
+    // signup, with the conversion rate and mean seconds-to-convert. Two
+    // tiny aggregations + one broadcast-sized join — no window over the
+    // full event history.
+    "q84_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("s_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_ts"))
+      val converted = signups.join(purchases, "user_id")
+        .filter(col("p_ts") >= col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(min(col("p_ts")).as("first_p"))
+      signups.agg(count(lit(1)).as("n_signup_users")).crossJoin(
+        converted.agg(count(lit(1)).as("n_converted"),
+          sum(col("first_p") - col("s_ts")).as("__sum_us")))
+        .select(col("n_signup_users"), col("n_converted"),
+          round(col("n_converted").cast("double") /
+            col("n_signup_users"), 6).as("conv_rate"),
+          round((col("__sum_us").cast("double") / 1e6) /
+            col("n_converted"), 4).as("mean_sec_to_convert"))
+    }),
+
+    // Weekly retention cohorts: users grouped by first-seen week, counted
+    // as retained in each later week they were active. Two aggregations
+    // and one shuffle join on user_id — the cohort matrix never touches
+    // a window over history.
+    "q85_retention" -> ((s, dir) => {
+      val weekUs = 7L * 24L * 3600L * 1000000L
+      val e = t(s, dir, "events")
+        .select(col("user_id"),
+          floor(unix_micros(col("ts")) / weekUs).as("week"))
+      val firstWeek = e.groupBy("user_id")
+        .agg(min(col("week")).as("cohort_week"))
+      val active = e.distinct()
+      firstWeek.join(active, "user_id")
+        .withColumn("offset", col("week") - col("cohort_week"))
+        .filter(col("offset") <= 4)
+        .groupBy("cohort_week", "offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "offset")
+    }),
+
     // Heavy-hitter detection (skew diagnostics): top users by event
     // volume with their share of the total — partial-aggregated count
     // plus one broadcast scalar, no global window.
@@ -113,6 +183,53 @@ object PipelineQ {
         |  ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_suppkey, s.s_name
         |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q83_interval_overlap" ->
+      """WITH p AS (
+        | SELECT user_id, epoch_us(ts) AS p_start,
+        |  epoch_us(ts) + 7200000000 AS p_end
+        | FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        | SELECT user_id, epoch_us(ts) AS e_start,
+        |  epoch_us(ts) + 7200000000 AS e_end
+        | FROM events WHERE event_type = 'error')
+        |SELECT p.user_id, count(*) AS n_overlaps
+        |FROM p JOIN e ON p.user_id = e.user_id
+        | AND p.p_start < e.e_end AND e.e_start < p.p_end
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+
+    "q84_funnel" ->
+      """WITH s AS (
+        | SELECT user_id, min(epoch_us(ts)) AS s_ts FROM events
+        | WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (
+        | SELECT s.user_id, s.s_ts, min(p.p_ts) AS first_p
+        | FROM s JOIN (SELECT user_id, epoch_us(ts) AS p_ts FROM events
+        |              WHERE event_type = 'purchase') p
+        |   ON s.user_id = p.user_id AND p.p_ts >= s.s_ts
+        | GROUP BY s.user_id, s.s_ts),
+        |t1 AS (SELECT count(*) AS n_signup_users FROM s),
+        |t2 AS (SELECT count(*) AS n_converted,
+        |        sum(first_p - s_ts) AS sum_us FROM c)
+        |SELECT n_signup_users, n_converted,
+        | round(CAST(n_converted AS DOUBLE) / n_signup_users, 6) AS conv_rate,
+        | round((CAST(sum_us AS DOUBLE) / 1e6) / n_converted, 4)
+        |   AS mean_sec_to_convert
+        |FROM t1, t2""".stripMargin,
+
+    "q85_retention" ->
+      """WITH e AS (
+        | SELECT user_id,
+        |  CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week
+        | FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e
+        |      GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT f.cohort_week, a.week - f.cohort_week AS "offset",
+        | count(DISTINCT a.user_id) AS n_users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |WHERE a.week - f.cohort_week <= 4
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q81_heavy_hitters" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events

@@ -151,6 +151,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap ≡ brute force on random intervals, any width") {
+    val ivGen = for {
+      s <- Gen.chooseNum(0L, 950L)
+      len <- Gen.chooseNum(1L, 300L)
+    } yield (s, s + len)
+    (0 until 2).foreach { round =>
+      val as = samples(ivGen, 25).distinct.zipWithIndex
+        .map { case ((s, e), i) => (s"a$i", s, e) }
+      val bs = samples(ivGen, 25).distinct.zipWithIndex
+        .map { case ((s, e), i) => (s"b$i", s, e) }
+      val expected = (for {
+        (an, as1, ae) <- as
+        (bn, bs1, be) <- bs if as1 < be && bs1 < ae
+      } yield (an, bn)).toSet
+      Seq(7L, 10L, 1000L).foreach { width =>
+        val got = graft.ops.RangeJoin.intervalOverlap(
+            as.toDF("a", "a_s", "a_e"), "a_s", "a_e",
+            bs.toDF("b", "b_s", "b_e"), "b_s", "b_e", width)
+          .select("a", "b").as[(String, String)].collect().toSeq
+        assert(got.size == got.toSet.size,
+          s"duplicate pairs emitted: round=$round width=$width")
+        assert(got.toSet == expected, s"round=$round width=$width")
+      }
+    }
+  }
+
   test("winnow guarantee holds on random docs with a planted shared run") {
     val k = 3; val w = 4
     val word = Gen.oneOf((0 until 40).map(i => s"w$i"))
