@@ -36,6 +36,8 @@ object Bench {
         array((0 until 64).map(i =>
           pmod(col("id") + i, lit(13)).cast("float")): _*).as("v"))
       SimilarityOps.exactCosinePairs(vecs, "id", "v", 0.99).count()
+      SimilarityOps.annSelfJoin(vecs, "id", "v", 64, k = 2,
+        planesPerBand = 6, bands = 4).count()
     } catch { case _: Throwable => () }
     // dev convenience: SPARK_GRAFT_ONLY=q16_jaccard_pairs,q18_simhash
     // restricts the run; unset (the driver's mode) runs everything.
