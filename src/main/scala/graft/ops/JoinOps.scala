@@ -30,8 +30,19 @@ object JoinOps {
       .join(dim, col(factKey) === col(dimKey))
     val bf = dim.stat.bloomFilter(dimKey, n, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
+    // type-dispatch so the probe hashes the same representation the
+    // builder did — a blanket Long UDF would make Spark cast non-numeric
+    // keys to null and silently prune matching rows (false negatives)
+    import org.apache.spark.sql.types._
+    val might = fact.schema(factKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+      case other => throw new IllegalArgumentException(
+        s"bloomPrunedJoin: unsupported key type $other for '$factKey' — " +
+          "stat.bloomFilter hashes integral/string keys only")
+    }
     fact.filter(might(col(factKey)))
       .join(dim, col(factKey) === col(dimKey))
   }

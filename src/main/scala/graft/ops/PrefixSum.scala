@@ -75,13 +75,14 @@ object PrefixSum {
       .withColumn("__local", sum(dec).over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // per-bucket totals from the persisted partials: a bucket's total is
-    // its running sum at the bucket's last key (max_by, not max — correct
-    // for negative values too). ≤ `buckets` rows — driver-side prefix sum.
-    // This job also materializes `local`, so the final join below reads
-    // the persisted partials instead of re-running the window pass.
+    // per-bucket totals from the persisted partials: sum(dec) per bucket
+    // is exact even when distinct keys collide under the double cast
+    // (max_by over the cast key could pick a mid-bucket running value on
+    // such ties). ≤ `buckets` rows — driver-side prefix sum. This job
+    // also materializes `local`, so the final join below reads the
+    // persisted partials instead of re-running the window pass.
     val totals = local.groupBy("__bucket")
-      .agg(max_by(col("__local"), key).as("__tot"))
+      .agg(sum(dec).as("__tot"))
       .collect()
       .map(r => r.getLong(0) ->
         Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))

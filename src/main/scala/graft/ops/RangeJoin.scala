@@ -25,9 +25,13 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidthUs: Long): DataFrame = {
     val w = lit(bucketWidthUs)
-    val iv = intervals.withColumn("__bk",
-      explode(sequence(floor(col(startCol) / w),
-        floor((col(endCol) - 1) / w))))
+    // drop empty/inverted intervals up front: sequence(start, stop) on a
+    // descending pair silently yields a DESCENDING range, so degenerate
+    // rows would still burst into buckets they cannot match in
+    val iv = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__bk",
+        explode(sequence(floor(col(startCol) / w),
+          floor((col(endCol) - 1) / w))))
     val pt = points.withColumn("__bk", floor(col(ptCol) / w))
     pt.join(iv, Seq("__bk"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
@@ -46,8 +50,11 @@ object RangeJoin {
       b: DataFrame, bStart: String, bEnd: String,
       bucketWidthUs: Long, extraKeys: Seq[String] = Nil): DataFrame = {
     val w = lit(bucketWidthUs)
-    def burst(df: DataFrame, s: String, e: String) = df.withColumn("__bk",
-      explode(sequence(floor(col(s) / w), floor((col(e) - 1) / w))))
+    // empty/inverted intervals overlap nothing — filter before bursting
+    // (sequence on a descending pair would explode them anyway)
+    def burst(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) > col(s)).withColumn("__bk",
+        explode(sequence(floor(col(s) / w), floor((col(e) - 1) / w))))
     burst(a, aStart, aEnd).join(burst(b, bStart, bEnd),
         ("__bk" +: extraKeys).toSeq)
       .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))

@@ -20,17 +20,24 @@ object ScaleQ {
     * dataset): the first caller materializes the edges (posting join +
     * verification — the expensive part), the second reads the
     * checkpointed partitions. Tiny result (near-dup pairs), so the
-    * executor-local storage cost is negligible. */
+    * executor-local storage cost is negligible. Entries for stopped
+    * sessions are evicted on access; within a live session the cache
+    * assumes the parquet under `dir` is immutable for the session's
+    * lifetime (true for the bench/verify drivers). */
   private val sharedEdges =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def dedupEdges(s: SparkSession, dir: String): DataFrame =
+  private def dedupEdges(s: SparkSession, dir: String): DataFrame = {
+    sharedEdges.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(sharedEdges.remove)
     sharedEdges.getOrElseUpdate((s, dir), {
       val d = t(s, dir, "documents").select(col("doc_id"),
         graft.functions.ShinglesExpr.shingles(toks(col("text")), 3)
           .as("shs"))
       DedupOps.jaccardPairs(d, "doc_id", "shs", 0.5).localCheckpoint()
     })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Global running total via the two-phase distributed prefix sum —

@@ -29,11 +29,13 @@ object StatefulCdc {
         (key, batch, state: GroupState[Latest]) =>
           // latest change in this batch for the key (order, tie) — the
           // per-batch reduce keeps the iterator single-pass and O(1) mem
+          def later(xo: Long, xt: Long, yo: Long, yt: Long): Boolean =
+            xo > yo || (xo == yo && xt > yt)
           val top = batch.reduceLeft { (a, b) =>
-            if ((b.order, b.tie) > (a.order, a.tie)) b else a
+            if (later(b.order, b.tie, a.order, a.tie)) b else a
           }
           val cur = state.getOption
-          val newer = cur.forall(c => (top.order, top.tie) > (c.order, c.tie))
+          val newer = cur.forall(c => later(top.order, top.tie, c.order, c.tie))
           if (newer) {
             state.update(Latest(top.order, top.tie, top.op, top.value))
             Iterator.single(Snapshot(key, top.order, top.value,

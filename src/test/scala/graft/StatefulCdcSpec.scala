@@ -2,7 +2,7 @@ package graft
 
 import graft.streaming.StatefulCdc
 import graft.streaming.StatefulCdc.{Change, Snapshot}
-import org.apache.spark.sql.execution.streaming.MemoryStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming CDC compaction: latest-wins state across micro-batches,
