@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQ, EtlQ, PipelineQ, RelationalQ, ScaleQ, SimQ, TextQ}
+import graft.queries.{AdvancedQ, EtlQ, PipelineQ, QualityQ, RelationalQ, ScaleQ, SimQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQ.queries ++ TextQ.queries ++ SimQ.queries ++ EtlQ.queries ++
-      AdvancedQ.queries ++ ScaleQ.queries ++ PipelineQ.queries
+      AdvancedQ.queries ++ ScaleQ.queries ++ PipelineQ.queries ++
+      QualityQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQ.oracles ++ TextQ.oracles ++ SimQ.oracles ++ EtlQ.oracles ++
-      AdvancedQ.oracles ++ ScaleQ.oracles ++ PipelineQ.oracles
+      AdvancedQ.oracles ++ ScaleQ.oracles ++ PipelineQ.oracles ++
+      QualityQ.oracles
 }

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.{DedupOps, Profile, TextOps}
+
+/** Data-quality / corpus-curation operators round 4: canonical-document
+  * dedup materialization, the composed quality→language→dedup corpus
+  * pipeline, one-pass column profiling, and z-score anomaly detection.
+  * Each query is the at-scale plan shape (single-scan aggregates,
+  * broadcast scalar stats, no windows over full history) with an exact
+  * DuckDB oracle. */
+object QualityQ {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dedup MATERIALIZATION (the step after q56's clustering): every doc
+    // maps to its cluster's canonical representative (min doc_id; docs in
+    // no near-dup cluster represent themselves), and the output is the
+    // kept corpus — one row per canonical doc with how many raw docs it
+    // absorbs. Reuses the session-shared exact-Jaccard edge set and the
+    // same recursive-CTE oracle family as q56/q72; the label join is
+    // near-dup-sized (small relative to the corpus), the rest is one
+    // aggregate.
+    "q86_dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val labels = DedupOps.connectedComponents(ScaleQ.dedupEdges(s, dir))
+        .withColumnRenamed("node", "doc_id")
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(coalesce(col("cluster"), col("doc_id")).as("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_merged"))
+        .orderBy("doc_id")
+    }),
+
+    // The composed training-corpus curation pipeline: quality gate
+    // (composite score + min length) → exact dedup by content
+    // fingerprint (first-wins by doc_id) → per-predicted-language corpus
+    // stats. One scan computes every per-doc feature; the dedup is one
+    // fp-keyed aggregate + an equi-join back (no window over the corpus);
+    // the final rollup is partial-aggregated. Deterministic end-to-end,
+    // so the whole multi-operator pipeline is oracle-checkable.
+    "q87_corpus_pipeline" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        TextOps.qualityScore(tk).as("quality"),
+        TextOps.langPredict(TextOps.langScores(tk)).as("pred_lang"),
+        TextOps.docFingerprint(col("text")).as("fp"))
+      val kept = d.filter(col("quality") >= 0.3 && col("n_tokens") >= 5)
+      val firstPerFp = kept.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      kept.join(firstPerFp, Seq("fp", "doc_id"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(davg(col("quality"), 4), 4).as("avg_quality"))
+        .orderBy("pred_lang")
+    }),
+
+    // One-pass numeric profiling of lineitem's measure columns — the
+    // before-you-trust-it scan of any 100 TB onboarding. All 4 columns'
+    // stats fold into ONE aggregate over ONE scan (exact distincts via
+    // Expand; moments from exact decimal sums).
+    "q88_profile" -> ((s, dir) => {
+      Profile.numericProfile(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")
+    }),
+
+    // Z-score outlier detection per event_type: per-group moments from
+    // exact decimal sums (one partial-aggregated pass), broadcast back as
+    // scalar stats (group count = #event types, tiny), then a single
+    // codegen'd filter pass emits |z| > 3. Groups with zero variance are
+    // excluded (z undefined; NaN compares engine-specifically).
+    "q89_anomaly_zscore" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val e = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("value").cast(dec)).cast("double").as("s"),
+        sum((col("value") * col("value")).cast(dec)).cast("double")
+          .as("ssq"))
+      val z = (col("value") - col("s") / col("n")) /
+        sqrt((col("ssq") - col("s") * col("s") / col("n")) / col("n"))
+      e.join(broadcast(stats), "event_type")
+        .filter(sqrt((col("ssq") - col("s") * col("s") / col("n")) /
+          col("n")) > 0)
+        .filter(abs(z) > 3)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(z, 4).as("z"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q86_dedup_canonical" -> (ScaleQ.dedupLabSql + "\n" +
+      """SELECT coalesce(lab.cluster, d.doc_id) AS doc_id,
+        | count(*) AS n_merged
+        |FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q87_corpus_pipeline" -> {
+      val langSelects = TextOps.langMarkers.map { case (l, ws) =>
+        s"${TextQ.langCountSql(ws)} AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH feat AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |  round(least(1.0, len(string_split(lower(text), ' ')) / 100.0)
+         |   * (1.0 - CAST(len(list_filter(string_split(lower(text), ' '),
+         |       x -> x IN ('the','a','an','of','to','and','in','is','on','for'))) AS DOUBLE)
+         |     / len(string_split(lower(text), ' '))), 4) AS quality,
+         |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         |  $langSelects
+         | FROM documents),
+         |lp AS (
+         | SELECT *, ${TextQ.langPredSql} AS pred_lang FROM feat),
+         |kept AS (
+         | SELECT * FROM lp WHERE quality >= 0.3 AND n_tokens >= 5),
+         |first AS (
+         | SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
+         |SELECT pred_lang, count(*) AS n_docs,
+         | sum(n_tokens) AS total_tokens,
+         | round(CAST(sum(CAST(quality AS DECIMAL(30,4))) AS DOUBLE)
+         |   / count(*), 4) AS avg_quality
+         |FROM kept JOIN first USING (fp, doc_id)
+         |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+    },
+
+    "q88_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n,
+         | count(*) - count($c) AS n_null,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS DOUBLE) AS min_val,
+         | CAST(max($c) AS DOUBLE) AS max_val,
+         | round(CAST(sum(CAST(CAST($c AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE)
+         |   / count($c), 4) AS mean,
+         | round((CAST(sum(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE)
+         |     AS DECIMAL(38,8))) AS DOUBLE)
+         |   - CAST(sum(CAST(CAST($c AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE)
+         |     * CAST(sum(CAST(CAST($c AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE)
+         |     / count($c)) / count($c), 4) AS variance
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "q89_anomaly_zscore" ->
+      """WITH e AS (
+        | SELECT event_id, event_type, value FROM events
+        | WHERE value IS NOT NULL),
+        |st AS (
+        | SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ssq
+        | FROM e GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        | round((value - s / n) / sqrt((ssq - s * s / n) / n), 4) AS z
+        |FROM e JOIN st USING (event_type)
+        |WHERE sqrt((ssq - s * s / n) / n) > 0
+        |  AND abs((value - s / n) / sqrt((ssq - s * s / n) / n)) > 3
+        |ORDER BY event_id""".stripMargin,
+  )
+}

@@ -27,7 +27,7 @@ object ScaleQ {
   private val sharedEdges =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def dedupEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def dedupEdges(s: SparkSession, dir: String): DataFrame = {
     sharedEdges.keysIterator
       .filter(_._1.sparkContext.isStopped)
       .foreach(sharedEdges.remove)
@@ -385,7 +385,11 @@ object ScaleQ {
     "q72_dedup_clusters_star" -> dedupClustersOracle,
   ) ++ oraclesTail
 
-  private lazy val dedupClustersOracle: String =
+  /** Shared oracle prefix: recursive-CTE connected components over the
+    * exact 3-shingle Jaccard ≥ 0.5 edge set, ending at `lab(node,
+    * cluster)` — composed by q56/q72 (cluster rollup) and QualityQ's
+    * q86 (canonical-doc materialization). */
+  private[queries] lazy val dedupLabSql: String =
       """WITH RECURSIVE
         |s AS (
         | SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
@@ -408,8 +412,10 @@ object ScaleQ {
         | SELECT src, src FROM sym
         | UNION
         | SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.node),
-        |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
-        |SELECT cluster, count(*) AS n_docs,
+        |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)""".stripMargin
+
+  private lazy val dedupClustersOracle: String = dedupLabSql + "\n" +
+      """SELECT cluster, count(*) AS n_docs,
         | string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
         |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
 

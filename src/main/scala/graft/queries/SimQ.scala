@@ -62,6 +62,36 @@ object SimQ {
         .filter(col("cos_sim") >= 0.4)
         .orderBy("a_id", "b_id")),
 
+    // Exact kNN classification: each query vector takes the majority
+    // label of its 5 nearest neighbors (cosine; self excluded), ties on
+    // votes broken by best similarity then smaller label. The query set
+    // broadcasts (it is the small side by construction), neighbor scoring
+    // is one codegen'd pass over the corpus, and the per-query top-k is a
+    // window partitioned BY QUERY — parallel across queries, never a
+    // global sort. Fully deterministic → exact oracle.
+    "q90_knn_classify" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+      val q = e.filter(pmod(col("vec_id"), lit(50)) === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          round(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6))
+      val wk = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos"), asc("vec_id"))
+      val votes = scored.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 5)
+        .groupBy("q_id", "label")
+        .agg(count(lit(1)).as("votes"), max(col("cos")).as("best"))
+      val wv = Window.partitionBy(col("q_id"))
+        .orderBy(desc("votes"), desc("best"), asc("label"))
+      votes.withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+        .orderBy("q_id")
+    }),
+
     // Label centroid distance: per-label mean vector then each label's
     // cosine to the global mean — exercises array aggregation at scale.
     "q26_label_stats" -> ((s, dir) => {
@@ -76,6 +106,27 @@ object SimQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "q90_knn_classify" ->
+      """WITH q AS (
+        | SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        | WHERE vec_id % 50 = 7),
+        |sc AS (
+        | SELECT q.q_id, e.vec_id, e.label,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(q.q_emb AS DOUBLE[])), 6) AS cos
+        | FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |kn AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, vec_id) AS rn FROM sc)
+        | WHERE rn <= 5),
+        |v AS (
+        | SELECT q_id, label, count(*) AS votes, max(cos) AS best
+        | FROM kn GROUP BY q_id, label)
+        |SELECT q_id, label AS pred_label, votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY votes DESC, best DESC, label) AS vr FROM v)
+        |WHERE vr = 1 ORDER BY q_id""".stripMargin,
     // Parallel unnest zips the two lists; all arithmetic in double; the
     // 6dp round absorbs sub-ulp summation-order differences.
     "q19_cosine_topk" ->

@@ -217,12 +217,12 @@ object TextQ {
   private def lf(term: String) =
     s"len(list_filter(string_split(lower(text), ' '), x -> x = '$term'))"
 
-  private def langCountSql(words: Seq[String]): String = {
+  private[queries] def langCountSql(words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
     s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ($set))) AS BIGINT)"
   }
 
-  private val langPredSql: String = {
+  private[queries] val langPredSql: String = {
     val langs = TextOps.langMarkers.map(_._1)
     val cases = langs.map { l =>
       val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.Profile
+import graft.queries.{QualityQ, SimQ}
+import org.apache.spark.sql.functions._
+
+/** Round-4 data-quality operators: one-pass profiler (values + plan
+  * shape), z-score anomalies, canonical dedup invariants, kNN vote
+  * semantics. */
+class QualityQSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("numericProfile: exact stats incl. nulls on a known frame") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (3.0, 30.0), (4.0, null), (2.0, 20.0))
+      .toDF("a", "b")
+    val p = Profile.numericProfile(df, Seq("a", "b"), scale = 4)
+      .orderBy("col_name").collect()
+
+    val a = p(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 5 && a.getLong(2) == 0)
+    assert(a.getLong(3) == 4) // distinct {1,2,3,4}
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 4.0)
+    assert(a.getDouble(6) == 2.4) // mean 12/5
+    // pop variance: (34 - 144/5)/5 = 1.04
+    assert(math.abs(a.getDouble(7) - 1.04) < 1e-9)
+
+    val b = p(1)
+    assert(b.getLong(1) == 3 && b.getLong(2) == 2 && b.getLong(3) == 3)
+    assert(b.getDouble(6) == 20.0)
+    // pop variance over non-null {10,20,30}: (1400 - 3600/3)/3
+    assert(math.abs(b.getDouble(7) - 200.0 / 3).abs < 1e-4)
+  }
+
+  test("numericProfile: all columns fold into ONE scan") {
+    val dir = java.nio.file.Files.createTempDirectory("prof").toString
+    spark.range(1000).select(col("id").cast("double").as("x"),
+        (col("id") * 2).cast("double").as("y"))
+      .write.mode("overwrite").parquet(dir)
+    val df = Profile.numericProfile(spark.read.parquet(dir), Seq("x", "y"))
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // scans in the final plan only
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"profiler must profile every column in one pass:\n${finalPlan.take(3000)}")
+  }
+
+  test("z-score anomalies: zero-variance groups excluded, outliers found") {
+    val dir = java.nio.file.Files.createTempDirectory("anom").toString
+    // group g: 99 values at 10±1 and one wild outlier; group c: constant
+    val rows = (0 until 99).map(i =>
+      (i.toLong, "g", 10.0 + (i % 3 - 1) * 1.0)) :+
+      (99L, "g", 1000.0) :+ (100L, "c", 5.0) :+ (101L, "c", 5.0)
+    // ts stored as LONG nanos — the physical shape Tables.t expects of
+    // the events table (TIMESTAMP(NANOS) read back as raw longs)
+    val ev = rows.toDF("event_id", "event_type", "value")
+      .withColumn("ts", col("event_id") * 1000000000L)
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = QualityQ.queries("q89_anomaly_zscore")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(99L),
+      "exactly the planted outlier flags; constant group emits nothing")
+  }
+
+  test("canonical dedup: partitions the corpus, canonical = cluster min") {
+    val out = QualityQ.queries("q86_dedup_canonical")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_._2).sum == total,
+      "every raw doc maps to exactly one canonical doc")
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.exists(_._2 > 1), "testdata has planted near-dup clusters")
+  }
+
+  test("kNN classify: majority vote with similarity/label tie-breaks") {
+    val dir = java.nio.file.Files.createTempDirectory("knn").toString
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // query vec_id=7 (7 % 50 == 7) at (1,0); 5 neighbors: 3 of label 1
+    // close by, 2 of label 2 even closer — majority (label 1) must win
+    // over proximity.
+    val rows = Seq(
+      (7L, 9, v(1.0, 0.0)),
+      (1L, 2, v(0.999, 0.01)), (2L, 2, v(0.998, 0.02)),
+      (3L, 1, v(0.99, 0.1)), (4L, 1, v(0.98, 0.12)), (5L, 1, v(0.97, 0.14)),
+      (6L, 3, v(-1.0, 0.0)))
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimQ.queries("q90_knn_classify")(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 7L)
+    assert(out.head.getInt(1) == 1, "majority label beats closer minority")
+    assert(out.head.getLong(2) == 3L)
+  }
+}
