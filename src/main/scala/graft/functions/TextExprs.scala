@@ -33,3 +33,44 @@ case class NfcNormalizeExpr(child: Expression)
 object NfcNormalizeExpr {
   def nfc(c: Column): Column = toCol(NfcNormalizeExpr(toExpr(c)))
 }
+
+/** Count of array elements that are members of a small literal string
+  * set — the hot inner loop of stopword ratios, language-marker scoring
+  * and term-frequency relevance. The declarative
+  * `size(filter(toks, x -> x IN set))` evaluates its lambda INTERPRETED
+  * per element (boxing every token); with 5 languages × 5 markers that
+  * is 25 interpreted passes over every document. This expression makes
+  * each count one tight JVM loop over the unsafe array with a
+  * precomputed UTF8String hash set, and participates in whole-stage
+  * codegen. Null elements don't match (same as the lambda's
+  * null-propagating IN). Counts WITH multiplicity. */
+case class CountInSetExpr(child: Expression, set: Seq[String])
+    extends UnaryExpression with EvalCallCodegen {
+  override protected def castEval(src: String): String =
+    s"((java.lang.Long) $src).longValue()"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  @transient private lazy val members: java.util.HashSet[UTF8String] = {
+    val m = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(s => m.add(UTF8String.fromString(s)))
+    m
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && members.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    java.lang.Long.valueOf(c)
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : CountInSetExpr = copy(child = c)
+}
+
+object CountInSetExpr {
+  def countInSet(toks: Column, set: Seq[String]): Column =
+    toCol(CountInSetExpr(toExpr(toks), set))
+}

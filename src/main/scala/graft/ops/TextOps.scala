@@ -24,9 +24,12 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
 
-  /** Count of tokens that appear in `set`. */
+  /** Count of tokens that appear in `set` (with multiplicity). One
+    * codegen'd JVM loop per row — the lambda formulation
+    * (size(filter(toks, IN))) evaluates interpreted per element and was
+    * the hot path of quality/lang-id scoring. */
   def countIn(toks: Column, set: Seq[String]): Column =
-    size(filter(toks, x => x.isInCollection(set))).cast("long")
+    graft.functions.CountInSetExpr.countInSet(toks, set)
 
   /** AND-match of query terms against a token array (plainto_tsquery
     * semantics, db_extractor.py:44). */
@@ -34,10 +37,11 @@ object TextOps {
     terms.map(t => array_contains(toks, t)).reduce(_ && _)
 
   /** Term-frequency relevance: total occurrences of the query terms
-    * (simplified ts_rank — ordering semantics only, SURVEY.md §2.8 T3). */
+    * (simplified ts_rank — ordering semantics only, SURVEY.md §2.8 T3).
+    * Query terms are distinct by construction, so the summed per-term
+    * counts equal one multiplicity-counting set-membership pass. */
   def tfScore(toks: Column, terms: Seq[String]): Column =
-    terms.map(t => size(filter(toks, x => x === lit(t))).cast("long"))
-      .reduce(_ + _)
+    countIn(toks, terms.distinct)
 
   /** ts_rank's documented normalization bitmask (PostgreSQL docs §12.3.3),
     * applied to a raw relevance score in the documented order. The

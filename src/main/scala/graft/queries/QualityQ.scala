@@ -41,13 +41,18 @@ object QualityQ {
     // the final rollup is partial-aggregated. Deterministic end-to-end,
     // so the whole multi-operator pipeline is oracle-checkable.
     "q87_corpus_pipeline" -> ((s, dir) => {
-      val tk = TextOps.tokens(col("text"))
-      val d = t(s, dir, "documents").select(
-        col("doc_id"),
-        size(tk).cast("long").as("n_tokens"),
-        TextOps.qualityScore(tk).as("quality"),
-        TextOps.langPredict(TextOps.langScores(tk)).as("pred_lang"),
-        TextOps.docFingerprint(col("text")).as("fp"))
+      // tokenize ONCE into a materialized column — every downstream
+      // feature (length, quality, 25 language-marker counts) reads the
+      // same array instead of re-splitting the text per expression
+      val tk = col("toks")
+      val d = t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(tk).cast("long").as("n_tokens"),
+          TextOps.qualityScore(tk).as("quality"),
+          TextOps.langPredict(TextOps.langScores(tk)).as("pred_lang"),
+          TextOps.docFingerprint(col("text")).as("fp"))
       val kept = d.filter(col("quality") >= 0.3 && col("n_tokens") >= 5)
       val firstPerFp = kept.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       kept.join(firstPerFp, Seq("fp", "doc_id"))
@@ -91,6 +96,31 @@ object QualityQ {
         .select(col("event_id"), col("event_type"), col("value"),
           round(z, 4).as("z"))
         .orderBy("event_id")
+    }),
+    // Sketch→verify heavy hitters: a Misra–Gries summary (k=50, O(k)
+    // task state, O(k) shuffle) nominates candidate groups, then ONE
+    // candidate-pruned pass re-counts them exactly and thresholds at 3%
+    // of total. MG guarantees every group above n/51 ≈ 2% survives the
+    // sketch, so the exact output is engine-independent even though the
+    // sketch contents are merge-order-dependent — the same
+    // sketch-candidates-then-exact-verify shape as the MinHash/SimHash
+    // dedup paths. The group key derives a skewed distribution
+    // (floor(sqrt(user_id)) — wider buckets at higher ids) from the
+    // uniform user_id, standing in for the skewed keys real traffic has.
+    "q91_heavy_hitters_sketched" -> ((s, dir) => {
+      val mg = udaf(new graft.functions.MisraGries(50),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val e = t(s, dir, "events")
+        .select(floor(sqrt(col("user_id"))).cast("long").as("grp"))
+      val sk = e.agg(mg(col("grp")).as("sketch"),
+        count(lit(1)).as("__total"))
+      val cand = broadcast(sk.select(
+        explode(map_keys(col("sketch"))).as("grp"), col("__total")))
+      e.join(cand, "grp")
+        .groupBy("grp", "__total").agg(count(lit(1)).as("n"))
+        .filter(col("n") > col("__total") * 0.03)
+        .select(col("grp"), col("n"))
+        .orderBy("grp")
     }),
   )
 
@@ -145,6 +175,12 @@ object QualityQ {
          |     / count($c)) / count($c), 4) AS variance
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "q91_heavy_hitters_sketched" ->
+      """SELECT CAST(floor(sqrt(user_id)) AS BIGINT) AS grp, count(*) AS n
+        |FROM events GROUP BY 1
+        |HAVING count(*) > 0.03 * (SELECT count(*) FROM events)
+        |ORDER BY grp""".stripMargin,
 
     "q89_anomaly_zscore" ->
       """WITH e AS (

@@ -76,6 +76,51 @@ class QualityQSpec extends SparkSpec {
     assert(out.exists(_._2 > 1), "testdata has planted near-dup clusters")
   }
 
+  test("Misra–Gries guarantee holds under any partitioning/merge order") {
+    val k = 9
+    val mg = new graft.functions.MisraGries(k)
+    // skewed deterministic stream: two heavy items + a light tail
+    val items: Seq[Long] = (0 until 2000).map { i =>
+      (i % 100) match {
+        case m if m < 40 => 1L
+        case m if m < 60 => 2L
+        case m => (m % 17).toLong + 10L
+      }
+    }
+    val n = items.size
+    val exact = items.groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+    val bound = n / (k + 1)
+    for (parts <- Seq(1, 3, 8)) {
+      val partials = items.grouped(math.ceil(n.toDouble / parts).toInt)
+        .map(c => c.foldLeft(mg.zero)(mg.reduce)).toSeq
+      for (m <- Seq(partials.reduceLeft(mg.merge),
+          partials.reverse.reduceLeft(mg.merge))) {
+        assert(m.size <= k)
+        exact.foreach { case (item, c) =>
+          if (c > bound)
+            assert(m.contains(item), s"heavy item $item (count $c) lost")
+          m.get(item).foreach { est =>
+            assert(est <= c, "MG estimates never overcount")
+            assert(c - est <= bound, s"undershoot beyond n/(k+1) for $item")
+          }
+        }
+      }
+    }
+  }
+
+  test("q91 sketch→verify equals the exact heavy-hitter answer") {
+    val out = QualityQ.queries("q91_heavy_hitters_sketched")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = graft.Tables.t(spark, sf, "events")
+      .select(floor(sqrt(col("user_id"))).cast("long").as("grp"))
+    val total = e.count()
+    val exact = e.groupBy("grp").count()
+      .filter(col("count") > total * 0.03)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == exact)
+    assert(out.nonEmpty, "threshold must select something at sf0.001")
+  }
+
   test("kNN classify: majority vote with similarity/label tie-breaks") {
     val dir = java.nio.file.Files.createTempDirectory("knn").toString
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
