@@ -87,4 +87,26 @@ object Partitioning {
     * analogue of the reference's btree-on-source index, SURVEY §4). */
   def writePartitionedBy(df: DataFrame, path: String, key: String): Unit =
     df.write.mode("overwrite").partitionBy(key).parquet(path)
+
+  /** Small-file compaction: rewrite a many-small-files dataset as
+    * ~`targetRowsPerFile`-row files, RANGE-clustered and sorted on
+    * `sortKey`. Streaming sinks and fine-grained ingest leave thousands
+    * of KB-sized files per partition; at 100 TB that turns every scan
+    * into a task-scheduling and footer-parsing storm. Range partitioning
+    * (one sample pass) + in-file sort gives each output file a tight
+    * min/max band on `sortKey`, so post-compaction scans filtered on it
+    * prune whole files from parquet footer stats alone. The row count
+    * comes from one cheap count job; `maxRecordsPerFile` caps stragglers
+    * if the range sampling under-splits a dense band. */
+  def compact(df: DataFrame, path: String, sortKey: String,
+      targetRowsPerFile: Long): Unit = {
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+      .toInt
+    df.repartitionByRange(files, col(sortKey))
+      .sortWithinPartitions(col(sortKey))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+  }
 }

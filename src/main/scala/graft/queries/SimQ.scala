@@ -92,6 +92,38 @@ object SimQ {
         .orderBy("q_id")
     }),
 
+    // Cluster cohesion: per-label centroid (positional mean of the
+    // embedding array — posexplode → one (label, pos) aggregate), then
+    // every member's cosine to its own centroid, rolled up to a
+    // per-label mean. Centroids broadcast back (|labels|·dim rows —
+    // tiny); member scoring is one pass. All sums in DECIMAL and the
+    // centroid/cosine values rounded at fixed points, so the pipeline is
+    // exact across engines despite three levels of float aggregation.
+    "q92_label_cohesion" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val comp = t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+      val cent = comp.groupBy("label", "i")
+        .agg(round(sum(col("x").cast(DecimalType(38, 8))).cast("double") /
+          count(lit(1)), 6).as("c"))
+      val dec = DecimalType(38, 12)
+      val mc = comp.join(broadcast(cent), Seq("label", "i"))
+        .groupBy("label", "vec_id")
+        .agg(sum((col("x") * col("c")).cast(dec)).cast("double").as("d"),
+          sum((col("x") * col("x")).cast(dec)).cast("double").as("nx"),
+          sum((col("c") * col("c")).cast(dec)).cast("double").as("nc"))
+      mc.select(col("label"),
+          round(col("d") / (sqrt(col("nx")) * sqrt(col("nc"))), 6)
+            .as("cos"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("cos").cast(DecimalType(30, 6))).cast("double") /
+            count(lit(1)), 6).as("mean_cohesion"))
+        .orderBy("label")
+    }),
+
     // Label centroid distance: per-label mean vector then each label's
     // cosine to the global mean — exercises array aggregation at scale.
     "q26_label_stats" -> ((s, dir) => {
@@ -106,6 +138,30 @@ object SimQ {
   )
 
   val oracles: Map[String, String] = Map(
+    // positions are engine-local (0- vs 1-based never escapes the
+    // engine): they only align member components with centroid
+    // components inside each formulation
+    "q92_label_cohesion" ->
+      """WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (
+        | SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        | FROM embeddings, pos),
+        |cent AS (
+        | SELECT label, i,
+        |  round(CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE)
+        |    / count(*), 6) AS c
+        | FROM comp GROUP BY label, i),
+        |mc AS (
+        | SELECT label, vec_id,
+        |  CAST(sum(CAST(x * c AS DECIMAL(38,12))) AS DOUBLE) AS d,
+        |  CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS nx,
+        |  CAST(sum(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS nc
+        | FROM comp JOIN cent USING (label, i) GROUP BY label, vec_id)
+        |SELECT label, count(*) AS n_vecs,
+        | round(CAST(sum(CAST(round(d / (sqrt(nx) * sqrt(nc)), 6)
+        |     AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS mean_cohesion
+        |FROM mc GROUP BY label ORDER BY label""".stripMargin,
+
     "q90_knn_classify" ->
       """WITH q AS (
         | SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

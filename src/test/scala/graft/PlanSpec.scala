@@ -175,4 +175,28 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("z-score anomaly joins its scalar stats by broadcast") {
+    // per-type moments are a handful of rows; shipping the 100 TB fact
+    // side to a shuffle join against them would be the classic blunder
+    val p = planOf("q89_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats join must broadcast:\n${p.take(3000)}")
+  }
+
+  test("sketched heavy hitters: object-buffer aggregate + broadcast recount") {
+    val p = planOf("q91_heavy_hitters_sketched")
+    // the MG sketch runs as an ObjectHashAggregate (same shape as the
+    // built-in percentile/HLL sketches) with a partial stage before the
+    // single-row merge
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    // candidate recount joins the ≤k candidates by broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("kNN classify windows per query, never one global partition") {
+    val p = planOf("q90_knn_classify")
+    assert(p.contains("hashpartitioning(q_id"),
+      s"expected per-query window partitioning:\n${p.take(3000)}")
+  }
 }

@@ -107,4 +107,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(1).getString(0) == "no pii here")
     assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 0)
   }
+
+  test("compact: many small files -> few range-clustered sorted files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString
+    // 64 tiny files of interleaved keys (the streaming-sink debris shape)
+    spark.range(10000).select(col("id"), (col("id") * 7 % 10000).as("k"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/small")
+    val smallFiles = new java.io.File(s"$dir/small")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 64)
+
+    graft.ops.Partitioning.compact(
+      spark.read.parquet(s"$dir/small"), s"$dir/big", "k",
+      targetRowsPerFile = 2500L)
+    val out = new java.io.File(s"$dir/big")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    // range sampling can split unevenly by a file or two; the hard
+    // invariants are the order-of-magnitude reduction and the bands below
+    assert(out.length >= 3 && out.length <= 8,
+      s"10k rows / 2.5k target -> ~4 files, got ${out.length}")
+
+    // range clustering: per-file [min, max] bands on k must not overlap
+    // (footer-stats file pruning depends on exactly this)
+    val bands = out.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("k")), max(col("k"))).collect()(0)
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    bands.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file key bands overlap: $hi >= $lo2")
+      case _ =>
+    }
+    // nothing lost
+    assert(spark.read.parquet(s"$dir/big").count() == 10000)
+  }
 }
