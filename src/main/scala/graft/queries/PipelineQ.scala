@@ -145,9 +145,125 @@ object PipelineQ {
         .orderBy(desc("n"), asc("user_id"))
         .limit(10)
     }),
+
+    // Time-weighted average (the correct mean for irregularly-sampled
+    // gauges — plain avg over-weights bursts): each value is held until
+    // the next event, weighted by its hold duration. One per-user window
+    // (lead) + one aggregate; durations in long micros and the weighted
+    // sum in DECIMAL, so the result is engine-exact. Single-event users
+    // (zero total duration) drop out.
+    "q93_time_weighted_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val seg = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("dur", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dur").isNotNull)
+      seg.groupBy("user_id")
+        .agg(sum((col("value") * col("dur")).cast(DecimalType(38, 6)))
+          .cast("double").as("__num"),
+          sum(col("dur")).cast("double").as("__den"))
+        .filter(col("__den") > 0)
+        .select(col("user_id"),
+          round(col("__num") / col("__den"), 6).as("twa"))
+        .orderBy("user_id")
+    }),
+
+    // Mode (most frequent value) per group with DETERMINISTIC tie-breaks
+    // (count desc, then value asc) — Spark's built-in `mode` picks ties
+    // arbitrarily, which can never pass an exact gate. One aggregate +
+    // one per-group window over the tiny (user × type) count table.
+    "q94_mode_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("n"), asc("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    // Pearson correlation + OLS slope of order price vs line-item count,
+    // per order priority — the five moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    // come from one partial-aggregated pass in DECIMAL, so corr/slope are
+    // bit-identical across engines (built-in corr() aggregates doubles in
+    // partition order and can never hash-match an oracle).
+    "q95_corr_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(count(lit(1)).as("x"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice").as("y"))
+      val j = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      val dec = DecimalType(38, 6)
+      val m = j.groupBy("o_orderpriority").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("o_orderpriority"),
+          col("n").cast("long").as("n_orders"),
+          round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr"),
+          round(cov / vx, 6).as("slope"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q93_time_weighted_avg" ->
+      """WITH seg AS (
+        | SELECT user_id, value,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dur
+        | FROM events)
+        |SELECT user_id,
+        | round(CAST(sum(CAST(value * dur AS DECIMAL(38,6))) AS DOUBLE)
+        |   / CAST(sum(dur) AS DOUBLE), 6) AS twa
+        |FROM seg WHERE dur IS NOT NULL
+        |GROUP BY user_id HAVING CAST(sum(dur) AS DOUBLE) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q94_mode_per_group" ->
+      """SELECT user_id, event_type AS mode_type, n FROM (
+        | SELECT user_id, event_type, count(*) AS n,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY count(*) DESC, event_type) AS rn
+        | FROM events GROUP BY user_id, event_type)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q95_corr_slope" ->
+      """WITH li AS (
+        | SELECT l_orderkey, count(*) AS x FROM lineitem GROUP BY 1),
+        |j AS (
+        | SELECT o.o_orderpriority, li.x, o.o_totalprice AS y
+        | FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey),
+        |m AS (
+        | SELECT o_orderpriority,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        | FROM j GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+        | round((n * sxy - sx * sy)
+        |   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |   AS corr,
+        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
+
     "q78_cdc_merge" ->
       """SELECT user_id, event_type AS last_type, value AS last_value,
         | ts AS last_ts
