@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import graft.functions.ShinglesExpr
+import graft.ops.TextOps
+
+/** Corpus-curation operators round 4: rule-based document quality
+  * signals (the Gopher/C4 filter family), benchmark decontamination by
+  * n-gram overlap, intra-document repetition signals, hopping-window
+  * event aggregation, and fixed-iteration PageRank. Every query keeps
+  * the scale shape — single scan per feature set, broadcast of the small
+  * side, exact decimal accumulation where doubles would be
+  * order-dependent — and carries an exact DuckDB oracle. */
+object CorpusQ {
+
+  /** Tokens shared with q16's oracle convention: split(lower(text), " "). */
+  private def toks: Column = TextOps.tokens(col("text"))
+
+  private val stopList = Seq("the", "and", "of", "to", "a", "in", "is",
+    "that", "it", "for")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Rule-based quality signals in the Gopher/C4 style: word count,
+    // mean word length, alphabetic-word fraction, stopword hits, and the
+    // composite keep decision. One scan, one tokenization, every signal
+    // an array expression over the same materialized token column — no
+    // shuffle at all until the final presentation sort (which a real
+    // pipeline drops: the keep flag is consumed as a filter).
+    "q96_gopher_quality" -> ((s, dir) => {
+      val stops = array(stopList.map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("toks", toks)
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          round(aggregate(col("toks"), lit(0L),
+              (acc, w) => acc + length(w)).cast("double") /
+            size(col("toks")), 4).as("mean_word_len"),
+          round(size(filter(col("toks"), w => w.rlike("[a-z]")))
+              .cast("double") / size(col("toks")), 4).as("alpha_frac"),
+          size(filter(col("toks"), w => array_contains(stops, w)))
+            .cast("long").as("stop_hits"))
+        .withColumn("keep",
+          col("n_words").between(30, 90) &&
+            col("mean_word_len").between(3.0, 4.6) &&
+            col("stop_hits") >= 2)
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination (the GPT-3/FLAN n-gram overlap check):
+    // flag every training document sharing at least one 8-gram with the
+    // held-out benchmark slice (doc_id % 29 = 0 stands in for the eval
+    // set). Eval sets are tiny relative to a 100 TB corpus, so the
+    // benchmark's distinct shingles BROADCAST and the check is one
+    // map-side semi-join + per-doc distinct count — the corpus is
+    // scanned once and never shuffled on the shingle.
+    "q97_decontaminate" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(ShinglesExpr.shingles(toks, 8)).as("g"))
+      val bench = sh.filter(col("doc_id") % 29 === 0)
+        .select("g").distinct()
+      sh.filter(col("doc_id") % 29 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // Intra-document repetition signals (the Gopher repetition family):
+    // duplicate-token fraction and most-frequent-token fraction. The
+    // token histogram is a partial-aggregated explode→count — at 100 TB
+    // the per-(doc, word) combine happens map-side and only per-doc
+    // partials shuffle.
+    "q98_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+        .select(col("doc_id"), col("n_words"),
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_words"), 4).as("dup_frac"),
+          round(col("top_c").cast("double") / col("n_words"), 4)
+            .as("top_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Hopping-window aggregation: 1-hour windows sliding every 15
+    // minutes over the event stream (the batch twin of the streaming
+    // windowed agg). Spark's window() replicates each row into its 4
+    // covering windows before a plain hash aggregate — partial
+    // aggregation applies, nothing is ordered globally until the
+    // presentation sort. Sum in DECIMAL so the value is order-independent
+    // and oracle-exact.
+    "q99_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(38, 6))).cast("double"),
+            4).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("n"), col("sum_value"))
+        .orderBy("w_start")
+    }),
+
+    // Fixed-iteration PageRank over the (undirected) supplier↔customer
+    // trade graph derived from lineitem⋈orders. The loop is the classic
+    // contribute→sum shape: ranks and degrees co-partition with the edge
+    // list's src key, so each of the 3 iterations is one shuffle of
+    // rank-sized (not edge-sized) data plus a partial-aggregated sum; at
+    // cluster scale the edge list would be bucketed by src so the join
+    // side of every iteration is shuffle-free. Per-edge contributions
+    // are deterministic doubles; their per-node sum is accumulated in
+    // DECIMAL(38,18) so the result is independent of partition order and
+    // hash-matches a chained-CTE oracle (built-in double sums cannot).
+    "q100_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"),
+        col("src").as("dst"))).persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // one driver-side scalar (node count) — the only collect in the op
+      val n = deg.count()
+      val damp = 0.85
+      val base = 0.15 / n
+      var ranks = deg.select(col("src").as("node"),
+        lit(1.0 / n).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = edges
+          .join(deg, "src")
+          .join(ranks, edges("src") === ranks("node"))
+          .select(col("dst"),
+            (col("r") / col("deg")).cast(DecimalType(38, 18)).as("c"))
+          .groupBy("dst")
+          .agg((lit(base) + lit(damp) * sum(col("c")).cast("double"))
+            .as("r"))
+          .select(col("dst").as("node"), col("r"))
+      }
+      val out = ranks
+        .select(col("node"), round(col("r") * n, 6).as("pr_scaled"))
+        .orderBy("node")
+      out.queryExecution.assertAnalyzed()
+      edges.unpersist()
+      out
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q96_gopher_quality" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  round(CAST(list_sum(list_transform(toks, w -> length(w)))
+        |    AS DOUBLE) / len(toks), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(toks,
+        |    w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks), 4)
+        |    AS alpha_frac,
+        |  CAST(len(list_filter(toks, w -> list_contains(
+        |    ['the','and','of','to','a','in','is','that','it','for'], w)))
+        |    AS BIGINT) AS stop_hits
+        | FROM t)
+        |SELECT *,
+        | (n_words BETWEEN 30 AND 90
+        |  AND mean_word_len BETWEEN 3.0 AND 4.6
+        |  AND stop_hits >= 2) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q97_decontaminate" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(string_split(lower(text), ' ')) - 6),
+        |   i -> array_to_string(
+        |     string_split(lower(text), ' ')[i:i+7], ' '))) AS shs
+        | FROM documents),
+        |sh AS (SELECT doc_id, unnest(shs) AS g FROM s),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 29 = 0)
+        |SELECT sh.doc_id, count(DISTINCT sh.g) AS n_shared
+        |FROM sh JOIN bench ON sh.g = bench.g
+        |WHERE sh.doc_id % 29 <> 0
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    "q98_repetition" ->
+      """WITH c AS (
+        | SELECT doc_id, w, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents)
+        | GROUP BY doc_id, w)
+        |SELECT doc_id, sum(c) AS n_words,
+        | round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_frac,
+        | round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q99_sliding_window" ->
+      """WITH e AS (
+        | SELECT make_timestamp(
+        |   ((epoch_us(ts) // 900000000) - k.k) * 900000000) AS w_start,
+        |  value
+        | FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT w_start, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+        |   AS sum_value
+        |FROM e GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "q100_pagerank" ->
+      """WITH e0 AS (
+        | SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst, src FROM e0),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / (SELECT n FROM nn)
+        |       AS r FROM d),
+        |r1 AS (
+        | SELECT e.dst AS node,
+        |  CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+        |   + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r0.r / d.deg
+        |       AS DECIMAL(38,18))) AS DOUBLE) AS r
+        | FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src
+        | GROUP BY e.dst),
+        |r2 AS (
+        | SELECT e.dst AS node,
+        |  CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+        |   + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r1.r / d.deg
+        |       AS DECIMAL(38,18))) AS DOUBLE) AS r
+        | FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src
+        | GROUP BY e.dst),
+        |r3 AS (
+        | SELECT e.dst AS node,
+        |  CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+        |   + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r2.r / d.deg
+        |       AS DECIMAL(38,18))) AS DOUBLE) AS r
+        | FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src
+        | GROUP BY e.dst)
+        |SELECT node, round(r * (SELECT n FROM nn), 6) AS pr_scaled
+        |FROM r3 ORDER BY node""".stripMargin,
+  )
+}
