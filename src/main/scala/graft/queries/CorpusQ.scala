@@ -126,32 +126,49 @@ object CorpusQ {
         .select((col("l_suppkey") * 2).as("src"),
           (col("o_custkey") * 2 + 1).as("dst"))
         .distinct()
+        // checkpoint BEFORE the symmetrizing union: the reversed branch
+        // projects different columns, so Catalyst can't reuse the
+        // distinct's exchange across the two union arms — without the
+        // cut the join+distinct runs twice
+        .localCheckpoint()
+      // materialize the (edge, src-degree) list ONCE — localCheckpoint
+      // is eager and truncates lineage, so the 3 iterations read a
+      // cached edge block instead of re-deriving the lineitem⋈orders
+      // join per round (the same lineage-cut discipline as
+      // DedupOps.connectedComponents)
       val edges = e0.union(e0.select(col("dst").as("src"),
-        col("src").as("dst"))).persist()
+        col("src").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesDeg = edges.join(broadcast(deg), "src")
+        .select(col("src"), col("dst"), col("deg")).localCheckpoint()
       // one driver-side scalar (node count) — the only collect in the op
       val n = deg.count()
       val damp = 0.85
       val base = 0.15 / n
-      var ranks = deg.select(col("src").as("node"),
-        lit(1.0 / n).as("r"))
+      var ranks = deg.select(col("src").as("node"))
+        .withColumn("r", lit(1.0 / n))
       for (_ <- 1 to 3) {
-        ranks = edges
-          .join(deg, "src")
-          .join(ranks, edges("src") === ranks("node"))
+        // the rank table is node-sized (≪ edges), so it BROADCASTS and
+        // the cached edge list is never shuffled — each round is one
+        // edge scan + a partial-aggregated contribution sum whose
+        // shuffle carries node-sized partials only. (On a billion-node
+        // graph, swap the broadcast for ranks bucketed/co-partitioned
+        // with the edge list on src — the loop body is otherwise
+        // unchanged.) Checkpoint per round so round k+1 doesn't replay
+        // round k's plan.
+        ranks = edgesDeg
+          .join(broadcast(ranks), edgesDeg("src") === ranks("node"))
           .select(col("dst"),
             (col("r") / col("deg")).cast(DecimalType(38, 18)).as("c"))
           .groupBy("dst")
           .agg((lit(base) + lit(damp) * sum(col("c")).cast("double"))
             .as("r"))
           .select(col("dst").as("node"), col("r"))
+          .localCheckpoint()
       }
-      val out = ranks
+      ranks
         .select(col("node"), round(col("r") * n, 6).as("pr_scaled"))
         .orderBy("node")
-      out.queryExecution.assertAnalyzed()
-      edges.unpersist()
-      out
     }),
   )
 
