@@ -61,6 +61,37 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Directed containment pairs: (a, b, |A∩B|/|A|) for every ordered pair
+    * with containment ≥ threshold — the asymmetric cousin of
+    * [[jaccardPairs]] that catches a short document embedded in a long
+    * one (Jaccard punishes the size gap; containment doesn't). Same
+    * inverted-index shape and Σ|posting|² bound: each unordered pair is
+    * produced ONCE by the size-carrying posting join, then fanned into
+    * its two directions by a 2-element explode — no second join pass. */
+  def containmentPairs(df: DataFrame, idCol: String, toksCol: String,
+      threshold: Double): DataFrame = {
+    val posts = Partitioning.ensureParallel(
+        df.select(col(idCol).as("id"), col(toksCol).as("toks")))
+      .select(col("id"), size(col("toks")).as("sz"),
+        explode(col("toks")).as("tok"))
+    val pairs = posts.as("x").join(posts.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.sz").as("a_sz"), col("y.sz").as("b_sz"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .select(col("inter"), explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst"),
+          col("a_sz").as("sz")),
+        struct(col("b_id").as("src"), col("a_id").as("dst"),
+          col("b_sz").as("sz")))).as("d"))
+      .select(col("d.src").as("a_id"), col("d.dst").as("b_id"),
+        round(col("inter").cast("double") / col("d.sz"), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash signature (numHashes values) over a distinct string-array column.
     * Universal hashing over the 32-bit murmur3 of each element:
     * h_i(x) = (a_i * x + b_i) mod p, with a deterministic seed schedule.

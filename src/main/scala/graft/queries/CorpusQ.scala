@@ -170,6 +170,83 @@ object CorpusQ {
         .select(col("node"), round(col("r") * n, 6).as("pr_scaled"))
         .orderBy("node")
     }),
+
+    // Containment-similarity dedup (|A∩B|/|A| ≥ 0.8, both directions):
+    // the asymmetric check that catches a short doc embedded in a longer
+    // one, which plain Jaccard misses. Same inverted-index posting join
+    // (Σ|posting|² bound) as q16 — never a cross join.
+    "q101_containment" -> ((s, dir) => {
+      graft.ops.DedupOps.containmentPairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          ShinglesExpr.shingles(toks, 3).as("sh")),
+        "doc_id", "sh", 0.8)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // The first step of BPE training: adjacent-symbol pair frequencies.
+    // The corpus collapses to its VOCABULARY first (word → corpus count,
+    // one partial-aggregated pass over the data — at 100 TB the vocab is
+    // millions of rows, not billions), then pairs explode over the tiny
+    // vocab only, weighted by the carried counts. Top 30 with a
+    // deterministic (count desc, pair asc) tiebreak.
+    "q102_bpe_merges" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .filter(length(col("w")) >= 2)
+      vocab
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(30)
+    }),
+
+    // Inverted-index build: per token — document frequency, total term
+    // frequency, first posting, and an md5 fingerprint of the full
+    // sorted posting list (the index payload, made hash-checkable). The
+    // (token, doc) combine is map-side partial; only per-token partials
+    // shuffle, and the posting list is assembled once per token.
+    "q103_inverted_index" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("w"))
+        .groupBy("w")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"),
+          min(col("doc_id")).as("first_doc"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_set(col("doc_id"))),
+            d => d.cast("string")))).as("postings_md5"))
+        .orderBy("w")
+    }),
+
+    // Chi-square independence test of lang × source: per-language
+    // contribution Σ (o·N − r·c)² / (N·r·c). Every term is a ratio of
+    // exact integers (squared in DECIMAL to survive any SF), so the
+    // statistic is engine-exact — built-in double accumulation could
+    // never hash-match. The marginals are tiny aggregates; broadcast
+    // them and the contingency table never shuffles.
+    "q104_chi_square" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val o = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val r = d.groupBy("lang").agg(count(lit(1)).as("r"))
+      val c = d.groupBy("source").agg(count(lit(1)).as("c"))
+      val nDf = d.agg(count(lit(1)).as("n"))
+      val dec = DecimalType(19, 0)
+      val num = (col("o") * col("n") - col("r") * col("c")).cast(dec)
+      val den = (col("n") * col("r")).cast(dec) * col("c")
+      o.join(broadcast(r), "lang")
+        .join(broadcast(c), "source")
+        .crossJoin(broadcast(nDf))
+        .select(col("lang"), col("o"),
+          ((num * num).cast("double") / den.cast("double")).as("term"))
+        .groupBy("lang")
+        .agg(sum(col("o")).cast("long").as("n_docs"),
+          round(sum(col("term").cast(DecimalType(38, 12)))
+            .cast("double"), 6).as("chi2_part"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,5 +341,65 @@ object CorpusQ {
         | GROUP BY e.dst)
         |SELECT node, round(r * (SELECT n FROM nn), 6) AS pr_scaled
         |FROM r3 ORDER BY node""".stripMargin,
+
+    "q101_containment" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+        | FROM s),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+        |    / len(a.shs), 4) AS containment
+        | FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+        |SELECT a_id, b_id, containment FROM p
+        |WHERE containment >= 0.8 ORDER BY a_id, b_id""".stripMargin,
+
+    "q102_bpe_merges" ->
+      """WITH v AS (
+        | SELECT w, count(*) AS wc FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents)
+        | GROUP BY w HAVING length(w) >= 2),
+        |p AS (
+        | SELECT unnest(list_transform(range(1, length(w)),
+        |   i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, wc
+        | FROM v)
+        |SELECT pair, sum(wc) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    "q103_inverted_index" ->
+      """SELECT w,
+        | count(DISTINCT doc_id) AS df,
+        | count(*) AS tf,
+        | min(doc_id) AS first_doc,
+        | md5(array_to_string(list_transform(
+        |   list_sort(list(DISTINCT doc_id)),
+        |   d -> CAST(d AS VARCHAR)), ',')) AS postings_md5
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |      FROM documents)
+        |GROUP BY w ORDER BY w""".stripMargin,
+
+    "q104_chi_square" ->
+      """WITH o AS (
+        | SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |t AS (
+        | SELECT o.lang, o.o,
+        |  CAST(CAST(o.o * nn.n - r.r * c.c AS DECIMAL(19,0))
+        |     * CAST(o.o * nn.n - r.r * c.c AS DECIMAL(19,0)) AS DOUBLE)
+        |   / CAST(CAST(nn.n * r.r AS DECIMAL(19,0)) * c.c AS DOUBLE)
+        |   AS term
+        | FROM o JOIN r USING (lang) JOIN c USING (source), nn)
+        |SELECT lang, CAST(sum(o) AS BIGINT) AS n_docs,
+        | round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |   AS chi2_part
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

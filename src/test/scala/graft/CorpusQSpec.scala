@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.DedupOps
+import graft.queries.CorpusQ
+
+/** Invariants of the round-4 corpus operators that the DuckDB oracle
+  * can't express: containmentPairs vs a brute-force cross join on
+  * generated sets, PageRank mass conservation, and the gopher keep
+  * flag's agreement with its own signals. */
+class CorpusQSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("containmentPairs equals brute force on generated sets") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map(i => s"e$i"))
+      .map(_.distinct)
+    val sets = samples(gen, 60).zipWithIndex
+      .map { case (es, i) => (i.toLong, es) }
+    val df = sets.toDF("id", "toks")
+    val got = DedupOps.containmentPairs(df, "id", "toks", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = sa.toSet.intersect(sb.toSet).size
+      c = BigDecimal(inter.toDouble / sa.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      if c >= BigDecimal("0.7")
+    } yield (a, b)).toSet
+    assert(got == brute)
+  }
+
+  test("containment is directional: subset ⇒ 1.0 toward its superset") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h"))).toDF("id", "toks")
+    val m = DedupOps.containmentPairs(df, "id", "toks", 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(m((1L, 2L)) == 1.0)    // all of 1's shingles are inside 2
+    assert(m((2L, 1L)) == 0.375)  // 3 of 8 the other way
+  }
+
+  test("pagerank conserves mass on the dangling-free graph") {
+    val out = CorpusQ.queries("q100_pagerank")(spark, sf).collect()
+    val n = out.length
+    // pr_scaled = rank·n, so Σ pr_scaled should be n (damping keeps the
+    // total at 1 when no node dangles — the graph is symmetrized)
+    val mass = out.map(_.getDouble(1)).sum
+    assert(math.abs(mass - n) < 1e-3 * n, s"mass $mass for $n nodes")
+    assert(out.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("gopher keep flag agrees with its published signals") {
+    val rows = CorpusQ.queries("q96_gopher_quality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = r.getLong(1) >= 30 && r.getLong(1) <= 90 &&
+        r.getDouble(2) >= 3.0 && r.getDouble(2) <= 4.6 &&
+        r.getLong(4) >= 2
+      assert(r.getBoolean(5) == expect, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("bpe pair counts match a hand computation") {
+    val df = Seq("aa ab aa", "ab ba").toDF("text")
+      .withColumn("doc_id", lit(1L))
+    // vocab: aa→2? no — counts are corpus-wide word occurrences:
+    // aa:2, ab:2, ba:1; pairs: aa→2 (from 'aa'), ab→2, ba→1
+    val vocab = df.select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+    val pairs = vocab
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs == Map("aa" -> 2L, "ab" -> 2L, "ba" -> 1L))
+  }
+}
