@@ -247,6 +247,44 @@ object CorpusQ {
             .cast("double"), 6).as("chi2_part"))
         .orderBy("lang")
     }),
+
+    // The multimodal pipeline, driver-checkable end-to-end: a media
+    // table (binary content + kind) synthesized from document bytes runs
+    // through the REAL plumbing — mapPartitions feature extraction,
+    // stride resize, 1→N video frame sampling — and emits integer byte
+    // checksums an oracle can recompute from the same bytes. The decode
+    // stays behind the MediaDecoder seam (no codecs in the container);
+    // everything the cluster actually schedules — schema, batching,
+    // flatMap fan-out, join-back — is exercised and exact.
+    "q105_multimodal_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("content"))
+      val feats = graft.multimodal.BinaryOps.extractFeatures(media)
+        .toDF().select(col("media_id"), col("kind"), col("n_bytes"))
+      val rsum = graft.multimodal.BinaryOps.resize(media, 8, 8)
+        .map(r => (r.media_id,
+          r.content.foldLeft(0L)((a, b) => a + (b & 0xFF))))
+        .toDF("media_id", "resize_sum")
+      val frames = graft.multimodal.BinaryOps
+        .sampleFrames(media, nFrames = 4, frameBytes = 32)
+        .map(f => (f.media_id,
+          f.frame.foldLeft(0L)((a, b) => a + (b & 0xFF))))
+        .toDF("media_id", "fs")
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), sum(col("fs")).as("frames_sum"))
+      feats.join(rsum, "media_id")
+        .join(frames, Seq("media_id"), "left")
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("resize_sum"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          col("frames_sum"))
+        .orderBy("media_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -401,5 +439,30 @@ object CorpusQ {
         | round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
         |   AS chi2_part
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The documents are pure printable ASCII (asserted in CorpusQSpec),
+    // so UTF-8 byte k of content == ord(substr(text, k+1, 1)) and every
+    // checksum is exact integer arithmetic.
+    "q105_multimodal_pipeline" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  text, length(text) AS len
+        | FROM documents)
+        |SELECT media_id, kind, CAST(len AS BIGINT) AS n_bytes,
+        | list_sum(list_transform(range(0, 64),
+        |   i -> ord(substr(text, CAST(i * len // 64 AS INTEGER) + 1, 1))))
+        |   AS resize_sum,
+        | CASE WHEN kind = 'video' THEN 4 ELSE 0 END AS n_frames,
+        | CASE WHEN kind = 'video' THEN
+        |  list_sum(list_transform(range(0, 4), f ->
+        |   list_sum(list_transform(
+        |     range(CAST(f * len // 4 AS INTEGER) + 1,
+        |           least(CAST(f * len // 4 AS INTEGER) + 32, len) + 1),
+        |     i -> ord(substr(text, CAST(i AS INTEGER), 1))))))
+        | END AS frames_sum
+        |FROM m ORDER BY media_id""".stripMargin,
   )
 }

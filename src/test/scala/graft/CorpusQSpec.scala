@@ -69,6 +69,36 @@ class CorpusQSpec extends SparkSpec {
     }
   }
 
+  test("documents are printable ASCII (q105's byte≡char oracle premise)") {
+    val bad = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").rlike("[^\\x20-\\x7E]")).count()
+    assert(bad == 0)
+  }
+
+  test("multimodal checksums agree with direct byte math on a sample") {
+    val out = CorpusQ.queries("q105_multimodal_pipeline")(spark, sf)
+      .limit(10).collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      assert(r.getLong(2) == bytes.length)
+      val rs = (0 until 64).map(i =>
+        bytes((i.toLong * bytes.length / 64).toInt) & 0xFF).sum
+      assert(r.getLong(3) == rs)
+      if (r.getString(1) == "video") {
+        assert(r.getLong(4) == 4L)
+        val fs = (0 until 4).map { f =>
+          val off = (f.toLong * bytes.length / 4).toInt
+          bytes.slice(off, math.min(off + 32, bytes.length))
+            .map(_ & 0xFF).sum
+        }.sum
+        assert(r.getLong(5) == fs)
+      } else assert(r.getLong(4) == 0L && r.isNullAt(5))
+    }
+  }
+
   test("bpe pair counts match a hand computation") {
     val df = Seq("aa ab aa", "ab ba").toDF("text")
       .withColumn("doc_id", lit(1L))
