@@ -199,4 +199,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(q_id"),
       s"expected per-query window partitioning:\n${p.take(3000)}")
   }
+
+  test("decontamination broadcasts the benchmark shingles") {
+    // the eval set is tiny next to a 100 TB corpus: the corpus side must
+    // stream through a broadcast join, never shuffle on the shingle
+    val p = planOf("q97_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("gopher quality is one scan with zero exchanges before the sort") {
+    val p = planOf("q96_gopher_quality")
+    // exactly one shuffle: the presentation orderBy (rangepartitioning);
+    // no hashpartitioning exchange anywhere — every signal is computed
+    // in the projection over the scan
+    assert(!p.contains("hashpartitioning"),
+      s"quality signals must not shuffle:\n${p.take(3000)}")
+  }
+
+  test("chi-square broadcasts all marginals (fact side never reshuffles)") {
+    val p = planOf("q104_chi_square")
+    val broadcasts = "BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).size
+    assert(broadcasts >= 3, s"expected 3 broadcast joins:\n${p.take(3000)}")
+  }
+
+  test("containment posting join reuses one exchange for both sides") {
+    // same discipline as the q16 test: at spec SF the postings broadcast
+    // (fine); force the at-scale sort-merge path and assert the two
+    // identical posting subplans share one planned shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q101_containment")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedShuffle"),
+        s"expected exchange reuse:\n${p.take(4000)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
