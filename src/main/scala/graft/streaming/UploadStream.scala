@@ -49,6 +49,17 @@ object UploadStream {
       .groupBy(window(col("ts"), "1 hour"), col("source"))
       .agg(count(lit(1)).as("n"))
 
+  /** Sliding (hopping) windowed counts with a watermark — the streaming
+    * twin of CorpusQ.q99_sliding_window: every event lands in the 4
+    * one-hour windows that cover it; state is bounded by the watermark
+    * (closed windows are emitted and dropped, append mode). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
   /** Stream-static enrichment: join each micro-batch against a (small,
     * slowly-changing) dimension table — the J3 config-lookup join in
     * streaming form. The broadcast keeps the stream side shuffle-free;

@@ -208,6 +208,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("streaming sliding windows: each event covers 4 hops, closed by watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("ts", "source")
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    input.addData((ts(10), "a"), (ts(20), "a"),
+      (ts(600), "z")) // sentinel advances the watermark past all hops
+    val out = java.nio.file.Files.createTempDirectory("graft_hop").toString
+    val q = UploadStream.slidingCounts(events)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.exception.foreach(e => fail(s"query failed: $e"))
+    val got = spark.read.parquet(s"$out/data")
+      .filter($"w_start" < new java.sql.Timestamp(100 * 60000L))
+      .orderBy("w_start")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000L, r.getLong(1)))
+    // m=10 covers starts −45,−30,−15,0; m=20 covers −30,−15,0,15
+    assert(got.toSeq == Seq((-45L, 1L), (-30L, 2L), (-15L, 2L),
+      (0L, 2L), (15L, 1L)))
+  }
+
   test("streaming windowed agg compiles against a batch frame (smoke)") {
     val df = Seq(("2024-01-01 00:10:00", "a"), ("2024-01-01 00:20:00", "a"))
       .toDF("ts", "source").withColumn("ts", $"ts".cast("timestamp"))
