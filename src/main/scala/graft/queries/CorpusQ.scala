@@ -285,6 +285,25 @@ object CorpusQ {
           col("frames_sum"))
         .orderBy("media_id")
     }),
+
+    // Deterministic, engine-portable train/val/test split: the split key
+    // is the first 16 bits of md5(doc_id) — stable across engines,
+    // languages, and re-runs (no RNG, no engine hash), so the same doc
+    // lands in the same split everywhere, forever: the property a
+    // training pipeline actually needs. ~80/10/10 by hex thresholds;
+    // one scan, one tiny aggregate.
+    "q111_dataset_split" -> ((s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 4)
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(h < "cccc", "train").when(h < "e666", "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy("split")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -464,5 +483,17 @@ object CorpusQ {
         |     i -> ord(substr(text, CAST(i AS INTEGER), 1))))))
         | END AS frames_sum
         |FROM m ORDER BY media_id""".stripMargin,
+
+    "q111_dataset_split" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+        |        THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |        THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT split, count(*) AS n_docs, sum(doc_id) AS id_checksum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
   )
 }

@@ -101,6 +101,31 @@ object TrendQ {
         .withColumn("cum_vocab", sum(col("new_words")).over(w))
         .orderBy("decile")
     }),
+
+    // First-5-events user journey strings: the per-user ordered path,
+    // built the scale-safe way — a per-user window keeps only rank ≤ 5
+    // BEFORE any list is collected (a bare collect_list would buffer a
+    // user's whole history), and the full-partition count rides the same
+    // window. The window's hashpartitioning(user_id) already satisfies
+    // the groupBy, so the plan has ONE exchange total.
+    "q110_user_journey" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(wAll).as("n_events"))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("journey"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,5 +183,19 @@ object TrendQ {
         | sum(new_words) OVER (ORDER BY decile
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
         |FROM g ORDER BY decile""".stripMargin,
+
+    "q110_user_journey" ->
+      """WITH r AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_events,
+        |  ts, event_id
+        | FROM events)
+        |SELECT user_id, max(n_events) AS n_events,
+        | array_to_string(list(event_type ORDER BY ts, event_id), '>')
+        |   AS journey
+        |FROM r WHERE rn <= 5
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

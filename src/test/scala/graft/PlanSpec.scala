@@ -223,6 +223,12 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 3, s"expected 3 broadcast joins:\n${p.take(3000)}")
   }
 
+  test("user journey: window and groupBy share one user_id exchange") {
+    val p = planOf("q110_user_journey")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n${p.take(3000)}")
+  }
+
   test("containment posting join reuses one exchange for both sides") {
     // same discipline as the q16 test: at spec SF the postings broadcast
     // (fine); force the at-scale sort-merge path and assert the two
