@@ -22,6 +22,45 @@ class RobustnessSpec extends SparkSpec {
       .collect().head.startsWith("{not"))
   }
 
+  test("containmentPairs: empty shingle sets never divide by zero") {
+    val df = Seq(
+      (1L, Seq("a", "b")),
+      (2L, Seq.empty[String]), // no shingles — must drop out, not NaN
+      (3L, Seq("a", "b")))
+      .toDF("id", "toks")
+    val got = graft.ops.DedupOps.containmentPairs(df, "id", "toks", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == Set((1L, 3L, 1.0), (3L, 1L, 1.0)))
+  }
+
+  test("pagerank loop body tolerates an empty edge set") {
+    // the registered query derives edges from real tables, but the loop
+    // shape must not NPE/throw when a filter upstream leaves no edges
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType),
+        StructField("dst", LongType))))
+    val deg = empty.groupBy("src").agg(count(lit(1)).as("deg"))
+    assert(deg.count() == 0)
+    val joined = empty.join(broadcast(deg), "src")
+    assert(joined.localCheckpoint().count() == 0)
+  }
+
+  test("gopher signals are total on whitespace-edge texts") {
+    val df = Seq((1L, "word"), (2L, "a b"), (3L, "  "), (4L, ""))
+      .toDF("doc_id", "text")
+    // same expressions as q96 (split on single space, not regex)
+    val toks = split(lower(col("text")), " ")
+    val out = df.select(col("doc_id"), size(toks).as("n"),
+      (aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double")
+        / size(toks)).as("mwl")).collect()
+    assert(out.length == 4) // no exception = total
+    // empty string still yields one empty token — mwl 0, never NaN/error
+    val empt = out.find(_.getLong(0) == 4L).get
+    assert(empt.getInt(1) == 1 && empt.getDouble(2) == 0.0)
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = (1 to 2000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
       .toDF("key", "v") // 'hot' carries 10% of all rows
