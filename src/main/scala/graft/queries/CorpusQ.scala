@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -304,6 +305,52 @@ object CorpusQ {
           sum(col("doc_id")).as("id_checksum"))
         .orderBy("split")
     }),
+
+    // Temporal novelty: per corpus decile, the share of documents that
+    // near-duplicate an EARLIER document (pair edges are a<b, so b is
+    // the repeat) — the curve a crawler watches to see fresh content
+    // decay. Reuses the session-shared exact-Jaccard edge set (one
+    // computation serves q56/q72/q86 and this); everything after the
+    // edges is a repeat-flag join + one tiny aggregate.
+    "q112_temporal_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val repeats = ScaleQ.dedupEdges(s, dir)
+        .select(col("b_id").as("doc_id")).distinct()
+        .withColumn("rep", lit(1L))
+      docs.join(repeats, Seq("doc_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(least(floor(col("doc_id") * 10 / (col("mx") + 1)),
+          lit(9L)).as("decile"),
+          coalesce(col("rep"), lit(0L)).as("rep"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("rep")).as("n_repeats"),
+          round(sum(col("rep")).cast("double") / count(lit(1)), 4)
+            .as("repeat_rate"))
+        .orderBy("decile")
+    }),
+
+    // Domain balancing: cap every source at 50 docs, chosen in a
+    // deterministic pseudo-random order (md5 of the id — no RNG, stable
+    // across engines and re-runs). One per-source window whose rank is
+    // filtered BEFORE any list/aggregate materializes, then a tiny
+    // per-source report. The window partitions by source: parallel
+    // across sources, never global.
+    "q113_domain_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("kept", (col("rn") <= 50).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          sum(when(col("kept") === 1L, col("doc_id"))
+            .otherwise(lit(0L))).as("kept_checksum"))
+        .orderBy("source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -495,5 +542,50 @@ object CorpusQ {
         | FROM documents)
         |SELECT split, count(*) AS n_docs, sum(doc_id) AS id_checksum
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // quadratic shingle-pair oracle (same family as q16/q56): exact at
+    // the driver's sf0.01 gate; skip in local sf0.1 checks
+    "q112_temporal_novelty" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+        | FROM s),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.shs, b.shs)) AS inter,
+        |  len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))
+        |    AS un
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |rep AS (
+        | SELECT DISTINCT b_id AS doc_id FROM p
+        | WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5),
+        |d AS (
+        | SELECT doc_id,
+        |  least(doc_id * 10 // ((SELECT max(doc_id) + 1 FROM documents)),
+        |    9) AS decile,
+        |  CASE WHEN doc_id IN (SELECT doc_id FROM rep) THEN 1 ELSE 0 END
+        |    AS rep
+        | FROM documents)
+        |SELECT decile, count(*) AS n_docs,
+        | CAST(sum(rep) AS BIGINT) AS n_repeats,
+        | round(CAST(sum(rep) AS DOUBLE) / count(*), 4) AS repeat_rate
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q113_domain_cap" ->
+      """WITH r AS (
+        | SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        | CAST(sum(CASE WHEN rn <= 50 THEN doc_id ELSE 0 END) AS BIGINT)
+        |   AS kept_checksum
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
   )
 }
