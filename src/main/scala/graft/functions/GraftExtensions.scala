@@ -3,10 +3,14 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, IsNotNull, Literal, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions entry point: registers the engine's custom
-  * expressions as SQL functions so `spark.sql(...)` users get them too.
+  * expressions as SQL functions so `spark.sql(...)` users get them too,
+  * plus the engine's optimizer rule.
   *
   *   SparkSession.builder().withExtensions(new GraftExtensions) …
   *   — or spark.sql.extensions=graft.functions.GraftExtensions
@@ -14,8 +18,39 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   SELECT minhash_sig(shingles(tokens, 3), 64) FROM docs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => ShingleFilterSimplify)
+  }
+}
+
+/** Optimizer rule: Spark's InferFiltersFromGenerate guards every
+  * `explode(shingles(toks, k))` with
+  * `size(shingles(toks, k)) > 0 AND isnotnull(shingles(toks, k))`,
+  * which evaluates the O(n·k) shingle construction TWICE per row (once
+  * in the inferred filter — pushed into the scan's data filters — and
+  * once in the projection that feeds the explode). Both guards have
+  * exact cheap equivalents on the raw token array:
+  *
+  *   size(shingles(toks, k)) > 0  ⟺  size(toks) >= k
+  *     (a window exists iff there are at least k tokens; distinct-ness
+  *      only reduces the count to ≥ 1, never to 0)
+  *   isnotnull(shingles(toks, k)) ⟺  isnotnull(toks)
+  *     (ShinglesExpr is a null-intolerant unary: null iff its input is)
+  *
+  * so the rewrite halves shingle evaluation on every inverted-index
+  * query (jaccard/containment/decontamination/vocab-growth) while
+  * keeping the filter pushable. Registered via injectOptimizerRule and,
+  * for already-built sessions, experimental.extraOptimizations — both
+  * run after the inference rule has fired. */
+object ShingleFilterSimplify extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case GreaterThan(Size(sh: ShinglesExpr, legacy),
+          Literal(0, IntegerType)) =>
+        GreaterThanOrEqual(Size(sh.child, legacy), Literal(sh.k))
+      case IsNotNull(sh: ShinglesExpr) => IsNotNull(sh.child)
+    }
 }
 
 /** The engine's SQL function set, also installable on an already-built
@@ -60,5 +95,7 @@ object GraftFunctions {
     all.foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(ShingleFilterSimplify))
+      spark.experimental.extraOptimizations ++= Seq(ShingleFilterSimplify)
   }
 }

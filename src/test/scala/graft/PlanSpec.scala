@@ -229,6 +229,22 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n${p.take(3000)}")
   }
 
+  test("shingle guard filters rewrite to token-count checks (no double eval)") {
+    // ShingleFilterSimplify: the explode-inferred guard must test the
+    // cheap token array, not re-run the O(n·k) shingle construction —
+    // shinglesexpr may appear in projections but never inside a Filter
+    // or the scan's pushed data filters
+    for (q <- Seq("q16_jaccard_pairs", "q101_containment")) {
+      val p = planOf(q)
+      val filterLines = p.linesIterator
+        .filter(l => l.contains("Filter") || l.contains("DataFilters"))
+        .mkString("\n")
+      assert(!filterLines.contains("shinglesexpr"),
+        s"$q still evaluates shingles in a filter:\n$filterLines")
+      assert(p.contains("shinglesexpr"), s"$q lost its projection")
+    }
+  }
+
   test("containment posting join reuses one exchange for both sides") {
     // same discipline as the q16 test: at spec SF the postings broadcast
     // (fine); force the at-scale sort-merge path and assert the two
