@@ -50,6 +50,13 @@ object ShingleFilterSimplify extends Rule[LogicalPlan] {
           Literal(0, IntegerType)) =>
         GreaterThanOrEqual(Size(sh.child, legacy), Literal(sh.k))
       case IsNotNull(sh: ShinglesExpr) => IsNotNull(sh.child)
+      // winnow(toks, k, w) emits ≥ 1 fingerprint iff ≥ 1 k-gram exists
+      // (the window loop always runs when nGrams ≥ 1), so the same
+      // token-count equivalence holds
+      case GreaterThan(Size(wx: WinnowExpr, legacy),
+          Literal(0, IntegerType)) =>
+        GreaterThanOrEqual(Size(wx.child, legacy), Literal(wx.k))
+      case IsNotNull(wx: WinnowExpr) => IsNotNull(wx.child)
     }
 }
 

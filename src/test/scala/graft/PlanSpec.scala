@@ -234,14 +234,16 @@ class PlanSpec extends SparkSpec {
     // cheap token array, not re-run the O(n·k) shingle construction —
     // shinglesexpr may appear in projections but never inside a Filter
     // or the scan's pushed data filters
-    for (q <- Seq("q16_jaccard_pairs", "q101_containment")) {
+    for ((q, expr) <- Seq("q16_jaccard_pairs" -> "shinglesexpr",
+        "q101_containment" -> "shinglesexpr",
+        "q68_winnow_dups" -> "winnowexpr")) {
       val p = planOf(q)
       val filterLines = p.linesIterator
         .filter(l => l.contains("Filter") || l.contains("DataFilters"))
         .mkString("\n")
-      assert(!filterLines.contains("shinglesexpr"),
-        s"$q still evaluates shingles in a filter:\n$filterLines")
-      assert(p.contains("shinglesexpr"), s"$q lost its projection")
+      assert(!filterLines.contains(expr),
+        s"$q still evaluates $expr in a filter:\n$filterLines")
+      assert(p.contains(expr), s"$q lost its projection")
     }
   }
 
