@@ -351,6 +351,25 @@ object CorpusQ {
             .otherwise(lit(0L))).as("kept_checksum"))
         .orderBy("source")
     }),
+
+    // The SQL surface end-to-end: a query written entirely in
+    // spark.sql(...) against temp views, exercising the functions the
+    // engine injects into the session registry (shingles, cosine_sim —
+    // see GraftFunctions/GraftExtensions). What a SQL-only user of the
+    // library sees; the same Catalyst expressions, so the same plans.
+    "q114_sql_surface" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb")
+      s.sql("""
+        SELECT d.doc_id,
+          CAST(size(shingles(split(lower(d.text), ' '), 3)) AS BIGINT)
+            AS n_shingles,
+          round(cosine_sim(a.embedding, b.embedding), 6) AS next_cos
+        FROM graft_docs d
+        JOIN graft_emb a ON a.vec_id = d.doc_id
+        JOIN graft_emb b ON b.vec_id = d.doc_id + 1
+        ORDER BY d.doc_id""")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -587,5 +606,20 @@ object CorpusQ {
         | CAST(sum(CASE WHEN rn <= 50 THEN doc_id ELSE 0 END) AS BIGINT)
         |   AS kept_checksum
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q114_sql_surface" ->
+      """SELECT d.doc_id,
+        | CAST(len(list_distinct(list_transform(
+        |   range(1, len(string_split(lower(d.text), ' ')) - 1),
+        |   i -> string_split(lower(d.text), ' ')[i] || ' '
+        |     || string_split(lower(d.text), ' ')[i+1] || ' '
+        |     || string_split(lower(d.text), ' ')[i+2]))) AS BIGINT)
+        |   AS n_shingles,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 6) AS next_cos
+        |FROM documents d
+        |JOIN embeddings a ON a.vec_id = d.doc_id
+        |JOIN embeddings b ON b.vec_id = d.doc_id + 1
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }
