@@ -126,6 +126,58 @@ object TrendQ {
             x => x.getField("event_type")), ">").as("journey"))
         .orderBy("user_id")
     }),
+
+    // Snapshot reconciliation: diff two versions of a table by key +
+    // row hash (version B simulates deletes at key%97=0 and updates at
+    // key%89=0). One full-outer join on the key comparing md5 row
+    // fingerprints — the audit tool that validates a CDC feed or a
+    // migrated copy without shipping either table anywhere. The
+    // per-row verdict aggregates to a 4-row report.
+    "q115_snapshot_diff" -> ((s, dir) => {
+      // fingerprint over engine-portable pieces: strings + integer cents
+      // (a raw double→string cast is not oracle-portable)
+      def fp = md5(concat_ws("|", col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").cast("string"),
+        col("o_orderpriority")))
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("key"), fp.as("a_fp"))
+      val b = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 =!= 0) // simulated deletes
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))) // simulated updates
+        .select(col("o_orderkey").as("key"), fp.as("b_fp"))
+      a.join(b, Seq("key"), "full_outer")
+        .select(when(col("a_fp").isNull, "added")
+          .when(col("b_fp").isNull, "removed")
+          .when(col("a_fp") =!= col("b_fp"), "changed")
+          .otherwise("same").as("verdict"))
+        .groupBy("verdict").agg(count(lit(1)).as("n"))
+        .orderBy("verdict")
+    }),
+
+    // Join-key skew report: the diagnostic run before any big join —
+    // per candidate key, the frequency distribution's shape (distinct
+    // keys, max/mean frequency, skew factor). Two passes per key column
+    // over key-count partials only; the skew factor is the number that
+    // decides between a plain join, AQE skew handling, and salting.
+    "q116_skew_report" -> ((s, dir) => {
+      def keyStats(df: DataFrame, keyCol: String, name: String) = {
+        df.groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+          .agg(lit(name).as("key_col"),
+            count(lit(1)).as("n_keys"),
+            sum(col("f")).as("n_rows"),
+            max(col("f")).as("max_f"),
+            round(max(col("f")) * count(lit(1)).cast("double")
+              / sum(col("f")), 4).as("skew_factor"))
+      }
+      keyStats(t(s, dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey")
+        .union(keyStats(t(s, dir, "lineitem"), "l_orderkey",
+          "lineitem.l_orderkey"))
+        .union(keyStats(t(s, dir, "orders"), "o_custkey",
+          "orders.o_custkey"))
+        .orderBy("key_col")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -197,5 +249,51 @@ object TrendQ {
         |   AS journey
         |FROM r WHERE rn <= 5
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q115_snapshot_diff" ->
+      """WITH a AS (
+        | SELECT o_orderkey AS key,
+        |  md5(o_orderstatus || '|' ||
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        |    || '|' || o_orderpriority) AS a_fp
+        | FROM orders),
+        |b AS (
+        | SELECT o_orderkey AS key,
+        |  md5(o_orderstatus || '|' ||
+        |    CAST(CAST(round((CASE WHEN o_orderkey % 89 = 0
+        |        THEN o_totalprice + 1.0 ELSE o_totalprice END) * 100)
+        |      AS BIGINT) AS VARCHAR)
+        |    || '|' || o_orderpriority) AS b_fp
+        | FROM orders WHERE o_orderkey % 97 <> 0),
+        |j AS (
+        | SELECT CASE WHEN a.a_fp IS NULL THEN 'added'
+        |   WHEN b.b_fp IS NULL THEN 'removed'
+        |   WHEN a.a_fp <> b.b_fp THEN 'changed'
+        |   ELSE 'same' END AS verdict
+        | FROM a FULL OUTER JOIN b ON a.key = b.key)
+        |SELECT verdict, count(*) AS n FROM j
+        |GROUP BY verdict ORDER BY verdict""".stripMargin,
+
+    "q116_skew_report" ->
+      """WITH s1 AS (SELECT count(*) AS f FROM lineitem GROUP BY l_suppkey),
+        |s2 AS (SELECT count(*) AS f FROM lineitem GROUP BY l_orderkey),
+        |s3 AS (SELECT count(*) AS f FROM orders GROUP BY o_custkey)
+        |SELECT * FROM (
+        | SELECT 'lineitem.l_suppkey' AS key_col, count(*) AS n_keys,
+        |  CAST(sum(f) AS BIGINT) AS n_rows, CAST(max(f) AS BIGINT) AS max_f,
+        |  round(max(f) * CAST(count(*) AS DOUBLE) / sum(f), 4)
+        |    AS skew_factor
+        | FROM s1
+        | UNION ALL
+        | SELECT 'lineitem.l_orderkey', count(*), CAST(sum(f) AS BIGINT),
+        |  CAST(max(f) AS BIGINT),
+        |  round(max(f) * CAST(count(*) AS DOUBLE) / sum(f), 4)
+        | FROM s2
+        | UNION ALL
+        | SELECT 'orders.o_custkey', count(*), CAST(sum(f) AS BIGINT),
+        |  CAST(max(f) AS BIGINT),
+        |  round(max(f) * CAST(count(*) AS DOUBLE) / sum(f), 4)
+        | FROM s3)
+        |ORDER BY key_col""".stripMargin,
   )
 }

@@ -247,6 +247,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no registered query plans a cartesian product") {
+    // suite-wide scale guard: a CartesianProduct anywhere is a 100 TB
+    // disaster. (BroadcastNestedLoopJoin is allowed — every use in the
+    // repo broadcasts a 1-row scalar frame or a loudly-guarded small
+    // side, e.g. q40's exact all-pairs baseline.)
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("containment posting join reuses one exchange for both sides") {
     // same discipline as the q16 test: at spec SF the postings broadcast
     // (fine); force the at-scale sort-merge path and assert the two
