@@ -69,6 +69,22 @@ class CorpusQSpec extends SparkSpec {
     }
   }
 
+  test("every decontamination hit truly shares an 8-gram with the benchmark") {
+    val hits = CorpusQ.queries("q97_decontaminate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force ground truth on the small SF
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ").sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet)
+    val bench = docs.filter(_._1 % 29 == 0).flatMap(_._2).toSet
+    val expect = docs.filter(_._1 % 29 != 0)
+      .map { case (id, shs) => id -> shs.intersect(bench).size.toLong }
+      .filter(_._2 > 0).toMap
+    assert(hits == expect)
+  }
+
   test("documents are printable ASCII (q105's byte≡char oracle premise)") {
     val bad = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("text").rlike("[^\\x20-\\x7E]")).count()
