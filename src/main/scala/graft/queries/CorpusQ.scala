@@ -59,7 +59,8 @@ object CorpusQ {
     // map-side semi-join + per-doc distinct count — the corpus is
     // scanned once and never shuffled on the shingle.
     "q97_decontaminate" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      val sh = graft.ops.Partitioning.ensureParallel(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(ShinglesExpr.shingles(toks, 8)).as("g"))
       val bench = sh.filter(col("doc_id") % 29 === 0)
@@ -191,7 +192,8 @@ object CorpusQ {
     // vocab only, weighted by the carried counts. Top 30 with a
     // deterministic (count desc, pair asc) tiebreak.
     "q102_bpe_merges" -> ((s, dir) => {
-      val vocab = t(s, dir, "documents")
+      val vocab = graft.ops.Partitioning.ensureParallel(
+          t(s, dir, "documents").select(col("text")))
         .select(explode(toks).as("w"))
         .groupBy("w").agg(count(lit(1)).as("wc"))
         .filter(length(col("w")) >= 2)
@@ -259,7 +261,8 @@ object CorpusQ {
     // flatMap fan-out, join-back — is exercised and exact.
     "q105_multimodal_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(
+      val media = graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")).select(
         col("doc_id").as("media_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
