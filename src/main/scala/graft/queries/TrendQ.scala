@@ -179,6 +179,21 @@ object TrendQ {
           "orders.o_custkey"))
         .orderBy("key_col")
     }),
+
+    // Timezone-aware rollup: events keyed by their LOCAL wall-clock hour
+    // (America/Chicago — the reference is a Nashville service; IANA
+    // rules, DST-correct). from_utc_timestamp shifts inside the
+    // projection, so the rollup is still one partial-aggregated pass —
+    // timezone math never forces a shuffle or a UDF.
+    "q117_local_hour_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(hour(from_utc_timestamp(col("ts"), "America/Chicago"))
+          .as("local_hour"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(38, 6))).cast("double"),
+            4).as("sum_value"))
+        .orderBy("local_hour")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,5 +311,16 @@ object TrendQ {
         |  round(max(f) * CAST(count(*) AS DOUBLE) / sum(f), 4)
         | FROM s3)
         |ORDER BY key_col""".stripMargin,
+
+    // timezone(tz, naive) interprets the naive ts in tz (→ instant);
+    // timezone(tz, instant) renders it as tz-local naive — chained, the
+    // conversion is session-timezone-independent
+    "q117_local_hour_rollup" ->
+      """SELECT hour(timezone('America/Chicago', timezone('UTC', ts)))
+        |   AS local_hour,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+        |   AS sum_value
+        |FROM events GROUP BY local_hour ORDER BY local_hour""".stripMargin,
   )
 }
