@@ -355,6 +355,39 @@ object CorpusQ {
         .orderBy("source")
     }),
 
+    // Incremental near-dup dedup: the crawl-time shape — a NEW batch
+    // (last tenth of doc ids) checked against the EXISTING corpus, not
+    // against itself. The new batch is small relative to the corpus, so
+    // its size-carrying postings BROADCAST and the corpus side streams
+    // map-only through the candidate join (the asymmetric twin of q16's
+    // self-join); exact Jaccard verifies candidates as usual. Emits, per
+    // new doc, how many established docs it duplicates and the best
+    // match.
+    "q118_incremental_dedup" -> ((s, dir) => {
+      val docs = graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      val mx = docs.agg((max(col("doc_id")) + 1).as("m"))
+      val posts = docs
+        .select(col("doc_id"), ShinglesExpr.shingles(toks, 3).as("shs"))
+        .select(col("doc_id"), size(col("shs")).as("sz"),
+          explode(col("shs")).as("tok"))
+        .crossJoin(broadcast(mx))
+        .withColumn("thr", floor(col("m") * 9 / 10))
+      val oldP = posts.filter(col("doc_id") < col("thr"))
+        .select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("tok"))
+      val newP = posts.filter(col("doc_id") >= col("thr"))
+        .select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("tok"))
+      oldP.join(broadcast(newP), "tok")
+        .groupBy("a_id", "b_id", "a_sz", "b_sz")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("j", round(col("inter").cast("double")
+          / (col("a_sz") + col("b_sz") - col("inter")), 4))
+        .filter(col("j") >= 0.5)
+        .groupBy(col("b_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"), max(col("j")).as("best_j"))
+        .orderBy("doc_id")
+    }),
+
     // The SQL surface end-to-end: a query written entirely in
     // spark.sql(...) against temp views, exercising the functions the
     // engine injects into the session registry (shingles, cosine_sim —
@@ -609,6 +642,30 @@ object CorpusQ {
         | CAST(sum(CASE WHEN rn <= 50 THEN doc_id ELSE 0 END) AS BIGINT)
         |   AS kept_checksum
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // quadratic shingle oracle (new×old restricted): exact at the
+    // driver's sf0.01 gate; include in the sf0.1 skip set
+    "q118_incremental_dedup" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+        | FROM s),
+        |mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |p AS (
+        | SELECT b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+        |   / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
+        |   4) AS j
+        | FROM sh a, sh b, mx
+        | WHERE a.doc_id < (mx.m * 9) // 10
+        |   AND b.doc_id >= (mx.m * 9) // 10)
+        |SELECT b_id AS doc_id, count(*) AS n_dups, max(j) AS best_j
+        |FROM p WHERE j >= 0.5
+        |GROUP BY b_id ORDER BY doc_id""".stripMargin,
 
     "q114_sql_surface" ->
       """SELECT d.doc_id,
