@@ -185,6 +185,23 @@ object TrendQ {
     // rules, DST-correct). from_utc_timestamp shifts inside the
     // projection, so the rollup is still one partial-aggregated pass —
     // timezone math never forces a shuffle or a UDF.
+    // Keyset (cursor) pagination: the deep-paging pattern that stays
+    // O(page) at any depth — a pushable range predicate on the sort key
+    // plus top-k, where OFFSET pagination would scan and discard
+    // offset+limit rows (q08 demonstrates the offset form; this is what
+    // replaces it when pages go deep). Plan: PushedFilters on the
+    // cursor + TakeOrderedAndProject, asserted in PlanSpec.
+    "q119_keyset_page" -> ((s, dir) => {
+      val curD = lit(java.sql.Timestamp.valueOf("1998-06-15 00:00:00"))
+      val curK = lit(1000L)
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") > curD ||
+          (col("o_orderdate") === curD && col("o_orderkey") > curK))
+        .orderBy("o_orderdate", "o_orderkey")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .limit(10)
+    }),
+
     "q117_local_hour_rollup" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(hour(from_utc_timestamp(col("ts"), "America/Chicago"))
@@ -315,6 +332,13 @@ object TrendQ {
     // timezone(tz, naive) interprets the naive ts in tz (→ instant);
     // timezone(tz, instant) renders it as tz-local naive — chained, the
     // conversion is session-timezone-independent
+    "q119_keyset_page" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1998-06-15 00:00:00'
+        |   OR (o_orderdate = TIMESTAMP '1998-06-15 00:00:00'
+        |       AND o_orderkey > 1000)
+        |ORDER BY o_orderdate, o_orderkey LIMIT 10""".stripMargin,
+
     "q117_local_hour_rollup" ->
       """SELECT hour(timezone('America/Chicago', timezone('UTC', ts)))
         |   AS local_hour,

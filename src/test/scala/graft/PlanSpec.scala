@@ -247,6 +247,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("keyset pagination pushes the cursor and plans top-k") {
+    val p = planOf("q119_keyset_page")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("PushedFilters") && p.contains("Or(GreaterThan"),
+      s"cursor predicate must reach the scan:\n${p.take(2000)}")
+  }
+
   test("no registered query plans a cartesian product") {
     // suite-wide scale guard: a CartesianProduct anywhere is a 100 TB
     // disaster. (BroadcastNestedLoopJoin is allowed — every use in the
