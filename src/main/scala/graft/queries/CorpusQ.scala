@@ -113,11 +113,10 @@ object CorpusQ {
 
     // Fixed-iteration PageRank over the (undirected) supplier↔customer
     // trade graph derived from lineitem⋈orders. The loop is the classic
-    // contribute→sum shape: ranks and degrees co-partition with the edge
-    // list's src key, so each of the 3 iterations is one shuffle of
-    // rank-sized (not edge-sized) data plus a partial-aggregated sum; at
-    // cluster scale the edge list would be bucketed by src so the join
-    // side of every iteration is shuffle-free. Per-edge contributions
+    // contribute→sum shape: the checkpointed edge list is scanned (never
+    // reshuffled) each round against the broadcast node-sized rank
+    // table, and only rank-sized partial sums shuffle. Per-edge
+    // contributions
     // are deterministic doubles; their per-node sum is accumulated in
     // DECIMAL(38,18) so the result is independent of partition order and
     // hash-matches a chained-CTE oracle (built-in double sums cannot).
