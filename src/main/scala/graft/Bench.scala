@@ -54,11 +54,20 @@ object Bench {
     // SPARK_GRAFT_WARM_DIR= (empty) to skip.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
+    if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory) {
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
+      // release everything the warm-up pinned (checkpointed edge sets,
+      // persisted partials) so the timed phase doesn't inherit its heap:
+      // leftover blocks were the main source of ±20% run-to-run noise
+      // (full GCs landing on arbitrary queries)
+      graft.queries.ScaleQ.resetSharedEdges()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {

@@ -58,9 +58,11 @@ object CorpusQ {
     // benchmark's distinct shingles BROADCAST and the check is one
     // map-side semi-join + per-doc distinct count — the corpus is
     // scanned once and never shuffled on the shingle.
+    // (no ensureParallel here: at scale the scan's splits already give
+    // parallelism, and at bench SF the round-robin text shuffle measured
+    // 2× worse than computing shingles in the scan stage)
     "q97_decontaminate" -> ((s, dir) => {
-      val sh = graft.ops.Partitioning.ensureParallel(
-          t(s, dir, "documents").select(col("doc_id"), col("text")))
+      val sh = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(ShinglesExpr.shingles(toks, 8)).as("g"))
       val bench = sh.filter(col("doc_id") % 29 === 0)
@@ -191,8 +193,7 @@ object CorpusQ {
     // vocab only, weighted by the carried counts. Top 30 with a
     // deterministic (count desc, pair asc) tiebreak.
     "q102_bpe_merges" -> ((s, dir) => {
-      val vocab = graft.ops.Partitioning.ensureParallel(
-          t(s, dir, "documents").select(col("text")))
+      val vocab = t(s, dir, "documents")
         .select(explode(toks).as("w"))
         .groupBy("w").agg(count(lit(1)).as("wc"))
         .filter(length(col("w")) >= 2)
@@ -260,8 +261,7 @@ object CorpusQ {
     // flatMap fan-out, join-back — is exercised and exact.
     "q105_multimodal_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val media = graft.ops.Partitioning.ensureParallel(
-        t(s, dir, "documents")).select(
+      val media = t(s, dir, "documents").select(
         col("doc_id").as("media_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")

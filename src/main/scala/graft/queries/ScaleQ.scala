@@ -27,6 +27,11 @@ object ScaleQ {
   private val sharedEdges =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop all cached edge sets (the checkpoint blocks are reclaimed by
+    * the context cleaner once unreferenced) — used by Bench between its
+    * warm-up and timed phases. */
+  private[graft] def resetSharedEdges(): Unit = sharedEdges.clear()
+
   private[queries] def dedupEdges(s: SparkSession, dir: String): DataFrame = {
     sharedEdges.keysIterator
       .filter(_._1.sparkContext.isStopped)

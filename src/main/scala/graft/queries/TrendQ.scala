@@ -87,8 +87,7 @@ object TrendQ {
     "q109_vocab_growth" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val mx = docs.agg(max(col("doc_id")).as("mx"))
-      val firsts = graft.ops.Partitioning.ensureParallel(
-          docs.select(col("doc_id"), col("text")))
+      val firsts = docs
         .select(col("doc_id"), explode(graft.functions.ShinglesExpr
           .shingles(TextOps.tokens(col("text")), 3)).as("w"))
         .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
