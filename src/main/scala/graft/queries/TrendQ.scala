@@ -179,11 +179,6 @@ object TrendQ {
         .orderBy("key_col")
     }),
 
-    // Timezone-aware rollup: events keyed by their LOCAL wall-clock hour
-    // (America/Chicago — the reference is a Nashville service; IANA
-    // rules, DST-correct). from_utc_timestamp shifts inside the
-    // projection, so the rollup is still one partial-aggregated pass —
-    // timezone math never forces a shuffle or a UDF.
     // Keyset (cursor) pagination: the deep-paging pattern that stays
     // O(page) at any depth — a pushable range predicate on the sort key
     // plus top-k, where OFFSET pagination would scan and discard
@@ -201,6 +196,11 @@ object TrendQ {
         .limit(10)
     }),
 
+    // Timezone-aware rollup: events keyed by their LOCAL wall-clock hour
+    // (America/Chicago — the reference is a Nashville service; IANA
+    // rules, DST-correct). from_utc_timestamp shifts inside the
+    // projection, so the rollup is still one partial-aggregated pass —
+    // timezone math never forces a shuffle or a UDF.
     "q117_local_hour_rollup" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(hour(from_utc_timestamp(col("ts"), "America/Chicago"))
