@@ -144,4 +144,38 @@ class ScaleOpsSpec extends SparkSpec {
     // nothing lost
     assert(spark.read.parquet(s"$dir/big").count() == 10000)
   }
+
+  test("schema evolution: mergeSchema unions old and new parquet columns") {
+    // long-lived tables gain columns; old files must stay readable with
+    // the new schema (nulls for the missing column), no rewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/t/batch=1")
+    Seq((3L, "c", 9.5)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/t/batch=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(df.columns.toSet == Set("id", "v", "score", "batch"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old file → null
+    assert(rows(2).getDouble(rows(2).fieldIndex("score")) == 9.5)
+  }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    // the incremental-reload semantics at scale: rewriting one day must
+    // not truncate the others (static mode would wipe the whole table)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "d1"), (2L, "d2")).toDF("id", "day")
+        .write.partitionBy("day").parquet(s"$dir/t")
+      // overwrite ONLY day=d2 with new content
+      Seq((20L, "d2")).toDF("id", "day")
+        .write.mode("overwrite").partitionBy("day").parquet(s"$dir/t")
+      val got = spark.read.parquet(s"$dir/t")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "d1"), (20L, "d2")))
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
 }
