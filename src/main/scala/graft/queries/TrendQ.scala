@@ -196,6 +196,32 @@ object TrendQ {
         .limit(10)
     }),
 
+    // Distribution drift: total-variation distance between the
+    // event-type mix of the first and second halves of the stream — the
+    // monitoring check that catches a pipeline silently changing its
+    // input mix. TVD = ½·Σ|p_i − q_i| over exact integer counts (ln- or
+    // KL-based drift scores are not engine-portable; TVD is), one
+    // grouped pass + a per-type report with the scalar distance on
+    // every row.
+    "q120_distribution_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val mid = e.agg(floor((min(unix_micros(col("ts")))
+        + max(unix_micros(col("ts")))) / 2).as("mid"))
+      val halves = e.crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          when(unix_micros(col("ts")) < col("mid"), 1L).otherwise(0L)
+            .as("h1"))
+      val counts = halves.groupBy("event_type")
+        .agg(sum(col("h1")).as("n1"),
+          sum(lit(1L) - col("h1")).as("n2"))
+      val tot = counts.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n1"), col("n2"),
+          round(abs(col("n1").cast("double") / col("t1")
+            - col("n2").cast("double") / col("t2")), 6).as("abs_diff"))
+        .orderBy("event_type")
+    }),
+
     // Timezone-aware rollup: events keyed by their LOCAL wall-clock hour
     // (America/Chicago — the reference is a Nashville service; IANA
     // rules, DST-correct). from_utc_timestamp shifts inside the
@@ -337,6 +363,24 @@ object TrendQ {
         |   OR (o_orderdate = TIMESTAMP '1998-06-15 00:00:00'
         |       AND o_orderkey > 1000)
         |ORDER BY o_orderdate, o_orderkey LIMIT 10""".stripMargin,
+
+    "q120_distribution_drift" ->
+      """WITH mid AS (
+        | SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        | FROM events),
+        |c AS (
+        | SELECT event_type,
+        |  sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM mid)
+        |      THEN 1 ELSE 0 END) AS n1,
+        |  sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM mid)
+        |      THEN 0 ELSE 1 END) AS n2
+        | FROM events GROUP BY event_type),
+        |t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM c)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+        | CAST(n2 AS BIGINT) AS n2,
+        | round(abs(CAST(n1 AS DOUBLE) / (SELECT t1 FROM t)
+        |   - CAST(n2 AS DOUBLE) / (SELECT t2 FROM t)), 6) AS abs_diff
+        |FROM c ORDER BY event_type""".stripMargin,
 
     "q117_local_hour_rollup" ->
       """SELECT hour(timezone('America/Chicago', timezone('UTC', ts)))
