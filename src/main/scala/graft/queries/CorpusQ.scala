@@ -387,6 +387,24 @@ object CorpusQ {
         .orderBy("doc_id")
     }),
 
+    // Embedding-column profiling: the vector-data quality report run
+    // before any similarity work — dimension consistency, zero-vector
+    // count, and the L2-norm distribution (exact median/p95). Per-row
+    // norms are sequential left-to-right folds (deterministic in both
+    // engines); the percentiles are the only shuffle.
+    "q121_embedding_profile" -> ((s, dir) => {
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0d),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+      t(s, dir, "embeddings")
+        .select(size(col("embedding")).as("dim"), norm.as("l2"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("dim")).cast("long").as("n_dims"),
+          min(col("dim")).cast("long").as("dim"),
+          sum(when(col("l2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          round(percentile(col("l2"), lit(0.5)), 4).as("norm_p50"),
+          round(percentile(col("l2"), lit(0.95)), 4).as("norm_p95"))
+    }),
+
     // The SQL surface end-to-end: a query written entirely in
     // spark.sql(...) against temp views, exercising the functions the
     // engine injects into the session registry (shingles, cosine_sim —
@@ -665,6 +683,21 @@ object CorpusQ {
         |SELECT b_id AS doc_id, count(*) AS n_dups, max(j) AS best_j
         |FROM p WHERE j >= 0.5
         |GROUP BY b_id ORDER BY doc_id""".stripMargin,
+
+    "q121_embedding_profile" ->
+      """WITH v AS (
+        | SELECT len(embedding) AS dim,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS l2
+        | FROM embeddings)
+        |SELECT count(*) AS n_vecs,
+        | CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+        | CAST(min(dim) AS BIGINT) AS dim,
+        | CAST(sum(CASE WHEN l2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_zero,
+        | round(quantile_cont(l2, 0.5), 4) AS norm_p50,
+        | round(quantile_cont(l2, 0.95), 4) AS norm_p95
+        |FROM v""".stripMargin,
 
     "q114_sql_surface" ->
       """SELECT d.doc_id,
