@@ -115,6 +115,31 @@ class CorpusQSpec extends SparkSpec {
     }
   }
 
+  test("shingle/winnow guard equivalences hold on random + edge inputs") {
+    // the invariants ShingleFilterSimplify rewrites on:
+    //   size(shingles(toks,k)) > 0  ⟺  size(toks) >= k
+    //   isnotnull(shingles(toks,k)) ⟺  isnotnull(toks)   (same for winnow)
+    import graft.functions.{ShinglesExpr, WinnowExpr}
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "cc", "ddd"))
+    val arrays = samples(gen, 80) ++ Seq(Nil, List("x"), List("x", "y"))
+    val df = arrays.map(a => Tuple1(a)).toDF("toks")
+      .union(Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("toks"))
+    val rows = df.select(
+      (size(ShinglesExpr.shingles(col("toks"), 3)) > 0).as("sg"),
+      (size(col("toks")) >= 3).as("tg"),
+      ShinglesExpr.shingles(col("toks"), 3).isNotNull.as("sn"),
+      col("toks").isNotNull.as("tn"),
+      (size(WinnowExpr.winnow(col("toks"), 3, 4)) > 0).as("wg"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getBoolean(0) == r.getBoolean(1)), r)
+      assert(r.getBoolean(2) == r.getBoolean(3), r)
+      assert(r.isNullAt(4) == r.isNullAt(1) &&
+        (r.isNullAt(4) || r.getBoolean(4) == r.getBoolean(1)), r)
+    }
+  }
+
   test("bpe pair counts match a hand computation") {
     val df = Seq("aa ab aa", "ab ba").toDF("text")
       .withColumn("doc_id", lit(1L))
