@@ -196,6 +196,46 @@ object TrendQ {
         .limit(10)
     }),
 
+    // Order→ship latency distribution per priority: exact integer day
+    // deltas (datediff — no float anywhere), exact percentiles. The
+    // operational latency-SLO report; one broadcast-joined fact pass +
+    // a per-priority percentile.
+    "q122_ship_latency" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).as("lat"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          min(col("lat")).cast("long").as("min_days"),
+          round(percentile(col("lat"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("lat"), lit(0.95)), 4).as("p95"),
+          max(col("lat")).cast("long").as("max_days"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Referential-integrity audit: orphan counts per foreign-key
+    // relation, with a simulated parent loss (customers with key%7=0
+    // treated as purged) so the audit exercises real violations. Each
+    // relation is one anti-join — broadcast when the parent key set is
+    // small, shuffle otherwise; counts only, nothing wide moves.
+    "q123_fk_audit" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val liOrph = t(s, dir, "lineitem").select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val custOk = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 =!= 0).select(col("c_custkey"))
+      val ordOrph = orders.select(col("o_custkey"))
+        .join(custOk, col("o_custkey") === col("c_custkey"), "left_anti")
+      liOrph.agg(lit("lineitem->orders").as("relation"),
+          count(lit(1)).as("n_orphans"))
+        .union(ordOrph.agg(lit("orders->customer(purged)").as("relation"),
+          count(lit(1)).as("n_orphans")))
+        .orderBy("relation")
+    }),
+
     // Distribution drift: total-variation distance between the
     // event-type mix of the first and second halves of the stream — the
     // monitoring check that catches a pipeline silently changing its
@@ -363,6 +403,30 @@ object TrendQ {
         |   OR (o_orderdate = TIMESTAMP '1998-06-15 00:00:00'
         |       AND o_orderkey > 1000)
         |ORDER BY o_orderdate, o_orderkey LIMIT 10""".stripMargin,
+
+    "q122_ship_latency" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(min(lat) AS BIGINT) AS min_days,
+        | round(quantile_cont(lat, 0.5), 4) AS p50,
+        | round(quantile_cont(lat, 0.95), 4) AS p95,
+        | CAST(max(lat) AS BIGINT) AS max_days
+        |FROM (
+        | SELECT o.o_orderpriority,
+        |  datediff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)) AS lat
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q123_fk_audit" ->
+      """SELECT 'lineitem->orders' AS relation, count(*) AS n_orphans
+        |FROM lineitem WHERE l_orderkey NOT IN
+        | (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+        |UNION ALL
+        |SELECT 'orders->customer(purged)', count(*)
+        |FROM orders WHERE o_custkey NOT IN
+        | (SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 7 <> 0 AND c_custkey IS NOT NULL)
+        |ORDER BY relation""".stripMargin,
 
     "q120_distribution_drift" ->
       """WITH mid AS (
