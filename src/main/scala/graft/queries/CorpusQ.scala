@@ -387,6 +387,26 @@ object CorpusQ {
         .orderBy("doc_id")
     }),
 
+    // Character histogram over the corpus: byte/char frequency is the
+    // first look at encoding health and tokenizer design (alphabet
+    // size, whitespace share). Explode-to-char is heavy per row, so the
+    // per-(char) combine is map-side partial and only ≤|alphabet|
+    // partials shuffle.
+    "q126_char_histogram" -> ((s, dir) => {
+      val total = Window.partitionBy()
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), "")).as("ch"))
+        // Spark's split(-1 limit) keeps a trailing "" element per row;
+        // real chars only on both engine sides
+        .filter(length(col("ch")) === 1)
+        .groupBy("ch").agg(count(lit(1)).as("n"))
+        .select(col("ch"), col("n"),
+          round(col("n").cast("double") / sum(col("n")).over(total), 6)
+            .as("share"))
+        .orderBy(desc("n"), asc("ch"))
+        .limit(20)
+    }),
+
     // Embedding-column profiling: the vector-data quality report run
     // before any similarity work — dimension consistency, zero-vector
     // count, and the L2-norm distribution (exact median/p95). Per-row
@@ -683,6 +703,15 @@ object CorpusQ {
         |SELECT b_id AS doc_id, count(*) AS n_dups, max(j) AS best_j
         |FROM p WHERE j >= 0.5
         |GROUP BY b_id ORDER BY doc_id""".stripMargin,
+
+    "q126_char_histogram" ->
+      """WITH c AS (
+        | SELECT ch, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, '')) AS ch FROM documents)
+        | WHERE length(ch) = 1 GROUP BY ch)
+        |SELECT ch, n,
+        | round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM c), 6) AS share
+        |FROM c ORDER BY n DESC, ch LIMIT 20""".stripMargin,
 
     "q121_embedding_profile" ->
       """WITH v AS (

@@ -236,6 +236,54 @@ object TrendQ {
         .orderBy("relation")
     }),
 
+    // Rollup re-aggregation: build DAILY partials once, then derive the
+    // monthly report from the partials — the lakehouse pattern where
+    // month-level queries never rescan raw data. Counts/sums re-aggregate
+    // losslessly; the mean is derived at read time (sum/count), never
+    // averaged-of-averages. DECIMAL partials keep the merge exact.
+    "q124_rollup_merge" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(38, 6))).as("rev"))
+      daily
+        .groupBy(date_trunc("month", col("day")).as("month"))
+        .agg(sum(col("n")).as("n_orders"),
+          round(sum(col("rev")).cast("double"), 4).as("revenue"),
+          // money ÷ count lands exactly on half-way rounding boundaries
+          // (cents are finite decimals), where engines' double rounding
+          // disagrees — so the derived mean is exact integer
+          // micro-units via floor division, never a rounded double
+          (sum(col("rev")) * 1000000).cast("long")
+            .as("rev_micro"))
+        .withColumn("avg_price_micro",
+          expr("rev_micro DIV n_orders"))
+        .select(col("month"), col("n_orders"), col("revenue"),
+          col("avg_price_micro"))
+        .orderBy("month")
+    }),
+
+    // Value streaks (gaps-and-islands): each user's longest run of the
+    // same consecutive event_type. Two window ranks over the same
+    // (user, time) partitioning — their difference is constant within a
+    // run — then one grouped max. All ranks partition by user: parallel,
+    // never global.
+    "q127_event_streaks" -> ((s, dir) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byTypeTime = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          (row_number().over(byTime) - row_number().over(byTypeTime))
+            .as("island"))
+        .groupBy("user_id", "event_type", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("max_streak"))
+        .orderBy("user_id")
+    }),
+
     // Distribution drift: total-variation distance between the
     // event-type mix of the first and second halves of the stream — the
     // monitoring check that catches a pipeline silently changing its
@@ -427,6 +475,32 @@ object TrendQ {
         | (SELECT c_custkey FROM customer
         |  WHERE c_custkey % 7 <> 0 AND c_custkey IS NOT NULL)
         |ORDER BY relation""".stripMargin,
+
+    "q124_rollup_merge" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+        | FROM orders GROUP BY 1)
+        |SELECT date_trunc('month', day) AS month,
+        | CAST(sum(n) AS BIGINT) AS n_orders,
+        | round(CAST(sum(rev) AS DOUBLE), 4) AS revenue,
+        | CAST(CAST(sum(rev) * 1000000 AS BIGINT) // CAST(sum(n) AS BIGINT)
+        |   AS BIGINT) AS avg_price_micro
+        |FROM daily GROUP BY month ORDER BY month""".stripMargin,
+
+    "q127_event_streaks" ->
+      """WITH i AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)
+        |  - row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS island
+        | FROM events),
+        |runs AS (
+        | SELECT user_id, count(*) AS len FROM i
+        | GROUP BY user_id, event_type, island)
+        |SELECT user_id, max(len) AS max_streak FROM runs
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q120_distribution_drift" ->
       """WITH mid AS (
