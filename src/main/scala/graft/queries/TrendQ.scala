@@ -263,6 +263,34 @@ object TrendQ {
         .orderBy("month")
     }),
 
+    // Session bounce rate: sessionize (30-min inactivity gap, the q29
+    // machinery), then classify each session by its ENTRY event type and
+    // report the share that bounced (single-event sessions). Two
+    // windows, both partitioned by user; the per-session reduce and the
+    // final per-entry-type rollup are ordinary partial aggregates.
+    "q125_bounce_rate" -> ((s, dir) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = t(s, dir, "events")
+        .withColumn("gap", unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(byTime))
+        .withColumn("new_s",
+          when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(byTime))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("entry_type"))
+        .groupBy("entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .as("n_bounces"))
+        .withColumn("bounce_rate",
+          round(col("n_bounces").cast("double") / col("n_sessions"), 4))
+        .orderBy("entry_type")
+    }),
+
     // Value streaks (gaps-and-islands): each user's longest run of the
     // same consecutive event_type. Two window ranks over the same
     // (user, time) partitioning — their difference is constant within a
@@ -487,6 +515,30 @@ object TrendQ {
         | CAST(CAST(sum(rev) * 1000000 AS BIGINT) // CAST(sum(n) AS BIGINT)
         |   AS BIGINT) AS avg_price_micro
         |FROM daily GROUP BY month ORDER BY month""".stripMargin,
+
+    "q125_bounce_rate" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+        | FROM events WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000
+        |     THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND CURRENT ROW) AS session_id
+        | FROM g),
+        |per AS (
+        | SELECT user_id, session_id, count(*) AS n_events,
+        |  min(struct_pack(ts := ts, event_id := event_id,
+        |    event_type := event_type)).event_type AS entry_type
+        | FROM s GROUP BY user_id, session_id)
+        |SELECT entry_type, count(*) AS n_sessions,
+        | CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bounces,
+        | round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |     AS DOUBLE) / count(*), 4) AS bounce_rate
+        |FROM per GROUP BY entry_type ORDER BY entry_type""".stripMargin,
 
     "q127_event_streaks" ->
       """WITH i AS (
