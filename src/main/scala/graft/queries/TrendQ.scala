@@ -312,6 +312,67 @@ object TrendQ {
         .orderBy("user_id")
     }),
 
+    // Market-basket pair mining: co-occurring part pairs within an
+    // order. The self-join is keyed on the order — pair fan-out is
+    // bounded by basket size (≤ lines-per-order), never corpus-quadratic
+    // — and pair counts partial-aggregate map-side. Top 20 by support
+    // with a deterministic tiebreak.
+    "q128_basket_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(desc("support"), asc("p1"), asc("p2"))
+        .limit(20)
+    }),
+
+    // Ratio-to-parent: each nation's share of its region's revenue —
+    // the hierarchy-percentage OLAP pattern. One fact aggregate at the
+    // leaf level; the parent total is a window over the (tiny) nation
+    // rollup, not a second scan of the fact table.
+    "q129_share_of_region" -> ((s, dir) => {
+      val byNation = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        // keep the DECIMAL until after the parent window-sum: a window
+        // sum of doubles is partition-order-dependent
+        .agg(sum(col("o_totalprice").cast(DecimalType(38, 6))).as("rev"))
+      val wr = Window.partitionBy(col("region"))
+      byNation
+        .select(col("region"), col("nation"),
+          round(col("rev").cast("double"), 4).as("revenue"),
+          round(col("rev").cast("double")
+            / sum(col("rev")).over(wr).cast("double"), 6)
+            .as("share_of_region"))
+        .orderBy("region", "nation")
+    }),
+
+    // rank() with ties kept: every supplier tied for the most line
+    // items in its nation — where row_number would arbitrarily keep
+    // one, rank keeps the whole tie group (and is deterministic
+    // BECAUSE it keeps it).
+    "q130_rank_ties" -> ((s, dir) => {
+      val counts = t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(count(lit(1)).as("n_items"))
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(desc("n_items"))
+      counts.withColumn("rk", rank().over(w))
+        .filter(col("rk") === 1)
+        .select(col("s_nationkey"), col("s_suppkey"), col("n_items"))
+        .orderBy("s_nationkey", "s_suppkey")
+    }),
+
     // Distribution drift: total-variation distance between the
     // event-type mix of the first and second halves of the stream — the
     // monitoring check that catches a pipeline silently changing its
@@ -503,6 +564,40 @@ object TrendQ {
         | (SELECT c_custkey FROM customer
         |  WHERE c_custkey % 7 <> 0 AND c_custkey IS NOT NULL)
         |ORDER BY relation""".stripMargin,
+
+    "q128_basket_pairs" ->
+      """WITH li AS (
+        | SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY p1, p2
+        |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    "q129_share_of_region" ->
+      """WITH n AS (
+        | SELECT r.r_name AS region, n.n_name AS nation,
+        |  sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS rev
+        | FROM orders o
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT region, nation,
+        | round(CAST(rev AS DOUBLE), 4) AS revenue,
+        | round(CAST(rev AS DOUBLE)
+        |   / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+        |   AS share_of_region
+        |FROM n ORDER BY region, nation""".stripMargin,
+
+    "q130_rank_ties" ->
+      """WITH c AS (
+        | SELECT s.s_nationkey, s.s_suppkey, count(*) AS n_items
+        | FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        | GROUP BY 1, 2)
+        |SELECT s_nationkey, s_suppkey, n_items FROM (
+        | SELECT *, rank() OVER (PARTITION BY s_nationkey
+        |   ORDER BY n_items DESC) AS rk FROM c)
+        |WHERE rk = 1 ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     "q124_rollup_merge" ->
       """WITH daily AS (
