@@ -19,12 +19,19 @@ import graft.pipeline.Etl
   * top of at-least-once task retries (R4). */
 object UploadStream {
 
+  /** `maxFilesPerTrigger` paces a large backfill: AvailableNow still
+    * drains EVERYTHING, but in bounded micro-batches instead of one
+    * giant batch — the knob that keeps a million-file catch-up from
+    * planning a single million-split scan. 0 = unbounded (default). */
   def start(spark: SparkSession, uploadsDir: String, silverDir: String,
       checkpointDir: String, refYear: Int = 2025,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val bronze = spark.readStream
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val reader = spark.readStream
       .schema(Schemas.rawEnvelope)
-      .json(uploadsDir)
+    val bronze = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else reader).json(uploadsDir)
 
     bronze.writeStream
       .option("checkpointLocation", checkpointDir)

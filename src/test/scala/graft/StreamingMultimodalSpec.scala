@@ -208,6 +208,29 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("paced backfill: maxFilesPerTrigger drains in bounded micro-batches") {
+    val base = Files.createTempDirectory("graft_pace").toString
+    val up = s"$base/up"; Files.createDirectories(Paths.get(up))
+    // 4 one-record upload files
+    (1 to 4).foreach { i =>
+      Files.writeString(Paths.get(s"$up/f$i.jsonl"),
+        s"""{"id": $i, "source_spider": "yelp", "raw_json": "{\\"name\\": \\"Ev $i\\", \\"url\\": \\"http://x/$i\\"}"}""")
+    }
+    var batches = 0
+    val q = spark.readStream.schema(graft.model.Schemas.rawEnvelope)
+      .option("maxFilesPerTrigger", 1).json(up)
+      .writeStream
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1; b.count(); ()
+      }
+      .start()
+    q.awaitTermination()
+    // AvailableNow + 1 file per trigger: everything drains, in 4 batches
+    assert(batches == 4, s"expected 4 paced micro-batches, got $batches")
+  }
+
   test("streaming sliding windows: each event covers 4 hops, closed by watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
