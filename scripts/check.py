@@ -33,7 +33,27 @@ for qname in sorted(os.listdir(out_dir)):
     if qname not in oracle:
         print(f"{qname:24s} NO-ORACLE rows={len(got)}")
         continue
-    exp = con.execute(oracle[qname]).df()
+    rel = con.sql(oracle[qname])
+    # The driver's hasher distinguishes integer representations: a DuckDB
+    # HUGEINT (uncast sum()/list_sum()/window sum) or INTEGER (bare CASE /
+    # literal) column hash-mismatches Spark's BIGINT even when every value
+    # is equal — and pandas comparison below (check_dtype=False) cannot
+    # see it. Fail on any integer-class drift between the oracle's native
+    # types and the Spark parquet schema BEFORE the value diff.
+    INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+    otypes = dict(zip(rel.columns, [str(t).upper() for t in rel.types]))
+    stypes = {r[0]: str(r[1]).upper() for r in con.execute(
+        f"DESCRIBE SELECT * FROM '{qdir}/*.parquet'").fetchall()}
+    drift = [(c, stypes.get(c), otypes.get(c))
+             for c in sorted(set(stypes) | set(otypes))
+             if (stypes.get(c) in INT_TYPES or otypes.get(c) in INT_TYPES)
+             and stypes.get(c) != otypes.get(c)]
+    exp = rel.df()
+    if drift:
+        print(f"{qname:24s} FAIL types (spark vs oracle): {drift}")
+        fails += 1
+        continue
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
         for c in df.columns:

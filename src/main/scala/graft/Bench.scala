@@ -62,10 +62,12 @@ object Bench {
       // release everything the warm-up pinned (checkpointed edge sets,
       // persisted partials) so the timed phase doesn't inherit its heap:
       // leftover blocks were the main source of ±20% run-to-run noise
-      // (full GCs landing on arbitrary queries)
-      graft.queries.ScaleQ.resetSharedEdges()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // (full GCs landing on arbitrary queries). Resets go through the
+      // SessionCaches registry — every cross-query cache registers there
+      // — rather than blanket-unpersisting the context's RDDs, which
+      // would free checkpoint blocks still referenced by a cache this
+      // file doesn't know about and crash the timed phase.
+      graft.SessionCaches.resetAll()
       System.gc()
     }
     val results = selected.map { case (name, fn) =>

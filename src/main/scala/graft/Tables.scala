@@ -34,4 +34,16 @@ object Tables {
     * Documents in the testdata are single-space separated, so a plain split
     * matches DuckDB's string_split(lower(text), ' ') exactly. */
   def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Exact integer division (Spark SQL's `DIV`, DuckDB's `//`) as a Column
+    * op — the Scala functions API has no integral divide, and `floor(a/b)`
+    * routes through doubles (inexact past 2^53). Codegen'd builtin, not a
+    * UDF; the backbone of the repo's integer micro-unit discipline (means,
+    * basis points, deciles) where a rounded double would be engine- or
+    * order-dependent. */
+  def ldiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.col(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftglue.ColumnGlue.expr(a),
+        org.apache.spark.sql.graftglue.ColumnGlue.expr(b)))
 }

@@ -155,11 +155,22 @@ object SimilarityOps {
     // column (at most maxBroadcastRows+1 rows, clamped against Int
     // overflow); callers whose `vectors` is an expensive computed plan
     // should cache it first, since the probe re-evaluates it.
-    val cap = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
-    val probe = vectors.select(col(idCol)).limit(cap).count()
-    require(probe <= maxBroadcastRows,
+    require(boundedCount(vectors, idCol, maxBroadcastRows) <= maxBroadcastRows,
       s"exactCosinePairs would broadcast > $maxBroadcastRows vectors; " +
         "use annSelfJoin (LSH-bucketed) for corpora this size")
+    exactPairsNoGuard(vectors, idCol, vecCol, minSim)
+  }
+
+  /** One bounded job over the pruned id column: counts at most cap+1
+    * rows, so the dispatch/guard probe stays O(cap) at any corpus size. */
+  private def boundedCount(vectors: DataFrame, idCol: String,
+      cap: Long): Long = {
+    val lim = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    vectors.select(col(idCol)).limit(lim).count()
+  }
+
+  private def exactPairsNoGuard(vectors: DataFrame, idCol: String,
+      vecCol: String, minSim: Double): DataFrame = {
     val a = Partitioning.ensureParallel(
       vectors.select(col(idCol).as("a_id"), col(vecCol).as("av")))
     val b = broadcast(
@@ -169,6 +180,22 @@ object SimilarityOps {
       .filter(col("cos_sim") >= minSim)
       .select("a_id", "b_id", "cos_sim")
   }
+
+  /** Size-dispatched near-dup front door: the O(n²) exact all-pairs while
+    * the corpus is small enough to broadcast (deterministic, oracle-
+    * checkable), the banded-LSH annSelfJoin beyond that (sub-quadratic;
+    * approximate by construction — each vector keeps its k best bucket-
+    * mates at ≥ minSim, emitted in both directions). One bounded count
+    * picks the plan, so no caller ever ships the unconditional broadcast
+    * theta-join to a corpus that can't take it. */
+  def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minSim: Double, exactMaxRows: Long = 1000000L,
+      k: Int = 5, planesPerBand: Int = 6, bands: Int = 32): DataFrame =
+    if (boundedCount(vectors, idCol, exactMaxRows) <= exactMaxRows)
+      exactPairsNoGuard(vectors, idCol, vecCol, minSim)
+    else
+      annSelfJoin(vectors, idCol, vecCol, dim, k, planesPerBand, bands)
+        .filter(col("cos_sim") >= minSim)
 
   /** All-pairs top-k neighbor join via banded multi-table LSH (each vector
     * keeps its k nearest among its bucket-mates) — the scalable

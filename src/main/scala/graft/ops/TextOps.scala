@@ -95,6 +95,21 @@ object TextOps {
     round(least(lit(1.0), size(toks) / lit(100.0))
       * (lit(1.0) - countIn(toks, stopwords).cast("double") / size(toks)), 4)
 
+  /** The same composite quality as [[qualityScore]] but in EXACT integer
+    * basis points (0..10000), floor-rounded. The score is rational —
+    * min(1, n/100)·(n−stop)/n equals (n−stop)·100 when n ≤ 100 and
+    * (n−stop)·10000/n otherwise — so integer arithmetic computes it with
+    * no doubles anywhere: no .5·10⁻⁴ rounding boundaries, no dependence on
+    * an engine's round() tie-breaking (the q124 micro-unit lesson applied
+    * to quality gating). Use this form wherever the score feeds a
+    * threshold or a cross-engine-checked aggregate. */
+  def qualityBp(toks: Column): Column = {
+    val n = size(toks).cast("long")
+    val content = n - countIn(toks, stopwords)
+    when(n <= 100, content * lit(100L))
+      .otherwise(graft.Tables.ldiv(content * lit(10000L), n))
+  }
+
   /** Language marker words. Chosen from common function words; scoring is a
     * deterministic n-gram-free heuristic: count marker hits per language. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

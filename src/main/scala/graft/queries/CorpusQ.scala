@@ -75,7 +75,10 @@ object CorpusQ {
     }),
 
     // Intra-document repetition signals (the Gopher repetition family):
-    // duplicate-token fraction and most-frequent-token fraction. The
+    // duplicate-token fraction and most-frequent-token fraction, in exact
+    // integer basis points — n_words=32 puts frac·10⁴ exactly on .5
+    // rounding boundaries, so a rounded double here is one engine
+    // version's tie-break away from a mismatch (the q124 lesson). The
     // token histogram is a partial-aggregated explode→count — at 100 TB
     // the per-(doc, word) combine happens map-side and only per-doc
     // partials shuffle.
@@ -89,10 +92,9 @@ object CorpusQ {
           count(lit(1)).as("n_distinct"),
           max(col("c")).as("top_c"))
         .select(col("doc_id"), col("n_words"),
-          round(lit(1.0) - col("n_distinct").cast("double") /
-            col("n_words"), 4).as("dup_frac"),
-          round(col("top_c").cast("double") / col("n_words"), 4)
-            .as("top_frac"))
+          ldiv((col("n_words") - col("n_distinct")) * lit(10000L),
+            col("n_words")).as("dup_bp"),
+          ldiv(col("top_c") * lit(10000L), col("n_words")).as("top_bp"))
         .orderBy("doc_id")
     }),
 
@@ -236,9 +238,16 @@ object CorpusQ {
       val r = d.groupBy("lang").agg(count(lit(1)).as("r"))
       val c = d.groupBy("source").agg(count(lit(1)).as("c"))
       val nDf = d.agg(count(lit(1)).as("n"))
+      // counts are cast to DECIMAL *before* multiplying: o·N and r·c in
+      // long arithmetic would wrap silently past ~9.2e18 (n ≳ 3e9 docs),
+      // while decimal products stay exact to 38 digits on both engines
+      // (and overflow loudly, not wrap, beyond — same failure mode as the
+      // DuckDB oracle). |o·N − r·c| < N² must fit DECIMAL(19,0): exact
+      // up to ~3e9 docs, the realistic corpus-count ceiling.
       val dec = DecimalType(19, 0)
-      val num = (col("o") * col("n") - col("r") * col("c")).cast(dec)
-      val den = (col("n") * col("r")).cast(dec) * col("c")
+      val num = (col("o").cast(dec) * col("n")
+        - col("r").cast(dec) * col("c")).cast(dec)
+      val den = col("n").cast(dec) * col("r") * col("c")
       o.join(broadcast(r), "lang")
         .join(broadcast(c), "source")
         .crossJoin(broadcast(nDf))
@@ -322,7 +331,8 @@ object CorpusQ {
         .withColumn("rep", lit(1L))
       docs.join(repeats, Seq("doc_id"), "left")
         .crossJoin(broadcast(mx))
-        .select(least(floor(col("doc_id") * 10 / (col("mx") + 1)),
+        // integer DIV matches the oracle's `//` exactly past 2^53 too
+        .select(least(ldiv(col("doc_id") * 10, col("mx") + 1),
           lit(9L)).as("decile"),
           coalesce(col("rep"), lit(0L)).as("rep"))
         .groupBy("decile")
@@ -371,7 +381,7 @@ object CorpusQ {
         .select(col("doc_id"), size(col("shs")).as("sz"),
           explode(col("shs")).as("tok"))
         .crossJoin(broadcast(mx))
-        .withColumn("thr", floor(col("m") * 9 / 10))
+        .withColumn("thr", ldiv(col("m") * 9, lit(10L)))
       val oldP = posts.filter(col("doc_id") < col("thr"))
         .select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("tok"))
       val newP = posts.filter(col("doc_id") >= col("thr"))
@@ -488,9 +498,9 @@ object CorpusQ {
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
         |  FROM documents)
         | GROUP BY doc_id, w)
-        |SELECT doc_id, sum(c) AS n_words,
-        | round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_frac,
-        | round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        | CAST((sum(c) - count(*)) * 10000 // sum(c) AS BIGINT) AS dup_bp,
+        | CAST(max(c) * 10000 // sum(c) AS BIGINT) AS top_bp
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q99_sliding_window" ->
@@ -565,7 +575,7 @@ object CorpusQ {
         | SELECT unnest(list_transform(range(1, length(w)),
         |   i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, wc
         | FROM v)
-        |SELECT pair, sum(wc) AS n FROM p
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
 
     "q103_inverted_index" ->
@@ -588,9 +598,12 @@ object CorpusQ {
         |nn AS (SELECT count(*) AS n FROM documents),
         |t AS (
         | SELECT o.lang, o.o,
-        |  CAST(CAST(o.o * nn.n - r.r * c.c AS DECIMAL(19,0))
-        |     * CAST(o.o * nn.n - r.r * c.c AS DECIMAL(19,0)) AS DOUBLE)
-        |   / CAST(CAST(nn.n * r.r AS DECIMAL(19,0)) * c.c AS DOUBLE)
+        |  CAST(CAST(CAST(o.o AS DECIMAL(19,0)) * nn.n
+        |       - CAST(r.r AS DECIMAL(19,0)) * c.c AS DECIMAL(19,0))
+        |     * CAST(CAST(o.o AS DECIMAL(19,0)) * nn.n
+        |       - CAST(r.r AS DECIMAL(19,0)) * c.c AS DECIMAL(19,0))
+        |     AS DOUBLE)
+        |   / CAST(CAST(nn.n AS DECIMAL(19,0)) * r.r * c.c AS DOUBLE)
         |   AS term
         | FROM o JOIN r USING (lang) JOIN c USING (source), nn)
         |SELECT lang, CAST(sum(o) AS BIGINT) AS n_docs,
@@ -610,17 +623,18 @@ object CorpusQ {
         |  text, length(text) AS len
         | FROM documents)
         |SELECT media_id, kind, CAST(len AS BIGINT) AS n_bytes,
-        | list_sum(list_transform(range(0, 64),
+        | CAST(list_sum(list_transform(range(0, 64),
         |   i -> ord(substr(text, CAST(i * len // 64 AS INTEGER) + 1, 1))))
-        |   AS resize_sum,
-        | CASE WHEN kind = 'video' THEN 4 ELSE 0 END AS n_frames,
-        | CASE WHEN kind = 'video' THEN
+        |   AS BIGINT) AS resize_sum,
+        | CAST(CASE WHEN kind = 'video' THEN 4 ELSE 0 END AS BIGINT)
+        |   AS n_frames,
+        | CAST(CASE WHEN kind = 'video' THEN
         |  list_sum(list_transform(range(0, 4), f ->
         |   list_sum(list_transform(
         |     range(CAST(f * len // 4 AS INTEGER) + 1,
         |           least(CAST(f * len // 4 AS INTEGER) + 32, len) + 1),
         |     i -> ord(substr(text, CAST(i AS INTEGER), 1))))))
-        | END AS frames_sum
+        | END AS BIGINT) AS frames_sum
         |FROM m ORDER BY media_id""".stripMargin,
 
     "q111_dataset_split" ->
@@ -632,7 +646,8 @@ object CorpusQ {
         |        THEN 'val'
         |       ELSE 'test' END AS split
         | FROM documents)
-        |SELECT split, count(*) AS n_docs, sum(doc_id) AS id_checksum
+        |SELECT split, count(*) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     // quadratic shingle-pair oracle (same family as q16/q56): exact at

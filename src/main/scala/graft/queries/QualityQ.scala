@@ -39,7 +39,11 @@ object QualityQ {
     // stats. One scan computes every per-doc feature; the dedup is one
     // fp-keyed aggregate + an equi-join back (no window over the corpus);
     // the final rollup is partial-aggregated. Deterministic end-to-end,
-    // so the whole multi-operator pipeline is oracle-checkable.
+    // so the whole multi-operator pipeline is oracle-checkable. Quality
+    // rides in exact integer basis points (TextOps.qualityBp) so neither
+    // the ≥0.30 gate nor the per-language average ever touches a rounded
+    // double — the score, threshold and mean are integer-exact in every
+    // engine at every SF.
     "q87_corpus_pipeline" -> ((s, dir) => {
       // tokenize ONCE into a materialized column — every downstream
       // feature (length, quality, 25 language-marker counts) reads the
@@ -50,16 +54,16 @@ object QualityQ {
         .select(
           col("doc_id"),
           size(tk).cast("long").as("n_tokens"),
-          TextOps.qualityScore(tk).as("quality"),
+          TextOps.qualityBp(tk).as("quality_bp"),
           TextOps.langPredict(TextOps.langScores(tk)).as("pred_lang"),
           TextOps.docFingerprint(col("text")).as("fp"))
-      val kept = d.filter(col("quality") >= 0.3 && col("n_tokens") >= 5)
+      val kept = d.filter(col("quality_bp") >= 3000 && col("n_tokens") >= 5)
       val firstPerFp = kept.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       kept.join(firstPerFp, Seq("fp", "doc_id"))
         .groupBy("pred_lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          round(davg(col("quality"), 4), 4).as("avg_quality"))
+          ldiv(sum(col("quality_bp")), count(lit(1))).as("avg_quality_bp"))
         .orderBy("pred_lang")
     }),
 
@@ -138,23 +142,27 @@ object QualityQ {
       s"""WITH feat AS (
          | SELECT doc_id,
          |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-         |  round(least(1.0, len(string_split(lower(text), ' ')) / 100.0)
-         |   * (1.0 - CAST(len(list_filter(string_split(lower(text), ' '),
-         |       x -> x IN ('the','a','an','of','to','and','in','is','on','for'))) AS DOUBLE)
-         |     / len(string_split(lower(text), ' '))), 4) AS quality,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |       x -> x IN ('the','a','an','of','to','and','in','is','on','for'))) AS BIGINT)
+         |    AS stop_hits,
          |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
          |  $langSelects
          | FROM documents),
+         |fq AS (
+         | SELECT *, CAST(CASE WHEN n_tokens <= 100
+         |    THEN (n_tokens - stop_hits) * 100
+         |    ELSE (n_tokens - stop_hits) * 10000 // n_tokens END AS BIGINT)
+         |   AS quality_bp
+         | FROM feat),
          |lp AS (
-         | SELECT *, ${TextQ.langPredSql} AS pred_lang FROM feat),
+         | SELECT *, ${TextQ.langPredSql} AS pred_lang FROM fq),
          |kept AS (
-         | SELECT * FROM lp WHERE quality >= 0.3 AND n_tokens >= 5),
+         | SELECT * FROM lp WHERE quality_bp >= 3000 AND n_tokens >= 5),
          |first AS (
          | SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
          |SELECT pred_lang, count(*) AS n_docs,
-         | sum(n_tokens) AS total_tokens,
-         | round(CAST(sum(CAST(quality AS DECIMAL(30,4))) AS DOUBLE)
-         |   / count(*), 4) AS avg_quality
+         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         | CAST(sum(quality_bp) // count(*) AS BIGINT) AS avg_quality_bp
          |FROM kept JOIN first USING (fp, doc_id)
          |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
     },

@@ -26,10 +26,13 @@ object ScaleQ {
     * lifetime (true for the bench/verify drivers). */
   private val sharedEdges =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // every cross-query cache registers with the central registry so
+  // Bench's phase transition can't silently miss (or corrupt) one
+  graft.SessionCaches.register(() => sharedEdges.clear())
 
   /** Drop all cached edge sets (the checkpoint blocks are reclaimed by
     * the context cleaner once unreferenced) — used by Bench between its
-    * warm-up and timed phases. */
+    * warm-up and timed phases via SessionCaches.resetAll(). */
   private[graft] def resetSharedEdges(): Unit = sharedEdges.clear()
 
   private[queries] def dedupEdges(s: SparkSession, dir: String): DataFrame = {

@@ -39,12 +39,14 @@ object SimQ {
         "embedding", q, "embedding", 25, cents, nprobe = 2)
     }),
 
-    // Embedding-cosine near-dup pairs: exact pairwise at this scale (the
-    // oracle-checkable baseline); annSelfJoin is the LSH-bucketed path
-    // for corpora where the cross join is impossible.
+    // Embedding-cosine near-dup front door: size-DISPATCHED — exact
+    // pairwise while the corpus fits a broadcast (the oracle-checkable
+    // path this gate exercises), the LSH-bucketed annSelfJoin beyond
+    // (q74 registers that path standalone; AnnContainmentSpec relates
+    // the two). No unconditional O(n²) plan is reachable from here.
     "q40_embedding_dups" -> ((s, dir) =>
-      SimilarityOps.exactCosinePairs(t(s, dir, "embeddings"),
-          "vec_id", "embedding", 0.4)
+      SimilarityOps.nearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 64, 0.4)
         .orderBy("a_id", "b_id")),
 
     // Sub-quadratic near-dup self-join: LSH-bucketed top-k neighbors per

@@ -92,7 +92,9 @@ object TrendQ {
           .shingles(TextOps.tokens(col("text")), 3)).as("w"))
         .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
       val perDecile = firsts.crossJoin(broadcast(mx))
-        .select(least(floor(col("first_doc") * 10 / (col("mx") + 1)),
+        // integer DIV, not floor(double /): matches the oracle's exact
+        // `//` semantics even past 2^53, where double division rounds
+        .select(least(ldiv(col("first_doc") * 10, col("mx") + 1),
           lit(9L)).as("decile"))
         .groupBy("decile").agg(count(lit(1)).as("new_words"))
       val w = Window.orderBy(col("decile"))
@@ -186,7 +188,10 @@ object TrendQ {
     // replaces it when pages go deep). Plan: PushedFilters on the
     // cursor + TakeOrderedAndProject, asserted in PlanSpec.
     "q119_keyset_page" -> ((s, dir) => {
-      val curD = lit(java.sql.Timestamp.valueOf("1998-06-15 00:00:00"))
+      // session-tz-governed literal (UTC is pinned): Timestamp.valueOf
+      // would parse in the JVM *default* zone and shift the cursor
+      // relative to the oracle's naive TIMESTAMP on any non-UTC host
+      val curD = to_timestamp(lit("1998-06-15 00:00:00"))
       val curK = lit(1000L)
       t(s, dir, "orders")
         .filter(col("o_orderdate") > curD ||
@@ -406,8 +411,10 @@ object TrendQ {
     // timezone math never forces a shuffle or a UDF.
     "q117_local_hour_rollup" -> ((s, dir) => {
       t(s, dir, "events")
+        // long, not Spark hour()'s int: DuckDB hour() is BIGINT and the
+        // gate pins the integer class on both sides
         .groupBy(hour(from_utc_timestamp(col("ts"), "America/Chicago"))
-          .as("local_hour"))
+          .cast("long").as("local_hour"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value").cast(DecimalType(38, 6))).cast("double"),
             4).as("sum_value"))
@@ -467,8 +474,9 @@ object TrendQ {
         | FROM f),
         |g AS (SELECT decile, count(*) AS new_words FROM d GROUP BY decile)
         |SELECT decile, new_words,
-        | sum(new_words) OVER (ORDER BY decile
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+        | CAST(sum(new_words) OVER (ORDER BY decile
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_vocab
         |FROM g ORDER BY decile""".stripMargin,
 
     "q110_user_journey" ->

@@ -247,6 +247,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ShingleFilterSimplify fired: rewritten token-count guard in plan") {
+    // the positive twin of the absence check above — the optimized plan
+    // must contain the rule's OUTPUT (size(rawTokens) >= k on the cheap
+    // token array), proving ShingleFilterSimplify actually rewrote the
+    // explode-inferred guard rather than the guard never being inferred
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Literal, Size}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val opt = SparkEntry.queries("q101_containment")(spark, dir)
+      .queryExecution.optimizedPlan
+    val rewritten = opt.collect { case f: Filter => f }.exists(
+      _.condition.exists {
+        case GreaterThanOrEqual(Size(c, _), Literal(k: Int, _)) =>
+          !c.isInstanceOf[graft.functions.ShinglesExpr] && k == 3
+        case _ => false
+      })
+    assert(rewritten, "ShingleFilterSimplify must rewrite the shingle " +
+      s"guard to size(tokens) >= 3:\n${opt.treeString.take(3000)}")
+  }
+
   test("keyset pagination pushes the cursor and plans top-k") {
     val p = planOf("q119_keyset_page")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

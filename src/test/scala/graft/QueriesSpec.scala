@@ -23,12 +23,28 @@ class QueriesSpec extends SparkSpec {
 
   test("rows-only queries are exactly the documented hash-family set") {
     // everything else MUST carry a DuckDB oracle — this pins the
-    // coverage claim so a new query can't silently ship unchecked
+    // coverage claim so a new query can't silently ship unchecked.
+    // Every rows-only query is an engine-specific SKETCH: its hash/bucket
+    // contents cannot be reproduced in DuckDB by construction, so each is
+    // PAIRED with a registered exact twin that IS oracle-checked (the
+    // semantics stay driver-verified; the sketch specs relate the two —
+    // DedupOpsSpec for candidate recall, AnnContainmentSpec for ANN
+    // containment of the exact pair set).
+    val pairing = Map(
+      "q17_minhash_lsh" -> "q16_jaccard_pairs", // same pairs, exact Jaccard
+      "q18_simhash" -> "q16_jaccard_pairs",
+      "q68_winnow_dups" -> "q16_jaccard_pairs",
+      "q25_ann_topk" -> "q19_cosine_topk", // exact brute-force top-k
+      "q44_ivf_ann" -> "q19_cosine_topk",
+      "q74_ann_self_join" -> "q40_embedding_dups", // exact pair set
+      "q35_approx_distinct" -> "q34_distinct_exact") // HLL vs exact count
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q17_minhash_lsh", "q18_simhash", "q25_ann_topk",
-      "q35_approx_distinct", "q44_ivf_ann", "q68_winnow_dups",
-      "q74_ann_self_join"),
-      s"undocumented rows-only queries: $rowsOnly")
+    assert(rowsOnly == pairing.keySet,
+      s"undocumented rows-only queries: ${rowsOnly -- pairing.keySet} " +
+        s"or stale pairing: ${pairing.keySet -- rowsOnly}")
+    pairing.values.toSet[String].foreach(twin =>
+      assert(SparkEntry.oracleSql.contains(twin),
+        s"exact twin $twin must stay oracle-checked"))
   }
 
   test("oracle column names match spark result columns") {
