@@ -106,6 +106,38 @@ object BinaryOps {
       }
   }
 
+  final case class WindowEnergy(media_id: Long, window_idx: Int,
+      n_samples: Int, energy: Long)
+
+  /** Windowed energy profile for audio blobs: 1 row in → `nWindows` rows
+    * out (flatMap), energy = Σ sample² over each window with the unsigned
+    * bytes standing in for PCM samples — exact integer arithmetic, so the
+    * profile is oracle-checkable end-to-end. A real decoder (bytes →
+    * PCM frames) swaps in behind the same 1→N shape without touching the
+    * plumbing, exactly like [[sampleFrames]] for video. */
+  def windowEnergy(media: DataFrame, nWindows: Int): Dataset[WindowEnergy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes.isEmpty) Iterator.empty
+        else (0 until nWindows).iterator.map { w =>
+          val start = (w.toLong * bytes.length / nWindows).toInt
+          val end = ((w + 1).toLong * bytes.length / nWindows).toInt
+          var e = 0L
+          var i = start
+          while (i < end) {
+            val v = (bytes(i) & 0xFF).toLong
+            e += v * v
+            i += 1
+          }
+          WindowEnergy(id, w, end - start, e)
+        }
+      }
+  }
+
   /** Decode + feature-extract via mapPartitions: one decoder instance per
     * partition (not per row), rows streamed — the batch shape that holds
     * when `content` is megabytes and partitions are thousands of rows. */

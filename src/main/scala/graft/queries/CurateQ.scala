@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-5 corpus-curation additions. Everything here follows the repo's
+  * exactness discipline — ratios in integer basis points via integral
+  * DIV (never a rounded double), counts BIGINT on both sides — and the
+  * at-scale plan shapes: per-row projections, vocab-collapsed
+  * aggregates, posting joins, per-key windows. Reference framing: these
+  * extend the document-quality gates of the reference pipeline
+  * (document_spider.py:327-381) toward the signals a training-corpus
+  * curation run needs.
+  */
+object CurateQ {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Duplicate-bigram fraction (the Gopher repetition family, n=2):
+    // 1 − distinct/total bigrams, in exact basis points. NO explode and
+    // no shuffle — total bigrams is size(toks)−1 and distinct bigrams is
+    // the codegen'd ShinglesExpr's array length, so the whole signal is
+    // one per-row projection over the scan (the cheapest possible shape
+    // at 100 TB: embarrassingly parallel, nothing moves).
+    "q131_dup_bigram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"),
+          (size(col("tk")) - 1).cast("long").as("n_bigrams"),
+          size(graft.functions.ShinglesExpr.shingles(col("tk"), 2))
+            .cast("long").as("n_distinct"))
+        .filter(col("n_bigrams") >= 1)
+        .select(col("doc_id"), col("n_bigrams"),
+          ldiv((col("n_bigrams") - col("n_distinct")) * lit(10000L),
+            col("n_bigrams")).as("dup_bp"))
+        .orderBy("doc_id")
+    }),
+
+    // Hapax-legomenon share per source: the fraction of a source's
+    // vocabulary that occurs exactly once — the classic lexical-richness
+    // / noise signal (OCR garbage and boilerplate skew it in opposite
+    // directions). The corpus collapses to (source, word) partials
+    // map-side; only vocab-sized rows shuffle, then a per-source rollup
+    // of a handful of rows.
+    "q132_hapax_share" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("vocab"), col("hapax"),
+          ldiv(col("hapax") * lit(10000L), col("vocab")).as("hapax_bp"))
+        .orderBy("source")
+    }),
+
+    // Near-dup cluster size histogram: the dedup run's report card (how
+    // much mass sits in 2-doc mirrors vs 50-doc boilerplate farms
+    // decides the dedup strategy). Reuses the session-shared exact-
+    // Jaccard edge set (one computation serves q56/q72/q86/q112 and
+    // this); after the labels, two vocabulary-sized aggregates.
+    "q133_cluster_size_hist" -> ((s, dir) => {
+      graft.ops.DedupOps.connectedComponents(ScaleQ.dedupEdges(s, dir))
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    }),
+
+    // Per-user median inter-event gap (exact lower-median in integer
+    // MICROseconds — no percentile interpolation, no doubles): the
+    // engagement-cadence signal behind session-timeout tuning. Both
+    // windows partition by user_id, so the plan pays ONE hash exchange
+    // and parallelizes across users; no global ordering anywhere.
+    "q134_gap_median" -> ((s, dir) => {
+      val wLag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wLag))
+        .filter(col("prev_us").isNotNull)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+      val wRank = Window.partitionBy("user_id").orderBy("gap_us")
+      val wAll = Window.partitionBy("user_id")
+      gaps
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        // the ((n+1) DIV 2)-th smallest gap: deterministic even under
+        // gap ties (the selected VALUE is the gap itself)
+        .filter(col("rn") === ldiv(col("n") + 1, lit(2L)))
+        .select(col("user_id"), col("n").as("n_gaps"),
+          col("gap_us").as("median_gap_us"))
+        .orderBy("user_id")
+    }),
+
+    // Audio windowed-energy profile through the REAL multimodal
+    // plumbing: the documents' bytes stand in for PCM, BinaryOps
+    // .windowEnergy runs the 1→8 flatMap fan-out a real frame-energy
+    // extractor uses, and Σ sample² per window is exact integer
+    // arithmetic — so the whole pipeline (binary column → typed Dataset
+    // → flatMap → sort) is driver-hash-checkable, like q105's
+    // resize/frame path.
+    "q136_audio_energy" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("content"))
+      graft.multimodal.BinaryOps.windowEnergy(media, nWindows = 8)
+        .toDF()
+        .orderBy("media_id", "window_idx")
+    }),
+
+    // Language-ID confusion matrix: the heuristic's predictions against
+    // the table's labeled lang column — the evaluation every langid
+    // gate needs before it filters a corpus. One scan (the 25 marker
+    // counts are codegen'd CountInSetExpr loops), one tiny aggregate.
+    "q137_langid_confusion" -> ((s, dir) => {
+      val tk = graft.ops.TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          graft.ops.TextOps.langPredict(
+            graft.ops.TextOps.langScores(tk)).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Word co-occurrence confidence over the top-20 document-frequency
+    // words: P(b | a) in exact basis points (both·10⁴ DIV df_a — stays
+    // in long range at any SF, unlike a lift numerator carrying
+    // total·10⁴). The pair space is capped by the broadcast top-k
+    // vocabulary (≤ k²/2 output rows regardless of corpus size), and
+    // the per-doc fan-out of the self-join is ≤ k — the bounded shape
+    // that makes within-doc co-occurrence tractable at 100 TB.
+    "q138_cooccur_conf" -> ((s, dir) => {
+      val dw = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(toks(col("text")))).as("w"))
+      val top = dw.groupBy("w").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("w")).limit(20)
+      val f = dw.join(broadcast(top), "w")
+      val a = f.select(col("doc_id"), col("w").as("w_a"),
+        col("df").as("df_a"))
+      val b = f.select(col("doc_id"), col("w").as("w_b"),
+        col("df").as("df_b"))
+      a.join(b, "doc_id")
+        .filter(col("w_a") < col("w_b"))
+        .groupBy("w_a", "w_b")
+        .agg(count(lit(1)).as("both_df"),
+          max(col("df_a")).as("df_a"), max(col("df_b")).as("df_b"))
+        .select(col("w_a"), col("w_b"), col("both_df"),
+          col("df_a"), col("df_b"),
+          ldiv(col("both_df") * lit(10000L), col("df_a")).as("conf_bp"))
+        .orderBy("w_a", "w_b")
+    }),
+
+    // Pairwise source-vocabulary Jaccard (basis points): how much two
+    // crawl sources overlap lexically — the upstream signal for corpus
+    // mixing weights. Vocab collapses to (source, word) first, the
+    // pair counts come from a word-keyed posting self-join (fan-out
+    // bounded by #sources per word, never a cross join), and the
+    // source-sized size table broadcasts.
+    "q135_source_vocab_jaccard" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .distinct()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("sz"))
+      val a = vocab.select(col("w"), col("source").as("src_a"))
+      val b = vocab.select(col("w"), col("source").as("src_b"))
+      a.join(b, Seq("w"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("sz").as("sz_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("sz").as("sz_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          ldiv(col("inter") * lit(10000L),
+            col("sz_a") + col("sz_b") - col("inter")).as("jaccard_bp"))
+        .orderBy("src_a", "src_b")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q131_dup_bigram" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id,
+        |  CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS n_distinct
+        | FROM t WHERE len(toks) >= 2)
+        |SELECT doc_id, n_bigrams,
+        | CAST((n_bigrams - n_distinct) * 10000 // n_bigrams AS BIGINT)
+        |   AS dup_bp
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q132_hapax_share" ->
+      """WITH c AS (
+        | SELECT source, w, count(*) AS c FROM (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents)
+        | GROUP BY source, w)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+        |   AS BIGINT) AS hapax_bp
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // quadratic shingle-pair oracle (same family as q16/q56): exact at
+    // the driver's sf0.01 gate; skip in local sf0.1 checks
+    "q133_cluster_size_hist" -> (ScaleQ.dedupLabSql + "\n" +
+      """SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+        |      FROM lab GROUP BY cluster)
+        |GROUP BY sz ORDER BY sz""".stripMargin),
+
+    "q134_gap_median" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        | FROM events),
+        |r AS (
+        | SELECT user_id, gap_us,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM g WHERE gap_us IS NOT NULL)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+        | CAST(gap_us AS BIGINT) AS median_gap_us
+        |FROM r WHERE rn = (n + 1) // 2 ORDER BY user_id""".stripMargin,
+
+    // documents are pure printable ASCII (asserted in CorpusQSpec), so
+    // byte k == ord(substr(text, k+1, 1)) and the energy sums are exact
+    "q136_audio_energy" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id, text, length(text) AS len
+        | FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0),
+        |w AS (SELECT unnest(range(0, 8)) AS widx)
+        |SELECT m.media_id, CAST(w.widx AS INTEGER) AS window_idx,
+        | CAST((w.widx + 1) * m.len // 8 - w.widx * m.len // 8 AS INTEGER)
+        |   AS n_samples,
+        | CAST(coalesce(list_sum(list_transform(
+        |   range(CAST(w.widx * m.len // 8 AS INTEGER) + 1,
+        |         CAST((w.widx + 1) * m.len // 8 AS INTEGER) + 1),
+        |   i -> ord(substr(m.text, CAST(i AS INTEGER), 1))
+        |      * ord(substr(m.text, CAST(i AS INTEGER), 1)))), 0)
+        |   AS BIGINT) AS energy
+        |FROM m, w ORDER BY media_id, window_idx""".stripMargin,
+
+    "q137_langid_confusion" -> {
+      val langSelects = graft.ops.TextOps.langMarkers.map { case (l, ws) =>
+        s"${TextQ.langCountSql(ws)} AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH feat AS (
+         | SELECT lang, $langSelects FROM documents),
+         |lp AS (SELECT lang, ${TextQ.langPredSql} AS pred_lang FROM feat)
+         |SELECT lang, pred_lang, count(*) AS n
+         |FROM lp GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin
+    },
+
+    "q138_cooccur_conf" ->
+      """WITH dw AS (
+        | SELECT DISTINCT doc_id, w FROM (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents)),
+        |top AS (
+        | SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY w
+        | ORDER BY df DESC, w LIMIT 20),
+        |f AS (SELECT dw.doc_id, dw.w, top.df FROM dw JOIN top USING (w)),
+        |p AS (
+        | SELECT a.w AS w_a, b.w AS w_b,
+        |  CAST(count(*) AS BIGINT) AS both_df,
+        |  max(a.df) AS df_a, max(b.df) AS df_b
+        | FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.w < b.w
+        | GROUP BY 1, 2)
+        |SELECT w_a, w_b, both_df, df_a, df_b,
+        | CAST(both_df * 10000 // df_a AS BIGINT) AS conf_bp
+        |FROM p ORDER BY w_a, w_b""".stripMargin,
+
+    "q135_source_vocab_jaccard" ->
+      """WITH v AS (
+        | SELECT DISTINCT source, w FROM (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents)),
+        |s AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS sz
+        | FROM v GROUP BY source),
+        |i AS (
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS inter
+        | FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter,
+        | CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT)
+        |   AS jaccard_bp
+        |FROM i JOIN s sa ON sa.source = i.src_a
+        |JOIN s sb ON sb.source = i.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+  )
+}
