@@ -155,6 +155,33 @@ object CurateQ {
         .orderBy("w_a", "w_b")
     }),
 
+    // Index-backed search (the T4 GIN-analogue as a query plan): q11
+    // answered through POSTINGS instead of a full-token scan — the
+    // explode collapses to the query terms' posting lists (w ∈ terms),
+    // the AND-match is a posting intersection (every term present), and
+    // the rank is the summed tf. Same answer as q11's scan plan, same
+    // oracle (two plans, one oracle — the q16/q75 pattern). At 100 TB
+    // the postings come from the PRE-BUILT q103 index partitioned by
+    // term, so a 2-term query reads 2 partitions, not the corpus; this
+    // registered form computes them inline against the same tables the
+    // oracle sees.
+    "q139_index_search" -> ((s, dir) => {
+      val terms = Seq("spark", "join")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(toks(col("text"))).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy("doc_id", "source", "w")
+        .agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id", "source")
+        .agg(countDistinct(col("w")).as("n_terms"),
+          sum(col("tf")).as("score"))
+        .filter(col("n_terms") === terms.length)
+        .select(col("doc_id"), col("source"), col("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(25)
+    }),
+
     // Pairwise source-vocabulary Jaccard (basis points): how much two
     // crawl sources overlap lexically — the upstream signal for corpus
     // mixing weights. Vocab collapses to (source, word) first, the
@@ -282,6 +309,10 @@ object CurateQ {
         |SELECT w_a, w_b, both_df, df_a, df_b,
         | CAST(both_df * 10000 // df_a AS BIGINT) AS conf_bp
         |FROM p ORDER BY w_a, w_b""".stripMargin,
+
+    // the scan plan's oracle, verbatim: posting intersection and full
+    // scan must produce the identical ranked page
+    "q139_index_search" -> TextQ.oracles("q11_search_rank"),
 
     "q135_source_vocab_jaccard" ->
       """WITH v AS (

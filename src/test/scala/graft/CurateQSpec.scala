@@ -1,0 +1,82 @@
+package graft
+
+import graft.queries.{CurateQ, TextQ}
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation operators: brute-force value checks on real docs,
+  * the index-plan ≡ scan-plan equivalence, and the q131 no-shuffle plan
+  * shape. */
+class CurateQSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs: Map[Long, String] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("q131: duplicate-bigram basis points match brute force") {
+    val out = CurateQ.queries("q131_dup_bigram")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // limit -1 mirrors Spark's split (keeps trailing empties)
+      val toks = docs(r.getLong(0)).toLowerCase.split(" ", -1)
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val n = bigrams.length.toLong
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == (n - bigrams.distinct.length) * 10000L / n)
+    }
+  }
+
+  test("q134: per-user median gap matches brute force") {
+    val out = CurateQ.queries("q134_gap_median")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val events = Tables.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = events.groupBy(_._1).collect {
+      case (u, rows) if rows.length >= 2 =>
+        val gaps = rows.sortBy(r => (r._2, r._3)).sliding(2)
+          .map { case Array(a, b) => b._2 - a._2 }.toSeq.sorted
+        u -> (gaps.length.toLong, gaps((gaps.length + 1) / 2 - 1))
+    }
+    assert(out == exact.toMap)
+    assert(out.nonEmpty)
+  }
+
+  test("q136: window energies recompute from the raw bytes") {
+    val out = CurateQ.queries("q136_audio_energy")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bytes = docs(r.getLong(0)).getBytes("UTF-8")
+      val w = r.getInt(1)
+      val start = (w.toLong * bytes.length / 8).toInt
+      val end = ((w + 1).toLong * bytes.length / 8).toInt
+      assert(r.getInt(2) == end - start)
+      val e = (start until end)
+        .map(i => { val v = (bytes(i) & 0xFF).toLong; v * v }).sum
+      assert(r.getLong(3) == e)
+    }
+    // only audio-kind docs, all 8 windows each
+    val audio = docs.keySet.filter(_ % 3 == 1)
+    assert(out.map(_.getLong(0)).toSet == audio)
+    assert(out.length == audio.size * 8)
+  }
+
+  test("q139 index plan ≡ q11 scan plan (same ranked page)") {
+    val scan = TextQ.queries("q11_search_rank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val index = CurateQ.queries("q139_index_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(index.toSeq == scan.toSeq)
+    assert(scan.nonEmpty)
+  }
+
+  test("q131 plans zero hash exchanges (pure per-row projection)") {
+    val p = CurateQ.queries("q131_dup_bigram")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"q131 must not shuffle before the presentation sort:\n${p.take(2000)}")
+  }
+}
