@@ -182,6 +182,83 @@ object CurateQ {
         .limit(25)
     }),
 
+    // One-pass exact multi-quantile (p25/p50/p95 of per-user gaps): the
+    // lower-quantile k-th order statistics selected by rank in a SINGLE
+    // windowed pass + conditional aggregation — no percentile
+    // interpolation (doubles), no three scans. k_p = ceil(p·n) in exact
+    // integral arithmetic. The rank window and the groupBy share one
+    // user_id exchange.
+    "q140_gap_quantiles" -> ((s, dir) => {
+      val wLag = Window.partitionBy("user_id").orderBy(col("ts"),
+        col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wLag))
+        .filter(col("prev_us").isNotNull)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+      val wRank = Window.partitionBy("user_id").orderBy("gap_us")
+      val wAll = Window.partitionBy("user_id")
+      gaps
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_gaps"),
+          max(when(col("rn") === ldiv(col("n") + 3, lit(4L)),
+            col("gap_us"))).as("p25_us"),
+          max(when(col("rn") === ldiv(col("n") + 1, lit(2L)),
+            col("gap_us"))).as("p50_us"),
+          max(when(col("rn") === ldiv(col("n") * 19 + 19, lit(20L)),
+            col("gap_us"))).as("p95_us"))
+        .orderBy("user_id")
+    }),
+
+    // Last-touch attribution: each purchase attributes to the user's
+    // most recent PRECEDING click within a 7-day window — the windowed
+    // as-of the marketing pipeline runs. One per-user ordered window
+    // (last(click, ignoreNulls) over unbounded-preceding..-1) does the
+    // whole as-of: no self-join, no range join, and the window's
+    // user_id partitioning parallelizes across users at any scale.
+    "q141_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val horizonUs = 7L * 24 * 3600 * 1000000L
+      val withClick = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("click_id", last(when(col("event_type") === "click",
+          col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_us", last(when(col("event_type") === "click",
+          unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      val inWindow = col("click_us").isNotNull &&
+        unix_micros(col("ts")) - col("click_us") <= horizonUs
+      withClick
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(inWindow, col("click_id")).as("click_id"),
+          when(inWindow, unix_micros(col("ts")) - col("click_us"))
+            .as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
+    // Customer order-count distribution (the TPC-H Q13 shape): aggregate
+    // OF an aggregate — per-customer order counts including zero-order
+    // customers (left outer join), then the distribution of those
+    // counts. Both levels partial-aggregate; the second level's input is
+    // customer-sized, its output ≤ max(orders per customer) rows.
+    "q142_custdist" -> ((s, dir) => {
+      val perCust = t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
     // Pairwise source-vocabulary Jaccard (basis points): how much two
     // crawl sources overlap lexically — the upstream signal for corpus
     // mixing weights. Vocab collapses to (source, word) first, the
@@ -313,6 +390,53 @@ object CurateQ {
     // the scan plan's oracle, verbatim: posting intersection and full
     // scan must produce the identical ranked page
     "q139_index_search" -> TextQ.oracles("q11_search_rank"),
+
+    "q140_gap_quantiles" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        | FROM events),
+        |r AS (
+        | SELECT user_id, gap_us,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM g WHERE gap_us IS NOT NULL)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_gaps,
+        | CAST(max(CASE WHEN rn = (n + 3) // 4 THEN gap_us END)
+        |   AS BIGINT) AS p25_us,
+        | CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+        |   AS BIGINT) AS p50_us,
+        | CAST(max(CASE WHEN rn = (n * 19 + 19) // 20 THEN gap_us END)
+        |   AS BIGINT) AS p95_us
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q141_attribution" ->
+      """WITH w AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us
+        | FROM events)
+        |SELECT event_id AS purchase_id, user_id,
+        | CASE WHEN click_us IS NOT NULL AND us - click_us <= 604800000000
+        |      THEN click_id END AS click_id,
+        | CASE WHEN click_us IS NOT NULL AND us - click_us <= 604800000000
+        |      THEN us - click_us END AS gap_us
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q142_custdist" ->
+      """WITH pc AS (
+        | SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        | FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        | GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q135_source_vocab_jaccard" ->
       """WITH v AS (
