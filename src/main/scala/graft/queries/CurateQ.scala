@@ -242,6 +242,47 @@ object CurateQ {
         .orderBy("purchase_id")
     }),
 
+    // BPE ENCODING at corpus scale (the step after q102's merge mining):
+    // apply a learned merge list to every word and measure the
+    // chars→symbols compression. The corpus collapses to its VOCABULARY
+    // first — each distinct word is encoded exactly once, then the
+    // per-doc totals come from the carried (doc, word) counts; at 100 TB
+    // the encode cost is vocab-sized, not corpus-sized. The merge chain
+    // is a fold of literal `replace`s over the space-separated symbol
+    // string (leftmost non-overlapping in both engines — the same
+    // apply-to-all-occurrences pass a reference BPE encoder makes per
+    // merge), so the encoder is oracle-exact with zero UDFs.
+    "q143_bpe_encode" -> ((s, dir) => {
+      val dw = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val vocab = dw.select("w").distinct()
+      val spaced = concat(lit(" "),
+        array_join(filter(split(col("w"), ""), x => x =!= lit("")), " "),
+        lit(" "))
+      // priority-ordered merges (top adjacent pairs of English text);
+      // later merges build on earlier ones (th+e → the)
+      val merges = Seq("t h", "h e", "i n", "e r", "a n", "th e")
+      val encoded = merges.foldLeft(spaced) { (acc, m) =>
+        call_function("replace", acc,
+          lit(" " + m + " "), lit(" " + m.replace(" ", "") + " "))
+      }
+      val enc = vocab.select(col("w"),
+        length(col("w")).cast("long").as("n_chars"),
+        size(split(trim(encoded), " ")).cast("long").as("n_sub"))
+      dw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("n_chars")).as("n_chars"),
+          sum(col("c") * col("n_sub")).as("n_bpe"))
+        // all-empty-token docs would divide by zero — Spark DIV nulls
+        // where DuckDB errors, so keep both sides total alike
+        .filter(col("n_chars") >= 1)
+        .select(col("doc_id"), col("n_chars"), col("n_bpe"),
+          ldiv(col("n_bpe") * lit(10000L), col("n_chars"))
+            .as("compression_bp"))
+        .orderBy("doc_id")
+    }),
+
     // Customer order-count distribution (the TPC-H Q13 shape): aggregate
     // OF an aggregate — per-customer order counts including zero-order
     // customers (left outer join), then the distribution of those
@@ -428,6 +469,33 @@ object CurateQ {
         |      THEN us - click_us END AS gap_us
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+
+    "q143_bpe_encode" ->
+      """WITH dw AS (
+        | SELECT doc_id, w, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents)
+        | GROUP BY doc_id, w),
+        |v AS (SELECT DISTINCT w FROM dw),
+        |e AS (
+        | SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(trim(
+        |    replace(replace(replace(replace(replace(replace(
+        |      ' ' || array_to_string(list_transform(
+        |        range(1, length(w) + 1),
+        |        i -> substr(w, CAST(i AS INTEGER), 1)), ' ') || ' ',
+        |      ' t h ', ' th '), ' h e ', ' he '), ' i n ', ' in '),
+        |      ' e r ', ' er '), ' a n ', ' an '), ' th e ', ' the ')),
+        |    ' ')) AS BIGINT) AS n_sub
+        | FROM v)
+        |SELECT dw.doc_id, CAST(sum(dw.c * e.n_chars) AS BIGINT) AS n_chars,
+        | CAST(sum(dw.c * e.n_sub) AS BIGINT) AS n_bpe,
+        | CAST(sum(dw.c * e.n_sub) * 10000 // sum(dw.c * e.n_chars)
+        |   AS BIGINT) AS compression_bp
+        |FROM dw JOIN e USING (w)
+        |GROUP BY dw.doc_id
+        |HAVING sum(dw.c * e.n_chars) >= 1
+        |ORDER BY dw.doc_id""".stripMargin,
 
     "q142_custdist" ->
       """WITH pc AS (

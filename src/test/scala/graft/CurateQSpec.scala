@@ -64,6 +64,27 @@ class CurateQSpec extends SparkSpec {
     assert(out.length == audio.size * 8)
   }
 
+  test("q143: merge-chain encoder matches a reference BPE pass") {
+    val merges = Seq("t h" -> "th", "h e" -> "he", "i n" -> "in",
+      "e r" -> "er", "a n" -> "an", "th e" -> "the")
+    def nSub(w: String): Long = {
+      var s = " " + w.toCharArray.mkString(" ") + " "
+      merges.foreach { case (m, j) =>
+        s = s.replace(" " + m + " ", " " + j + " ")
+      }
+      s.trim.split(" ", -1).length.toLong
+    }
+    val out = CurateQ.queries("q143_bpe_encode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val toks = docs(r.getLong(0)).toLowerCase.split(" ", -1)
+      assert(r.getLong(1) == toks.map(_.length.toLong).sum)
+      assert(r.getLong(2) == toks.map(nSub).sum)
+      assert(r.getLong(2) < r.getLong(1), "merges must compress English")
+      assert(r.getLong(3) == r.getLong(2) * 10000L / r.getLong(1))
+    }
+  }
+
   test("q139 index plan ≡ q11 scan plan (same ranked page)") {
     val scan = TextQ.queries("q11_search_rank")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
