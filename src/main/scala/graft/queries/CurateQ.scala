@@ -182,6 +182,31 @@ object CurateQ {
         .limit(25)
     }),
 
+    // Positional proximity ranking — the cover primitive inside Postgres
+    // ts_rank_cd that the declared-simplified tf score (q11/q77) lacks:
+    // rank matching docs by the SMALLEST token window containing all
+    // query terms (min |posₐ − pos_b| + 1 for a 2-term query). Positions
+    // come from one posexplode; the per-doc pair space is bounded by the
+    // terms' occurrence counts (posting-list sized, never the document).
+    // Integer-exact end-to-end.
+    "q144_proximity_rank" -> ((s, dir) => {
+      val pos = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(toks(col("text"))).as(Seq("pos", "w")))
+        .filter(col("w").isin("spark", "join"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("w"))
+      val a = pos.filter(col("w") === "spark")
+        .select(col("doc_id"), col("pos").as("pa"))
+      val b = pos.filter(col("w") === "join")
+        .select(col("doc_id"), col("pos").as("pb"))
+      a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg((min(abs(col("pa") - col("pb"))) + 1).as("min_cover"))
+        .orderBy(asc("min_cover"), asc("doc_id"))
+        .limit(25)
+    }),
+
     // One-pass exact multi-quantile (p25/p50/p95 of per-user gaps): the
     // lower-quantile k-th order statistics selected by rank in a SINGLE
     // windowed pass + conditional aggregation — no percentile
@@ -431,6 +456,24 @@ object CurateQ {
     // the scan plan's oracle, verbatim: posting intersection and full
     // scan must produce the identical ranked page
     "q139_index_search" -> TextQ.oracles("q11_search_rank"),
+
+    "q144_proximity_rank" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, u['pos'] AS pos, u['w'] AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |    i -> struct_pack(pos := i - 1,
+        |                     w := toks[CAST(i AS INTEGER)]))) AS u
+        |  FROM t)),
+        |a AS (SELECT doc_id, pos FROM p WHERE w = 'spark'),
+        |b AS (SELECT doc_id, pos FROM p WHERE w = 'join')
+        |SELECT a.doc_id,
+        | CAST(min(abs(a.pos - b.pos)) + 1 AS BIGINT) AS min_cover
+        |FROM a JOIN b USING (doc_id)
+        |GROUP BY a.doc_id
+        |ORDER BY min_cover, doc_id LIMIT 25""".stripMargin,
 
     "q140_gap_quantiles" ->
       """WITH g AS (

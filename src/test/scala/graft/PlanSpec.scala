@@ -247,6 +247,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("gap quantile/median/attribution windows share ONE user exchange") {
+    // the lag window, rank window and final aggregate all partition by
+    // user_id — Catalyst must satisfy them with a single shuffle (extra
+    // exchanges here would double-shuffle the event log at scale)
+    for (q <- Seq("q134_gap_median", "q140_gap_quantiles",
+        "q141_attribution")) {
+      val p = planOf(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n == 1, s"$q: expected exactly 1 hash exchange, got $n:\n" +
+        p.take(3000))
+    }
+  }
+
   test("ShingleFilterSimplify fired: rewritten token-count guard in plan") {
     // the positive twin of the absence check above — the optimized plan
     // must contain the rule's OUTPUT (size(rawTokens) >= k on the cheap
