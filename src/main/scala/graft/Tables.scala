@@ -40,7 +40,9 @@ object Tables {
     * routes through doubles (inexact past 2^53). Codegen'd builtin, not a
     * UDF; the backbone of the repo's integer micro-unit discipline (means,
     * basis points, deciles) where a rounded double would be engine- or
-    * order-dependent. */
+    * order-dependent. Both engines truncate toward zero (probed: DuckDB
+    * -5//2 = -2, Spark -5 DIV 2 = -2), so the equivalence holds for
+    * negative operands too; property-tested in PropertySpec. */
   def ldiv(a: Column, b: Column): Column =
     org.apache.spark.sql.graftglue.ColumnGlue.col(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(

@@ -207,6 +207,27 @@ object CurateQ {
         .limit(25)
     }),
 
+    // Dedup survivorship by source: after canonical near-dup dedup
+    // (cluster → min-id representative, q86's materialization), which
+    // sources lose the most documents — the report that tells a corpus
+    // run where its duplication actually comes from. Reuses the
+    // session-shared edge set; one label join + a per-source rollup.
+    "q145_dedup_survivorship" -> ((s, dir) => {
+      val labels = graft.ops.DedupOps
+        .connectedComponents(ScaleQ.dedupEdges(s, dir))
+        .withColumnRenamed("node", "doc_id")
+      t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("kept", (col("cluster").isNull ||
+          col("cluster") === col("doc_id")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          ldiv(sum(col("kept")) * lit(10000L), count(lit(1)))
+            .as("kept_bp"))
+        .orderBy("source")
+    }),
+
     // One-pass exact multi-quantile (p25/p50/p95 of per-user gaps): the
     // lower-quantile k-th order statistics selected by rank in a SINGLE
     // windowed pass + conditional aggregation — no percentile
@@ -456,6 +477,19 @@ object CurateQ {
     // the scan plan's oracle, verbatim: posting intersection and full
     // scan must produce the identical ranked page
     "q139_index_search" -> TextQ.oracles("q11_search_rank"),
+
+    // quadratic shingle-pair oracle (q16 family): exact at the driver's
+    // sf0.01 gate; skip in local sf0.1 checks
+    "q145_dedup_survivorship" -> (ScaleQ.dedupLabSql + "\n" +
+      """SELECT d.source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN lab.cluster IS NULL
+        |          OR lab.cluster = d.doc_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN lab.cluster IS NULL
+        |          OR lab.cluster = d.doc_id THEN 1 ELSE 0 END)
+        |   * 10000 // count(*) AS BIGINT) AS kept_bp
+        |FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     "q144_proximity_rank" ->
       """WITH t AS (

@@ -64,6 +64,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ldiv ≡ JVM long division on random operands incl. negatives") {
+    // the basis-point/decile backbone: Spark DIV, DuckDB // and Scala /
+    // all truncate toward zero — pin the engine side of that equivalence
+    val rnd = new scala.util.Random(7)
+    val cases = List.fill(200) {
+      val a = rnd.nextLong()
+      val b = Iterator.continually(rnd.nextLong()).find(_ != 0L).get
+      (if (a == Long.MinValue) a + 1 else a,
+        if (b == Long.MinValue) b + 1 else b)
+    } ++ List((7L, 2L), (-7L, 2L), (7L, -2L), (-7L, -2L), (0L, 5L))
+    val got = cases.toDF("a", "b")
+      .select(Tables.ldiv(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq == cases.map { case (a, b) => a / b })
+  }
+
   test("runningTotal ≡ sequential scanLeft over random keyed values") {
     val gen = for {
       k <- Gen.chooseNum(-100000L, 100000L)
