@@ -298,6 +298,27 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("AQE re-plans a sort-merge join to broadcast from runtime stats") {
+    // the 100 TB knob the engine leans on: when static planning can't
+    // prove a side is small (threshold disabled), AQE's runtime stats
+    // must still convert the shuffle join to a broadcast — the re-plan
+    // that saves real clusters from mis-estimated dimension sizes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "10485760")
+    try {
+      val df = SparkEntry.queries("q03_join_revenue")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(500))
+      assert(p.split("== Initial Plan ==").head.contains("BroadcastHashJoin"),
+        s"AQE should have converted to broadcast:\n${p.take(3000)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("containment posting join reuses one exchange for both sides") {
     // same discipline as the q16 test: at spec SF the postings broadcast
     // (fine); force the at-scale sort-merge path and assert the two
