@@ -372,9 +372,65 @@ object CurateQ {
             col("sz_a") + col("sz_b") - col("inter")).as("jaccard_bp"))
         .orderBy("src_a", "src_b")
     }),
+
+    // Cross-document duplicated-span fraction (the exact-substring-dedup
+    // signal of Lee et al. 2022 at 8-gram granularity): for each doc, the
+    // share of its 8-token spans that also appear in ANOTHER doc.
+    // Distinct from q131 (within-doc repetition) and q97 (doc-vs-benchmark
+    // overlap) — this is corpus-internal boilerplate detection. Shape at
+    // 100 TB: explode to (doc, span) pairs, collapse per (doc, span)
+    // FIRST (map-side combinable), then one span-keyed exchange serves
+    // both the doc-frequency aggregate and the join back — the inverted-
+    // index shape of q103, never a doc×doc comparison. Fractions in exact
+    // basis points via integral DIV.
+    "q150_dup_span" -> ((s, dir) => {
+      val spans = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tk")) - 7),
+          i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("ng"))
+      val perDoc = spans.groupBy("doc_id", "ng")
+        .agg(count(lit(1)).as("c"))
+      val docFreq = perDoc.groupBy("ng")
+        .agg(count(lit(1)).as("nd"))
+      perDoc.join(docFreq, "ng")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_spans"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0L))
+            .as("dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+          ldiv(col("dup_spans") * lit(10000L), col("n_spans"))
+            .as("dup_bp"))
+        .orderBy(desc("dup_bp"), asc("doc_id"))
+        .limit(50)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_dup_span" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS ng
+        | FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+        | WHERE len(toks) >= 8),
+        |pd AS (
+        | SELECT doc_id, ng, count(*) AS c FROM g GROUP BY doc_id, ng),
+        |df AS (
+        | SELECT ng, count(*) AS nd FROM pd GROUP BY ng)
+        |SELECT pd.doc_id,
+        | CAST(sum(pd.c) AS BIGINT) AS n_spans,
+        | CAST(sum(CASE WHEN df.nd >= 2 THEN pd.c ELSE 0 END) AS BIGINT)
+        |   AS dup_spans,
+        | CAST(sum(CASE WHEN df.nd >= 2 THEN pd.c ELSE 0 END) * 10000
+        |   // sum(pd.c) AS BIGINT) AS dup_bp
+        |FROM pd JOIN df ON pd.ng = df.ng
+        |GROUP BY pd.doc_id
+        |ORDER BY dup_bp DESC, doc_id ASC
+        |LIMIT 50""".stripMargin,
+
     "q131_dup_bigram" ->
       """WITH t AS (
         | SELECT doc_id, string_split(lower(text), ' ') AS toks

@@ -140,6 +140,171 @@ object RelationalQ {
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))
     }),
+
+    // Correlated scalar subqueries (TPC-H Q17 shape): revenue from lines
+    // whose quantity is under 20% of that part's average. Catalyst
+    // DECORRELATES both subqueries into one per-partkey aggregate joined
+    // back — at 100 TB that's a single shuffle on l_partkey, not a
+    // per-row re-scan. The 20%-of-avg comparison is kept in exact decimal
+    // integer form (qty*5*cnt < sum) so no double-rounded boundary row can
+    // differ between engines.
+    "q146_small_qty_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li")
+      t(s, dir, "part").createOrReplaceTempView("graft_part")
+      s.sql("""
+        SELECT
+          CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0
+            AS avg_yearly,
+          count(*) AS n_lines
+        FROM graft_li l JOIN graft_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND CAST(l.l_quantity AS DECIMAL(12,2)) *
+              CAST(5 * (SELECT count(*) FROM graft_li l2
+                        WHERE l2.l_partkey = l.l_partkey) AS DECIMAL(20,0))
+            < (SELECT sum(CAST(l3.l_quantity AS DECIMAL(30,2)))
+               FROM graft_li l3 WHERE l3.l_partkey = l.l_partkey)""")
+    }),
+
+    // Large-order report (TPC-H Q18 shape): HAVING-filtered aggregate as a
+    // join input. The per-order quantity rollup reduces 60k lines to the
+    // few hundred qualifying orders BEFORE the customer join, and the
+    // top-100 plans as TakeOrderedAndProject — no global sort at scale.
+    // o_orderkey tiebreak keeps the LIMIT boundary deterministic.
+    "q147_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(30, 2))).as("qsum"))
+        .filter(col("qsum") > 200)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("qsum").cast("double").as("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Correlated EXISTS + NOT EXISTS (TPC-H Q21 shape, adapted to this
+    // schema's l_returnflag): suppliers who were the SOLE returned-line
+    // supplier in a multi-supplier order. Catalyst plans the EXISTS as a
+    // left-semi and the NOT EXISTS as a left-anti join, both shuffled on
+    // l_orderkey — three co-partitioned passes over lineitem, no
+    // per-row subquery execution.
+    "q148_sole_blame_suppliers" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_supp")
+      s.sql("""
+        SELECT s.s_name, count(*) AS numwait
+        FROM graft_supp s
+        JOIN graft_li l1 ON l1.l_suppkey = s.s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM graft_li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM graft_li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 25""")
+    }),
+
+    // Uncorrelated scalar subqueries + anti join (TPC-H Q22 shape):
+    // high-balance customers in selected nation buckets with no order
+    // since 2000. The above-average test is exact decimal integer
+    // arithmetic (bal*cnt > sum — no double average), the two scalar
+    // subqueries become broadcast one-row plans, and the NOT EXISTS is a
+    // left-anti join on o_custkey.
+    "q149_idle_accounts" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_ord")
+      t(s, dir, "customer").createOrReplaceTempView("graft_cust")
+      s.sql("""
+        SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS cntrycode,
+          count(*) AS numcust,
+          CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+            AS totacctbal
+        FROM graft_cust c
+        WHERE (c.c_nationkey % 5) IN (0, 2, 4)
+          AND CAST(c.c_acctbal AS DECIMAL(8,2)) *
+              CAST((SELECT count(*) FROM graft_cust
+                    WHERE c_acctbal > 0.0 AND (c_nationkey % 5) IN (0, 2, 4))
+                AS DECIMAL(12,0))
+            > (SELECT sum(CAST(c_acctbal AS DECIMAL(30,2))) FROM graft_cust
+               WHERE c_acctbal > 0.0 AND (c_nationkey % 5) IN (0, 2, 4))
+          AND NOT EXISTS (SELECT 1 FROM graft_ord o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_nationkey % 5
+        ORDER BY cntrycode""")
+    }),
+
+    // National market share (TPC-H Q8 shape): NATION_2 suppliers' share of
+    // revenue to ASIA customers, per order year. A 6-table star: the
+    // nation/region/supplier dims broadcast (hash-free on the fact side),
+    // so the only shuffles are the two fact joins and the final year
+    // rollup. num and den are exact decimal sums; the share divides the
+    // two already-exact doubles — one IEEE operation, identical in any
+    // engine, no rounding step.
+    "q151_market_share" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+      val asiaKeys = nat
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val custAsia = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(broadcast(asiaKeys), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val supN = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("s_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "s_nation")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(30, 6)).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(sum(when(col("s_nation") === "NATION_2", col("rev"))
+            .otherwise(lit(0).cast(DecimalType(30, 6)))).as("numd"),
+          sum(col("rev")).as("dend"))
+        .select(col("o_year"),
+          col("numd").cast("double").as("nation_rev"),
+          col("dend").cast("double").as("total_rev"),
+          (col("numd").cast("double") / col("dend").cast("double"))
+            .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // Distinct-supplier variety (TPC-H Q16 shape): suppliers per
+    // (brand, size) for selected part sizes, excluding bad-standing
+    // suppliers via NOT IN — Catalyst plans the NOT IN as a null-aware
+    // anti join (broadcast: the exclusion list is supplier-sized), and
+    // the count(DISTINCT) expands to a two-phase aggregate, both
+    // map-side combinable.
+    "q152_supplier_variety" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li")
+      t(s, dir, "part").createOrReplaceTempView("graft_part")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_supp")
+      s.sql("""
+        SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+          count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM graft_li l JOIN graft_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (1, 5, 9)
+          AND l.l_suppkey NOT IN
+            (SELECT s_suppkey FROM graft_supp WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p_size""")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -221,5 +386,95 @@ object RelationalQ {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q146_small_qty_revenue" ->
+      """SELECT
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0
+        |   AS avg_yearly,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND CAST(l.l_quantity AS DECIMAL(12,2)) *
+        |      CAST(5 * (SELECT count(*) FROM lineitem l2
+        |                WHERE l2.l_partkey = l.l_partkey) AS DECIMAL(20,0))
+        |    < (SELECT sum(CAST(l3.l_quantity AS DECIMAL(30,2)))
+        |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q147_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(qsum AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(30,2))) AS qsum
+        |      FROM lineitem GROUP BY 1) x ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE qsum > 200
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q148_sole_blame_suppliers" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 25""".stripMargin,
+
+    "q149_idle_accounts" ->
+      """SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS cntrycode,
+        | CAST(count(*) AS BIGINT) AS numcust,
+        | CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+        |   AS totacctbal
+        |FROM customer c
+        |WHERE (c.c_nationkey % 5) IN (0, 2, 4)
+        |  AND CAST(c.c_acctbal AS DECIMAL(8,2)) *
+        |      CAST((SELECT count(*) FROM customer
+        |            WHERE c_acctbal > 0.0 AND (c_nationkey % 5) IN (0, 2, 4))
+        |        AS DECIMAL(12,0))
+        |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(30,2))) FROM customer
+        |       WHERE c_acctbal > 0.0 AND (c_nationkey % 5) IN (0, 2, 4))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c.c_nationkey % 5
+        |ORDER BY cntrycode""".stripMargin,
+
+    "q151_market_share" ->
+      """WITH base AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  sum(CASE WHEN sn.n_name = 'NATION_2'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+        |        ELSE CAST(0 AS DECIMAL(30,6)) END) AS numd,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |    AS dend
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | GROUP BY 1)
+        |SELECT o_year,
+        | CAST(numd AS DOUBLE) AS nation_rev,
+        | CAST(dend AS DOUBLE) AS total_rev,
+        | CAST(numd AS DOUBLE) / CAST(dend AS DOUBLE) AS mkt_share
+        |FROM base ORDER BY o_year""".stripMargin,
+
+    "q152_supplier_variety" ->
+      """SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+        | CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size IN (1, 5, 9)
+        |  AND l.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p_size""".stripMargin,
   )
 }

@@ -319,6 +319,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("correlated subqueries decorrelate to joins, not per-row re-scans") {
+    // q146's two correlated scalar subqueries over lineitem-by-partkey must
+    // become ONE per-partkey aggregate joined back (Catalyst decorrelation
+    // + subquery dedup); a surviving per-row subquery would re-scan
+    // lineitem once per row at 100 TB
+    val p146 = planOf("q146_small_qty_revenue")
+    assert(!p146.contains("ScalarSubquery"),
+      s"correlated subquery not decorrelated:\n${p146.take(3000)}")
+    assert(p146.contains("l_partkey"), p146.take(1000))
+    // q148's EXISTS / NOT EXISTS plan as semi + anti joins on l_orderkey
+    val p148 = planOf("q148_sole_blame_suppliers")
+    assert(p148.contains("LeftSemi"), p148.take(2000))
+    assert(p148.contains("LeftAnti"), p148.take(2000))
+    // q149: the inactivity NOT EXISTS is an anti join; the two UNcorrelated
+    // above-average scalars stay one-row subqueries (broadcast, run once)
+    val p149 = planOf("q149_idle_accounts")
+    assert(p149.contains("LeftAnti"), p149.take(2000))
+    // q147's top-100 must not global-sort
+    assert(planOf("q147_large_orders").contains("TakeOrderedAndProject"))
+  }
+
   test("containment posting join reuses one exchange for both sides") {
     // same discipline as the q16 test: at spec SF the postings broadcast
     // (fine); force the at-scale sort-merge path and assert the two
