@@ -428,9 +428,83 @@ object TrendQ {
             4).as("sum_value"))
         .orderBy("local_hour")
     }),
+
+    // Time-series gap fill with LINEAR interpolation: per-user daily value
+    // series, missing days filled as prev + (next−prev)·(d−d0)/(d1−d0).
+    // The whole series lives in integer cents (decimal day-sum × 100 is
+    // integral before the BIGINT cast, so no truncate-vs-round cast
+    // divergence) and the interpolation is integral DIV — exact in any
+    // engine. Shape at 100 TB: one groupBy to daily grain, a per-user
+    // min/max + sequence explode for the spine (never a calendar cross
+    // join), and the four neighbor lookups share ONE user-ordered window
+    // exchange. Min/max days are present by construction, so every gap
+    // is interior.
+    "q153_gap_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("ed"))
+        .agg((sum(col("value").cast(DecimalType(20, 2))) * 100)
+          .cast("long").as("cents"))
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("ed")).as("mn"), max(col("ed")).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"))).as("ed"))
+      val w = Window.partitionBy("user_id").orderBy("ed")
+      val before = w.rowsBetween(Window.unboundedPreceding, -1)
+      val after = w.rowsBetween(1, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "ed"), "left")
+        .withColumn("pv", last(col("cents"), ignoreNulls = true).over(before))
+        .withColumn("ped", last(when(col("cents").isNotNull, col("ed")),
+          ignoreNulls = true).over(before))
+        .withColumn("nv", first(col("cents"), ignoreNulls = true).over(after))
+        .withColumn("ned", first(when(col("cents").isNotNull, col("ed")),
+          ignoreNulls = true).over(after))
+        .select(col("user_id"), col("ed"),
+          when(col("cents").isNotNull, col("cents"))
+            .otherwise(col("pv") + ldiv(
+              (col("nv") - col("pv")) * (col("ed") - col("ped")),
+              col("ned") - col("ped"))).as("cents"),
+          col("cents").isNull.cast("long").as("was_gap"))
+        .orderBy("user_id", "ed")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q153_gap_fill" ->
+      """WITH ud AS (
+        | SELECT user_id,
+        |  date_diff('day', DATE '1970-01-01',
+        |    CAST(date_trunc('day', ts) AS DATE)) AS ed,
+        |  CAST(sum(CAST(value AS DECIMAL(20,2))) * 100 AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |sp AS (
+        | SELECT user_id, unnest(range(min(ed), max(ed) + 1)) AS ed
+        | FROM ud GROUP BY user_id),
+        |j AS (
+        | SELECT sp.user_id, sp.ed, ud.cents
+        | FROM sp LEFT JOIN ud ON ud.user_id = sp.user_id AND ud.ed = sp.ed),
+        |w AS (
+        | SELECT user_id, ed, cents,
+        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ed ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS pv,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN ed END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ed
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ped,
+        |  first_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ed ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |    AS nv,
+        |  first_value(CASE WHEN cents IS NOT NULL THEN ed END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ed
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ned
+        | FROM j)
+        |SELECT user_id, ed,
+        | CASE WHEN cents IS NOT NULL THEN cents
+        |      ELSE pv + (nv - pv) * (ed - ped) // (ned - ped) END AS cents,
+        | CAST(cents IS NULL AS BIGINT) AS was_gap
+        |FROM w ORDER BY user_id, ed""".stripMargin,
+
     "q106_mom_growth" ->
       """WITH rev AS (
         | SELECT r.r_name AS region,

@@ -89,4 +89,29 @@ class TrendQSpec extends SparkSpec {
     assert(keys.forall(k => k._1 > curEp ||
       (k._1 == curEp && k._2 > 1000L)))
   }
+
+  test("gap fill: contiguous spine, no holes, interpolant between neighbors") {
+    val rows = TrendQ.queries("q153_gap_fill")(spark, sf)
+      .select($"user_id", $"ed", $"cents", $"was_gap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // spine is contiguous days, endpoints observed (never extrapolated)
+      assert(sorted.map(_._2).toSeq ==
+        (sorted.head._2 to sorted.last._2).toSeq, s"holes for user $u")
+      assert(sorted.head._4 == 0L && sorted.last._4 == 0L)
+      // every filled value lies within its real neighbors' closed range
+      // (linear interpolation can't overshoot; integral DIV can't either)
+      sorted.zipWithIndex.filter(_._1._4 == 1L).foreach { case (g, i) =>
+        val pv = sorted.take(i).reverse.find(_._4 == 0L).get._3
+        val nv = sorted.drop(i + 1).find(_._4 == 0L).get._3
+        assert(g._3 >= math.min(pv, nv) && g._3 <= math.max(pv, nv),
+          s"user $u day ${g._2}: ${g._3} outside [$pv, $nv]")
+      }
+    }
+    // the dataset actually exercises the fill path
+    assert(rows.count(_._4 == 1L) > 0, "no gaps filled at spec SF")
+  }
 }
