@@ -405,6 +405,47 @@ object CurateQ {
         .orderBy(desc("dup_bp"), asc("doc_id"))
         .limit(50)
     }),
+
+    // Lexical diversity as the Gini–Simpson index 1 − Σp², in exact basis
+    // points: (n² − Σc²)·10⁴ DIV n². Entropy would need log() — a libm
+    // call with no cross-engine rounding guarantee — while Simpson is
+    // pure integer arithmetic on token counts, so it hash-matches any
+    // engine. Shape: the (doc, word) count is map-side combinable and
+    // the per-doc reduce is vocab-sized; nothing quadratic, one exchange
+    // family.
+    "q154_lexical_diversity" -> ((s, dir) => {
+      val c = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      c.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("vocab"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("doc_id"), col("n"), col("vocab"),
+          ldiv((col("n") * col("n") - col("s2")) * lit(10000L),
+            col("n") * col("n")).as("simpson_bp"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic class balancing: undersample every label to the
+    // minority-class count, choosing survivors by md5-hash order — a
+    // seedless, engine-independent "random" that any replica reproduces
+    // bit-for-bit (the q54/q62 sampling discipline applied to label
+    // skew). The min-count scalar broadcasts; the only real exchange is
+    // the per-label rank window.
+    "q155_balance_classes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val minCnt = e.groupBy("label").agg(count(lit(1)).as("c"))
+        .agg(min(col("c")).as("min_c"))
+      val w = Window.partitionBy("label")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      e.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(minCnt))
+        .filter(col("rn") <= col("min_c"))
+        .select(col("vec_id"), col("label"))
+        .orderBy("label", "vec_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -430,6 +471,32 @@ object CurateQ {
         |GROUP BY pd.doc_id
         |ORDER BY dup_bp DESC, doc_id ASC
         |LIMIT 50""".stripMargin,
+
+    "q154_lexical_diversity" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        | FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |d AS (
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(c * c) AS BIGINT) AS s2
+        | FROM c GROUP BY 1)
+        |SELECT doc_id, n, vocab,
+        | CAST((n * n - s2) * 10000 // (n * n) AS BIGINT) AS simpson_bp
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q155_balance_classes" ->
+      """WITH m AS (
+        | SELECT min(c) AS min_c FROM (
+        |  SELECT label, count(*) AS c FROM embeddings GROUP BY 1)),
+        |r AS (
+        | SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  row_number() OVER (PARTITION BY label
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        | FROM embeddings)
+        |SELECT vec_id, label FROM r, m WHERE rn <= min_c
+        |ORDER BY label, vec_id""".stripMargin,
 
     "q131_dup_bigram" ->
       """WITH t AS (
