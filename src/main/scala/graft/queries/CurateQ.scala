@@ -446,6 +446,41 @@ object CurateQ {
         .select(col("vec_id"), col("label"))
         .orderBy("label", "vec_id")
     }),
+
+    // Train→eval split leakage: pairs of documents in DIFFERENT q111
+    // splits that share an 8-token span — q97's benchmark-decontamination
+    // discipline turned inward on the pipeline's own train/val/test cut.
+    // Spans are per-doc distinct, and a doc-frequency ≤ 16 hub guard
+    // keeps boilerplate n-grams from quadratically exploding the posting
+    // join at corpus scale (the same reason q97 prunes common grams);
+    // the report is the surviving (train, eval) pairs with shared-span
+    // counts.
+    "q156_split_leakage" -> ((s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 4)
+      val spans = t(s, dir, "documents")
+        .withColumn("split",
+          when(h < "cccc", "train").when(h < "e666", "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("split"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), col("split"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("tk")) - 7),
+            i => concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("ng"))
+      val guarded = spans.join(
+        spans.groupBy("ng").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") <= 16).select("ng"), "ng")
+      val tr = guarded.filter(col("split") === "train")
+        .select(col("ng"), col("doc_id").as("train_id"))
+      val ev = guarded.filter(col("split") =!= "train")
+        .select(col("ng"), col("doc_id").as("eval_id"),
+          col("split").as("eval_split"))
+      tr.join(ev, "ng")
+        .groupBy("train_id", "eval_id", "eval_split")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("train_id", "eval_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,6 +532,30 @@ object CurateQ {
         | FROM embeddings)
         |SELECT vec_id, label FROM r, m WHERE rn <= min_c
         |ORDER BY label, vec_id""".stripMargin,
+
+    "q156_split_leakage" ->
+      """WITH s AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+        |        THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |        THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents),
+        |t AS (
+        | SELECT doc_id, split, string_split(lower(text), ' ') AS toks
+        | FROM s WHERE len(string_split(lower(text), ' ')) >= 8),
+        |g AS (
+        | SELECT DISTINCT doc_id, split,
+        |  array_to_string(toks[i:i+7], ' ') AS ng
+        | FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)),
+        |d AS (SELECT ng FROM g GROUP BY ng HAVING count(*) <= 16),
+        |gg AS (SELECT g.* FROM g JOIN d USING (ng))
+        |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+        | b.split AS eval_split, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM gg a JOIN gg b ON a.ng = b.ng
+        |WHERE a.split = 'train' AND b.split <> 'train'
+        |GROUP BY 1, 2, 3 ORDER BY train_id, eval_id""".stripMargin,
 
     "q131_dup_bigram" ->
       """WITH t AS (
