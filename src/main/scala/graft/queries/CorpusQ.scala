@@ -453,9 +453,112 @@ object CorpusQ {
         JOIN graft_emb b ON b.vec_id = d.doc_id + 1
         ORDER BY d.doc_id""")
     }),
+
+    // Triangle census of the supplier co-purchase graph. Three at-scale
+    // disciplines in one operator: (1) the bipartite projection's edge
+    // threshold is a scale-free top-1% ORDER STATISTIC computed from a
+    // shared-count HISTOGRAM — the only global window runs over the
+    // histogram (≤ distinct count values), never the pair set; (2) edges
+    // are ORIENTED low-(degree,id) → high before the wedge join, the
+    // standard trick that bounds wedge fan-out by O(√m) per node instead
+    // of max-degree² (Suri & Vassilvitskii's MapReduce triangle
+    // counting); (3) the edge set is localCheckpoint'd once and reused
+    // by the degree, wedge, and closing-edge passes. Output is the
+    // one-row census: nodes, edges, triangles, global closure in bp
+    // (3·tri·10⁴ DIV wedges — exact integer, no double ratio).
+    "q157_triangle_census" -> ((s, dir) => {
+      val sp = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = sp.select(col("sk").as("sa"), col("p"))
+        .join(sp.select(col("sk").as("sb"), col("p")), Seq("p"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
+      val hist = pairs.groupBy("shared").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(desc("shared"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val nTotal = hist.agg(sum(col("cnt")).as("n"))
+      val thr = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+        .crossJoin(broadcast(nTotal))
+        .filter(col("cum") >= ldiv(col("n") + 99, lit(100L)))
+        .agg(max(col("shared")).as("thr"))
+      // checkpoint the small EDGE set (not the 500k-row pair set, which
+      // costs more to materialize than to recompute once — measured):
+      // degrees, wedges, and the closing-edge probe all reuse it
+      val e = pairs.crossJoin(broadcast(thr))
+        .filter(col("shared") >= col("thr"))
+        .select("sa", "sb")
+        .localCheckpoint()
+      val deg = e.select(col("sa").as("v")).unionAll(e.select(col("sb")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val census = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(ldiv(col("d") * (col("d") - 1), lit(2L))).as("wedges"))
+      val orient = e
+        .join(deg.select(col("v").as("sa"), col("d").as("da")), "sa")
+        .join(deg.select(col("v").as("sb"), col("d").as("db")), "sb")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("sa") < col("sb")),
+            col("sa")).otherwise(col("sb")).as("u"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("sa") < col("sb")),
+            col("sb")).otherwise(col("sa")).as("v"))
+      val wedge = orient.select(col("u"), col("v"))
+        .join(orient.select(col("u").as("v"), col("v").as("w")), "v")
+      val tri = wedge.join(e,
+          col("sa") === least(col("u"), col("w")) &&
+          col("sb") === greatest(col("u"), col("w")))
+        .agg(count(lit(1)).as("n_tri"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      census.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_tri"),
+          // degenerate graphs (all degree-1) have no wedges; NULL, not /0
+          when(col("wedges") > 0,
+            ldiv(col("n_tri") * lit(30000L), col("wedges")))
+            .as("closure_bp"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_triangle_census" ->
+      """WITH sp AS (
+        | SELECT DISTINCT l_suppkey AS sk, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        | SELECT a.sk AS sa, b.sk AS sb, count(*) AS shared
+        | FROM sp a JOIN sp b ON a.p = b.p AND a.sk < b.sk GROUP BY 1, 2),
+        |hist AS (SELECT shared, count(*) AS cnt FROM pairs GROUP BY 1),
+        |cum AS (
+        | SELECT shared, sum(cnt) OVER (ORDER BY shared DESC) AS cum
+        | FROM hist),
+        |nn AS (SELECT sum(cnt) AS n FROM hist),
+        |thr AS (
+        | SELECT max(shared) AS thr FROM cum, nn
+        | WHERE cum >= (n + 99) // 100),
+        |e AS (SELECT sa, sb FROM pairs, thr WHERE shared >= thr),
+        |deg AS (
+        | SELECT v, count(*) AS d FROM (
+        |  SELECT sa AS v FROM e UNION ALL SELECT sb FROM e) GROUP BY 1),
+        |node AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg),
+        |orient AS (
+        | SELECT CASE WHEN (da.d, e.sa) < (db.d, e.sb) THEN e.sa ELSE e.sb
+        |   END AS u,
+        |  CASE WHEN (da.d, e.sa) < (db.d, e.sb) THEN e.sb ELSE e.sa
+        |   END AS v
+        | FROM e JOIN deg da ON da.v = e.sa JOIN deg db ON db.v = e.sb),
+        |tri AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_tri
+        | FROM orient o1 JOIN orient o2 ON o2.u = o1.v
+        | JOIN e ON e.sa = least(o1.u, o2.v)
+        |       AND e.sb = greatest(o1.u, o2.v)),
+        |ecnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT node.n_nodes, ecnt.n_edges, tri.n_tri,
+        | CAST(CASE WHEN node.wedges > 0
+        |   THEN tri.n_tri * 30000 // node.wedges END AS BIGINT)
+        |   AS closure_bp
+        |FROM node, ecnt, tri""".stripMargin,
+
     "q96_gopher_quality" ->
       """WITH t AS (
         | SELECT doc_id, string_split(lower(text), ' ') AS toks
