@@ -468,6 +468,36 @@ object TrendQ {
           col("cents").isNull.cast("long").as("was_gap"))
         .orderBy("user_id", "ed")
     }),
+
+    // Debounce (burst-collapse dedup): an event repeating the same type
+    // within 2 h of its predecessor is a burst member; only burst STARTS
+    // survive. The telemetry-log dedup that precedes any training run on
+    // event data. One-exchange discipline: the window partitions by
+    // user_id alone and orders by (event_type, ts, event_id) — the type
+    // change is detected by lag() instead of a second partition key — so
+    // the burst flags AND the per-user rollup share a single user_id
+    // exchange. Gaps compared in integer µs; suppression share in exact
+    // basis points.
+    "q158_debounce" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("event_type"), col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("pt", lag(col("event_type"), 1).over(w))
+        .withColumn("pus", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("starts_burst",
+          when(col("pt").isNull || col("pt") =!= col("event_type") ||
+            unix_micros(col("ts")) - col("pus") > 7200000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("starts_burst")).as("n_kept"))
+        .select(col("user_id"), col("n_events"), col("n_kept"),
+          ldiv((col("n_events") - col("n_kept")) * lit(10000L),
+            col("n_events")).as("suppressed_bp"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -504,6 +534,26 @@ object TrendQ {
         |      ELSE pv + (nv - pv) * (ed - ped) // (ned - ped) END AS cents,
         | CAST(cents IS NULL AS BIGINT) AS was_gap
         |FROM w ORDER BY user_id, ed""".stripMargin,
+
+    "q158_debounce" ->
+      """WITH g AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY event_type, ts, event_id) AS pt,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY event_type, ts, event_id) AS pus
+        | FROM events),
+        |f AS (
+        | SELECT user_id,
+        |  CASE WHEN pt IS NULL OR pt <> event_type
+        |        OR epoch_us(ts) - pus > 7200000000 THEN 1 ELSE 0 END
+        |   AS starts_burst
+        | FROM g)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(starts_burst) AS BIGINT) AS n_kept,
+        | CAST((count(*) - sum(starts_burst)) * 10000 // count(*)
+        |   AS BIGINT) AS suppressed_bp
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q106_mom_growth" ->
       """WITH rev AS (

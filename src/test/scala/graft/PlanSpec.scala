@@ -252,7 +252,7 @@ class PlanSpec extends SparkSpec {
     // user_id — Catalyst must satisfy them with a single shuffle (extra
     // exchanges here would double-shuffle the event log at scale)
     for (q <- Seq("q134_gap_median", "q140_gap_quantiles",
-        "q141_attribution")) {
+        "q141_attribution", "q158_debounce")) {
       val p = planOf(q)
       val n = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(n == 1, s"$q: expected exactly 1 hash exchange, got $n:\n" +
