@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.ops.{DedupOps, Partitioning, PrefixSum, RangeJoin, TextOps}
 
@@ -376,9 +378,59 @@ object ScaleQ {
         .orderBy(desc("n_clicks"), asc("p_id")).limit(25)
         .select(col("p_id").as("event_id"), col("n_clicks"))
     }),
+
+    // Exact GLOBAL k-th order statistic (lower median) by distributed
+    // selection — the scalable replacement for a global sort or a
+    // single-partition rank window. Pass 1: value-bucket histogram (one
+    // small aggregate); pass 2: a histogram-sized cumulative locates the
+    // bucket holding rank k and the local rank within it; pass 3: rank
+    // ONLY that bucket's rows (a bounded sort over n/buckets rows, one
+    // partition of bucket size — never the table). Same family as the
+    // q55 prefix sum; values in integer cents so the selected element is
+    // bit-exact. At 100 TB the bucket width is the knob: pick it from
+    // min/max so each bucket fits an executor (a second histogram pass
+    // refines if a bucket is still too fat).
+    "q159_global_median" -> ((s, dir) => {
+      val W = 1000000L // cents per bucket: $10k bands over [$900, $105k]
+      val v = t(s, dir, "lineitem")
+        .select((col("l_extendedprice").cast(DecimalType(20, 2)) * 100)
+          .cast("long").as("cents"))
+        .withColumn("bk", ldiv(col("cents"), lit(W)))
+      val hist = v.groupBy("bk").agg(count(lit(1)).as("cnt"))
+      val nk = hist.agg(sum(col("cnt")).as("n"),
+        ldiv(sum(col("cnt")) + 1, lit(2L)).as("k"))
+      val wH = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val target = hist
+        .withColumn("below", coalesce(sum(col("cnt")).over(wH), lit(0L)))
+        .crossJoin(broadcast(nk))
+        .filter(col("below") < col("k") &&
+          col("k") <= col("below") + col("cnt"))
+        .select(col("bk").as("tbk"), (col("k") - col("below"))
+          .as("local_k"))
+      val wB = Window.partitionBy("bk").orderBy("cents")
+      v.join(broadcast(target), col("bk") === col("tbk"))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === col("local_k"))
+        .crossJoin(broadcast(nk))
+        .select(col("n"), col("k"), col("cents").as("median_cents"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q159_global_median" ->
+      """WITH v AS (
+        | SELECT CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * 100
+        |   AS BIGINT) AS cents
+        | FROM lineitem),
+        |nn AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST((count(*) + 1) // 2 AS BIGINT) AS k FROM v),
+        |r AS (
+        | SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM v)
+        |SELECT nn.n, nn.k, r.cents AS median_cents
+        |FROM r, nn WHERE r.rn = nn.k""".stripMargin,
+
     "q55_running_total_global" ->
       """SELECT o_orderkey, running_rev FROM (
         | SELECT o_orderkey,
