@@ -109,4 +109,40 @@ object Partitioning {
       .option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(path)
   }
+
+  /** Morton (Z-order) value of two non-negative integer columns: the
+    * low `bits` of each interleaved a₀b₀a₁b₁…. Sorting/range-partitioning
+    * by this single value clusters rows that are close in BOTH
+    * dimensions, so parquet footer min/max stats prune files for
+    * predicates on EITHER column — a linear sort on one key leaves the
+    * other column's per-file range as wide as the table. Pure Column
+    * bit algebra (codegen'd, no UDF); 2·bits must fit a long, so
+    * bits ≤ 31. */
+  def zvalue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      (shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)),
+            2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustered write: `compact`, but range-clustered on the
+    * interleaved value of two keys so footer-stats pruning works for
+    * both. */
+  def compactZOrder(df: DataFrame, path: String, keyA: String,
+      keyB: String, bits: Int, targetRowsPerFile: Long): Unit = {
+    val z = zvalue(col(keyA), col(keyB), bits)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+      .toInt
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+  }
 }

@@ -145,6 +145,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/big").count() == 10000)
   }
 
+  test("z-order clustering bounds BOTH columns' per-file ranges") {
+    import org.apache.spark.sql.functions._
+    // two independent uniform keys in [0, 1024): a linear sort on x
+    // leaves each file's y-range ~full-width; the Morton interleave must
+    // shrink the y side too (that's the whole point — footer-stats
+    // pruning for predicates on either column)
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    val df = spark.range(16384).select(
+      ((col("id") * 2654435761L) % 1024).as("x"),
+      ((col("id") * 40503) % 1024).as("y"))
+    graft.ops.Partitioning.compact(df, s"$dir/linear", "x", 1024L)
+    graft.ops.Partitioning.compactZOrder(df, s"$dir/zorder", "x", "y",
+      bits = 10, targetRowsPerFile = 1024L)
+    def meanRange(path: String, c: String): Double = {
+      val files = new java.io.File(path)
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)), max(col(c))).collect()(0)
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      spans.sum / spans.length
+    }
+    // the comparative claim that matters for pruning: under a linear
+    // x-sort the y side stays near full width per file; z-order must
+    // shrink it substantially while keeping x bounded too. With 16
+    // files a perfect quad-tree split gives 256 per side; allow
+    // generous slack for range-sampling unevenness at file edges
+    val linY = meanRange(s"$dir/linear", "y")
+    val zx = meanRange(s"$dir/zorder", "x")
+    val zy = meanRange(s"$dir/zorder", "y")
+    assert(linY > 600.0, s"baseline degenerate: linear y mean range $linY")
+    assert(zy < 0.75 * linY, s"z-order y $zy not < 0.75x linear $linY")
+    assert(zx < 600.0, s"z-order x mean range $zx")
+    assert(zy < 600.0, s"z-order y mean range $zy")
+    // nothing lost
+    assert(spark.read.parquet(s"$dir/zorder").count() == 16384)
+    // zvalue round-trip sanity: interleave of (1,0) and (0,1)
+    val z = spark.range(1).select(
+      graft.ops.Partitioning.zvalue(lit(1L), lit(0L), 4).as("a"),
+      graft.ops.Partitioning.zvalue(lit(0L), lit(1L), 4).as("b"))
+      .collect()(0)
+    assert(z.getLong(0) == 1L && z.getLong(1) == 2L)
+  }
+
   test("schema evolution: mergeSchema unions old and new parquet columns") {
     // long-lived tables gain columns; old files must stay readable with
     // the new schema (nulls for the missing column), no rewrite
