@@ -28,4 +28,22 @@ object StreamJoin {
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxLagSec SECONDS"))
   }
+
+  /** Left-outer variant: unmatched left events are EMITTED null-padded
+    * once the watermark proves no in-window right event can still
+    * arrive — the "purchase with no follow-up error" row a batch left
+    * join would give, produced incrementally. Same bounded-state
+    * guarantee; the null row's latency is the watermark delay (the
+    * correctness/latency trade every streaming outer join makes). */
+  def intervalJoinLeftOuter(left: DataFrame, leftKey: String,
+      leftTs: String, right: DataFrame, rightKey: String, rightTs: String,
+      maxLagSec: Long, watermarkSec: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, s"$watermarkSec seconds")
+    val r = right.withWatermark(rightTs, s"$watermarkSec seconds")
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxLagSec SECONDS"),
+      "leftOuter")
+  }
 }

@@ -87,4 +87,22 @@ class RobustnessSpec extends SparkSpec {
       .orderBy("key").collect().toSeq
     assert(salted == plain)
   }
+
+  test("corrupt parquet file: loud by default, skippable by explicit flag") {
+    // at fleet scale a few corrupt files among millions are a fact of
+    // life; the engine must fail LOUDLY unless the operator explicitly
+    // opts into skipping — and then still return every good row
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    spark.range(100).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(dir.toString)
+    java.nio.file.Files.write(dir.resolve("part-junk.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val loud = intercept[Exception] {
+      spark.read.parquet(dir.toString).count()
+    }
+    assert(loud != null)
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.parquet(dir.toString).count() == 100)
+    finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+  }
 }

@@ -65,4 +65,38 @@ class StreamJoinSpec extends SparkSpec {
         "late beneath-watermark event must not join against expired state")
     } finally q.stop()
   }
+
+  test("left outer: unmatched left emits null-padded after the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, java.sql.Timestamp)]
+    val right = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamJoin.intervalJoinLeftOuter(
+      left.toDF().toDF("l_k", "l_ts"), "l_k", "l_ts",
+      right.toDF().toDF("r_k", "r_ts"), "r_k", "r_ts",
+      maxLagSec = 10, watermarkSec = 5)
+    val q = joined
+      .select(col("l_k"), unix_timestamp(col("l_ts")).as("l"),
+        col("r_k"))
+      .writeStream.format("memory").queryName("sj_outer").start()
+    try {
+      // user 1 matches in-window; user 2 never gets a right event
+      left.addData((1L, ts(100)), (2L, ts(100)))
+      right.addData((1L, ts(105)))
+      q.processAllAvailable()
+      // nothing null-padded yet: user 2's window is still open
+      val early = spark.table("sj_outer")
+        .filter(col("r_k").isNull).count()
+      assert(early == 0, "outer row emitted before the horizon closed")
+      // advance both watermarks past 100 + lag(10) + delay(5)
+      left.addData((8L, ts(1000)))
+      right.addData((9L, ts(1000)))
+      q.processAllAvailable()
+      val rows = spark.table("sj_outer")
+        .select(col("l_k"), col("r_k").isNull.as("unmatched"))
+        .as[(Long, Boolean)].collect().toSet
+      assert(rows.contains((1L, false)), s"matched pair missing: $rows")
+      assert(rows.contains((2L, true)),
+        s"unmatched left not null-padded after horizon: $rows")
+    } finally q.stop()
+  }
 }
