@@ -305,6 +305,32 @@ object RelationalQ {
         GROUP BY p.p_brand, p.p_size
         ORDER BY supplier_cnt DESC, p.p_brand, p_size""")
     }),
+
+    // Disjunctive join predicates (TPC-H Q19 shape): three OR-branches
+    // each mixing build-side (brand, size) and probe-side (quantity)
+    // conditions. The at-scale trap is a nested-loop join when the
+    // planner can't find the common equi-key; Catalyst must still join
+    // hash-on-partkey and evaluate the OR as a residual (PlanSpec
+    // asserts no BroadcastNestedLoopJoin/CartesianProduct). Revenue as
+    // the exact decimal sum.
+    "q160_disjunctive_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(30, 6)).as("rev"))
+      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val branch = (brand: String, szLo: Int, szHi: Int, qLo: Int,
+          qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      l.join(p, col("p_partkey") === col("l_partkey") &&
+          (branch("Brand#1", 1, 15, 1, 20) ||
+           branch("Brand#2", 10, 30, 10, 30) ||
+           branch("Brand#3", 20, 50, 20, 40)))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("rev")).cast("double").as("revenue"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -476,5 +502,17 @@ object RelationalQ {
         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p.p_brand, p.p_size
         |ORDER BY supplier_cnt DESC, p.p_brand, p_size""".stripMargin,
+
+    "q160_disjunctive_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
   )
 }

@@ -338,6 +338,13 @@ class PlanSpec extends SparkSpec {
     assert(p149.contains("LeftAnti"), p149.take(2000))
     // q147's top-100 must not global-sort
     assert(planOf("q147_large_orders").contains("TakeOrderedAndProject"))
+    // q160's OR-of-ANDs predicate must still hash-join on the common
+    // partkey with the disjunction as a residual — a nested loop here
+    // reads the fact table once per part at scale
+    val p160 = planOf("q160_disjunctive_join")
+    assert(p160.contains("HashJoin") || p160.contains("SortMergeJoin"),
+      p160.take(2000))
+    assert(!p160.contains("BroadcastNestedLoopJoin"), p160.take(2000))
   }
 
   test("containment posting join reuses one exchange for both sides") {
