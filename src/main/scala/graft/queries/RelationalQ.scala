@@ -331,6 +331,226 @@ object RelationalQ {
         .agg(count(lit(1)).as("n_lines"),
           sum(col("rev")).cast("double").as("revenue"))
     }),
+
+    // Correlated MIN scalar subquery (TPC-H Q2 shape, adapted: no partsupp
+    // table in this schema, so lineitem plays the supplier-catalog role).
+    // Catalyst decorrelates the min() into one aggregate over the
+    // region-filtered lines joined back on partkey — a single co-partitioned
+    // pass, never a per-row re-scan. min() picks an existing double (no
+    // arithmetic), so the equality join back is exact in any engine.
+    "q161_min_cost_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li")
+      t(s, dir, "part").createOrReplaceTempView("graft_part")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_supp")
+      t(s, dir, "nation").createOrReplaceTempView("graft_nat")
+      t(s, dir, "region").createOrReplaceTempView("graft_reg")
+      s.sql("""
+        SELECT DISTINCT s.s_name, p.p_partkey,
+          l.l_extendedprice AS min_price, s.s_acctbal
+        FROM graft_part p
+        JOIN graft_li l ON p.p_partkey = l.l_partkey
+        JOIN graft_supp s ON s.s_suppkey = l.l_suppkey
+        JOIN graft_nat n ON s.s_nationkey = n.n_nationkey
+        JOIN graft_reg r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'SMALL' AND p.p_size <= 10
+          AND l.l_extendedprice =
+            (SELECT min(l2.l_extendedprice)
+             FROM graft_li l2
+             JOIN graft_supp s2 ON s2.s_suppkey = l2.l_suppkey
+             JOIN graft_nat n2 ON s2.s_nationkey = n2.n_nationkey
+             JOIN graft_reg r2 ON n2.n_regionkey = r2.r_regionkey
+             WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s.s_acctbal DESC, s.s_name, p.p_partkey
+        LIMIT 100""")
+    }),
+
+    // Bidirectional nation-pair volume (TPC-H Q7 shape): the OR over
+    // (supp, cust) nation pairs is evaluated as a residual after both
+    // nation dims broadcast — the fact side shuffles only on the two
+    // equi-join keys, and the pair filter prunes before the year rollup.
+    "q162_nation_volume" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(nat.select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+        .select("s_suppkey", "supp_nation")
+      val cus = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(nat.select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+        .select("c_custkey", "cust_nation")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1997-12-31").cast("timestamp")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(30, 6)).as("volume"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(col("volume")).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Product-type profit (TPC-H Q9 shape, supply cost proxied at half the
+    // part's retail price — the schema has no partsupp). The profit term
+    // subtracts two exact decimals per line, so the nation×year sums are
+    // order-independent; the p_name LIKE filter pushes to the part scan and
+    // prunes the build side before any join.
+    "q163_product_profit" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "nation")
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val lp = t(s, dir, "lineitem")
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(30, 6)) -
+            (lit(0.5) * col("p_retailprice") * col("l_quantity"))
+              .cast(DecimalType(30, 6))).as("amount"))
+      lp.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("nation", "o_year")
+        .agg(sum(col("amount")).cast("double").as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    }),
+
+    // Group-by HAVING against global scalar subqueries (TPC-H Q11 shape):
+    // parts whose ASIA-supplier value runs 1.2× the mean part value. The
+    // threshold compare stays in exact decimal integer form (sum*groups*10
+    // > total*12 — a fixed global fraction is not scale-stable: shares
+    // concentrate toward the mean as rows-per-part grow, so the mean-
+    // relative form keeps the result non-empty at any SF). The scalar
+    // count/total are broadcast one-row plans; every pass over the shared
+    // CTE shuffles on l_partkey only, and the top-100 plans as
+    // TakeOrderedAndProject.
+    "q164_important_parts" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_supp")
+      t(s, dir, "nation").createOrReplaceTempView("graft_nat")
+      t(s, dir, "region").createOrReplaceTempView("graft_reg")
+      s.sql("""
+        WITH asia_lines AS (
+          SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(30,2)) AS val
+          FROM graft_li l
+          JOIN graft_supp s ON l.l_suppkey = s.s_suppkey
+          JOIN graft_nat n ON s.s_nationkey = n.n_nationkey
+          JOIN graft_reg r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA')
+        SELECT l_partkey, CAST(sum(val) AS DOUBLE) AS value
+        FROM asia_lines GROUP BY l_partkey
+        HAVING sum(val) * (SELECT count(DISTINCT l_partkey)
+                           FROM asia_lines) * 10
+             > (SELECT sum(val) FROM asia_lines) * 12
+        ORDER BY value DESC, l_partkey
+        LIMIT 100""")
+    }),
+
+    // Promo revenue share (TPC-H Q14 shape): one co-partitioned join +
+    // one aggregate pass computing both conditional and total decimal sums;
+    // the share is a single IEEE division of two exact doubles (identical
+    // in any engine — no rounding step, per the q151 precedent).
+    "q165_promo_share" -> ((s, dir) => {
+      val zero = lit(0).cast(DecimalType(30, 6))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+          col("p_partkey") === col("l_partkey"))
+        .select((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(30, 6)).as("rev"), col("p_type"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(zero))
+            .as("numd"),
+          sum(col("rev")).as("dend"))
+        .select(
+          col("numd").cast("double").as("promo_rev"),
+          col("dend").cast("double").as("total_rev"),
+          (col("numd").cast("double") * 100 / col("dend").cast("double"))
+            .as("promo_share"))
+    }),
+
+    // Max-of-aggregate via reused CTE (TPC-H Q15 shape): quarterly revenue
+    // per supplier, keep the supplier(s) hitting the max. The revenue CTE
+    // is evaluated once per consumer (agg-side and scalar max side) — both
+    // are supplier-cardinality frames, so the scalar side broadcasts; the
+    // equality is on the exact decimal sum, so ties and the max boundary
+    // are engine-independent.
+    "q166_top_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_supp")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+              AS total_rev
+          FROM graft_li
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM graft_supp JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        ORDER BY s_suppkey""")
+    }),
+
+    // Nested IN-subquery whose HAVING carries a correlated scalar
+    // aggregate (TPC-H Q20 shape): suppliers who shipped more than an
+    // eighth of any SMALL part's total quantity. Catalyst decorrelates
+    // the per-part total into an aggregate joined on l_partkey inside the
+    // IN-subquery, then plans the IN as a left-semi join — three shuffles
+    // total (partkey agg, partkey join, suppkey semi), no row-at-a-time
+    // subquery execution.
+    "q167_excess_suppliers" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li")
+      t(s, dir, "part").createOrReplaceTempView("graft_part")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_supp")
+      s.sql("""
+        SELECT s_name, s_acctbal
+        FROM graft_supp
+        WHERE s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM graft_li l JOIN graft_part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_type = 'SMALL'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING sum(CAST(l.l_quantity AS DECIMAL(30,2))) * 8
+               > (SELECT sum(CAST(l2.l_quantity AS DECIMAL(30,2)))
+                  FROM graft_li l2 WHERE l2.l_partkey = l.l_partkey))
+        ORDER BY s_name""")
+    }),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: top-3 customers
+    // by balance per ASIA nation. Catalyst decorrelates the lateral limit
+    // into a rank-window over the customer side partitioned by nationkey —
+    // one shuffle, no per-nation re-scan (the naive interpretation would
+    // re-sort customers once per outer row).
+    "q168_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_cust")
+      t(s, dir, "nation").createOrReplaceTempView("graft_nat")
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM graft_nat n
+        JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM graft_cust c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+        WHERE n.n_regionkey = 2
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -514,5 +734,129 @@ object RelationalQ {
         |        AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q161_min_cost_supplier" ->
+      """SELECT DISTINCT s.s_name, p.p_partkey,
+        | l.l_extendedprice AS min_price, s.s_acctbal
+        |FROM part p
+        |JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_type = 'SMALL' AND p.p_size <= 10
+        |  AND l.l_extendedprice =
+        |    (SELECT min(l2.l_extendedprice)
+        |     FROM lineitem l2
+        |     JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |     JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |     WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q162_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |        CAST(l.l_extendedprice * (1 - l.l_discount)
+        |          AS DECIMAL(30,6)) AS volume
+        |      FROM supplier s
+        |      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      JOIN customer c ON c.c_custkey = o.o_custkey
+        |      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |                             AND TIMESTAMP '1997-12-31') x
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q163_product_profit" ->
+      """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        |FROM (SELECT n.n_name AS nation,
+        |        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |        CAST(l.l_extendedprice * (1 - l.l_discount)
+        |          AS DECIMAL(30,6))
+        |        - CAST(0.5 * p.p_retailprice * l.l_quantity
+        |            AS DECIMAL(30,6)) AS amount
+        |      FROM part p
+        |      JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |      WHERE p.p_name LIKE '%red%') x
+        |GROUP BY nation, o_year
+        |ORDER BY nation ASC, o_year DESC""".stripMargin,
+
+    "q164_important_parts" ->
+      """WITH asia_lines AS (
+        |  SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(30,2)) AS val
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA')
+        |SELECT l_partkey, CAST(sum(val) AS DOUBLE) AS value
+        |FROM asia_lines GROUP BY l_partkey
+        |HAVING sum(val) * (SELECT count(DISTINCT l_partkey)
+        |                   FROM asia_lines) * 10
+        |     > (SELECT sum(val) FROM asia_lines) * 12
+        |ORDER BY value DESC, l_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q165_promo_share" ->
+      """SELECT
+        | CAST(numd AS DOUBLE) AS promo_rev,
+        | CAST(dend AS DOUBLE) AS total_rev,
+        | CAST(numd AS DOUBLE) * 100 / CAST(dend AS DOUBLE) AS promo_share
+        |FROM (SELECT
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+        |        ELSE CAST(0 AS DECIMAL(30,6)) END) AS numd,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |    AS dend
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |   AND l_shipdate < TIMESTAMP '1998-01-01') x""".stripMargin,
+
+    "q166_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q167_excess_suppliers" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l.l_suppkey
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'SMALL'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING sum(CAST(l.l_quantity AS DECIMAL(30,2))) * 8
+        |       > (SELECT sum(CAST(l2.l_quantity AS DECIMAL(30,2)))
+        |          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+        |ORDER BY s_name""".stripMargin,
+
+    "q168_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n
+        |JOIN LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t ON true
+        |WHERE n.n_regionkey = 2
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
   )
 }

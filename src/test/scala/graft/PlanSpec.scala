@@ -345,6 +345,28 @@ class PlanSpec extends SparkSpec {
     assert(p160.contains("HashJoin") || p160.contains("SortMergeJoin"),
       p160.take(2000))
     assert(!p160.contains("BroadcastNestedLoopJoin"), p160.take(2000))
+    // q161's correlated min() (Q2 shape) must decorrelate the same way
+    val p161 = planOf("q161_min_cost_supplier")
+    assert(!p161.contains("ScalarSubquery"),
+      s"correlated min not decorrelated:\n${p161.take(3000)}")
+    // q167's nested IN with a correlated HAVING scalar (Q20 shape): the
+    // IN becomes a semi join and the per-part total an aggregate joined
+    // on l_partkey — nothing row-at-a-time survives
+    val p167 = planOf("q167_excess_suppliers")
+    assert(p167.contains("LeftSemi"), p167.take(2000))
+    assert(!p167.contains("ScalarSubquery"),
+      s"correlated HAVING scalar not decorrelated:\n${p167.take(3000)}")
+  }
+
+  test("lateral ORDER BY + LIMIT decorrelates to a rank window") {
+    // q168's JOIN LATERAL (... ORDER BY ... LIMIT 3): the naive plan
+    // re-sorts the customer table once per outer nation row; Catalyst
+    // must rewrite it into one window (rank over nationkey partitions) —
+    // a single shuffle regardless of outer cardinality
+    val p = planOf("q168_lateral_topk")
+    assert(p.contains("Window"), s"expected window rewrite:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
   }
 
   test("containment posting join reuses one exchange for both sides") {
