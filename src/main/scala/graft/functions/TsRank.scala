@@ -65,13 +65,16 @@ object TsRank {
       if (acc < 0) c else 1.0 - (1.0 - acc) * (1.0 - c)
     }
 
-  private def fmt(x: Double): String = java.lang.Double.toString(x)
+  /** Shortest round-trip repr, parsed back via string→DOUBLE (correctly
+    * rounded in both engines). A bare decimal literal would be DECIMAL in
+    * DuckDB and could re-round on the way to DOUBLE. */
+  private def fmt(x: Double): String =
+    s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
 
   /** `(k, score)` VALUES list for the DuckDB oracle — identical doubles. */
   def termScoreValuesSql: String = termScore.zipWithIndex
     .map { case (v, i) => s"(${i + 1}, ${fmt(v)})" }.mkString(", ")
 
-  /** `(d, cw)` VALUES list for the DuckDB oracle — identical doubles. */
-  def curwValuesSql: String = curw.zipWithIndex
-    .map { case (v, i) => s"(${i + 1}, ${fmt(v)})" }.mkString(", ")
+  /** 101-entry DOUBLE list literal for the DuckDB oracle fold. */
+  def curwListSql: String = curw.map(fmt).mkString("[", ", ", "]")
 }

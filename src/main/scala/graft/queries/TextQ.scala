@@ -70,6 +70,66 @@ object TextQ {
         .limit(25)
     }),
 
+    // Exact ts_rank, single-term path (closes SURVEY §2.8 T3): the
+    // published rank for a one-term query is a pure function of the term's
+    // occurrence count (TsRank.termScore — the calc_rank_or accumulation),
+    // so the whole ranking is one narrow projection + array lookup: no
+    // shuffle, no UDF, and the DuckDB oracle consumes the SAME lookup
+    // doubles as literals, making the compare exact (db_extractor.py:51).
+    "q169_tsrank_term" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      val k = least(size(filter(tk, x => x === lit("spark"))), lit(256))
+      t(s, dir, "documents")
+        .withColumn("n_hits", k)
+        .filter(col("n_hits") >= 1)
+        .withColumn("score",
+          element_at(typedlit(graft.functions.TsRank.termScore),
+            col("n_hits")))
+        .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"),
+          col("score"),
+          (col("score") / (col("score") + lit(1.0))).as("score_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact ts_rank, AND path (calc_rank_and): rank folds
+    // 1-(1-r)(1-curw) over every position pair of the two query terms,
+    // curw drawn from the 101-entry clamped-distance table. The fold is a
+    // Catalyst `aggregate` over an array that never leaves the row —
+    // per-document work is O(k₁·k₂) on ≤256-entry position lists, so the
+    // operator is a pure projection at any corpus size. The oracle replays
+    // the identical fold (same pair order, same curw literals) via a
+    // recursive CTE, so the driver compare is exact despite the
+    // order-dependent float accumulation.
+    "q170_tsrank_and" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      def pos(term: String) = slice(
+        transform(
+          filter(
+            transform(tk, (x, i) =>
+              struct(x.as("tok"), (i + lit(1)).as("p"))),
+            st => st.getField("tok") === lit(term)),
+          st => st.getField("p")),
+        1, 256)
+      val cw = typedlit(graft.functions.TsRank.curw)
+      val dists = flatten(transform(col("p1"), a =>
+        transform(col("p2"), b => least(abs(a - b), lit(101)))))
+      val score = aggregate(col("dists"), lit(-1.0), (acc, d) =>
+        when(acc < 0, element_at(cw, d))
+          .otherwise(lit(1.0) -
+            (lit(1.0) - acc) * (lit(1.0) - element_at(cw, d))))
+      t(s, dir, "documents")
+        .withColumn("p1", pos("spark"))
+        .withColumn("p2", pos("join"))
+        .filter(size(col("p1")) >= 1 && size(col("p2")) >= 1)
+        .withColumn("dists", dists)
+        .withColumn("score", score)
+        .select(col("doc_id"),
+          size(col("dists")).cast("long").as("n_pairs"),
+          col("score"),
+          (col("score") / (col("score") + lit(1.0))).as("score_norm"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus text cleaning: deterministic dirt (decomposed é, zero-width
     // space, a control char, ragged whitespace) injected around each
     // document, then NFC + strip + collapse via TextOps.cleanText. The
@@ -369,6 +429,50 @@ object TextQ {
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
         |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // The oracle consumes the SAME IEEE doubles Spark looks up
+    // (TsRank.termScore, shortest round-trip repr) — the compare is exact
+    // because both sides read one table, not because floats "happen" to
+    // agree.
+    "q169_tsrank_term" ->
+      s"""WITH ts(k, score) AS (VALUES ${graft.functions.TsRank.termScoreValuesSql}),
+         |m AS (
+         | SELECT doc_id,
+         |  least(len(list_filter(string_split(lower(text), ' '),
+         |    x -> x = 'spark')), 256) AS n_hits
+         | FROM documents)
+         |SELECT m.doc_id, CAST(m.n_hits AS BIGINT) AS n_hits, ts.score,
+         | ts.score / (ts.score + 1) AS score_norm
+         |FROM m JOIN ts ON m.n_hits = ts.k
+         |WHERE m.n_hits >= 1
+         |ORDER BY doc_id""".stripMargin,
+
+    // list_reduce seeds from the first element — exactly the acc<0 branch
+    // of calc_rank_and — then replays Spark's left fold with the identical
+    // 1-(1-acc)(1-c) double ops over the same (a asc, b asc) pair order.
+    "q170_tsrank_and" ->
+      s"""WITH cwt AS (SELECT ${graft.functions.TsRank.curwListSql} AS cw),
+         |s AS (
+         | SELECT doc_id, string_split(lower(text), ' ') AS toks
+         | FROM documents),
+         |p AS (
+         | SELECT doc_id,
+         |  list_filter(range(1, len(toks) + 1), i -> toks[i] = 'spark')[1:256] AS p1,
+         |  list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join')[1:256] AS p2
+         | FROM s),
+         |d AS (
+         | SELECT doc_id,
+         |  flatten(list_transform(p1,
+         |    a -> list_transform(p2, b -> least(abs(a - b), 101)))) AS dists
+         | FROM p
+         | WHERE len(p1) >= 1 AND len(p2) >= 1),
+         |r AS (
+         | SELECT doc_id, CAST(len(dists) AS BIGINT) AS n_pairs,
+         |  list_reduce(list_transform(dists, dd -> cw[dd]),
+         |    (acc, x) -> 1 - (1 - acc) * (1 - x)) AS score
+         | FROM d, cwt)
+         |SELECT doc_id, n_pairs, score, score / (score + 1) AS score_norm
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q41_bpe_tokens" ->
       """SELECT doc_id,
