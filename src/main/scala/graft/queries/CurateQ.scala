@@ -481,9 +481,105 @@ object CurateQ {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("train_id", "eval_id")
     }),
+
+    // Domain-mixture reweighting (DoReMi-style static target weights
+    // applied deterministically): given per-source target shares in
+    // basis points, the largest feasible corpus is N = min_s ⌊n_s·10⁴ /
+    // bp_s⌋ (the scarcest source binds); each source then keeps its
+    // quota ⌊bp_s·N/10⁴⌋ docs in md5-hash survivor order — seedless and
+    // replica-reproducible, the q155 discipline with non-uniform
+    // targets. Everything that moves is source-sized (counts, quotas,
+    // the N scalar — all broadcast); the only data-sized exchange is
+    // the per-source rank, and quota selection could swap to the q159
+    // histogram threshold if a single source ever outgrew a partition.
+    "q171_mixture_reweight" -> ((s, dir) => {
+      import s.implicits._
+      val w = broadcast(mixtureBp.toDF("source", "target_bp"))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val counts = d.groupBy("source").agg(count(lit(1)).as("n_in"))
+        .join(w, "source")
+      val nOut = broadcast(counts.select(
+        min(ldiv(col("n_in") * lit(10000L), col("target_bp")))
+          .as("n_out")))
+      val quotas = broadcast(counts.crossJoin(nOut)
+        .select(col("source"), col("n_in"), col("target_bp"),
+          ldiv(col("target_bp") * col("n_out"), lit(10000L)).as("quota")))
+      val rk = row_number().over(Window.partitionBy("source").orderBy(
+        md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))
+          .cast("binary"))))
+      d.withColumn("rk", rk)
+        .join(quotas, "source")
+        .filter(col("rk") <= col("quota"))
+        .groupBy("source")
+        .agg(first(col("n_in")).as("n_in"),
+          first(col("target_bp")).as("target_bp"),
+          first(col("quota")).as("quota"),
+          count(lit(1)).as("kept"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy("source")
+    }),
+
+    // Epoch-aware deterministic shuffle: each training epoch re-permutes
+    // the corpus by md5(epoch:doc_id) — no RNG state to ship, any
+    // replica reconstructs any epoch's order. The permutation is
+    // hierarchical exactly like a distributed loader's: a 16-way shard
+    // key from the hash's first nibble (the cross-cluster split), then
+    // a within-shard position (the local shuffle buffer) — so the rank
+    // window partitions on (epoch, shard) and NO global ordering is
+    // ever materialized; shards scale out with the cluster.
+    "q172_epoch_shuffle" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(0L), lit(2L))))
+        .withColumn("hk", md5(concat(col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string")).cast("binary")))
+        .withColumn("shard", substring(col("hk"), 1, 1))
+      d.withColumn("pos", row_number().over(
+          Window.partitionBy("epoch", "shard").orderBy("hk"))
+          .cast("long"))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy("epoch", "shard", "pos")
+    }),
   )
 
+  /** q171's target mixture (basis points, sums to 10000) — one source of
+    * truth for the query and its oracle. */
+  private val mixtureBp: Seq[(String, Long)] = (0 to 19).map(i =>
+    ("src" + i, if (i < 5) 1000L else if (i < 10) 500L else 250L))
+
   val oracles: Map[String, String] = Map(
+    "q171_mixture_reweight" -> {
+      val values = mixtureBp
+        .map { case (s, bp) => s"('$s', CAST($bp AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH w(source, target_bp) AS (VALUES $values),
+         |c AS (SELECT source, count(*) AS n_in FROM documents GROUP BY source),
+         |cw AS (SELECT c.source, n_in, target_bp FROM c JOIN w USING (source)),
+         |n AS (SELECT min(n_in * 10000 // target_bp) AS n_out FROM cw),
+         |q AS (SELECT source, n_in, target_bp,
+         |        target_bp * n_out // 10000 AS quota FROM cw, n),
+         |r AS (SELECT source, doc_id, row_number() OVER (
+         |        PARTITION BY source
+         |        ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR))) AS rk
+         |      FROM documents)
+         |SELECT q.source, CAST(n_in AS BIGINT) AS n_in,
+         | CAST(target_bp AS BIGINT) AS target_bp,
+         | CAST(quota AS BIGINT) AS quota,
+         | CAST(count(*) AS BIGINT) AS kept,
+         | CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM r JOIN q ON r.source = q.source AND r.rk <= q.quota
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+    },
+
+    "q172_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+        |h AS (SELECT CAST(e.epoch AS BIGINT) AS epoch, doc_id,
+        |  md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS hk
+        | FROM documents, e)
+        |SELECT epoch, substr(hk, 1, 1) AS shard,
+        | CAST(row_number() OVER (PARTITION BY epoch, substr(hk, 1, 1)
+        |   ORDER BY hk) AS BIGINT) AS pos,
+        | doc_id
+        |FROM h ORDER BY epoch, shard, pos""".stripMargin,
     "q150_dup_span" ->
       """WITH t AS (
         | SELECT doc_id, string_split(lower(text), ' ') AS toks

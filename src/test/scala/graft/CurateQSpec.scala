@@ -100,4 +100,45 @@ class CurateQSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"),
       s"q131 must not shuffle before the presentation sort:\n${p.take(2000)}")
   }
+
+  test("q171: quotas are feasible, binding, and exactly filled") {
+    val rows = SparkEntry.queries("q171_mixture_reweight")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nIn, bp, quota, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(quota <= nIn, s"${r.getString(0)}: quota $quota > n_in $nIn")
+      assert(kept == quota, s"${r.getString(0)}: kept $kept != quota $quota")
+      assert(bp >= 1)
+    }
+    // the scarcest source binds: at least one source keeps everything
+    // OR every quota is the exact floor of its share of the same N
+    val n = rows.map(r => r.getLong(3) * 10000L / r.getLong(2)).max
+    rows.foreach(r =>
+      assert(r.getLong(3) == r.getLong(2) * n / 10000L ||
+        r.getLong(3) == r.getLong(1)))
+  }
+
+  test("q172: each (epoch, shard) is a partition of the corpus; epochs permute independently") {
+    val nDocs = docs.size
+    val rows = SparkEntry.queries("q172_epoch_shuffle")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // every epoch contains every doc exactly once
+    for (e <- 0L to 2L) {
+      val ep = rows.filter(_._1 == e)
+      assert(ep.length == nDocs)
+      assert(ep.map(_._4).distinct.length == nDocs)
+      // positions within a shard are 1..k contiguous
+      ep.groupBy(_._2).foreach { case (sh, g) =>
+        assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq,
+          s"epoch $e shard $sh has gapped positions")
+      }
+    }
+    // epochs actually re-shuffle: epoch-0 shard assignment differs from 1
+    val s0 = rows.filter(_._1 == 0L).map(r => r._4 -> r._2).toMap
+    val s1 = rows.filter(_._1 == 1L).map(r => r._4 -> r._2).toMap
+    assert(s0.exists { case (id, sh) => s1(id) != sh })
+  }
 }
