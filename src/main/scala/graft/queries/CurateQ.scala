@@ -539,6 +539,62 @@ object CurateQ {
         .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
         .orderBy("epoch", "shard", "pos")
     }),
+
+    // CCNet-style paragraph dedup — the corpus REWRITE, not just the
+    // measurement (q150 measures overlapping-span mass; this drops
+    // repeated paragraphs and recomposes the document). Paragraph unit =
+    // non-overlapping 16-token segment (the corpus is flat word streams;
+    // on prose this would split on blank lines). First occurrence wins
+    // by (doc_id, seg index) — exactly CCNet's keep-one semantics. Only
+    // paragraph hashes shuffle (collapsed corpus-sized key space, the
+    // same posting-join bound as q150); the rewrite is a per-doc
+    // collect_list re-assembly, never a global sort.
+    "q173_paragraph_dedup" -> ((s, dir) => {
+      val segs = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), ((size(col("tk")) - 1) / 16).cast("int")),
+          i => struct((i + 1).as("seg"),
+            concat_ws(" ", slice(col("tk"), i * 16 + 1, lit(16))).as("p"))))
+          .as("sp"))
+        .select(col("doc_id"), col("sp.seg").as("seg"), col("sp.p").as("p"))
+      val firstOwner = segs
+        .groupBy("p")
+        .agg(min(struct(col("doc_id"), col("seg"))).as("o"))
+        .select(col("p"), col("o.doc_id").as("o_id"), col("o.seg").as("o_seg"))
+      segs.join(firstOwner, "p")
+        .withColumn("keep",
+          col("doc_id") === col("o_id") && col("seg") === col("o_seg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          md5(concat_ws(" ", sort_array(collect_list(
+            when(col("keep"), struct(col("seg"), col("p"))))).getField("p"))
+            .cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence-length bucketing: the batch-packing report — docs binned
+    // to the next power-of-two token budget, per-bucket padding waste in
+    // exact basis points. Pure per-row bucket assignment + a
+    // bucket-count-sized aggregate; the CASE ladder keeps the bucket
+    // boundary integral in both engines (no libm log2).
+    "q174_length_buckets" -> ((s, dir) => {
+      val n = size(toks(col("text"))).cast("long")
+      val bucket = when(n <= 16, 16L).when(n <= 32, 32L)
+        .when(n <= 64, 64L).when(n <= 128, 128L).when(n <= 256, 256L)
+        .when(n <= 512, 512L).otherwise(1024L)
+      t(s, dir, "documents")
+        .select(col("doc_id"), n.as("n_tok"), bucket.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("bucket") - col("n_tok")).as("sum_pad"))
+        .select(col("bucket"), col("n_docs"), col("sum_tok"),
+          ldiv(col("sum_pad") * lit(10000L),
+            col("bucket") * col("n_docs")).as("waste_bp"))
+        .orderBy("bucket")
+    }),
   )
 
   /** q171's target mixture (basis points, sums to 10000) — one source of
@@ -569,6 +625,45 @@ object CurateQ {
          |FROM r JOIN q ON r.source = q.source AND r.rk <= q.quota
          |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
     },
+
+    "q173_paragraph_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |           FROM documents),
+        |seg AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, (len(tk) - 1) // 16 + 2),
+        |    i -> struct_pack(seg := i,
+        |      p := array_to_string(tk[(i-1)*16+1 : i*16], ' '))),
+        |    recursive := true)
+        | FROM s),
+        |own AS (
+        | SELECT p, doc_id AS o_id, seg AS o_seg,
+        |  row_number() OVER (PARTITION BY p ORDER BY doc_id, seg) AS rn
+        | FROM seg),
+        |j AS (
+        | SELECT seg.doc_id, seg.seg, seg.p,
+        |  (seg.doc_id = own.o_id AND seg.seg = own.o_seg) AS keep
+        | FROM seg JOIN own ON seg.p = own.p AND own.rn = 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(coalesce(string_agg(CASE WHEN keep THEN p END, ' '
+        |   ORDER BY seg), '')) AS clean_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q174_length_buckets" ->
+      """WITH b AS (
+        | SELECT doc_id, len(string_split(lower(text), ' ')) AS n,
+        |  CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |       WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |       WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |       ELSE 1024 END AS bucket
+        | FROM documents)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n) AS BIGINT) AS sum_tok,
+        | CAST(sum(bucket - n) AS BIGINT) * 10000
+        |   // (CAST(bucket AS BIGINT) * count(*)) AS waste_bp
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q172_epoch_shuffle" ->
       """WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),

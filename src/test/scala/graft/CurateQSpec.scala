@@ -141,4 +141,43 @@ class CurateQSpec extends SparkSpec {
     val s1 = rows.filter(_._1 == 1L).map(r => r._4 -> r._2).toMap
     assert(s0.exists { case (id, sh) => s1(id) != sh })
   }
+
+  test("q173: paragraph dedup matches a from-scratch rewrite") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // brute force: first occurrence by (doc_id, seg) wins
+    val segs = docs.toSeq.sortBy(_._1).flatMap { case (id, text) =>
+      text.toLowerCase.split(" ", -1).grouped(16).zipWithIndex
+        .map { case (g, i) => (id, i + 1, g.mkString(" ")) }
+    }
+    val owner = segs.groupBy(_._3).map { case (p, g) =>
+      p -> g.minBy(x => (x._1, x._2))
+    }
+    val exp = segs.groupBy(_._1).map { case (id, g) =>
+      val kept = g.sortBy(_._2).filter(x => owner(x._3) == x)
+      (id, g.size.toLong, kept.size.toLong,
+        md5hex(kept.map(_._3).mkString(" ")))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q173_paragraph_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == exp)
+    // dedup actually removed something (the corpus has planted dups)
+    assert(got.exists(r => r._3 < r._2))
+  }
+
+  test("q174: buckets are tight powers of two and waste is consistent") {
+    val rows = SparkEntry.queries("q174_length_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == docs.size)
+    rows.foreach { case (bucket, nDocs, sumTok, wasteBp) =>
+      assert(Set(16L, 32L, 64L, 128L, 256L, 512L, 1024L).contains(bucket))
+      assert(sumTok <= bucket * nDocs)
+      assert(wasteBp == (bucket * nDocs - sumTok) * 10000L / (bucket * nDocs))
+      assert(wasteBp >= 0 && wasteBp < 10000)
+    }
+  }
 }
