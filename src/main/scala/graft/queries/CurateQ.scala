@@ -496,12 +496,16 @@ object CurateQ {
       import s.implicits._
       val w = broadcast(mixtureBp.toDF("source", "target_bp"))
       val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val counts = d.groupBy("source").agg(count(lit(1)).as("n_in"))
+      // ONE data-sized scan feeds counts; the binding minimum rides a
+      // window over the already-aggregated source-sized frame (the q157
+      // "global window over collapsed rows" discipline) instead of a
+      // second aggregation re-scanning the corpus.
+      val quotas = broadcast(d.groupBy("source")
+        .agg(count(lit(1)).as("n_in"))
         .join(w, "source")
-      val nOut = broadcast(counts.select(
-        min(ldiv(col("n_in") * lit(10000L), col("target_bp")))
-          .as("n_out")))
-      val quotas = broadcast(counts.crossJoin(nOut)
+        .withColumn("n_out",
+          min(ldiv(col("n_in") * lit(10000L), col("target_bp")))
+            .over(Window.partitionBy(lit(1))))
         .select(col("source"), col("n_in"), col("target_bp"),
           ldiv(col("target_bp") * col("n_out"), lit(10000L)).as("quota")))
       val rk = row_number().over(Window.partitionBy("source").orderBy(
