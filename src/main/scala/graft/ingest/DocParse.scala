@@ -81,6 +81,52 @@ object DocParse {
     out.result()
   }
 
+  /** S9, binary half: decode a .docx IN-ENGINE (DocxCodec — pure JDK
+    * zip + DOM, no external codec) and apply the reference's extraction
+    * order (document_spider.py:163-253): tables first — header row +
+    * data rows, headers resolved through the SAME synonym map as the
+    * CSV path — and only when no table yields a valid record, the
+    * paragraph state machine over the document text. */
+  def parseDocx(bytes: Array[Byte]): Seq[DocRecord] = {
+    val c = DocxCodec.decode(bytes)
+    val fromTables = c.tables.flatMap { rows =>
+      if (rows.size < 2) Nil // need header + at least one data row
+      else {
+        val hdr = rows.head.map(_.trim.toLowerCase.replace(' ', '_'))
+        val idx: Map[String, Int] = CsvUpload.columnSynonyms.flatMap {
+          case (canon, syns) =>
+            syns.collectFirst {
+              case s0 if hdr.contains(s0) => canon -> hdr.indexOf(s0)
+            }
+        }.toMap
+        def g(r: Seq[String], f: String): Option[String] =
+          idx.get(f).flatMap(r.lift).map(_.trim).filter(_.nonEmpty)
+        rows.tail.map { r =>
+          DocRecord(g(r, "name"), g(r, "venue_name"), g(r, "venue_address"),
+            g(r, "event_date"), g(r, "url"), g(r, "description"))
+        }.filter(_.name.exists(n => n.length >= 3 && n.exists(_.isLetter)))
+      }
+    }
+    if (fromTables.nonEmpty) fromTables
+    else parseText(c.paragraphs.mkString("\n"))
+  }
+
+  /** DataFrame adapter for a BINARY docx column: per-row executor-side
+    * decode (the bytes never visit the driver), then the same explode
+    * shape as `parse`. */
+  def parseDocxFrame(docs: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).cast("binary").as("bin"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Option(bytes).toSeq.flatMap(parseDocx).map(r => (id, r))
+      }
+      .select(col("_1").as("doc_id"), col("_2.*"))
+  }
+
   /** DataFrame adapter: explode each (docId, text) row into its parsed
     * records with a synthetic stable url when the text provided none (F9:
     * md5-12 of name|address|file). */

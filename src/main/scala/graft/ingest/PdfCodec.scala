@@ -1,0 +1,169 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, Inflater}
+
+/** In-engine PDF text codec — the S10 "binary decode out-of-engine"
+  * stance narrowed to its honest core. The reference's PDF route
+  * (pdf_spider.py:42-50) extracts TEXT from text-addressable PDFs and
+  * feeds the line state machine; this codec does the same for the
+  * dominant on-disk shape: Flate-compressed (or raw) content streams
+  * with `Tj`/`TJ` text-showing operators, using only JDK zlib. Declared
+  * out of scope, loudly: image-only PDFs (would need OCR), encrypted
+  * files, and non-Flate filters — `decode` on those throws rather than
+  * returning garbage.
+  *
+  * Scale: decode is per-row executor work over a binary column, same
+  * envelope as DocxCodec.
+  */
+object PdfCodec {
+
+  /** Extract text lines from a PDF binary: every content stream is
+    * scanned in document order; each `Tj`/`TJ` show operation emits the
+    * string literals buffered since the previous one as one line. */
+  def decode(bytes: Array[Byte]): Seq[String] = {
+    require(bytes.length >= 5 &&
+      new String(bytes, 0, 5, "ISO-8859-1") == "%PDF-",
+      "not a PDF: missing %PDF- header")
+    val raw = new String(bytes, "ISO-8859-1") // byte-transparent charset
+    val lines = Seq.newBuilder[String]
+    var from = 0
+    var found = false
+    while ({ val i = raw.indexOf("stream", from); i >= 0 && {
+      // dict immediately before this stream keyword
+      val dictEnd = raw.lastIndexOf(">>", i)
+      val dictStart = raw.lastIndexOf("<<", if (dictEnd < 0) i else dictEnd)
+      val dict = if (dictStart >= 0 && dictEnd > dictStart)
+        raw.substring(dictStart, dictEnd) else ""
+      // data starts after the EOL following 'stream'
+      var s = i + "stream".length
+      if (s < raw.length && raw.charAt(s) == '\r') s += 1
+      if (s < raw.length && raw.charAt(s) == '\n') s += 1
+      // bound the data by /Length when present — compressed bytes may
+      // legitimately END in 0x0A/0x0D (or even contain "endstream"),
+      // so EOL-trimming heuristics corrupt ~1/128 of streams
+      val e = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict) match {
+        case Some(m) => s + m.group(1).toInt
+        case None =>
+          var e0 = raw.indexOf("endstream", i)
+          require(e0 > i, "PDF stream without endstream")
+          if (e0 > s && raw.charAt(e0 - 1) == '\n') e0 -= 1
+          if (e0 > s && raw.charAt(e0 - 1) == '\r') e0 -= 1
+          e0
+      }
+      val end = raw.indexOf("endstream", e)
+      require(end >= e, "PDF stream without endstream")
+      val seg = raw.substring(s, e).getBytes("ISO-8859-1")
+      if (dict.contains("/Filter") && !dict.contains("/FlateDecode"))
+        throw new IllegalArgumentException(
+          s"unsupported PDF filter in $dict — only /FlateDecode")
+      val content =
+        if (dict.contains("/FlateDecode")) inflate(seg) else seg
+      lines ++= showOps(new String(content, "ISO-8859-1"))
+      found = true
+      from = end + "endstream".length
+      true
+    }}) ()
+    require(found, "no content stream found in PDF")
+    lines.result()
+  }
+
+  /** One pass over a content stream: string literals accumulate; each
+    * Tj/TJ flushes them as a line. Handles \-escapes and octal. */
+  private[graft] def showOps(content: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val buf = new StringBuilder
+    var i = 0
+    val n = content.length
+    while (i < n) content.charAt(i) match {
+      case '(' =>
+        i += 1
+        var depth = 1
+        while (i < n && depth > 0) content.charAt(i) match {
+          case '\\' if i + 1 < n =>
+            content.charAt(i + 1) match {
+              case 'n' => buf.append('\n'); i += 2
+              case 'r' => buf.append('\r'); i += 2
+              case 't' => buf.append('\t'); i += 2
+              case d if d >= '0' && d <= '7' =>
+                val oct = content.substring(i + 1,
+                  math.min(i + 4, n)).takeWhile(c => c >= '0' && c <= '7')
+                buf.append(Integer.parseInt(oct, 8).toChar)
+                i += 1 + oct.length
+              case c => buf.append(c); i += 2 // \\ \( \)
+            }
+          case '(' => depth += 1; buf.append('('); i += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) buf.append(')')
+            i += 1
+          case c => buf.append(c); i += 1
+        }
+      case 'T' if i + 1 < n &&
+          (content.charAt(i + 1) == 'j' || content.charAt(i + 1) == 'J') =>
+        out += buf.toString
+        buf.clear()
+        i += 2
+      case _ => i += 1
+    }
+    out.result()
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream(data.length * 4)
+    val tmp = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(tmp)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalArgumentException("truncated Flate stream")
+      out.write(tmp, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Encode text lines as a minimal valid PDF (one page, one
+    * Flate-compressed content stream, correct xref) — the test and
+    * roundtrip-query side. */
+  def encode(lines: Seq[String], compress: Boolean = true): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val content = ("BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
+      .getBytes("ISO-8859-1")
+    val data = if (compress) {
+      val d = new Deflater()
+      d.setInput(content); d.finish()
+      val out = new ByteArrayOutputStream(content.length)
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      out.toByteArray
+    } else content
+    val filter = if (compress) " /Filter /FlateDecode" else ""
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = Array.newBuilder[Int]
+    w("%PDF-1.4\n")
+    offsets += out.size(); w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets += out.size(); w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    offsets += out.size(); w("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Contents 4 0 R /MediaBox [0 0 612 792] >> endobj\n")
+    offsets += out.size()
+    w(s"4 0 obj << /Length ${data.length}$filter >> stream\n")
+    out.write(data)
+    w("\nendstream endobj\n")
+    val xref = out.size()
+    val offs = offsets.result()
+    w("xref\n0 5\n0000000000 65535 f \n" +
+      offs.map(o => f"$o%010d 00000 n \n").mkString)
+    w(s"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+}

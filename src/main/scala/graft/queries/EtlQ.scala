@@ -32,6 +32,77 @@ object EtlQ {
         .limit(100)
     }),
 
+    // In-engine .docx binary decode, driven end-to-end under the driver
+    // gate: each document is packed into a REAL OOXML zip (a field table
+    // + the text as a paragraph with XML-hostile dirt appended), decoded
+    // back executor-side via DocxCodec (pure JDK zip + DOM), and run
+    // through the reference's tables-first record extraction. The oracle
+    // knows the roundtrip is lossless, so it reconstructs every output
+    // directly — any zip, escaping, DOM-order, or synonym-mapping defect
+    // breaks the hash. Decode is per-row in the executors; at 100 TB the
+    // binary column never moves to the driver.
+    "q175_docx_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val decoded = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val para = text + " <&\"njk>" // markup must survive escaping
+          val bytes = graft.ingest.DocxCodec.encode(
+            paragraphs = Seq(para),
+            tables = Seq(Seq(Seq("Title", "Date", "Venue"),
+              Seq(s"Event $id", "2020-01-01", s"Hall & <$id>"))))
+          val recs = graft.ingest.DocParse.parseDocx(bytes)
+          val c = graft.ingest.DocxCodec.decode(bytes)
+          (id, bytes.length.toLong, recs.size.toLong,
+            recs.headOption.flatMap(_.name).getOrElse(""),
+            recs.headOption.flatMap(_.venue_name).getOrElse(""),
+            recs.headOption.flatMap(_.event_date).getOrElse(""),
+            c.paragraphs.mkString("\n"))
+        }
+        .toDF("doc_id", "n_bytes", "n_records", "rec_name", "rec_venue",
+          "rec_date", "para")
+      decoded
+        .select(col("doc_id"), col("n_records"), col("rec_name"),
+          col("rec_venue"), col("rec_date"),
+          md5(col("para").cast("binary")).as("para_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // In-engine PDF text decode under the driver gate, same discipline
+    // as q175: each doc becomes a real one-page PDF (labeled lines +
+    // the text as description, venue carrying the PDF-hostile chars
+    // `( ) \`), Flate-compressed on even ids and raw on odd — both
+    // filter paths gate-checked — then decoded and fed to the pdf_spider
+    // line state machine. The oracle reconstructs everything from the
+    // source text; it never sees a PDF byte.
+    "q176_pdf_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val lines = Seq(s"Name: Event $id",
+            s"Venue: Hall (njk) \\ $id", text)
+          val bytes = graft.ingest.PdfCodec.encode(lines,
+            compress = id % 2 == 0)
+          val got = graft.ingest.PdfCodec.decode(bytes)
+          val recs = graft.ingest.DocParse.parseText(got.mkString("\n"))
+          (id, got.size.toLong, recs.size.toLong,
+            recs.headOption.flatMap(_.name).getOrElse(""),
+            recs.headOption.flatMap(_.venue_name).getOrElse(""),
+            recs.headOption.flatMap(_.description).getOrElse(""),
+            got.mkString("\n"))
+        }
+        .toDF("doc_id", "n_lines", "n_records", "rec_name", "rec_venue",
+          "description", "joined")
+        .select(col("doc_id"), col("n_lines"), col("n_records"),
+          col("rec_name"), col("rec_venue"),
+          md5(col("description").cast("binary")).as("desc_md5"),
+          md5(col("joined").cast("binary")).as("lines_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Hourly rollup per event type — batch twin of the Structured Streaming
     // windowed aggregation (graft.streaming); decimal sum for exactness.
     "q24_hourly_rollup" -> ((s, dir) => {
@@ -59,5 +130,27 @@ object EtlQ {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type LIMIT 500""".stripMargin,
+
+    // The roundtrip is lossless by construction, so every output is
+    // directly reconstructable — the oracle never sees a zip byte, which
+    // is the point: any encode/decode defect surfaces as a hash mismatch.
+    "q175_docx_roundtrip" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_records,
+        | 'Event ' || CAST(doc_id AS VARCHAR) AS rec_name,
+        | 'Hall & <' || CAST(doc_id AS VARCHAR) || '>' AS rec_venue,
+        | '2020-01-01' AS rec_date,
+        | md5(text || ' <&"njk>') AS para_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q176_pdf_roundtrip" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_lines,
+        | CAST(1 AS BIGINT) AS n_records,
+        | 'Event ' || CAST(doc_id AS VARCHAR) AS rec_name,
+        | 'Hall (njk) \ ' || CAST(doc_id AS VARCHAR) AS rec_venue,
+        | md5(substr(text, 1, 500)) AS desc_md5,
+        | md5('Name: Event ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |   'Venue: Hall (njk) \ ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |   text) AS lines_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -119,4 +119,112 @@ class DocTextSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
     assert(r.isNullAt(2)) // length mismatch -> null
   }
+
+  test("docx codec: encode/decode roundtrip with markup-hostile text") {
+    import graft.ingest.DocxCodec
+    val paras = Seq("plain line", "a & b < c > \"d\"", "", "tail")
+    val tables = Seq(
+      Seq(Seq("Title", "Date"), Seq("Event <1>", "2020-01-01")),
+      Seq(Seq("lonely header")))
+    val c = DocxCodec.decode(DocxCodec.encode(paras, tables))
+    assert(c.paragraphs == paras)
+    assert(c.tables == tables)
+  }
+
+  test("docx decode: multi-run paragraphs and tabs concatenate in order") {
+    import graft.ingest.DocxCodec
+    // hand-built XML the encoder never produces: split runs + w:tab
+    val w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    val xml = s"""<?xml version="1.0"?><w:document xmlns:w="$w"><w:body>
+      |<w:p><w:r><w:t>He</w:t></w:r><w:r><w:t>llo</w:t><w:tab/>
+      |<w:t xml:space="preserve">world</w:t></w:r></w:p>
+      |</w:body></w:document>""".stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(out)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(xml.getBytes("UTF-8")); zip.closeEntry(); zip.close()
+    assert(DocxCodec.decode(out.toByteArray).paragraphs ==
+      Seq("Hello\tworld"))
+  }
+
+  test("docx extraction: tables first, paragraph state machine fallback") {
+    import graft.ingest.{DocParse, DocxCodec}
+    // a valid field table wins over paragraphs
+    val withTable = DocxCodec.encode(
+      paragraphs = Seq("Concert Night", "Date: 2024-05-05"),
+      tables = Seq(Seq(Seq("Event", "Venue"),
+        Seq("Table Gala", "City Hall"))))
+    val r1 = DocParse.parseDocx(withTable)
+    assert(r1.map(_.name) == Seq(Some("Table Gala")))
+    assert(r1.head.venue_name.contains("City Hall"))
+    // header-only table (no data rows) -> paragraphs parse instead
+    val headerOnly = DocxCodec.encode(
+      paragraphs = Seq("Concert Night", "Date: 2024-05-05"),
+      tables = Seq(Seq(Seq("Event", "Venue"))))
+    val r2 = DocParse.parseDocx(headerOnly)
+    assert(r2.map(_.name) == Seq(Some("Concert Night")))
+    assert(r2.head.event_date.contains("2024-05-05"))
+    // table whose rows never yield a valid name -> fallback too
+    val invalidTable = DocxCodec.encode(
+      paragraphs = Seq("Concert Night"),
+      tables = Seq(Seq(Seq("Date", "Venue"), Seq("2024-05-05", "Hall"))))
+    assert(DocParse.parseDocx(invalidTable).map(_.name) ==
+      Seq(Some("Concert Night")))
+  }
+
+  test("docx decode: hostile inputs fail loudly") {
+    import graft.ingest.DocxCodec
+    // not a zip / missing part
+    intercept[IllegalArgumentException](DocxCodec.decode("junk".getBytes))
+    // XXE: doctype is rejected, not resolved
+    val evil = """<?xml version="1.0"?><!DOCTYPE d [<!ENTITY x SYSTEM
+      |"file:///etc/passwd">]><d>&x;</d>""".stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(out)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(evil.getBytes("UTF-8")); zip.closeEntry(); zip.close()
+    intercept[Exception](DocxCodec.decode(out.toByteArray))
+  }
+
+  test("pdf codec: roundtrip with hostile chars, both filter paths") {
+    import graft.ingest.PdfCodec
+    val lines = Seq("plain", "parens (nested (deep)) here",
+      "back\\slash and ) stray", "")
+    for (compress <- Seq(true, false))
+      assert(PdfCodec.decode(PdfCodec.encode(lines, compress)) == lines,
+        s"compress=$compress")
+  }
+
+  test("pdf decode: TJ arrays, octal escapes, length-bounded streams") {
+    import graft.ingest.PdfCodec
+    // TJ array concatenates its literals into one line; \101 is 'A'
+    assert(PdfCodec.showOps("BT [(He) -20 (llo)] TJ (\\101!) Tj ET") ==
+      Seq("Hello", "A!"))
+    // a compressed stream whose deflate output ends in an EOL byte must
+    // survive (the /Length bound, not EOL-trimming, decides the end)
+    val tricky = (1 to 40).map(i => s"line $i with entropy $i$i$i")
+    assert(PdfCodec.decode(PdfCodec.encode(tricky)) == tricky)
+  }
+
+  test("pdf decode: hostile inputs fail loudly") {
+    import graft.ingest.PdfCodec
+    intercept[IllegalArgumentException](PdfCodec.decode("junk".getBytes))
+    val lzw = ("%PDF-1.4\n1 0 obj << /Length 3 /Filter /LZWDecode >> " +
+      "stream\nabc\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException](PdfCodec.decode(lzw))
+  }
+
+  test("parseDocxFrame: executor-side decode over a binary column") {
+    import spark.implicits._
+    import graft.ingest.{DocParse, DocxCodec}
+    val bin = DocxCodec.encode(Seq("Name: Spring Fair",
+      "Venue: Park", "Date: 2024-06-01"))
+    val df = Seq((1L, bin), (2L, bin)).toDF("id", "payload")
+    val got = DocParse.parseDocxFrame(df, "id", "payload")
+      .select("doc_id", "name", "venue_name", "event_date")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "Spring Fair", "Park", "2024-06-01"),
+      (2L, "Spring Fair", "Park", "2024-06-01")))
+  }
 }
