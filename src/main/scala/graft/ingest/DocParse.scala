@@ -89,26 +89,43 @@ object DocParse {
     * paragraph state machine over the document text. */
   def parseDocx(bytes: Array[Byte]): Seq[DocRecord] = {
     val c = DocxCodec.decode(bytes)
-    val fromTables = c.tables.flatMap { rows =>
-      if (rows.size < 2) Nil // need header + at least one data row
-      else {
-        val hdr = rows.head.map(_.trim.toLowerCase.replace(' ', '_'))
-        val idx: Map[String, Int] = CsvUpload.columnSynonyms.flatMap {
-          case (canon, syns) =>
-            syns.collectFirst {
-              case s0 if hdr.contains(s0) => canon -> hdr.indexOf(s0)
-            }
-        }.toMap
-        def g(r: Seq[String], f: String): Option[String] =
-          idx.get(f).flatMap(r.lift).map(_.trim).filter(_.nonEmpty)
-        rows.tail.map { r =>
-          DocRecord(g(r, "name"), g(r, "venue_name"), g(r, "venue_address"),
-            g(r, "event_date"), g(r, "url"), g(r, "description"))
-        }.filter(_.name.exists(n => n.length >= 3 && n.exists(_.isLetter)))
-      }
-    }
+    val fromTables = c.tables.flatMap(recordsFromTable)
     if (fromTables.nonEmpty) fromTables
     else parseText(c.paragraphs.mkString("\n"))
+  }
+
+  /** The reference's `_dataframe_to_items` shape, shared by the docx
+    * table route and the xlsx sheet route: header row resolved through
+    * the CSV synonym map, data rows to records, P7 name validity. */
+  private[graft] def recordsFromTable(
+      rows: Seq[Seq[String]]): Seq[DocRecord] = {
+    if (rows.size < 2) Nil // need header + at least one data row
+    else {
+      val hdr = rows.head.map(_.trim.toLowerCase.replace(' ', '_'))
+      val idx: Map[String, Int] = CsvUpload.columnSynonyms.flatMap {
+        case (canon, syns) =>
+          syns.collectFirst {
+            case s0 if hdr.contains(s0) => canon -> hdr.indexOf(s0)
+          }
+      }.toMap
+      def g(r: Seq[String], f: String): Option[String] =
+        idx.get(f).flatMap(r.lift).map(_.trim).filter(_.nonEmpty)
+      rows.tail.map { r =>
+        DocRecord(g(r, "name"), g(r, "venue_name"), g(r, "venue_address"),
+          g(r, "event_date"), g(r, "url"), g(r, "description"))
+      }.filter(_.name.exists(n => n.length >= 3 && n.exists(_.isLetter)))
+    }
+  }
+
+  /** S8, binary half: decode an .xlsx IN-ENGINE (XlsxCodec) and apply
+    * the reference's sheet order (document_spider.py:136-161): the
+    * FIRST sheet's records win; only when it yields none are ALL sheets
+    * read and their records concatenated. */
+  def parseXlsx(bytes: Array[Byte]): Seq[DocRecord] = {
+    val sheets = XlsxCodec.decode(bytes)
+    val first = recordsFromTable(sheets.head.rows)
+    if (first.nonEmpty) first
+    else sheets.flatMap(s => recordsFromTable(s.rows))
   }
 
   /** DataFrame adapter for a BINARY docx column: per-row executor-side

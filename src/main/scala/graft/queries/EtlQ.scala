@@ -103,6 +103,48 @@ object EtlQ {
         .orderBy("doc_id")
     }),
 
+    // In-engine .xlsx binary decode under the driver gate, closing S8
+    // the way q175 closed S9: each doc becomes a real OOXML workbook —
+    // even ids a single sheet with a valid field table written through
+    // SHARED strings (what Excel itself emits), odd ids a decoy first
+    // sheet (no recognizable header → zero records) plus the real table
+    // on sheet 2 written as INLINE strings — so both cell encodings AND
+    // the reference's first-sheet-else-union-all order are what the
+    // exact oracle actually checks. A numeric Price cell exercises the
+    // raw-<v> path (no float roundtrip). Decode is per-row executor
+    // work; the workbook bytes never visit the driver.
+    "q177_xlsx_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val table = Seq(
+            Seq("Title", "Venue", "Price", "Info"),
+            Seq(s"Event $id", s"Hall & <$id>", s"${id % 100}.25",
+              text + " <&\"x>"))
+          val sheets =
+            if (id % 2 == 0) Seq("Events" -> table)
+            else Seq("Notes" -> Seq(Seq("note"), Seq("nothing to see")),
+              "Events" -> table)
+          val bytes = graft.ingest.XlsxCodec.encode(sheets,
+            sharedStrings = id % 2 == 0)
+          val decoded = graft.ingest.XlsxCodec.decode(bytes)
+          val recs = graft.ingest.DocParse.parseXlsx(bytes)
+          val dataRow = decoded.last.rows.last
+          (id, decoded.size.toLong, recs.size.toLong,
+            recs.headOption.flatMap(_.name).getOrElse(""),
+            recs.headOption.flatMap(_.venue_name).getOrElse(""),
+            dataRow.lift(2).getOrElse(""), dataRow.lift(3).getOrElse(""))
+        }
+        .toDF("doc_id", "n_sheets", "n_records", "rec_name", "rec_venue",
+          "price_cell", "info")
+        .select(col("doc_id"), col("n_sheets"), col("n_records"),
+          col("rec_name"), col("rec_venue"), col("price_cell"),
+          md5(col("info").cast("binary")).as("info_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Hourly rollup per event type — batch twin of the Structured Streaming
     // windowed aggregation (graft.streaming); decimal sum for exactness.
     "q24_hourly_rollup" -> ((s, dir) => {
@@ -140,6 +182,18 @@ object EtlQ {
         | 'Hall & <' || CAST(doc_id AS VARCHAR) || '>' AS rec_venue,
         | '2020-01-01' AS rec_date,
         | md5(text || ' <&"njk>') AS para_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Workbook structure and every extracted field are reconstructable
+    // from doc_id + text alone; the oracle never sees a zip byte.
+    "q177_xlsx_roundtrip" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_sheets,
+        | CAST(1 AS BIGINT) AS n_records,
+        | 'Event ' || CAST(doc_id AS VARCHAR) AS rec_name,
+        | 'Hall & <' || CAST(doc_id AS VARCHAR) || '>' AS rec_venue,
+        | CAST(doc_id % 100 AS VARCHAR) || '.25' AS price_cell,
+        | md5(text || ' <&"x>') AS info_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q176_pdf_roundtrip" ->

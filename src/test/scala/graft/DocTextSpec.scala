@@ -214,6 +214,81 @@ class DocTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](PdfCodec.decode(lzw))
   }
 
+  test("xlsx codec: roundtrip, both string encodings, numeric cells") {
+    import graft.ingest.XlsxCodec
+    val sheets = Seq(
+      "First" -> Seq(Seq("a & b", "2", "-3.5"), Seq("", "plain <x>")),
+      "Second Sheet" -> Seq(Seq("only", "row")))
+    for (shared <- Seq(true, false)) {
+      val got = XlsxCodec.decode(XlsxCodec.encode(sheets, shared))
+      assert(got.map(_.name) == Seq("First", "Second Sheet"),
+        s"shared=$shared")
+      assert(got.map(_.rows) == sheets.map(_._2), s"shared=$shared")
+    }
+  }
+
+  test("xlsx decode: sparse refs, rich-text runs, booleans, t=str") {
+    import graft.ingest.XlsxCodec
+    assert(XlsxCodec.colIndex("A1") == 0)
+    assert(XlsxCodec.colIndex("BC7") == 54)
+    assert(XlsxCodec.colLetters(54) == "BC")
+    // hand-built worksheet the encoder never produces: a gap (A then C),
+    // a rich-text shared string, a boolean, a formula-cached string
+    val main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val pkg = "http://schemas.openxmlformats.org/package/2006/relationships"
+    def zipOf(entries: (String, String)*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(out)
+      for ((n, d) <- entries) {
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(d.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); out.toByteArray
+    }
+    val bytes = zipOf(
+      "xl/workbook.xml" ->
+        s"""<workbook xmlns="$main" xmlns:r="$rel"><sheets>
+           |<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+          .stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        s"""<Relationships xmlns="$pkg"><Relationship Id="rId1"
+           | Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin,
+      "xl/sharedStrings.xml" ->
+        s"""<sst xmlns="$main"><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        s"""<worksheet xmlns="$main"><sheetData><row r="1">
+           |<c r="A1" t="s"><v>0</v></c>
+           |<c r="C1" t="b"><v>1</v></c>
+           |<c r="D1" t="str"><v>=SUM cached</v></c>
+           |<c r="E1"/></row></sheetData></worksheet>""".stripMargin)
+    assert(XlsxCodec.decode(bytes).head.rows ==
+      Seq(Seq("rich", "", "true", "=SUM cached", "")))
+  }
+
+  test("xlsx extraction: first sheet wins, else union across all sheets") {
+    import graft.ingest.{DocParse, XlsxCodec}
+    val valid = Seq(Seq("Event", "Venue"), Seq("Gala Night", "City Hall"))
+    val decoy = Seq(Seq("note"), Seq("nothing"))
+    // valid first sheet: second sheet must NOT contribute
+    val r1 = DocParse.parseXlsx(XlsxCodec.encode(
+      Seq("A" -> valid, "B" -> Seq(Seq("Event"), Seq("Ghost Event")))))
+    assert(r1.map(_.name) == Seq(Some("Gala Night")))
+    // invalid first sheet: union reads every sheet
+    val r2 = DocParse.parseXlsx(XlsxCodec.encode(
+      Seq("A" -> decoy, "B" -> valid, "C" -> valid)))
+    assert(r2.map(_.name) ==
+      Seq(Some("Gala Night"), Some("Gala Night")))
+  }
+
+  test("xlsx decode: hostile inputs fail loudly") {
+    import graft.ingest.XlsxCodec
+    intercept[IllegalArgumentException](XlsxCodec.decode("junk".getBytes))
+    // docx is a zip but not a workbook
+    intercept[IllegalArgumentException](XlsxCodec.decode(
+      graft.ingest.DocxCodec.encode(Seq("p"))))
+  }
+
   test("parseDocxFrame: executor-side decode over a binary column") {
     import spark.implicits._
     import graft.ingest.{DocParse, DocxCodec}
