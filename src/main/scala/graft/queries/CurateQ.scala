@@ -599,6 +599,74 @@ object CurateQ {
             col("bucket") * col("n_docs")).as("waste_bp"))
         .orderBy("bucket")
     }),
+
+    // CCNet/KenLM-style fluency gate, self-trained: a bigram LM whose
+    // stats come from the corpus itself scores every document by its
+    // mean transition probability — boilerplate and shuffled-word noise
+    // score low, natural prose high. Probabilities stay EXACT integers:
+    // each bigram occurrence contributes (count(w1,w2)·10⁶) DIV
+    // count(w1·), and the doc score is the integral mean — no log, no
+    // float (log has no cross-engine rounding contract; the q154
+    // lesson). Shape at 100 TB: one token-exploded pass feeds both
+    // count tables map-side-combined; the scoring join is bigram-keyed
+    // — the SAME exchange the bigram-count aggregate produced (AQE
+    // reuses it), never doc×doc; the context join is vocab-sized.
+    // Counts cap at ~1e12 bigram occurrences before the ·10⁶ quantizer
+    // would overflow BIGINT — beyond that, widen SCALE down, not up.
+    "q178_lm_fluency" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("b"))
+      val bc = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+      val cc = bg.select(substring_index(col("b"), " ", 1).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      bg.join(bc, "b")
+        .withColumn("w", substring_index(col("b"), " ", 1))
+        .join(cc, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(ldiv(col("cb") * lit(1000000L), col("cw"))).as("sc"))
+        .select(col("doc_id"), col("n_bigrams"),
+          ldiv(col("sc"), col("n_bigrams")).as("fluency_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style importance weighting (hashed n-gram importance
+    // resampling): score every raw document by how target-like its
+    // token distribution is, with the target domain = the English
+    // slice. Features are unigrams hashed into 4096 buckets (3 hex
+    // chars of md5 — the bucket KEY stays a string; no hex→int cast to
+    // disagree on). Per-bucket ratio = (target_count·10⁶) DIV raw_count
+    // — target ⊆ raw bounds every ratio at 10⁶, so per-doc sums can't
+    // overflow; the global Nt/Nr normalizer is a constant factor across
+    // all docs and is dropped (DIV-quantized ratios, the ldiv
+    // discipline). Shape at 100 TB: bucket stats are 4096 rows —
+    // broadcast to the token stream; per-doc mean is one map-side-
+    // combinable doc-keyed aggregate. No shuffle grows with the corpus
+    // except the token→doc partial-agg pass itself.
+    "q179_dsir_weights" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(toks(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("tok").cast("binary")), 1, 3).as("bk"))
+      val rc = w.groupBy("bk").agg(count(lit(1)).as("rcnt"))
+      val tc = w.filter(col("lang") === "en")
+        .groupBy("bk").agg(count(lit(1)).as("tcnt"))
+      val ratio = rc.join(tc, Seq("bk"), "left")
+        .select(col("bk"), ldiv(coalesce(col("tcnt"), lit(0L)) *
+          lit(1000000L), col("rcnt")).as("ratio"))
+      w.join(broadcast(ratio), "bk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("ratio")).as("sr"))
+        .select(col("doc_id"), col("n_tokens"),
+          ldiv(col("sr"), col("n_tokens")).as("dsir_ppm"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q171's target mixture (basis points, sums to 10000) — one source of
@@ -607,6 +675,48 @@ object CurateQ {
     ("src" + i, if (i < 5) 1000L else if (i < 10) 500L else 250L))
 
   val oracles: Map[String, String] = Map(
+    // HUGEINT discipline: sum() goes HUGEINT, `//` stays integral on
+    // integer types (NEVER on DECIMAL — that's double division), final
+    // CAST to BIGINT matches Spark's long.
+    "q178_lm_fluency" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS b
+        | FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY b),
+        |cc AS (SELECT split_part(b, ' ', 1) AS w,
+        |        CAST(count(*) AS BIGINT) AS cw FROM bg GROUP BY 1),
+        |d AS (
+        | SELECT g.doc_id, count(*) AS nb,
+        |  sum(cb * 1000000 // cw) AS sc
+        | FROM bg g JOIN bc ON g.b = bc.b
+        |  JOIN cc ON split_part(g.b, ' ', 1) = cc.w
+        | GROUP BY 1)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+        | CAST(sc // nb AS BIGINT) AS fluency_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q179_dsir_weights" ->
+      """WITH w AS (
+        | SELECT doc_id, lang, substr(md5(tok), 1, 3) AS bk FROM (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents)),
+        |rc AS (SELECT bk, CAST(count(*) AS BIGINT) AS rcnt FROM w GROUP BY bk),
+        |tc AS (SELECT bk, CAST(count(*) AS BIGINT) AS tcnt
+        |       FROM w WHERE lang = 'en' GROUP BY bk),
+        |ratio AS (
+        | SELECT rc.bk, coalesce(tcnt, 0) * 1000000 // rcnt AS ratio
+        | FROM rc LEFT JOIN tc ON rc.bk = tc.bk),
+        |d AS (
+        | SELECT w.doc_id, count(*) AS nt, sum(ratio) AS sr
+        | FROM w JOIN ratio ON w.bk = ratio.bk GROUP BY 1)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        | CAST(sr // nt AS BIGINT) AS dsir_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "q171_mixture_reweight" -> {
       val values = mixtureBp
         .map { case (s, bp) => s"('$s', CAST($bp AS BIGINT))" }

@@ -180,4 +180,54 @@ class CurateQSpec extends SparkSpec {
       assert(wasteBp >= 0 && wasteBp < 10000)
     }
   }
+
+  test("q178: bigram-LM fluency matches brute force") {
+    val bigramsOf = (text: String) =>
+      text.toLowerCase.split(" ", -1).toSeq.sliding(2)
+        .filter(_.size == 2).map(_.mkString(" ")).toSeq
+    val all = docs.toSeq.flatMap { case (_, t) => bigramsOf(t) }
+    val cb = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cw = all.map(_.split(" ", -1)(0)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val out = CurateQ.queries("q178_lm_fluency")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bgs = bigramsOf(docs(r.getLong(0)))
+      assert(r.getLong(1) == bgs.size.toLong)
+      val s = bgs.map(b => cb(b) * 1000000L / cw(b.split(" ", -1)(0))).sum
+      val ppm = s / bgs.size
+      assert(r.getLong(2) == ppm)
+      assert(ppm >= 1 && ppm <= 1000000L) // a transition prob is (0,1]
+    }
+  }
+
+  test("q179: DSIR importance weights match brute force, ratios bounded") {
+    def bucket(w: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(w.getBytes("UTF-8")).take(2)
+        .map(b => f"$b%02x").mkString.take(3)
+    }
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toksOf = (t: String) => t.toLowerCase.split(" ", -1).toSeq
+    val rawB = docs.toSeq.flatMap { case (_, t) => toksOf(t).map(bucket) }
+    val rcnt = rawB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tcnt = docs.toSeq.filter(d => langs(d._1) == "en")
+      .flatMap { case (_, t) => toksOf(t).map(bucket) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = CurateQ.queries("q179_dsir_weights")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bks = toksOf(docs(r.getLong(0))).map(bucket)
+      assert(r.getLong(1) == bks.size.toLong)
+      val s = bks.map(b => tcnt.getOrElse(b, 0L) * 1000000L / rcnt(b)).sum
+      assert(r.getLong(2) == s / bks.size)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L) // target ⊆ raw
+    }
+    // the target slice itself must score high on average vs the rest
+    val byLang = out.groupBy(r => langs(r.getLong(0)))
+      .view.mapValues(rs => rs.map(_.getLong(2)).sum / rs.length).toMap
+    assert(byLang("en") > byLang.filterKeys(_ != "en").values.max)
+  }
 }
