@@ -145,6 +145,70 @@ object EtlQ {
         .orderBy("doc_id")
     }),
 
+    // In-engine config-driven HTML extraction (U5) under the driver
+    // gate: each doc renders to a real page — even ids the container-
+    // selector layout (plus a trap selector inside a <script> string
+    // and a second, sparse item), odd ids the anchor-mode layout where
+    // ancestor::li[1] must promote a nested anchor and name_filter_out
+    // must drop a decoy — then HtmlCodec.extractItems runs the
+    // reference's generic-spider semantics per-row executor-side. The
+    // oracle reconstructs every field from doc_id + text; entity
+    // round-tripping (&amp; in names, hrefs, and the escaped body)
+    // is what the hash actually checks.
+    "q180_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ingest.HtmlCodec
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.flatMap {
+            case '&' => "&amp;"
+            case '<' => "&lt;"
+            case '>' => "&gt;"
+            case c => c.toString
+          }
+          val fields = Map("name" -> "h2.title::text",
+            "url" -> "a::attr(href)", "description" -> "p.desc::text")
+          val (html, cfg) =
+            if (id % 2 == 0) (
+              s"""<html><head><script>var x = "<div class='event'>trap</div>";</script></head>
+                 |<body><div class="listing">
+                 |<div class="event" id="e$id">
+                 | <h2 class="title">Event $id &amp; Friends</h2>
+                 | <a href="/venues/$id?ref=x&amp;b=2">more</a>
+                 | <p class="desc">$esc</p>
+                 |</div>
+                 |<div class="event"><h2 class="title">Hidden $id</h2></div>
+                 |</div></body></html>""".stripMargin,
+              HtmlCodec.HtmlConfig(
+                itemContainerSelector = Some("div.listing > div.event"),
+                fields = fields))
+            else (
+              s"""<html><body><ul>
+                 |<li class="row"><div><a class="lnk" href="/e/$id">Event $id &amp; Friends</a></div>
+                 | <p class="desc">$esc</p></li>
+                 |<li class="row"><a class="lnk" href="/skip">SKIP ME $id</a>
+                 | <p class="desc">decoy</p></li>
+                 |</ul></body></html>""".stripMargin,
+              HtmlCodec.HtmlConfig(
+                itemAnchorSelector = Some("a.lnk"),
+                parentContainerTag = "li",
+                nameFilterOut = Some("SKIP"),
+                fields = Map("name" -> "a.lnk::text",
+                  "url" -> "a.lnk::attr(href)",
+                  "description" -> "p.desc::text")))
+          val items = HtmlCodec.extractItems(html, cfg)
+          val first = items.headOption.getOrElse(Map.empty[String, String])
+          (id, items.size.toLong, first.getOrElse("name", ""),
+            first.getOrElse("url", ""), first.getOrElse("description", ""))
+        }
+        .toDF("doc_id", "n_items", "name", "url", "description")
+        .select(col("doc_id"), col("n_items"), col("name"), col("url"),
+          md5(col("description").cast("binary")).as("desc_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Hourly rollup per event type — batch twin of the Structured Streaming
     // windowed aggregation (graft.streaming); decimal sum for exactness.
     "q24_hourly_rollup" -> ((s, dir) => {
@@ -194,6 +258,16 @@ object EtlQ {
         | 'Hall & <' || CAST(doc_id AS VARCHAR) || '>' AS rec_venue,
         | CAST(doc_id % 100 AS VARCHAR) || '.25' AS price_cell,
         | md5(text || ' <&"x>') AS info_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q180_html_extract" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_items,
+        | 'Event ' || CAST(doc_id AS VARCHAR) || ' & Friends' AS name,
+        | CASE WHEN doc_id % 2 = 0
+        |      THEN '/venues/' || CAST(doc_id AS VARCHAR) || '?ref=x&b=2'
+        |      ELSE '/e/' || CAST(doc_id AS VARCHAR) END AS url,
+        | md5(text) AS desc_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q176_pdf_roundtrip" ->
