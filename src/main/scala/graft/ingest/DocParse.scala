@@ -128,6 +128,81 @@ object DocParse {
     else sheets.flatMap(s => recordsFromTable(s.rows))
   }
 
+  /** Content-based format detection — the reference routes uploads by
+    * file extension (tasks.py, document_spider.py handler map); magic
+    * bytes are the honest version of the same dispatch (an extension
+    * lies, a header doesn't). Zip containers are discriminated by their
+    * defining part. */
+  def sniff(bytes: Array[Byte]): String = {
+    if (bytes.length >= 5 &&
+      new String(bytes, 0, 5, "ISO-8859-1") == "%PDF-") "pdf"
+    else if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
+      bytes(2) == 3 && bytes(3) == 4) {
+      if (DocxCodec.zipEntryBytes(bytes, "word/document.xml").isDefined)
+        "docx"
+      else if (DocxCodec.zipEntryBytes(bytes, "xl/workbook.xml").isDefined)
+        "xlsx"
+      else "zip"
+    } else {
+      val s = new String(bytes, "UTF-8")
+      val t = s.dropWhile(_.isWhitespace)
+      if (t.startsWith("{") || t.startsWith("[")) "json"
+      else if (s.linesIterator.hasNext &&
+        s.linesIterator.next().contains(',')) "csv"
+      else "text"
+    }
+  }
+
+  /** RFC-4180 rows: quoted fields may hold commas, CRLF, and ""-escaped
+    * quotes. (CsvUpload's Spark reader covers the file route; this is
+    * the per-row binary-column route where each payload IS one CSV.) */
+  private[graft] def parseCsvRows(s: String): Seq[Seq[String]] = {
+    val rows = Seq.newBuilder[Seq[String]]
+    val row = collection.mutable.ArrayBuffer.empty[String]
+    val f = new StringBuilder
+    var i = 0
+    var inQ = false
+    val n = s.length
+    def endField(): Unit = { row += f.toString; f.clear() }
+    def endRow(): Unit = { endField(); rows += row.toSeq; row.clear() }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < n && s.charAt(i + 1) == '"') { f.append('"'); i += 2 }
+          else { inQ = false; i += 1 }
+        } else { f.append(c); i += 1 }
+      } else c match {
+        case '"' if f.isEmpty => inQ = true; i += 1
+        case ',' => endField(); i += 1
+        case '\r' =>
+          i += (if (i + 1 < n && s.charAt(i + 1) == '\n') 2 else 1)
+          endRow()
+        case '\n' => endRow(); i += 1
+        case other => f.append(other); i += 1
+      }
+    }
+    if (f.nonEmpty || row.nonEmpty) endRow()
+    rows.result()
+  }
+
+  /** One front door over every binary route: sniff, then the matching
+    * codec + extraction. Returns (detected format, records). JSON
+    * payloads route at the DataFrame layer (S13 multiLine sniff /
+    * Normalize) and are rejected here, loudly. */
+  def parseAny(bytes: Array[Byte]): (String, Seq[DocRecord]) =
+    sniff(bytes) match {
+      case "pdf" =>
+        ("pdf", parseText(PdfCodec.decode(bytes).mkString("\n")))
+      case "docx" => ("docx", parseDocx(bytes))
+      case "xlsx" => ("xlsx", parseXlsx(bytes))
+      case "csv" =>
+        ("csv", recordsFromTable(parseCsvRows(new String(bytes, "UTF-8"))))
+      case "text" => ("text", parseText(new String(bytes, "UTF-8")))
+      case other => throw new IllegalArgumentException(
+        s"$other payloads route at the DataFrame layer (S13/Normalize)")
+    }
+
   /** DataFrame adapter for a BINARY docx column: per-row executor-side
     * decode (the bytes never visit the driver), then the same explode
     * shape as `parse`. */

@@ -209,6 +209,52 @@ object EtlQ {
         .orderBy("doc_id")
     }),
 
+    // The whole binary-ingest perimeter behind ONE content-dispatched
+    // front door: each doc is packed as docx, pdf, xlsx, or CSV by
+    // id%4, and the engine must SNIFF the format from magic bytes
+    // (never told), route to the right codec, and extract the same
+    // record — format string included in the hash so a misroute can't
+    // hide behind a lucky parse. CSV exercises RFC-4180 quoting
+    // (embedded comma + ""-escaped quote) and CRLF; pdf flows through
+    // the line state machine (500-char description cap, the F7 rule).
+    "q181_format_dispatch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ingest.{DocParse, DocxCodec, PdfCodec, XlsxCodec}
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val table = Seq(Seq("Title", "Venue", "Date", "Info"),
+            Seq(s"Event $id", s"Hall $id", "2020-01-01", text))
+          val bytes: Array[Byte] = (id % 4) match {
+            case 0 => DocxCodec.encode(paragraphs = Nil,
+              tables = Seq(table))
+            case 1 => PdfCodec.encode(Seq(s"Name: Event $id",
+              s"Venue: Hall $id", "Date: 2020-01-01", text))
+            case 2 => XlsxCodec.encode(Seq("Events" -> table))
+            case _ =>
+              val v = text + ", \"q\""
+              ("title,venue,date,info\r\n" +
+                s"Event $id,Hall $id,2020-01-01," +
+                "\"" + v.replace("\"", "\"\"") + "\"")
+                .getBytes("UTF-8")
+          }
+          val (fmt, recs) = DocParse.parseAny(bytes)
+          val r = recs.headOption
+          (id, fmt, recs.size.toLong,
+            r.flatMap(_.name).getOrElse(""),
+            r.flatMap(_.venue_name).getOrElse(""),
+            r.flatMap(_.event_date).getOrElse(""),
+            r.flatMap(_.description).getOrElse(""))
+        }
+        .toDF("doc_id", "fmt", "n_records", "name", "venue", "event_date",
+          "description")
+        .select(col("doc_id"), col("fmt"), col("n_records"), col("name"),
+          col("venue"), col("event_date"),
+          md5(col("description").cast("binary")).as("desc_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Hourly rollup per event type — batch twin of the Structured Streaming
     // windowed aggregation (graft.streaming); decimal sum for exactness.
     "q24_hourly_rollup" -> ((s, dir) => {
@@ -258,6 +304,19 @@ object EtlQ {
         | 'Hall & <' || CAST(doc_id AS VARCHAR) || '>' AS rec_venue,
         | CAST(doc_id % 100 AS VARCHAR) || '.25' AS price_cell,
         | md5(text || ' <&"x>') AS info_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q181_format_dispatch" ->
+      """SELECT doc_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'docx' WHEN 1 THEN 'pdf'
+        |      WHEN 2 THEN 'xlsx' ELSE 'csv' END AS fmt,
+        | CAST(1 AS BIGINT) AS n_records,
+        | 'Event ' || CAST(doc_id AS VARCHAR) AS name,
+        | 'Hall ' || CAST(doc_id AS VARCHAR) AS venue,
+        | '2020-01-01' AS event_date,
+        | CASE WHEN doc_id % 4 = 1 THEN md5(substr(text, 1, 500))
+        |      WHEN doc_id % 4 = 3 THEN md5(text || ', "q"')
+        |      ELSE md5(text) END AS desc_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q180_html_extract" ->

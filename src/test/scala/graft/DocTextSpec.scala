@@ -289,6 +289,50 @@ class DocTextSpec extends SparkSpec {
       graft.ingest.DocxCodec.encode(Seq("p"))))
   }
 
+  test("sniff: magic bytes beat extensions; zip parts discriminate") {
+    import graft.ingest.{DocParse, DocxCodec, PdfCodec, XlsxCodec}
+    assert(DocParse.sniff(PdfCodec.encode(Seq("x"))) == "pdf")
+    assert(DocParse.sniff(DocxCodec.encode(Seq("p"))) == "docx")
+    assert(DocParse.sniff(
+      XlsxCodec.encode(Seq("S" -> Seq(Seq("a"))))) == "xlsx")
+    assert(DocParse.sniff("a,b\n1,2".getBytes) == "csv")
+    assert(DocParse.sniff("just prose".getBytes) == "text")
+    assert(DocParse.sniff("  {\"k\":1}".getBytes) == "json")
+    assert(DocParse.sniff("[1,2]".getBytes) == "json")
+  }
+
+  test("parseCsvRows: RFC-4180 quoting, CRLF, escaped quotes") {
+    import graft.ingest.DocParse.parseCsvRows
+    assert(parseCsvRows("a,b\r\n1,2\n3,4") ==
+      Seq(Seq("a", "b"), Seq("1", "2"), Seq("3", "4")))
+    assert(parseCsvRows("\"a,b\",\"say \"\"hi\"\"\",c") ==
+      Seq(Seq("a,b", "say \"hi\"", "c")))
+    assert(parseCsvRows("\"multi\nline\",x") ==
+      Seq(Seq("multi\nline", "x")))
+    assert(parseCsvRows("a,") == Seq(Seq("a", "")))
+  }
+
+  test("parseAny: one front door, every route extracts the same record") {
+    import graft.ingest.{DocParse, DocxCodec, PdfCodec, XlsxCodec}
+    val table = Seq(Seq("Title", "Venue", "Date"),
+      Seq("Gala Night", "City Hall", "2024-05-05"))
+    val variants = Seq(
+      DocxCodec.encode(Nil, Seq(table)),
+      XlsxCodec.encode(Seq("S" -> table)),
+      PdfCodec.encode(Seq("Name: Gala Night", "Venue: City Hall",
+        "Date: 2024-05-05")),
+      "title,venue,date\nGala Night,City Hall,2024-05-05".getBytes("UTF-8"))
+    for (b <- variants) {
+      val (fmt, recs) = DocParse.parseAny(b)
+      assert(recs.size == 1, fmt)
+      assert(recs.head.name.contains("Gala Night"), fmt)
+      assert(recs.head.venue_name.contains("City Hall"), fmt)
+      assert(recs.head.event_date.contains("2024-05-05"), fmt)
+    }
+    intercept[IllegalArgumentException](
+      DocParse.parseAny("{\"a\":1}".getBytes))
+  }
+
   test("parseDocxFrame: executor-side decode over a binary column") {
     import spark.implicits._
     import graft.ingest.{DocParse, DocxCodec}
