@@ -30,13 +30,8 @@ object DocxCodec {
     val xml = zipEntryBytes(bytes, "word/document.xml")
       .getOrElse(throw new IllegalArgumentException(
         "not a docx: missing word/document.xml"))
-    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    dbf.setNamespaceAware(true)
-    // untrusted input: no doctypes, no external entities
-    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl",
-      true)
-    dbf.setExpandEntityReferences(false)
-    val doc = dbf.newDocumentBuilder().parse(new ByteArrayInputStream(xml))
+    // thread-local hardened builder (no doctypes, no external entities)
+    val doc = SecureXml.parse(xml)
     val bodies = doc.getElementsByTagNameNS(W, "body")
     require(bodies.getLength == 1, "docx body missing")
     val paras = Seq.newBuilder[String]

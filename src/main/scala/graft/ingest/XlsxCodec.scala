@@ -147,15 +147,8 @@ object XlsxCodec {
     sb.toString
   }
 
-  private def dom(xml: Array[Byte]): org.w3c.dom.Document = {
-    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    dbf.setNamespaceAware(true)
-    // untrusted input: no doctypes, no external entities (as DocxCodec)
-    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl",
-      true)
-    dbf.setExpandEntityReferences(false)
-    dbf.newDocumentBuilder().parse(new ByteArrayInputStream(xml))
-  }
+  private def dom(xml: Array[Byte]): org.w3c.dom.Document =
+    SecureXml.parse(xml) // thread-local builder; hardened (no doctypes)
 
   /** One pass over the zip, all entries materialized (workbooks need
     * random part access: rels point forward and backward). */
