@@ -468,16 +468,26 @@ object CurateQ {
           explode(array_distinct(transform(
             sequence(lit(1), size(col("tk")) - 7),
             i => concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("ng"))
-      val guarded = spans.join(
-        spans.groupBy("ng").agg(count(lit(1)).as("nd"))
-          .filter(col("nd") <= 16).select("ng"), "ng")
-      val tr = guarded.filter(col("split") === "train")
-        .select(col("ng"), col("doc_id").as("train_id"))
-      val ev = guarded.filter(col("split") =!= "train")
-        .select(col("ng"), col("doc_id").as("eval_id"),
-          col("split").as("eval_split"))
-      tr.join(ev, "ng")
-        .groupBy("train_id", "eval_id", "eval_split")
+      // one ng-keyed exchange builds both posting lists AND applies the
+      // hub guard; the train×eval product explodes IN-ROW, bounded at
+      // 16×16 by the guard (the q128 lesson: posting-list pair explode
+      // beats a self-join — the span subtree evaluates once, not 4×)
+      spans.groupBy("ng").agg(
+          count(lit(1)).as("nd"),
+          collect_list(when(col("split") === "train", col("doc_id")))
+            .as("tr"),
+          collect_list(when(col("split") =!= "train",
+            struct(col("doc_id").as("eval_id"),
+              col("split").as("eval_split")))).as("ev"))
+        .filter(col("nd") <= 16 && size(col("tr")) > 0 &&
+          size(col("ev")) > 0)
+        .select(explode(flatten(transform(col("tr"), tid =>
+          transform(col("ev"), e => struct(tid.as("train_id"),
+            e.getField("eval_id").as("eval_id"),
+            e.getField("eval_split").as("eval_split")))))).as("p"))
+        .groupBy(col("p.train_id").as("train_id"),
+          col("p.eval_id").as("eval_id"),
+          col("p.eval_split").as("eval_split"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("train_id", "eval_id")
     }),

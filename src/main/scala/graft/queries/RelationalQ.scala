@@ -508,28 +508,38 @@ object RelationalQ {
         ORDER BY s_suppkey""")
     }),
 
-    // Nested IN-subquery whose HAVING carries a correlated scalar
-    // aggregate (TPC-H Q20 shape): suppliers who shipped more than an
-    // eighth of any SMALL part's total quantity. Catalyst decorrelates
-    // the per-part total into an aggregate joined on l_partkey inside the
-    // IN-subquery, then plans the IN as a left-semi join — three shuffles
-    // total (partkey agg, partkey join, suppkey semi), no row-at-a-time
-    // subquery execution.
+    // TPC-H Q20 shape: suppliers who shipped more than an eighth of any
+    // SMALL part's total quantity. The naive correlated form aggregates
+    // the ENTIRE lineitem table per partkey even though only SMALL-part
+    // totals are ever compared (Catalyst decorrelates but doesn't push
+    // the part filter through the correlation). Since l_partkey
+    // determines the part, the per-part total is derivable from the
+    // already-collapsed (suppkey, partkey) aggregate — the q171 lesson:
+    // fold the binding total into the aggregated frame. One lineitem
+    // scan (filtered by the broadcast SMALL part list), ONE corpus-sized
+    // exchange; tot re-aggregates grp (tiny) and joins it back partkey-
+    // keyed; DECIMAL sum-of-sums keeps exactness.
     "q167_excess_suppliers" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("graft_li")
       t(s, dir, "part").createOrReplaceTempView("graft_part")
       t(s, dir, "supplier").createOrReplaceTempView("graft_supp")
       s.sql("""
+        WITH li AS (
+          SELECT l.l_suppkey, l.l_partkey, l.l_quantity
+          FROM graft_li l JOIN graft_part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_type = 'SMALL'),
+        grp AS (
+          SELECT l_suppkey, l_partkey,
+                 sum(CAST(l_quantity AS DECIMAL(30,2))) AS sq
+          FROM li GROUP BY 1, 2),
+        tot AS (
+          SELECT l_partkey, sum(sq) AS total FROM grp GROUP BY 1)
         SELECT s_name, s_acctbal
         FROM graft_supp
         WHERE s_suppkey IN (
-          SELECT l.l_suppkey
-          FROM graft_li l JOIN graft_part p ON l.l_partkey = p.p_partkey
-          WHERE p.p_type = 'SMALL'
-          GROUP BY l.l_suppkey, l.l_partkey
-          HAVING sum(CAST(l.l_quantity AS DECIMAL(30,2))) * 8
-               > (SELECT sum(CAST(l2.l_quantity AS DECIMAL(30,2)))
-                  FROM graft_li l2 WHERE l2.l_partkey = l.l_partkey))
+          SELECT g.l_suppkey
+          FROM grp g JOIN tot t ON g.l_partkey = t.l_partkey
+          WHERE g.sq * 8 > t.total)
         ORDER BY s_name""")
     }),
 
