@@ -14,9 +14,11 @@ import org.apache.spark.sql.SparkSession
   * What it sets and why:
   *   - AQE on (default) — runtime re-planning, skew-join splitting and
   *     partition coalescing are the 100 TB safety net.
-  *   - `parquet.nanosAsLong` — the driver test tables carry
+  *   - `parquet.nanosAsLong` — some driver testdata generations carry
   *     TIMESTAMP(NANOS), which the vectorized reader otherwise rejects
-  *     (Tables.t then truncates ns→us exactly like DuckDB does).
+  *     (Tables.t then truncates ns→us exactly like DuckDB does; naive
+  *     TIMESTAMP(MICROS) generations surface as NTZ and Tables.t casts
+  *     them to session-tz TIMESTAMP).
   *   - UTC session timezone — deterministic timestamp display/parse.
   *   - custom SQL functions registered (minhash_sig, simhash64,
   *     shingles, ngrams, cosine_sim, winnow, stem_tokens).

@@ -7,16 +7,28 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Table loading + oracle-parity helpers shared by all query modules. */
 object Tables {
-  /** Read one of the driver-generated parquet tables from an sf dir.
-    * events.ts is physically TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects — read it as raw nanos and truncate to micros (exactly
-    * what DuckDB does when it narrows ns → its us-precision timestamp). */
+  /** Read one of the driver-generated parquet tables from an sf dir,
+    * normalizing timestamp physical types across testdata generations.
+    * The driver has shipped events.ts as physical TIMESTAMP(NANOS) —
+    * which Spark's vectorized reader rejects, so it surfaces as raw
+    * nanos under nanosAsLong; truncate to micros, exactly what DuckDB
+    * does when it narrows ns → its us-precision timestamp — and as
+    * naive TIMESTAMP(MICROS) (isAdjustedToUTC=false), which Spark
+    * infers as TIMESTAMP_NTZ. Every query and oracle is written against
+    * session-tz TIMESTAMP with the session pinned to UTC, so cast NTZ
+    * columns to TIMESTAMP: wall-clock is preserved and DuckDB sees the
+    * same naive values either way. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val ntzFixed = df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast("timestamp"))
+      else d
+    }
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      ntzFixed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else ntzFixed
   }
 
   /** Exact money-sum: cast each double to DECIMAL(scale) first so the sum is
