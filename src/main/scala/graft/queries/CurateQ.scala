@@ -617,22 +617,29 @@ object CurateQ {
     // each bigram occurrence contributes (count(w1,w2)·10⁶) DIV
     // count(w1·), and the doc score is the integral mean — no log, no
     // float (log has no cross-engine rounding contract; the q154
-    // lesson). Shape at 100 TB: one token-exploded pass feeds both
-    // count tables map-side-combined; the scoring join is bigram-keyed
-    // — the SAME exchange the bigram-count aggregate produced (AQE
-    // reuses it), never doc×doc; the context join is vocab-sized.
+    // lesson). Shape at 100 TB: one token-exploded pass feeds the
+    // bigram count table map-side-combined, and the CONTEXT counts
+    // derive from that table (cw = Σ cb over bigrams starting with w —
+    // a vocab-sized rollup, not a second corpus pass); the scoring
+    // join is bigram-keyed — the SAME exchange the bigram-count
+    // aggregate produced (AQE reuses it), never doc×doc. The doc scan
+    // is re-parallelized first: bigram assembly is the compute-heavy
+    // stage, and a bench-SF single-file scan would serialize it into
+    // one task (at scale the splits already parallelize; the guard is
+    // a no-op).
     // Counts cap at ~1e12 bigram occurrences before the ·10⁶ quantizer
     // would overflow BIGINT — beyond that, widen SCALE down, not up.
     "q178_lm_fluency" -> ((s, dir) => {
-      val bg = t(s, dir, "documents")
+      val bg = graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("tk")) - 1),
           i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("b"))
       val bc = bg.groupBy("b").agg(count(lit(1)).as("cb"))
-      val cc = bg.select(substring_index(col("b"), " ", 1).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val cc = bc.groupBy(substring_index(col("b"), " ", 1).as("w"))
+        .agg(sum(col("cb")).as("cw"))
       bg.join(bc, "b")
         .withColumn("w", substring_index(col("b"), " ", 1))
         .join(cc, "w")
