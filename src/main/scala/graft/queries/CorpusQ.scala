@@ -454,26 +454,43 @@ object CorpusQ {
         ORDER BY d.doc_id""")
     }),
 
-    // Triangle census of the supplier co-purchase graph. Three at-scale
+    // Triangle census of the supplier co-purchase graph. Four at-scale
     // disciplines in one operator: (1) the bipartite projection's edge
     // threshold is a scale-free top-1% ORDER STATISTIC computed from a
     // shared-count HISTOGRAM — the only global window runs over the
-    // histogram (≤ distinct count values), never the pair set; (2) edges
-    // are ORIENTED low-(degree,id) → high before the wedge join, the
-    // standard trick that bounds wedge fan-out by O(√m) per node instead
-    // of max-degree² (Suri & Vassilvitskii's MapReduce triangle
-    // counting); (3) the edge set is localCheckpoint'd once and reused
-    // by the degree, wedge, and closing-edge passes. Output is the
-    // one-row census: nodes, edges, triangles, global closure in bp
-    // (3·tri·10⁴ DIV wedges — exact integer, no double ratio).
+    // histogram (≤ distinct count values), never the pair set; (2) the
+    // aggregated PAIR set is localCheckpoint'd because TWO consumers
+    // need it (the threshold histogram feeding a broadcast, and the
+    // edge filter) — without the checkpoint the broadcast subplan and
+    // the edge pass each re-materialize the projection self-join
+    // (measured: it doubled the whole query); (3) pairs come from the
+    // codegen'd sort-merge self-join on partkey, NOT a per-part
+    // collect_set + array-comprehension explode — measured 8× slower
+    // per pair (nested transform/flatten struct allocation defeats
+    // codegen) despite saving a shuffle; (4) edges are ORIENTED
+    // low-(degree,id) → high before the wedge join, the standard trick
+    // that bounds wedge fan-out by O(√m) per node instead of
+    // max-degree² (Suri & Vassilvitskii's MapReduce triangle
+    // counting). Output is the one-row census: nodes, edges,
+    // triangles, global closure in bp (3·tri·10⁴ DIV wedges — exact
+    // integer, no double ratio).
     "q157_triangle_census" -> ((s, dir) => {
+      // one EXPLICIT partkey repartition serves three operators: the
+      // (sk,p) distinct runs in-place (HashPartitioning(p) satisfies
+      // ClusteredDistribution(sk,p)), and the self-join needs no
+      // exchange (both sides share the partitioning). Explicit, not
+      // AQE-governed, because the pair fan-out makes this the
+      // CPU-heaviest stage while its input bytes are small — AQE's
+      // byte-based coalescing was serializing it onto 5 tasks.
       val sp = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
+        .repartition(s.sparkContext.defaultParallelism, col("p"))
         .distinct()
       val pairs = sp.select(col("sk").as("sa"), col("p"))
         .join(sp.select(col("sk").as("sb"), col("p")), Seq("p"))
         .filter(col("sa") < col("sb"))
         .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
+        .localCheckpoint()
       val hist = pairs.groupBy("shared").agg(count(lit(1)).as("cnt"))
       val wCum = Window.orderBy(desc("shared"))
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -482,9 +499,9 @@ object CorpusQ {
         .crossJoin(broadcast(nTotal))
         .filter(col("cum") >= ldiv(col("n") + 99, lit(100L)))
         .agg(max(col("shared")).as("thr"))
-      // checkpoint the small EDGE set (not the 500k-row pair set, which
-      // costs more to materialize than to recompute once — measured):
-      // degrees, wedges, and the closing-edge probe all reuse it
+      // the EDGE set is checkpointed too: degrees, both wedge legs, and
+      // the closing-edge probe all reuse it, and it is far smaller than
+      // the checkpointed pair set it filters
       val e = pairs.crossJoin(broadcast(thr))
         .filter(col("shared") >= col("thr"))
         .select("sa", "sb")
