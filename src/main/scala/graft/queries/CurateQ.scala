@@ -684,6 +684,37 @@ object CurateQ {
           ldiv(col("sr"), col("n_tokens")).as("dsir_ppm"))
         .orderBy("doc_id")
     }),
+
+    // Deterministic MLM token masking (the 15% BERT-style objective) as
+    // a PURE PROJECTION: the mask decision is a stateless 31-bit
+    // multiplicative mixer over (doc_id, position) — Park–Miller
+    // constants, two modular multiply rounds, every intermediate
+    // ≤ ~10¹⁴ so BIGINT never wraps on either engine (DuckDB errors on
+    // wrap rather than wrapping, so a wider mixer would fail loudly,
+    // not drift). Stateless is the property that matters at 100 TB:
+    // masks are reproducible from (doc_id, pos) alone — any executor,
+    // any retry, any resume of a preprocessing run regenerates the
+    // identical mask without coordination or stored RNG state, and the
+    // whole thing stays inside whole-stage codegen (no UDF, no shuffle
+    // beyond the doc-keyed rollup the output needs anyway).
+    "q184_mlm_mask" -> ((s, dir) => {
+      val m = lit(2147483647L)
+      val h1 = (col("doc_id") * 48271L + col("pos") * 16807L
+        + 12345L) % m
+      val h2 = (h1 * 48271L) % m
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text")))
+          .as(Seq("pos", "tk")))
+        .withColumn("masked", h2 % 20L < 3L)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+          sum(when(col("masked"), col("pos") + 1L).otherwise(0L))
+            .as("mask_pos_sum"),
+          sum(when(col("masked"), length(col("tk"))).otherwise(0L))
+            .cast("long").as("mask_chars"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q171's target mixture (basis points, sums to 10000) — one source of
@@ -1106,5 +1137,28 @@ object CurateQ {
         |FROM i JOIN s sa ON sa.source = i.src_a
         |JOIN s sb ON sb.source = i.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // i is 1-based (DuckDB-local); the mixer uses i-1 to match the
+    // engine's 0-based positions, mask_pos_sum reports 1-based = i.
+    "q184_mlm_mask" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS tks
+        | FROM documents),
+        |e AS (
+        | SELECT doc_id, unnest(range(1, len(tks) + 1)) AS i, tks
+        | FROM d),
+        |mk AS (
+        | SELECT doc_id, i, len(tks[i]) AS tklen,
+        |  ((doc_id * 48271 + (i - 1) * 16807 + 12345) % 2147483647)
+        |    * 48271 % 2147483647 % 20 < 3 AS masked
+        | FROM e)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_masked,
+        | CAST(sum(CASE WHEN masked THEN i ELSE 0 END) AS BIGINT)
+        |   AS mask_pos_sum,
+        | CAST(sum(CASE WHEN masked THEN tklen ELSE 0 END) AS BIGINT)
+        |   AS mask_chars
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops.SimilarityOps
@@ -126,6 +127,60 @@ object SimQ {
         .orderBy("label")
     }),
 
+    // Distributed Lloyd k-means over the embedding corpus (k=4, two
+    // update rounds + final assignment) — the clustering step of
+    // embedding-based data mixing (cluster-then-balance curation).
+    // Everything is INTEGER: components quantize to floor(x·1000) once
+    // (double math — float32 inputs widen exactly, so both engines see
+    // the same lattice), distances are exact BIGINT sums of squared
+    // deltas, centroid updates are floor-mean via integral DIV, and the
+    // argmin tiebreak is (dist, cid) row_number — no float compare
+    // anywhere, which is what makes a clustering ORACLE-CHECKABLE
+    // across engines. Scale shape: the quantized base is checkpointed
+    // once (n-sized, reused by every round); each round is one
+    // broadcast of the k×64 centroid table against the base (map-side
+    // assign, no shuffle), one per-vector window (vec-partitioned, not
+    // global), and one (k·64)-group centroid rollup — per-round cost is
+    // a single corpus pass, the same plan a 1000-executor run wants.
+    // The centroid checksum rides along the final assignment instead of
+    // re-evaluating the update subplan a second time.
+    "q182_kmeans_embed" -> ((s, dir) => {
+      val k = 4
+      val quant = transform(col("embedding"),
+        v => floor(v.cast("double") * 1000).cast("long"))
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), quant.as("q"))
+        .localCheckpoint()
+      val c0 = base.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("q").as("cent"))
+      def dist2(q: Column, cent: Column): Column =
+        aggregate(zip_with(q, cent, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        base.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("q"), col("cid"),
+            dist2(col("q"), col("cent")).as("dist"),
+            aggregate(col("cent"), lit(0L), (a, v) => a + v).as("centsum"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }
+      def update(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"),
+            col("cv")))), x => x.getField("cv")).as("cent"))
+      val finalAssign = assign(update(assign(update(assign(c0)))))
+      finalAssign.groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("dist")).as("inertia"),
+          min(col("centsum")).as("cent_checksum"))
+        .orderBy("cid")
+    }),
+
     // Label centroid distance: per-label mean vector then each label's
     // cosine to the global mean — exercises array aggregation at scale.
     "q26_label_stats" -> ((s, dir) => {
@@ -214,5 +269,49 @@ object SimQ {
         | round(avg(CAST(x AS DOUBLE)), 6) AS avg_component
         |FROM (SELECT label, unnest(embedding) AS x FROM embeddings)
         |GROUP BY label ORDER BY label""".stripMargin,
+
+    // Unrolled Lloyd rounds; all arithmetic integral so the clustering
+    // is bit-identical to the engine (1-based positions are DuckDB-local
+    // — they only align members with centroids inside this SQL).
+    "q182_kmeans_embed" ->
+      """WITH b AS (
+        | SELECT vec_id, list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, q AS cent FROM b WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c0 c)) WHERE rn = 1),
+        |c1 AS (SELECT cid, list(cv ORDER BY pos) AS cent FROM (
+        |  SELECT cid, i AS pos,
+        |   CAST(sum(q[i]) // count(*) AS BIGINT) AS cv
+        |  FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c1 c)) WHERE rn = 1),
+        |c2 AS (SELECT cid, list(cv ORDER BY pos) AS cent FROM (
+        |  SELECT cid, i AS pos,
+        |   CAST(sum(q[i]) // count(*) AS BIGINT) AS cv
+        |  FROM a2, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+        |a3 AS (SELECT vec_id, cid, dist, centsum FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist,
+        |    CAST(list_sum(c.cent) AS BIGINT) AS centsum
+        |   FROM b, c2 c)) WHERE rn = 1)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+        | CAST(sum(dist) AS BIGINT) AS inertia,
+        | min(centsum) AS cent_checksum
+        |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin,
   )
 }

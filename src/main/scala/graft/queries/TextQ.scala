@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.ops.{DedupOps, TextOps}
 
@@ -272,6 +273,34 @@ object TextQ {
         .select(col("doc_id"), category.as("category"), genre.as("genre"))
         .orderBy("doc_id")
     }),
+
+    // Per-source token-concentration profile: Simpson index (collision
+    // probability Σc²/N², the "effective vocabulary" diagnostic —
+    // boilerplate-heavy sources spike it) and top-token share. Both as
+    // integer parts-per-1e8/1e6 via integral DIV — a double ratio has
+    // no cross-engine summation-order contract. Products go through
+    // DECIMAL before multiplying (the q104 discipline): Σc²·1e8 wraps
+    // BIGINT silently once a source passes ~1e6 tokens, while decimal
+    // stays exact to 38 digits and fails loudly beyond. Shape at
+    // 100 TB: one token explode into a map-side-combined (source,token)
+    // count, then a source-sized rollup — no joins, no windows.
+    "q183_token_simpson" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("tk"))
+        .groupBy("source", "tk").agg(count(lit(1)).as("c"))
+      tok.groupBy("source")
+        .agg(sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("c2"),
+          max(col("c")).as("top_c"))
+        .select(col("source"), col("n_tok"), col("n_types"),
+          ldiv(col("c2").cast(dec) * lit(100000000L),
+            col("n_tok").cast(dec) * col("n_tok")).as("simpson_pp100m"),
+          ldiv(col("top_c").cast(dec) * lit(1000000L),
+            col("n_tok").cast(dec)).as("top_share_pp1m"))
+        .orderBy("source")
+    }),
   )
 
   private def lf(term: String) =
@@ -499,5 +528,19 @@ object TextQ {
         |      WHEN lower(text) LIKE '%slow%' THEN 'slow'
         |      ELSE 'general' END AS genre
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q183_token_simpson" ->
+      """WITH tc AS (
+        | SELECT source, tk, count(*) AS c FROM (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS tk
+        |  FROM documents) GROUP BY source, tk)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(CAST(sum(c * c) AS HUGEINT) * 100000000
+        |   // (CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT))
+        |   AS BIGINT) AS simpson_pp100m,
+        | CAST(CAST(max(c) AS HUGEINT) * 1000000
+        |   // CAST(sum(c) AS HUGEINT) AS BIGINT) AS top_share_pp1m
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.queries.{CurateQ, SimQ, TextQ}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions q182/q183/q184: every check recomputes the result
+  * from raw rows in plain Scala (no Spark ops), so a Catalyst
+  * expression bug and a test bug can't cancel out. */
+class KmeansMaskSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val vecs: Seq[(Long, Array[Long])] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v =>
+          math.floor(v.toDouble * 1000).toLong).toArray))
+      .toSeq.sortBy(_._1)
+
+  private def assignBrute(cents: Seq[(Long, Array[Long])])
+      : Seq[(Long, Array[Long], Long, Long, Long)] =
+    vecs.map { case (id, q) =>
+      val (cid, dist, cs) = cents.map { case (c, cent) =>
+        val d = q.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+        (c, d, cent.sum)
+      }.minBy(t => (t._2, t._1))
+      (id, q, cid, dist, cs)
+    }
+
+  private def updateBrute(a: Seq[(Long, Array[Long], Long, Long, Long)])
+      : Seq[(Long, Array[Long])] =
+    a.groupBy(_._3).toSeq.map { case (cid, rows) =>
+      val n = rows.length
+      val cent = (0 until 64).map { i =>
+        val s = rows.map(_._2(i)).sum
+        // IntegralDivide truncates toward zero, like Scala's /
+        s / n
+      }.toArray
+      (cid, cent)
+    }.sortBy(_._1)
+
+  test("q182: k-means census equals the brute-force Lloyd rounds") {
+    val c0 = vecs.filter(_._1 < 4).map { case (id, q) => (id, q) }
+    val a3 = assignBrute(updateBrute(assignBrute(
+      updateBrute(assignBrute(c0)))))
+    val exact = a3.groupBy(_._3).toSeq.map { case (cid, rows) =>
+      (cid, rows.length.toLong, rows.map(_._4).sum, rows.head._5)
+    }.sortBy(_._1)
+    val got = SimQ.queries("q182_kmeans_embed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == exact)
+    assert(got.map(_._2).sum == vecs.length.toLong)
+  }
+
+  test("q183: Simpson concentration equals brute force per source") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exact = docs.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val counts = rows.flatMap(_._2.toLowerCase.split(" ", -1))
+        .groupBy(identity).map(_._2.length.toLong).toSeq
+      val n = counts.sum
+      val c2 = counts.map(c => c * c).sum
+      (src, n, counts.length.toLong,
+        c2 * 100000000L / (n * n), counts.max * 1000000L / n)
+    }.sortBy(_._1)
+    val got = TextQ.queries("q183_token_simpson")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == exact)
+    // Simpson is a probability: 1/n_types·1e8 ≤ pp100m ≤ 1e8
+    got.foreach { case (_, _, types, pp, _) =>
+      assert(pp >= 100000000L / (types * types) && pp <= 100000000L)
+    }
+  }
+
+  test("q184: mask rollup equals the stateless mixer recomputed") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exact = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1)
+      val masked = toks.indices.filter { p =>
+        val h1 = (id * 48271L + p * 16807L + 12345L) % 2147483647L
+        h1 * 48271L % 2147483647L % 20L < 3L
+      }
+      (id, toks.length.toLong, masked.length.toLong,
+        masked.map(_ + 1L).sum, masked.map(p => toks(p).length.toLong).sum)
+    }.sortBy(_._1).toSeq
+    val got = CurateQ.queries("q184_mlm_mask")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == exact)
+    // target mask rate is 3/20 = 15%; the mixer should land near it
+    val (nTok, nMask) = (exact.map(_._2).sum, exact.map(_._3).sum)
+    assert(nMask * 100 / nTok >= 12 && nMask * 100 / nTok <= 18)
+  }
+}
