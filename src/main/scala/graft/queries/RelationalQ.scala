@@ -561,6 +561,81 @@ object RelationalQ {
         WHERE n.n_regionkey = 2
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
     }),
+
+    // Order-priority checking (TPC-H Q4 shape; this schema has no
+    // commitdate/receiptdate, so "late" = shipped more than 90 days
+    // after the order date). The correlated EXISTS becomes a LEFT SEMI
+    // join whose condition carries BOTH the orderkey equi-key and the
+    // cross-side date residual — Spark plans the equi part as the hash
+    // key and evaluates the residual inside the join, so the fact table
+    // shuffles once on orderkey and no lineitem fan-out ever reaches
+    // the aggregate (semi join emits each order at most once).
+    "q186_priority_late" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate")
+            + expr("INTERVAL 90 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    // revenue lost to returns in a half-year window. Both date and
+    // returnflag filters push to the scans, the nation dim broadcasts,
+    // and the top-20 plans as TakeOrderedAndProject over the
+    // customer-keyed aggregate — revenue sums are exact decimals so the
+    // ranking can't be perturbed by float summation order; the emitted
+    // double is one exact cast of an exact decimal.
+    "q187_returned_customers" -> ((s, dir) => {
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(30, 6))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), rev.as("rev"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("rev")).as("drev"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("drev").cast("double").as("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    // Shipping-priority line counts (TPC-H Q12 shape; returnflag stands
+    // in for the schema's missing shipmode): per line class, how many
+    // lines belong to high- vs low-priority orders in a shipping year.
+    // One co-partitioned orderkey join, then a 3-row CASE-sum rollup —
+    // the priority CASE folds into the partial aggregate, so the only
+    // full-row pass is the join itself.
+    "q188_priority_lines" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val high = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_lines"),
+          sum(when(high, 0L).otherwise(1L)).as("low_lines"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -868,5 +943,42 @@ object RelationalQ {
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t ON true
         |WHERE n.n_regionkey = 2
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
+
+    "q186_priority_late" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q187_returned_customers" ->
+      """SELECT c.c_custkey, c.c_name, CAST(x.drev AS DOUBLE) AS revenue,
+        | c.c_acctbal, n.n_name
+        |FROM (
+        |  SELECT o.o_custkey, sum(CAST(l.l_extendedprice
+        |      * (1 - l.l_discount) AS DECIMAL(30,6))) AS drev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY o.o_custkey) x
+        |JOIN customer c ON x.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    "q188_priority_lines" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

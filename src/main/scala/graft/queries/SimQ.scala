@@ -181,6 +181,59 @@ object SimQ {
         .orderBy("cid")
     }),
 
+    // Product-quantization codebook training + encoding (the PQ half
+    // of IVF-PQ, the standard billion-vector ANN memory layout): 64
+    // dims split into 8 subspaces of 8, k=4 codes per subspace, one
+    // Lloyd update round, then every vector encoded as 8 sub-codes.
+    // Unlike q182 the subspace is a GROUP KEY, not an unrolled plan
+    // dimension — the same relational shape trains all 8 codebooks at
+    // once, which is exactly why PQ scales: codebooks are (k·64) rows
+    // total regardless of corpus size, and training is two
+    // component-exploded aggregates. Same integer discipline as q182
+    // (quantized lattice, BIGINT squared distances, floor-mean DIV
+    // updates, (dist,code) tiebreak) so the codebook is bit-identical
+    // across engines. The exploded component base is checkpointed once
+    // (reused by both assign rounds); centroid tables stay tiny and
+    // broadcast. Output: per (subspace, code) cell occupancy, total
+    // quantization error, and codebook checksum — the codebook quality
+    // report that decides nprobe/code-width at deploy time.
+    "q185_product_quant" -> ((s, dir) => {
+      val k = 4
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("pos", "x")))
+        .select(col("vec_id"), ldiv(col("pos"), lit(8L)).as("sub"),
+          (col("pos") % 8L).as("j"),
+          floor(col("x").cast("double") * 1000).cast("long").as("v"))
+        .localCheckpoint()
+      val c0 = base.filter(col("vec_id") < k)
+        .select(col("sub"), col("vec_id").as("code"), col("j"),
+          col("v").as("cv"))
+      def assign(cb: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "sub").orderBy("dist", "code")
+        base.join(broadcast(cb), Seq("sub", "j"))
+          .groupBy("vec_id", "sub", "code")
+          .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
+            .as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }
+      def update(a: DataFrame): DataFrame =
+        base.join(a.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
+          .groupBy("sub", "code", "j")
+          .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
+      // two consumers (checksum + final assign): materialize the
+      // 256-row codebook once instead of re-running training per use
+      val cb1 = update(assign(c0)).localCheckpoint()
+      val checksum = cb1.groupBy("sub", "code")
+        .agg(sum(col("cv")).as("cb_checksum"))
+      assign(cb1)
+        .groupBy("sub", "code")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("total_err"))
+        .join(broadcast(checksum), Seq("sub", "code"))
+        .orderBy("sub", "code")
+    }),
+
     // Label centroid distance: per-label mean vector then each label's
     // cosine to the global mean — exercises array aggregation at scale.
     "q26_label_stats" -> ((s, dir) => {
@@ -313,5 +366,42 @@ object SimQ {
         | CAST(sum(dist) AS BIGINT) AS inertia,
         | min(centsum) AS cent_checksum
         |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // Subspace/component indices are DuckDB-local 1-based; sub/j are
+    // 0-based on both sides by construction ((i-1) here, pos there).
+    "q185_product_quant" ->
+      """WITH b AS (
+        | SELECT vec_id, (i - 1) // 8 AS sub, (i - 1) % 8 AS j,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |    AS v
+        | FROM embeddings
+        | CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+        |c0 AS (SELECT sub, vec_id AS code, j, v AS cv
+        |  FROM b WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, sub, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) AS rn FROM (
+        |   SELECT b.vec_id, b.sub, c.code,
+        |    sum((b.v - c.cv) * (b.v - c.cv)) AS dist
+        |   FROM b JOIN c0 c ON c.sub = b.sub AND c.j = b.j
+        |   GROUP BY b.vec_id, b.sub, c.code)) WHERE rn = 1),
+        |c1 AS (SELECT b.sub, a.code, b.j,
+        |  CAST(sum(b.v) // count(*) AS BIGINT) AS cv
+        | FROM b JOIN a1 a ON a.vec_id = b.vec_id AND a.sub = b.sub
+        | GROUP BY b.sub, a.code, b.j),
+        |cs AS (SELECT sub, code, CAST(sum(cv) AS BIGINT) AS cb_checksum
+        | FROM c1 GROUP BY sub, code),
+        |a2 AS (SELECT vec_id, sub, code, dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) AS rn FROM (
+        |   SELECT b.vec_id, b.sub, c.code,
+        |    sum((b.v - c.cv) * (b.v - c.cv)) AS dist
+        |   FROM b JOIN c1 c ON c.sub = b.sub AND c.j = b.j
+        |   GROUP BY b.vec_id, b.sub, c.code)) WHERE rn = 1)
+        |SELECT a2.sub, a2.code, CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(a2.dist) AS BIGINT) AS total_err,
+        | min(cs.cb_checksum) AS cb_checksum
+        |FROM a2 JOIN cs ON cs.sub = a2.sub AND cs.code = a2.code
+        |GROUP BY a2.sub, a2.code ORDER BY a2.sub, a2.code""".stripMargin,
   )
 }

@@ -54,6 +54,38 @@ class KmeansMaskSpec extends SparkSpec {
     assert(got.map(_._2).sum == vecs.length.toLong)
   }
 
+  test("q185: PQ codebook census equals brute force, all cells covered") {
+    // subvector of vec for subspace s
+    def sv(q: Array[Long], s: Int): Array[Long] = q.slice(s * 8, s * 8 + 8)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val c0: Map[(Int, Long), Array[Long]] = (for {
+      (id, q) <- vecs if id < 4; s <- 0 until 8
+    } yield ((s, id), sv(q, s))).toMap
+    def assign(cb: Map[(Int, Long), Array[Long]]) =
+      for ((id, q) <- vecs; s <- 0 until 8) yield {
+        val (code, dist) = cb.collect { case ((`s`, c), cent) =>
+          (c, d2(sv(q, s), cent)) }.toSeq.minBy(t => (t._2, t._1))
+        (id, s, code, dist)
+      }
+    val cb1 = assign(c0).groupBy(a => (a._2, a._3)).map { case ((s, c), rows) =>
+      val members = rows.map(r => sv(vecs.find(_._1 == r._1).get._2, s))
+      ((s, c), (0 until 8).map(j =>
+        members.map(_(j)).sum / members.length).toArray)
+    }
+    val exact = assign(cb1).groupBy(a => (a._2, a._3)).toSeq
+      .map { case ((s, c), rows) =>
+        (s.toLong, c, rows.length.toLong, rows.map(_._4).sum,
+          cb1((s, c)).sum)
+      }.sortBy(t => (t._1, t._2))
+    val got = SimQ.queries("q185_product_quant")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == exact)
+    // every vector got one code per subspace
+    assert(got.map(_._3).sum == 8L * vecs.length)
+  }
+
   test("q183: Simpson concentration equals brute force per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("source", "text").collect()

@@ -382,4 +382,20 @@ class PlanSpec extends SparkSpec {
         s"expected exchange reuse:\n${p.take(4000)}")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("EXISTS with cross-side residual plans as one semi join") {
+    // q186: the date residual references both sides, so it can't be
+    // pushed below the join — it must ride INSIDE the semi join (each
+    // order emitted at most once, no lineitem fan-out), not become a
+    // nested loop
+    val p = planOf("q186_priority_late")
+    assert(p.contains("LeftSemi"), s"expected semi join:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("returned-customer top-20 plans as top-k, not a global sort") {
+    val p = planOf("q187_returned_customers")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
 }
