@@ -234,6 +234,56 @@ object SimQ {
         .orderBy("sub", "code")
     }),
 
+    // Maximal-marginal-relevance selection (Carbonell–Goldstein MMR):
+    // greedy diverse top-4 against vec_id 1's query — the eval-set /
+    // few-shot-pool construction step where you want RELEVANT examples
+    // that aren't four copies of the same document. Similarity is
+    // negated quantized squared distance (integer; no cosine division),
+    // score = 7·rel − 3·max_sel_sim (λ=0.7 with the /10 cancelled —
+    // integers only, so the greedy argmax has a defined cross-engine
+    // answer; empty-set penalty is 0). The greedy is INHERENTLY
+    // sequential in k: each of the 4 rounds is one distributed
+    // argmax (TakeOrderedAndProject over a scored projection — the
+    // penalty is a `greatest` over ≤3 selected literals, no join), and
+    // only the single winning row is collected per round (the
+    // adjudicated k-row-scalar pattern: k=4 rows cross the driver, the
+    // corpus never does). Scale: per round one codegen pass over the
+    // checkpointed quantized base + a k-deep merge — O(k·corpus), the
+    // same cost profile as k rounds of q19.
+    "q189_mmr_select" -> ((s, dir) => {
+      import s.implicits._
+      def simNeg(q: Column, c: Seq[Long]): Column =
+        -aggregate(zip_with(q, typedlit(c), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"),
+          v => floor(v.cast("double") * 1000).cast("long")).as("q"))
+        .localCheckpoint()
+      val qvec = base.filter(col("vec_id") === 1)
+        .head().getSeq[Long](1)
+      val cand = base.filter(col("vec_id") =!= 1)
+        .select(col("vec_id"), col("q"), simNeg(col("q"), qvec).as("rel"))
+      var sel = Vector.empty[(Long, Seq[Long], Long, Long)]
+      for (_ <- 1 to 4) {
+        val sims = sel.map(t => simNeg(col("q"), t._2))
+        val pen = sims match {
+          case Seq() => lit(0L)
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        }
+        val picked = cand
+          .filter(!col("vec_id").isin(sel.map(_._1): _*))
+          .withColumn("score", lit(7L) * col("rel") - lit(3L) * pen)
+          .orderBy(desc("score"), asc("vec_id"))
+          .limit(1).head()
+        sel :+= ((picked.getLong(0), picked.getSeq[Long](1),
+          picked.getLong(2), picked.getLong(3)))
+      }
+      sel.zipWithIndex
+        .map { case ((id, _, rel, sc), i) => (i + 1L, id, rel, sc) }
+        .toDF("sel_rank", "vec_id", "rel", "score")
+    }),
+
     // Label centroid distance: per-label mean vector then each label's
     // cosine to the global mean — exercises array aggregation at scale.
     "q26_label_stats" -> ((s, dir) => {
@@ -403,5 +453,66 @@ object SimQ {
         | min(cs.cb_checksum) AS cb_checksum
         |FROM a2 JOIN cs ON cs.sub = a2.sub AND cs.code = a2.code
         |GROUP BY a2.sub, a2.code ORDER BY a2.sub, a2.code""".stripMargin,
+
+    // The greedy MMR rounds unrolled; integer scores make each argmax
+    // well-defined (ties by vec_id), so four sequential LIMIT 1 picks
+    // reproduce the engine's selection exactly.
+    "q189_mmr_select" ->
+      """WITH b AS (
+        | SELECT vec_id, list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |qv AS (SELECT q FROM b WHERE vec_id = 1),
+        |cand AS (
+        | SELECT b.vec_id, b.q, -list_sum(list_transform(range(1, 65),
+        |   i -> (b.q[i] - qv.q[i]) * (b.q[i] - qv.q[i]))) AS rel
+        | FROM b, qv WHERE b.vec_id <> 1),
+        |s1 AS (SELECT vec_id, q, rel, 7 * rel AS score FROM cand
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |p2 AS (SELECT c.vec_id, c.q, c.rel,
+        |  -list_sum(list_transform(range(1, 65),
+        |    i -> (c.q[i] - s.q[i]) * (c.q[i] - s.q[i]))) AS sim
+        | FROM cand c, s1 s
+        | WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
+        |s2 AS (SELECT vec_id, q, rel, score FROM (
+        |  SELECT vec_id, any_value(q) AS q, any_value(rel) AS rel,
+        |   7 * any_value(rel) - 3 * max(sim) AS score
+        |  FROM p2 GROUP BY vec_id)
+        | ORDER BY score DESC, vec_id LIMIT 1),
+        |sel2 AS (SELECT vec_id, q FROM s1
+        |  UNION ALL SELECT vec_id, q FROM s2),
+        |p3 AS (SELECT c.vec_id, c.q, c.rel,
+        |  -list_sum(list_transform(range(1, 65),
+        |    i -> (c.q[i] - s.q[i]) * (c.q[i] - s.q[i]))) AS sim
+        | FROM cand c, sel2 s
+        | WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)),
+        |s3 AS (SELECT vec_id, q, rel, score FROM (
+        |  SELECT vec_id, any_value(q) AS q, any_value(rel) AS rel,
+        |   7 * any_value(rel) - 3 * max(sim) AS score
+        |  FROM p3 GROUP BY vec_id)
+        | ORDER BY score DESC, vec_id LIMIT 1),
+        |sel3 AS (SELECT vec_id, q FROM sel2
+        |  UNION ALL SELECT vec_id, q FROM s3),
+        |p4 AS (SELECT c.vec_id, c.q, c.rel,
+        |  -list_sum(list_transform(range(1, 65),
+        |    i -> (c.q[i] - s.q[i]) * (c.q[i] - s.q[i]))) AS sim
+        | FROM cand c, sel3 s
+        | WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)),
+        |s4 AS (SELECT vec_id, q, rel, score FROM (
+        |  SELECT vec_id, any_value(q) AS q, any_value(rel) AS rel,
+        |   7 * any_value(rel) - 3 * max(sim) AS score
+        |  FROM p4 GROUP BY vec_id)
+        | ORDER BY score DESC, vec_id LIMIT 1)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+        |  CAST(rel AS BIGINT) AS rel, CAST(score AS BIGINT) AS score
+        | FROM s1
+        | UNION ALL SELECT CAST(2 AS BIGINT), vec_id,
+        |  CAST(rel AS BIGINT), CAST(score AS BIGINT) FROM s2
+        | UNION ALL SELECT CAST(3 AS BIGINT), vec_id,
+        |  CAST(rel AS BIGINT), CAST(score AS BIGINT) FROM s3
+        | UNION ALL SELECT CAST(4 AS BIGINT), vec_id,
+        |  CAST(rel AS BIGINT), CAST(score AS BIGINT) FROM s4)
+        |ORDER BY sel_rank""".stripMargin,
   )
 }

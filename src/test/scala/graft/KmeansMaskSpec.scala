@@ -86,6 +86,32 @@ class KmeansMaskSpec extends SparkSpec {
     assert(got.map(_._3).sum == 8L * vecs.length)
   }
 
+  test("q189: greedy MMR selection equals brute force") {
+    def simNeg(a: Array[Long], b: Array[Long]): Long =
+      -a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qvec = vecs.find(_._1 == 1L).get._2
+    val cand = vecs.filter(_._1 != 1L)
+      .map { case (id, q) => (id, q, simNeg(q, qvec)) }
+    var sel = Vector.empty[(Long, Array[Long], Long, Long)]
+    for (_ <- 1 to 4) {
+      val picked = cand.filter(c => !sel.exists(_._1 == c._1))
+        .map { case (id, q, rel) =>
+          val pen = if (sel.isEmpty) 0L
+            else sel.map(s => simNeg(q, s._2)).max
+          (id, q, rel, 7L * rel - 3L * pen)
+        }.minBy(t => (-t._4, t._1))
+      sel :+= picked
+    }
+    val exact = sel.zipWithIndex
+      .map { case ((id, _, rel, sc), i) => (i + 1L, id, rel, sc) }
+    val got = SimQ.queries("q189_mmr_select")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == exact)
+    // diversity: the four picks are distinct and never the query itself
+    assert(got.map(_._2).distinct.size == 4 && !got.map(_._2).contains(1L))
+  }
+
   test("q183: Simpson concentration equals brute force per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("source", "text").collect()
