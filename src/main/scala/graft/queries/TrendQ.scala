@@ -498,6 +498,44 @@ object TrendQ {
             col("n_events")).as("suppressed_bp"))
         .orderBy("user_id")
     }),
+
+    // Poisson bootstrap (10 replicas) of the mean event value — THE
+    // one-pass way to put error bars on a pipeline metric at 100 TB:
+    // true resampling needs n draws over the whole dataset per replica
+    // (a shuffle per replica, coordination for the multinomial);
+    // Poisson(1) weights approximate it with an independent per-row
+    // draw (Chamandy et al., "Estimating Uncertainty for Massive Data
+    // Streams"). The draw reuses the q184 stateless mixer over
+    // (event_id, replica) — reproducible on any executor/retry with no
+    // RNG state — and the Poisson(1) inverse CDF is a CASE ladder over
+    // INTEGER thresholds (quantized at 10⁶, identical constants both
+    // engines; the mod-10⁶ projection of the mixer is uniform enough
+    // for a resampling draw and, more importantly, DEFINED). Values
+    // ride as floor-cents, means as integral DIV — no float anywhere.
+    // Shape: one explode(×10) over the scan into a map-side-combined
+    // 10-group aggregate; no join, no window, no second pass.
+    "q190_poisson_bootstrap" -> ((s, dir) => {
+      val m = lit(2147483647L)
+      val h1 = (col("event_id") * 48271L + col("b") * 16807L
+        + 12345L) % m
+      val u = ((h1 * 48271L) % m) % 1000000L
+      val pw = when(u < 367879L, 0L).when(u < 735759L, 1L)
+        .when(u < 919699L, 2L).when(u < 981012L, 3L)
+        .when(u < 996340L, 4L).when(u < 999406L, 5L)
+        .when(u < 999917L, 6L).when(u < 999990L, 7L).otherwise(8L)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("cents"),
+          explode(sequence(lit(0L), lit(9L))).as("b"))
+        .select(col("b"), pw.as("w"), col("cents"))
+        .groupBy("b")
+        .agg(sum(col("w")).as("n_drawn"),
+          sum(col("w") * col("cents")).as("wsum"))
+        .select(col("b"), col("n_drawn"),
+          ldiv(col("wsum"), col("n_drawn")).as("mean_cents"))
+        .orderBy("b")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -814,5 +852,27 @@ object TrendQ {
         | round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
         |   AS sum_value
         |FROM events GROUP BY local_hour ORDER BY local_hour""".stripMargin,
+
+    "q190_poisson_bootstrap" ->
+      """WITH e AS (
+        | SELECT event_id,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents,
+        |  unnest(range(0, 10)) AS b
+        | FROM events),
+        |w AS (
+        | SELECT b, cents,
+        |  CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |       WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |       WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+        |       WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+        |       ELSE 8 END AS w
+        | FROM (SELECT b, cents,
+        |   ((event_id * 48271 + b * 16807 + 12345) % 2147483647)
+        |     * 48271 % 2147483647 % 1000000 AS u
+        |  FROM e))
+        |SELECT b, CAST(sum(w) AS BIGINT) AS n_drawn,
+        | CAST(CAST(sum(w * cents) AS HUGEINT)
+        |   // CAST(sum(w) AS HUGEINT) AS BIGINT) AS mean_cents
+        |FROM w GROUP BY b ORDER BY b""".stripMargin,
   )
 }

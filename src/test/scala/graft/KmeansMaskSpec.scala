@@ -134,6 +134,38 @@ class KmeansMaskSpec extends SparkSpec {
     }
   }
 
+  test("q190: Poisson bootstrap replicas equal the mixer recomputed") {
+    val events = Tables.t(spark, sf, "events")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+      999406L, 999917L, 999990L)
+    val exact = (0L to 9L).map { b =>
+      val rows = events.map { case (id, v) =>
+        val cents = math.floor(v * 100).toLong
+        val u = ((id * 48271L + b * 16807L + 12345L) % 2147483647L) *
+          48271L % 2147483647L % 1000000L
+        val w = cdf.indexWhere(u < _) match {
+          case -1 => 8L; case i => i.toLong
+        }
+        (w, w * cents)
+      }
+      val (n, ws) = (rows.map(_._1).sum, rows.map(_._2).sum)
+      (b, n, ws / n)
+    }
+    val got = graft.queries.TrendQ.queries(
+        "q190_poisson_bootstrap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exact)
+    // each replica resamples ~n rows and its mean stays near the truth
+    val trueMean = events.map(e => math.floor(e._2 * 100).toLong).sum /
+      events.length
+    got.foreach { case (_, n, m) =>
+      assert(math.abs(n - events.length) < events.length / 2)
+      assert(math.abs(m - trueMean) < trueMean / 2)
+    }
+  }
+
   test("q184: mask rollup equals the stateless mixer recomputed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
