@@ -118,8 +118,27 @@ object Porter {
     w
   }
 
+  /** Zipf cache: token TYPES are few while token INSTANCES are the
+    * corpus, so per-executor memoization turns almost every stem() into
+    * a hash probe. Bounded (beyond the cap we compute without caching)
+    * so an adversarial unbounded vocabulary degrades to the uncached
+    * cost instead of an executor OOM; stem() is pure, so a shared map
+    * is safe and last-write-wins races are benign. */
+  private val cacheCap = 1 << 17
+  private val stemCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def stemCached(s: String): String = {
+    val hit = stemCache.get(s)
+    if (hit != null) hit
+    else {
+      val r = stem(s)
+      if (stemCache.size < cacheCap) stemCache.put(s, r)
+      r
+    }
+  }
+
   /** Per-string column function. */
-  val stemUdf = org.apache.spark.sql.functions.udf((s: String) => stem(s))
+  val stemUdf = org.apache.spark.sql.functions.udf((s: String) => stemCached(s))
 
   /** Array-of-tokens expression: stems every element in one pass. */
   def stemTokens(toks: Column): Column = {
@@ -142,7 +161,7 @@ case class StemTokensExpr(child: Expression)
       val s = arr.getUTF8String(i)
       out(i) =
         if (s == null) null
-        else UTF8String.fromString(Porter.stem(s.toString))
+        else UTF8String.fromString(Porter.stemCached(s.toString))
       i += 1
     }
     new GenericArrayData(out)
