@@ -43,8 +43,8 @@ object EtlQ {
     // binary column never moves to the driver.
     "q175_docx_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val decoded = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+      val decoded = graft.ops.Partitioning.ensureParallel(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val para = text + " <&\"njk>" // markup must survive escaping
@@ -78,8 +78,8 @@ object EtlQ {
     // source text; it never sees a PDF byte.
     "q176_pdf_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+      graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val lines = Seq(s"Name: Event $id",
@@ -115,8 +115,8 @@ object EtlQ {
     // work; the workbook bytes never visit the driver.
     "q177_xlsx_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+      graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val table = Seq(
@@ -158,8 +158,8 @@ object EtlQ {
     "q180_html_extract" -> ((s, dir) => {
       import s.implicits._
       import graft.ingest.HtmlCodec
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+      graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val esc = text.flatMap {
@@ -220,8 +220,8 @@ object EtlQ {
     "q181_format_dispatch" -> ((s, dir) => {
       import s.implicits._
       import graft.ingest.{DocParse, DocxCodec, PdfCodec, XlsxCodec}
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+      graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val table = Seq(Seq("Title", "Venue", "Date", "Info"),
