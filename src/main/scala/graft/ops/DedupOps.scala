@@ -179,10 +179,17 @@ object DedupOps {
     // extra verification, while an over-tight bound would silently drop
     // a true pair. Ratio checks compare products, never divide.
     val eps = 1e-9
+    // the candidate self-join below is the CPU-heavy stage while the
+    // prefix table's bytes are small — pin its partitioning on the join
+    // key explicitly (the exact exchange the join needs; exchange reuse
+    // shares ONE shuffle between both aliases) so AQE's byte-based
+    // coalescing can't serialize the pair generation onto a few tasks
     val pfx = posts.join(dfreq, "tok")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
       .select("id", "sz", "tok", "__rn")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("tok"))
     // PPJoin positional filter: at a shared prefix token sitting at
     // positions (i, j) of the df-ascending orders, total overlap cannot
     // exceed 1 + min(|A|-i, |B|-j) (everything else shared must lie in
@@ -201,6 +208,11 @@ object DedupOps {
           ubound >= needed)
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+      // same pin for the verification: candidate pairs are two longs, so
+      // AQE coalesces them onto one task right before the fat toks join
+      // + per-pair jaccard evaluation — the stage that actually burns CPU
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("a_id"))
     cands
       .join(full.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
       .join(full.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
