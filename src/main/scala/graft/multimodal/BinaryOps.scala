@@ -138,6 +138,43 @@ object BinaryOps {
       }
   }
 
+  final case class Patch(media_id: Long, patch_idx: Int, n_bytes: Int,
+      byte_sum: Long, pos_checksum: Long)
+
+  /** ViT-style patch extraction for image blobs: 1 row in → ⌈len/patch⌉
+    * rows out (flatMap), each a FIXED-SIZE patch (the last one short —
+    * the padding a real patchifier zero-fills), with exact integer
+    * per-patch stats: Σ byte and a within-patch position-weighted
+    * checksum (order-sensitive, so a transposed or re-strided patch
+    * can't alias a correct one under the driver hash). A real decoder
+    * (pixels → patch grid) swaps in behind the same 1→N shape; the
+    * per-patch stat rows are what an embedding stage consumes. */
+  def patchify(media: DataFrame, patchBytes: Int): Dataset[Patch] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes.isEmpty) Iterator.empty
+        else (0 until (bytes.length + patchBytes - 1) / patchBytes)
+          .iterator.map { p =>
+            val start = p * patchBytes
+            val end = math.min(start + patchBytes, bytes.length)
+            var s = 0L
+            var c = 0L
+            var i = start
+            while (i < end) {
+              val v = (bytes(i) & 0xFF).toLong
+              s += v
+              c += (i - start + 1) * v
+              i += 1
+            }
+            Patch(id, p, end - start, s, c)
+          }
+      }
+  }
+
   /** Decode + feature-extract via mapPartitions: one decoder instance per
     * partition (not per row), rows streamed — the batch shape that holds
     * when `content` is megabytes and partitions are thousands of rows. */

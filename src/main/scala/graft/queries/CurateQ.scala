@@ -112,6 +112,27 @@ object CurateQ {
         .orderBy("media_id", "window_idx")
     }),
 
+    // ViT-style patch extraction through the same multimodal plumbing
+    // as q136/q105: image-kind blobs flatMap into fixed 32-byte patches
+    // (last patch short — the zero-pad position), each with Σ byte and
+    // a within-patch position-weighted checksum, all exact integers.
+    // The checksum makes the gate order-sensitive: a re-strided or
+    // transposed patch layout produces the right sums but the wrong
+    // hash. At 100 TB this is the embedding-stage feed shape: per-row
+    // fan-out bounded by blob size, no shuffle until the consumer.
+    "q191_image_patchify" -> ((s, dir) => {
+      val media = graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents").select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          col("text").cast("binary").as("content")))
+      graft.multimodal.BinaryOps.patchify(media, patchBytes = 32)
+        .toDF()
+        .orderBy("media_id", "patch_idx")
+    }),
+
     // Language-ID confusion matrix: the heuristic's predictions against
     // the table's labeled lang column — the evaluation every langid
     // gate needs before it filters a corpus. One scan (the 25 marker
@@ -977,6 +998,31 @@ object CurateQ {
         |      * ord(substr(m.text, CAST(i AS INTEGER), 1)))), 0)
         |   AS BIGINT) AS energy
         |FROM m, w ORDER BY media_id, window_idx""".stripMargin,
+
+    // same ASCII premise as q136: byte k == ord(substr(text, k+1, 1))
+    "q191_image_patchify" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id, text, length(text) AS len
+        | FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+        |p AS (
+        | SELECT media_id, text, len,
+        |  unnest(range(0, (len + 31) // 32)) AS pidx
+        | FROM m)
+        |SELECT media_id, CAST(pidx AS INTEGER) AS patch_idx,
+        | CAST(least(pidx * 32 + 32, len) - pidx * 32 AS INTEGER)
+        |   AS n_bytes,
+        | CAST(coalesce(list_sum(list_transform(
+        |   range(CAST(pidx * 32 AS INTEGER) + 1,
+        |         CAST(least(pidx * 32 + 32, len) AS INTEGER) + 1),
+        |   i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
+        |   AS BIGINT) AS byte_sum,
+        | CAST(coalesce(list_sum(list_transform(
+        |   range(CAST(pidx * 32 AS INTEGER) + 1,
+        |         CAST(least(pidx * 32 + 32, len) AS INTEGER) + 1),
+        |   i -> (i - pidx * 32)
+        |      * ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
+        |   AS BIGINT) AS pos_checksum
+        |FROM p ORDER BY media_id, patch_idx""".stripMargin,
 
     "q137_langid_confusion" -> {
       val langSelects = graft.ops.TextOps.langMarkers.map { case (l, ws) =>

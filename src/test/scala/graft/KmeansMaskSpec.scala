@@ -166,6 +166,31 @@ class KmeansMaskSpec extends SparkSpec {
     }
   }
 
+  test("q191: patch stats recompute from the raw bytes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exact = docs.filter(d => d._1 % 3 == 0 && d._2.nonEmpty)
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        (0 until (bytes.length + 31) / 32).map { p =>
+          val chunk = bytes.slice(p * 32, math.min(p * 32 + 32, bytes.length))
+          (id, p, chunk.length,
+            chunk.map(b => (b & 0xFF).toLong).sum,
+            chunk.zipWithIndex.map { case (b, i) =>
+              (i + 1L) * (b & 0xFF) }.sum)
+        }
+      }.sortBy(t => (t._1, t._2)).toSeq
+    val got = CurateQ.queries("q191_image_patchify")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == exact)
+    // every patch except possibly the last per doc is exactly 32 bytes
+    got.groupBy(_._1).values.foreach { ps =>
+      ps.init.foreach(p => assert(p._3 == 32))
+    }
+  }
+
   test("q184: mask rollup equals the stateless mixer recomputed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
