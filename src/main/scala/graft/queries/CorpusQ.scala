@@ -51,6 +51,39 @@ object CorpusQ {
         .orderBy("doc_id")
     }),
 
+    // Quality-gate × dedup interaction: the 2×2 contingency between
+    // the q96 keep decision and near-dup participation (any exact
+    // Jaccard ≥ 0.5 edge, the q56-family edge set) — the calibration
+    // check a curation run needs before trusting either filter alone:
+    // if the gate already removes most duplicated docs the dedup pass
+    // is cheap residue, and if it keeps them the two filters are
+    // complementary, not redundant. Counts and shares stay integral
+    // (bp via DIV). Reuses the session-shared checkpointed edge set;
+    // one scan for the signals, one label join, a 4-row rollup.
+    "q192_gate_dedup_interaction" -> ((s, dir) => {
+      val stops = array(stopList.map(lit): _*)
+      val labels = graft.ops.DedupOps
+        .connectedComponents(ScaleQ.dedupEdges(s, dir))
+        .withColumnRenamed("node", "doc_id")
+      val flags = t(s, dir, "documents")
+        .withColumn("toks", toks)
+        .select(col("doc_id"),
+          (size(col("toks")).cast("long").between(30L, 90L) &&
+            round(aggregate(col("toks"), lit(0L),
+                (acc, w) => acc + length(w)).cast("double") /
+              size(col("toks")), 4).between(3.0, 4.6) &&
+            size(filter(col("toks"), w => array_contains(stops, w)))
+              .cast("long") >= 2L).as("keep"))
+      flags.join(labels.select(col("doc_id"), lit(true).as("is_dup")),
+          Seq("doc_id"), "left")
+        .na.fill(false, Seq("is_dup"))
+        .groupBy("keep", "is_dup")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_bp", ldiv(col("n") * lit(10000L),
+          sum(col("n")).over(Window.partitionBy())))
+        .orderBy("keep", "is_dup")
+    }),
+
     // Benchmark decontamination (the GPT-3/FLAN n-gram overlap check):
     // flag every training document sharing at least one 8-gram with the
     // held-out benchmark slice (doc_id % 29 = 0 stands in for the eval
@@ -597,6 +630,29 @@ object CorpusQ {
         |  AND mean_word_len BETWEEN 3.0 AND 4.6
         |  AND stop_hits >= 2) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q192_gate_dedup_interaction" -> (ScaleQ.dedupLabSql + """,
+        |tq AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |fq AS (
+        | SELECT doc_id,
+        |  (CAST(len(toks) AS BIGINT) BETWEEN 30 AND 90
+        |   AND round(CAST(list_sum(list_transform(toks,
+        |     w -> length(w))) AS DOUBLE) / len(toks), 4)
+        |     BETWEEN 3.0 AND 4.6
+        |   AND CAST(len(list_filter(toks, w -> list_contains(
+        |     ['the','and','of','to','a','in','is','that','it','for'],
+        |     w))) AS BIGINT) >= 2) AS keep
+        | FROM tq),
+        |j AS (
+        | SELECT fq.keep, lab.node IS NOT NULL AS is_dup
+        | FROM fq LEFT JOIN lab ON fq.doc_id = lab.node)
+        |SELECT keep, is_dup, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) * 10000 // (SELECT count(*) FROM j) AS BIGINT)
+        |   AS share_bp
+        |FROM j GROUP BY keep, is_dup
+        |ORDER BY keep, is_dup""".stripMargin),
 
     "q97_decontaminate" ->
       """WITH s AS (

@@ -191,6 +191,19 @@ class KmeansMaskSpec extends SparkSpec {
     }
   }
 
+  test("q192: contingency cells partition the corpus, shares sum to 1") {
+    val got = graft.queries.CorpusQ.queries(
+        "q192_gate_dedup_interaction")(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3)))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(got.map(_._3).sum == nDocs)
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+    // DIV truncation loses at most (cells-1) bp
+    val bp = got.map(_._4).sum
+    assert(bp > 10000L - got.length && bp <= 10000L)
+  }
+
   test("q184: mask rollup equals the stateless mixer recomputed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
