@@ -126,6 +126,35 @@ object QualityQ {
         .select(col("grp"), col("n"))
         .orderBy("grp")
     }),
+
+    // Leave-one-source-out ablation stats BY SUBTRACTION: what the rest
+    // of the corpus looks like with each source removed (docs, tokens,
+    // mean quality) — the data-mixing ablation report. The at-scale
+    // trick is algebraic: ONE scan builds per-source partials, the
+    // global totals broadcast back, and every ablation row is
+    // total − source arithmetic — k ablations for the price of one
+    // aggregate instead of k full scans. Means via integral DIV; the
+    // single-source degenerate case (rest is empty) yields NULL, not
+    // /0.
+    "q193_ablation_stats" -> ((s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      val per = t(s, dir, "documents")
+        .select(col("source"), size(tk).cast("long").as("n_tok"),
+          TextOps.qualityBp(tk).as("qbp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("toks"),
+          sum(col("qbp")).as("qsum"))
+      val tot = per.agg(sum(col("docs")).as("tdocs"),
+        sum(col("toks")).as("ttoks"), sum(col("qsum")).as("tqsum"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"),
+          (col("tdocs") - col("docs")).as("rest_docs"),
+          (col("ttoks") - col("toks")).as("rest_tokens"),
+          when(col("tdocs") > col("docs"),
+            ldiv(col("tqsum") - col("qsum"), col("tdocs") - col("docs")))
+            .as("rest_mean_quality_bp"))
+        .orderBy("source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -205,5 +234,35 @@ object QualityQ {
         |WHERE sqrt((ssq - s * s / n) / n) > 0
         |  AND abs((value - s / n) / sqrt((ssq - s * s / n) / n)) > 3
         |ORDER BY event_id""".stripMargin,
+
+    "q193_ablation_stats" ->
+      """WITH f AS (
+        | SELECT source,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |   x -> x IN ('the','a','an','of','to','and','in','is','on',
+        |     'for'))) AS BIGINT) AS stop_hits
+        | FROM documents),
+        |q AS (
+        | SELECT source, n_tok, CAST(CASE WHEN n_tok <= 100
+        |   THEN (n_tok - stop_hits) * 100
+        |   ELSE (n_tok - stop_hits) * 10000 // n_tok END AS BIGINT)
+        |  AS qbp
+        | FROM f),
+        |p AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS toks,
+        |  CAST(sum(qbp) AS BIGINT) AS qsum
+        | FROM q GROUP BY source),
+        |tt AS (
+        | SELECT CAST(sum(docs) AS BIGINT) AS tdocs,
+        |  CAST(sum(toks) AS BIGINT) AS ttoks,
+        |  CAST(sum(qsum) AS BIGINT) AS tqsum FROM p)
+        |SELECT source, tdocs - docs AS rest_docs,
+        | ttoks - toks AS rest_tokens,
+        | CASE WHEN tdocs > docs
+        |   THEN (tqsum - qsum) // (tdocs - docs) END
+        |  AS rest_mean_quality_bp
+        |FROM p, tt ORDER BY source""".stripMargin,
   )
 }

@@ -536,6 +536,31 @@ object TrendQ {
           ldiv(col("wsum"), col("n_drawn")).as("mean_cents"))
         .orderBy("b")
     }),
+
+    // 5%-trimmed mean of event values per type — the robust metric for
+    // skew/outlier-heavy telemetry (a winsorized cousin of q89's
+    // z-gate). Exact: values as floor-cents, trim count k = n DIV 20
+    // PER SIDE selected by a deterministic (cents, event_id) rank —
+    // every engine drops the same rows — and the kept mean is integral
+    // DIV. The rank and count windows and the final rollup all share
+    // ONE event_type exchange (the q140-family plan discipline).
+    "q194_trimmed_mean" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents"), col("event_id"))
+      val wAll = Window.partitionBy("event_type")
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("k", ldiv(col("n"), lit(20L)))
+        .filter(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_events"),
+          count(lit(1)).as("n_kept"),
+          ldiv(sum(col("cents")), count(lit(1))).as("trimmed_mean_cents"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -874,5 +899,23 @@ object TrendQ {
         | CAST(CAST(sum(w * cents) AS HUGEINT)
         |   // CAST(sum(w) AS HUGEINT) AS BIGINT) AS mean_cents
         |FROM w GROUP BY b ORDER BY b""".stripMargin,
+
+    "q194_trimmed_mean" ->
+      """WITH e AS (
+        | SELECT event_type, event_id,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |r AS (
+        | SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cents, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM e)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        | CAST(count(*) AS BIGINT) AS n_kept,
+        | CAST(CAST(sum(cents) AS HUGEINT)
+        |   // CAST(count(*) AS HUGEINT) AS BIGINT) AS trimmed_mean_cents
+        |FROM r WHERE rn > n // 20 AND rn <= n - n // 20
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

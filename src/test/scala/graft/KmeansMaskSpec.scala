@@ -204,6 +204,49 @@ class KmeansMaskSpec extends SparkSpec {
     assert(bp > 10000L - got.length && bp <= 10000L)
   }
 
+  test("q193: subtraction ablation equals direct leave-one-out stats") {
+    val stops = Set("the", "a", "an", "of", "to", "and", "in", "is",
+      "on", "for")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map { r =>
+        val tk = r.getString(1).toLowerCase.split(" ", -1)
+        val nt = tk.length.toLong
+        val content = nt - tk.count(stops)
+        val qbp = if (nt <= 100) content * 100L else content * 10000L / nt
+        (r.getString(0), nt, qbp)
+      }
+    val exact = docs.map(_._1).distinct.sorted.map { src =>
+      val rest = docs.filter(_._1 != src)
+      (src, rest.length.toLong, rest.map(_._2).sum,
+        rest.map(_._3).sum / rest.length)
+    }.toSeq
+    val got = graft.queries.QualityQ.queries(
+        "q193_ablation_stats")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == exact)
+  }
+
+  test("q194: trimmed mean equals brute force per event type") {
+    val events = Tables.t(spark, sf, "events")
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100).toLong))
+    val exact = events.groupBy(_._1).toSeq.map { case (et, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val k = sorted.length / 20
+      val kept = sorted.slice(k, sorted.length - k)
+      (et, sorted.length.toLong, kept.length.toLong,
+        kept.sum / kept.length)
+    }.sortBy(_._1)
+    val got = graft.queries.TrendQ.queries(
+        "q194_trimmed_mean")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == exact)
+  }
+
   test("q184: mask rollup equals the stateless mixer recomputed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
