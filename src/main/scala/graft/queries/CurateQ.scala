@@ -147,6 +147,41 @@ object CurateQ {
         .orderBy("lang", "pred_lang")
     }),
 
+    // Cohen's kappa for the langid heuristic vs the labeled lang — the
+    // chance-corrected agreement score every classifier-gate evaluation
+    // should report next to its confusion matrix (q137): raw accuracy
+    // flatters a gate on skewed label mixes. Exact integers throughout:
+    // po and pe stay as n²-scaled counts (agree·n and Σ row·col), and
+    // kappa lands in basis points via one integral DIV — n²·10⁴ fits
+    // BIGINT to ~10⁷ docs per evaluation slice, and eval slices (not
+    // corpora) are what kappa is computed over. Shape: one scan for
+    // predictions, a label-pair-sized contingency, marginal products
+    // broadcast — nothing corpus-sized shuffles twice.
+    "q195_langid_kappa" -> ((s, dir) => {
+      val tk = graft.ops.TextOps.tokens(col("text"))
+      val pred = t(s, dir, "documents")
+        .select(col("lang"),
+          graft.ops.TextOps.langPredict(
+            graft.ops.TextOps.langScores(tk)).as("pred_lang"))
+      val cells = pred.groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val n = cells.agg(sum(col("c")).as("n"))
+      val agree = cells.filter(col("lang") === col("pred_lang"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("agree"))
+      val rows = cells.groupBy("lang").agg(sum(col("c")).as("rc"))
+      val cols = cells.groupBy("pred_lang").agg(sum(col("c")).as("cc"))
+      val pe = rows.join(cols, col("lang") === col("pred_lang"))
+        .agg(coalesce(sum(col("rc") * col("cc")), lit(0L)).as("pe_n2"))
+      n.crossJoin(broadcast(agree)).crossJoin(broadcast(pe))
+        .select(col("n"), col("agree"),
+          // degenerate chance-agreement-is-certain case: kappa is
+          // undefined — NULL, not /0
+          when(col("n") * col("n") =!= col("pe_n2"),
+            ldiv((col("agree") * col("n") - col("pe_n2")) * lit(10000L),
+              col("n") * col("n") - col("pe_n2"))).as("kappa_bp"))
+    }),
+
     // Word co-occurrence confidence over the top-20 document-frequency
     // words: P(b | a) in exact basis points (both·10⁴ DIV df_a — stays
     // in long range at any SF, unlike a lift numerator carrying
@@ -1023,6 +1058,32 @@ object CurateQ {
         |      * ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
         |   AS BIGINT) AS pos_checksum
         |FROM p ORDER BY media_id, patch_idx""".stripMargin,
+
+    "q195_langid_kappa" -> {
+      val langSelects = graft.ops.TextOps.langMarkers.map { case (l, ws) =>
+        s"${TextQ.langCountSql(ws)} AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH feat AS (
+         | SELECT lang, $langSelects FROM documents),
+         |lp AS (SELECT lang, ${TextQ.langPredSql} AS pred_lang FROM feat),
+         |cells AS (
+         | SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS c
+         | FROM lp GROUP BY lang, pred_lang),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         |ag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS agree
+         | FROM cells WHERE lang = pred_lang),
+         |rm AS (SELECT lang, CAST(sum(c) AS BIGINT) AS rc
+         | FROM cells GROUP BY lang),
+         |cm AS (SELECT pred_lang, CAST(sum(c) AS BIGINT) AS cc
+         | FROM cells GROUP BY pred_lang),
+         |pe AS (SELECT CAST(coalesce(sum(rc * cc), 0) AS BIGINT) AS pe_n2
+         | FROM rm JOIN cm ON rm.lang = cm.pred_lang)
+         |SELECT n, agree,
+         | CASE WHEN n * n <> pe_n2
+         |   THEN (agree * n - pe_n2) * 10000 // (n * n - pe_n2) END
+         |  AS kappa_bp
+         |FROM t, ag, pe""".stripMargin
+    },
 
     "q137_langid_confusion" -> {
       val langSelects = graft.ops.TextOps.langMarkers.map { case (l, ws) =>

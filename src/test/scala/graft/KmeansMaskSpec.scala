@@ -247,6 +247,26 @@ class KmeansMaskSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("q195: kappa equals brute force from the confusion matrix") {
+    val conf = graft.queries.CurateQ.queries(
+        "q137_langid_confusion")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = conf.values.sum
+    val agree = conf.collect { case ((a, b), c) if a == b => c }.sum
+    val langs = conf.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct
+    val peN2 = langs.map { l =>
+      val rc = conf.collect { case ((a, _), c) if a == l => c }.sum
+      val cc = conf.collect { case ((_, b), c) if b == l => c }.sum
+      rc * cc
+    }.sum
+    val exact = (n, agree, (agree * n - peN2) * 10000L / (n * n - peN2))
+    val r = graft.queries.CurateQ.queries(
+        "q195_langid_kappa")(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == exact)
+    // kappa can't exceed perfect agreement
+    assert(r.getLong(2) <= 10000L)
+  }
+
   test("q184: mask rollup equals the stateless mixer recomputed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
