@@ -561,6 +561,40 @@ object TrendQ {
           ldiv(sum(col("cents")), count(lit(1))).as("trimmed_mean_cents"))
         .orderBy("event_type")
     }),
+
+    // CUSUM changepoint localization per event type: the day where the
+    // cumulative deviation of daily revenue from its mean peaks — the
+    // standard level-shift detector (Page 1954). Exactness trick: the
+    // mean is rational, so every residual is multiplied through by
+    // n_days — cusum'_d = Σ_{d'≤d} (n·x_{d'} − total) is a pure BIGINT
+    // series with the same argmax, and no division happens at all
+    // until... never. Ties break to the EARLIEST day (argmax by
+    // (-|cusum|, day) rank). Shape: the corpus-sized pass is one
+    // (type, day) rollup; the windows run over the day-series (≤ a few
+    // thousand rows per type at any corpus size — days, not events).
+    "q196_cusum_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "d")
+        .agg(sum(col("cents")).as("x"))
+      val wAll = Window.partitionBy("event_type")
+      val wCum = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wPick = Window.partitionBy("event_type")
+        .orderBy(desc("abs_cusum"), asc("d"))
+      daily
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("total", sum(col("x")).over(wAll))
+        .withColumn("cusum",
+          sum(col("x") * col("n") - col("total")).over(wCum))
+        .withColumn("abs_cusum", abs(col("cusum")))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("d").as("cp_day"), col("abs_cusum").as("max_abs_cusum"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -917,5 +951,28 @@ object TrendQ {
         |   // CAST(count(*) AS HUGEINT) AS BIGINT) AS trimmed_mean_cents
         |FROM r WHERE rn > n // 20 AND rn <= n - n // 20
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q196_cusum_changepoint" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS d,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        | FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |st AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS total
+        | FROM daily GROUP BY event_type),
+        |c AS (
+        | SELECT daily.event_type, d, st.n,
+        |  abs(sum(x * st.n - st.total) OVER (
+        |    PARTITION BY daily.event_type ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING)) AS abs_cusum
+        | FROM daily JOIN st ON daily.event_type = st.event_type),
+        |p AS (
+        | SELECT *, row_number() OVER (PARTITION BY event_type
+        |   ORDER BY abs_cusum DESC, d) AS rn
+        | FROM c)
+        |SELECT event_type, n AS n_days, d AS cp_day,
+        | CAST(abs_cusum AS BIGINT) AS max_abs_cusum
+        |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -267,6 +267,33 @@ class KmeansMaskSpec extends SparkSpec {
     assert(r.getLong(2) <= 10000L)
   }
 
+  test("q196: CUSUM changepoint equals brute force per type") {
+    val events = Tables.t(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        math.floor(r.getDouble(2) * 100).toLong))
+    val exact = events.groupBy(_._1).toSeq.map { case (et, rows) =>
+      val daily = rows.groupBy(_._2).map { case (d, rs) =>
+        (d, rs.map(_._3).sum) }.toSeq.sortBy(_._1)
+      val n = daily.length.toLong
+      val total = daily.map(_._2).sum
+      var acc = 0L
+      val cusums = daily.map { case (d, x) =>
+        acc += x * n - total; (d, math.abs(acc))
+      }
+      val (cpDay, maxAbs) = cusums.minBy(t => (-t._2, t._1))
+      (et, n, cpDay, maxAbs)
+    }.sortBy(_._1)
+    val got = graft.queries.TrendQ.queries(
+        "q196_cusum_changepoint")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString,
+        r.getLong(3))).toSeq
+    assert(got == exact)
+    // the full-series cusum telescopes to zero, so the max is interior
+    got.foreach { case (_, n, _, _) => assert(n > 1) }
+  }
+
   test("q184: mask rollup equals the stateless mixer recomputed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
