@@ -84,6 +84,46 @@ object CorpusQ {
         .orderBy("keep", "is_dup")
     }),
 
+    // The corpus data card: one row summarizing what every other gate
+    // measures piecemeal — volume (docs/tokens/sources), quality keep
+    // rate, exact-duplicate rate (normalized-fingerprint collisions),
+    // and langid accuracy — the report a curation run publishes next to
+    // a training mix. Deliberately composed ONLY of single-pass
+    // signals (no near-dup edge set: a data card is recomputed on
+    // every snapshot, so it must stay one scan + one rollup at 100 TB;
+    // the quadratic-oracle family has its own queries). All rates in
+    // integer bp via DIV; the multi-distinct aggregate expands to one
+    // Expand + partial-combined pass, still corpus-linear.
+    "q200_corpus_report" -> ((s, dir) => {
+      val stops = array(stopList.map(lit): _*)
+      val d = t(s, dir, "documents")
+        .withColumn("tk", toks)
+        .select(col("source"),
+          size(col("tk")).cast("long").as("n_tok"),
+          (size(col("tk")).cast("long").between(30L, 90L) &&
+            round(aggregate(col("tk"), lit(0L),
+                (acc, w) => acc + length(w)).cast("double") /
+              size(col("tk")), 4).between(3.0, 4.6) &&
+            size(filter(col("tk"), w => array_contains(stops, w)))
+              .cast("long") >= 2L).as("keep"),
+          (graft.ops.TextOps.langPredict(
+            graft.ops.TextOps.langScores(col("tk"))) === col("lang"))
+            .as("lang_ok"),
+          graft.ops.TextOps.docFingerprint(col("text")).as("fp"))
+      d.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("source")).cast("long").as("n_sources"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          countDistinct(col("fp")).cast("long").as("n_distinct_fp"),
+          sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"))
+        .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+          ldiv(col("n_keep") * lit(10000L), col("n_docs")).as("keep_bp"),
+          ldiv((col("n_docs") - col("n_distinct_fp")) * lit(10000L),
+            col("n_docs")).as("exact_dup_bp"),
+          ldiv(col("n_lang_ok") * lit(10000L), col("n_docs"))
+            .as("langid_acc_bp"))
+    }),
+
     // Benchmark decontamination (the GPT-3/FLAN n-gram overlap check):
     // flag every training document sharing at least one 8-gram with the
     // held-out benchmark slice (doc_id % 29 = 0 stands in for the eval
@@ -653,6 +693,41 @@ object CorpusQ {
         |   AS share_bp
         |FROM j GROUP BY keep, is_dup
         |ORDER BY keep, is_dup""".stripMargin),
+
+    "q200_corpus_report" -> {
+      val langSelects = graft.ops.TextOps.langMarkers.map { case (l, ws) =>
+        s"${TextQ.langCountSql(ws)} AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH f AS (
+         | SELECT source, lang,
+         |  string_split(lower(text), ' ') AS tk,
+         |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |    AS fp,
+         |  $langSelects
+         | FROM documents),
+         |g AS (
+         | SELECT source, fp,
+         |  CAST(len(tk) AS BIGINT) AS n_tok,
+         |  (CAST(len(tk) AS BIGINT) BETWEEN 30 AND 90
+         |   AND round(CAST(list_sum(list_transform(tk,
+         |     w -> length(w))) AS DOUBLE) / len(tk), 4)
+         |     BETWEEN 3.0 AND 4.6
+         |   AND CAST(len(list_filter(tk, w -> list_contains(
+         |     ['the','and','of','to','a','in','is','that','it','for'],
+         |     w))) AS BIGINT) >= 2) AS keep,
+         |  (${TextQ.langPredSql}) = lang AS lang_ok
+         | FROM f)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000
+         |   // count(*) AS BIGINT) AS keep_bp,
+         | CAST((count(*) - count(DISTINCT fp)) * 10000
+         |   // count(*) AS BIGINT) AS exact_dup_bp,
+         | CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) * 10000
+         |   // count(*) AS BIGINT) AS langid_acc_bp
+         |FROM g""".stripMargin
+    },
 
     "q97_decontaminate" ->
       """WITH s AS (

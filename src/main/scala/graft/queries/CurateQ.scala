@@ -147,6 +147,38 @@ object CurateQ {
         .orderBy("lang", "pred_lang")
     }),
 
+    // Tokenizer vocabulary coverage: out-of-vocabulary token rate per
+    // source against the corpus's own top-20 words — the coverage
+    // audit run before freezing any fixed-vocab tokenizer (high-OOV
+    // sources either need vocab budget or byte-fallback). The vocab is
+    // DETERMINISTIC (count desc, word asc — no arbitrary tie survives
+    // an engine change; k=20 ≈ 2/3 of this corpus's 31-word synthetic
+    // vocabulary so the OOV tail is non-degenerate — production uses
+    // 10⁵-10⁶) and vocab-sized, so it broadcasts at any
+    // corpus scale; the corpus pays one token explode into a
+    // map-side-combined (source, word) rollup, then a left join
+    // against the broadcast vocab and a source-sized aggregate. Rates
+    // in integer bp via DIV.
+    "q197_vocab_oov" -> ((s, dir) => {
+      val tokc = t(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val vocab = tokc.groupBy("w").agg(sum(col("c")).as("n"))
+        .orderBy(desc("n"), asc("w")).limit(20)
+        .select(col("w"), lit(true).as("in_vocab"))
+      tokc.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+            .as("n_oov"),
+          count(when(col("in_vocab").isNull, lit(1))).as("oov_types"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          col("oov_types"),
+          ldiv(col("n_oov") * lit(10000L), col("n_tokens")).as("oov_bp"))
+        .orderBy("source")
+    }),
+
     // Cohen's kappa for the langid heuristic vs the labeled lang — the
     // chance-corrected agreement score every classifier-gate evaluation
     // should report next to its confusion matrix (q137): raw accuracy
@@ -1058,6 +1090,24 @@ object CurateQ {
         |      * ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
         |   AS BIGINT) AS pos_checksum
         |FROM p ORDER BY media_id, patch_idx""".stripMargin,
+
+    "q197_vocab_oov" ->
+      """WITH tc AS (
+        | SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents) GROUP BY source, w),
+        |v AS (
+        | SELECT w FROM (SELECT w, sum(c) AS n FROM tc GROUP BY w)
+        | ORDER BY n DESC, w LIMIT 20)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN v.w IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |   AS n_oov,
+        | CAST(count(CASE WHEN v.w IS NULL THEN 1 END) AS BIGINT)
+        |   AS oov_types,
+        | CAST(sum(CASE WHEN v.w IS NULL THEN c ELSE 0 END) * 10000
+        |   // sum(c) AS BIGINT) AS oov_bp
+        |FROM tc LEFT JOIN v ON tc.w = v.w
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q195_langid_kappa" -> {
       val langSelects = graft.ops.TextOps.langMarkers.map { case (l, ws) =>

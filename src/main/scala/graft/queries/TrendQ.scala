@@ -595,6 +595,75 @@ object TrendQ {
           col("d").as("cp_day"), col("abs_cusum").as("max_abs_cusum"))
         .orderBy("event_type")
     }),
+
+    // Revenue Pareto concentration per region: the smallest customer
+    // head covering ≥80% of order revenue — the 80/20 report behind
+    // data-mixing and capacity decisions alike. Exact: revenue in
+    // floor-cents, the 80% test cross-multiplied (cum·5 ≥ total·4 — no
+    // percentage division anywhere), head selected by deterministic
+    // (rev desc, custkey) rank. The fact-table pass is one per-customer
+    // rollup; ranks and cumulative sums run over the customer aggregate
+    // (customer-sized, region-partitioned), never over orders.
+    "q198_pareto_revenue" -> ((s, dir) => {
+      val custRegion = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name").as("region"))
+      val rev = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
+        .join(custRegion, col("o_custkey") === col("c_custkey"))
+      val wRank = Window.partitionBy("region")
+        .orderBy(desc("rev"), asc("c_custkey"))
+      val wAll = Window.partitionBy("region")
+      rev
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("cum", sum(col("rev")).over(wRank
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", sum(col("rev")).over(wAll))
+        .withColumn("n_cust", count(lit(1)).over(wAll))
+        .filter(col("cum") * 5 >= col("total") * 4)
+        .groupBy("region")
+        .agg(max(col("n_cust")).as("n_customers"),
+          min(col("rn")).cast("long").as("head_customers"))
+        .select(col("region"), col("n_customers"), col("head_customers"),
+          ldiv(col("head_customers") * lit(10000L), col("n_customers"))
+            .as("head_share_bp"))
+        .orderBy("region")
+    }),
+
+    // Weekday seasonality index per event type: mean daily revenue on
+    // each weekday vs the overall daily mean, as basis points. The two
+    // rational means never materialize — the ratio is cross-multiplied
+    // into one integral DIV over DECIMAL-cast products (wd_sum ·
+    // total_days · 10⁴ crosses BIGINT at planet scale; decimal is exact
+    // to 38 digits and loud beyond — the q104 rule). Weekday is
+    // 0=Sunday on both engines (Spark dayofweek−1, DuckDB dayofweek).
+    // The corpus pass is one (type, day) rollup; everything after is
+    // day-series-sized.
+    "q199_weekday_seasonality" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "d")
+        .agg(sum(col("cents")).as("x"))
+        .withColumn("dow", (dayofweek(col("d")) - 1).cast("long"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("tdays"), sum(col("x")).as("tsum"))
+      daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("wsum"))
+        .join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"),
+          ldiv(col("wsum").cast(dec) * col("tdays") * lit(10000L),
+            col("n_days").cast(dec) * col("tsum")).as("idx_bp"))
+        .orderBy("event_type", "dow")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -974,5 +1043,57 @@ object TrendQ {
         |SELECT event_type, n AS n_days, d AS cp_day,
         | CAST(abs_cusum AS BIGINT) AS max_abs_cusum
         |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q198_pareto_revenue" ->
+      """WITH cr AS (
+        | SELECT c.c_custkey, r.r_name AS region
+        | FROM customer c
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |rv AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS rev
+        | FROM orders GROUP BY o_custkey),
+        |j AS (
+        | SELECT cr.region, cr.c_custkey, rv.rev FROM rv
+        | JOIN cr ON rv.o_custkey = cr.c_custkey),
+        |w AS (
+        | SELECT region, rev,
+        |  row_number() OVER (PARTITION BY region
+        |    ORDER BY rev DESC, c_custkey) AS rn,
+        |  sum(rev) OVER (PARTITION BY region
+        |    ORDER BY rev DESC, c_custkey ROWS UNBOUNDED PRECEDING)
+        |    AS cum,
+        |  sum(rev) OVER (PARTITION BY region) AS total,
+        |  count(*) OVER (PARTITION BY region) AS n_cust
+        | FROM j)
+        |SELECT region, CAST(max(n_cust) AS BIGINT) AS n_customers,
+        | CAST(min(rn) AS BIGINT) AS head_customers,
+        | CAST(min(rn) * 10000 // max(n_cust) AS BIGINT)
+        |   AS head_share_bp
+        |FROM w WHERE cum * 5 >= total * 4
+        |GROUP BY region ORDER BY region""".stripMargin,
+
+    "q199_weekday_seasonality" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS d,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        | FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |tot AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS tdays,
+        |  CAST(sum(x) AS BIGINT) AS tsum
+        | FROM daily GROUP BY event_type),
+        |wd AS (
+        | SELECT event_type, CAST(dayofweek(d) AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS wsum
+        | FROM daily GROUP BY event_type, dayofweek(d))
+        |SELECT wd.event_type, wd.dow, wd.n_days,
+        | CAST(CAST(wd.wsum AS HUGEINT) * tot.tdays * 10000
+        |   // (CAST(wd.n_days AS HUGEINT) * tot.tsum) AS BIGINT)
+        |  AS idx_bp
+        |FROM wd JOIN tot ON wd.event_type = tot.event_type
+        |ORDER BY wd.event_type, wd.dow""".stripMargin,
   )
 }

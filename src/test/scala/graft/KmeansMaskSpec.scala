@@ -294,6 +294,104 @@ class KmeansMaskSpec extends SparkSpec {
     got.foreach { case (_, n, _, _) => assert(n > 1) }
   }
 
+  test("q197: OOV rates equal brute force against the top-20 vocab") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase
+        .split(" ", -1).toSeq))
+    val counts = docs.flatMap { case (s, ws) => ws.map((s, _)) }
+      .groupBy(identity).map { case ((s, w), g) => (s, w, g.length.toLong) }
+    val vocab = counts.groupBy(_._2).map { case (w, g) =>
+      (w, g.map(_._3).sum) }.toSeq
+      .sortBy { case (w, n) => (-n, w) }.take(20).map(_._1).toSet
+    val exact = counts.groupBy(_._1).toSeq.map { case (src, g) =>
+      val nTok = g.map(_._3).sum
+      val oov = g.filter(t => !vocab(t._2))
+      (src, nTok, oov.map(_._3).sum, oov.size.toLong,
+        oov.map(_._3).sum * 10000L / nTok)
+    }.sortBy(_._1)
+    val got = graft.queries.CurateQ.queries(
+        "q197_vocab_oov")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == exact)
+  }
+
+  test("q198: Pareto head equals brute force per region") {
+    val regionOf = {
+      val nat = spark.read.parquet(s"$sf/nation.parquet").collect()
+        .map(r => r.getAs[Number]("n_nationkey").longValue() ->
+          r.getAs[Number]("n_regionkey").longValue()).toMap
+      val reg = spark.read.parquet(s"$sf/region.parquet").collect()
+        .map(r => r.getAs[Number]("r_regionkey").longValue() ->
+          r.getAs[String]("r_name")).toMap
+      (nk: Long) => reg(nat(nk))
+    }
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) ->
+        regionOf(r.getAs[Number](1).longValue())).toMap
+    val rev = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100).toLong))
+      .groupBy(_._1).map { case (c, g) => (c, g.map(_._2).sum) }
+    val exact = rev.toSeq.map { case (c, v) => (cust(c), c, v) }
+      .groupBy(_._1).toSeq.map { case (region, g) =>
+        val sorted = g.sortBy(t => (-t._3, t._2))
+        val total = sorted.map(_._3).sum
+        var cum = 0L
+        val head = sorted.indexWhere { t => cum += t._3; cum * 5 >= total * 4 } + 1
+        (region, sorted.length.toLong, head.toLong,
+          head * 10000L / sorted.length)
+      }.sortBy(_._1)
+    val got = graft.queries.TrendQ.queries(
+        "q198_pareto_revenue")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == exact)
+  }
+
+  test("q199: weekday index equals brute force, mean of indexes sane") {
+    val events = Tables.t(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getDate(1),
+        math.floor(r.getDouble(2) * 100).toLong))
+    val exact = events.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val daily = rows.groupBy(_._2).map { case (d, g) =>
+        (d, g.map(_._3).sum) }.toSeq
+      val (tdays, tsum) = (daily.length.toLong, daily.map(_._2).sum)
+      daily.groupBy { case (d, _) =>
+        // java.sql.Date day-of-week, 0=Sunday like both engines
+        d.toLocalDate.getDayOfWeek.getValue % 7
+      }.toSeq.map { case (dow, g) =>
+        (et, dow.toLong, g.length.toLong,
+          (BigInt(g.map(_._2).sum) * tdays * 10000 /
+            (BigInt(g.length) * tsum)).toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.queries.TrendQ.queries(
+        "q199_weekday_seasonality")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == exact)
+  }
+
+  test("q200: corpus card consistent with its component queries") {
+    val card = graft.queries.CorpusQ.queries(
+        "q200_corpus_report")(spark, sf).collect().head
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(card.getLong(0) == docs.count())
+    val keeps = graft.queries.CorpusQ.queries(
+        "q96_gopher_quality")(spark, sf).collect()
+      .count(_.getBoolean(5)).toLong
+    assert(card.getLong(3) == keeps * 10000L / card.getLong(0))
+    val fps = graft.queries.TextQ.queries("q15_fingerprint")(spark, sf)
+      .select("fp").distinct().count()
+    assert(card.getLong(4) ==
+      (card.getLong(0) - fps) * 10000L / card.getLong(0))
+  }
+
   test("q184: mask rollup equals the stateless mixer recomputed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
