@@ -214,7 +214,11 @@ object SimilarityOps {
     * collapsed BEFORE the cosine so each pair is verified exactly once. */
   def annSelfJoin(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, planesPerBand: Int = 8, bands: Int = 16): DataFrame = {
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // ensureParallel: signature hashing is bands × planes × dim work
+    // per row, and a bench-SF single-file vector scan would serialize
+    // it into one task (at scale the splits already parallelize)
+    val base = Partitioning.ensureParallel(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
     // all band signatures in one codegen'd pass per row (the declarative
     // per-plane fold is interpreted and costs bands × planes × dim boxed
     // steps), then one row per (band, sig) bucket key
