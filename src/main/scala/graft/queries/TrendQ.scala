@@ -329,7 +329,14 @@ object TrendQ {
       // INSIDE the row: no distinct exchange, no self-join. Replaces the
       // distinct + ok-keyed self-join plan (3 exchanges → 2), r5 bench
       // 2.3 → 0.6 s at sf0.1.
+      // the orderkey repartition is EXPLICIT so AQE's byte-based
+      // coalescing can't serialize the downstream pair explode (the
+      // CPU-heavy stage over byte-small baskets) onto a few tasks; it
+      // is the same exchange the basket aggregation needs, so no extra
+      // shuffle exists at any scale
       val basket = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       basket
