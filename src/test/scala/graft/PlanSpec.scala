@@ -383,6 +383,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("pair-fanout stages pin their exchange against AQE coalescing") {
+    // q157/q75/q128 generate pairs from byte-small inputs — AQE's
+    // byte-based coalescing serialized those CPU-heavy stages onto a
+    // handful of tasks until their exchanges were pinned with explicit
+    // numPartitions repartitions (REPARTITION_BY_NUM survives into the
+    // physical plan). A refactor that drops the pin silently reverts
+    // the serialization, so assert the marker. (q157's pin sits behind
+    // its eager localCheckpoint, so its final plan can't show it —
+    // the two below carry the pattern in checkable form.)
+    for (q <- Seq("q75_jaccard_prefix", "q128_basket_pairs")) {
+      val p = planOf(q)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$q lost its pinned exchange:\n${p.take(2000)}")
+    }
+  }
+
   test("EXISTS with cross-side residual plans as one semi join") {
     // q186: the date residual references both sides, so it can't be
     // pushed below the join — it must ride INSIDE the semi join (each
