@@ -284,6 +284,41 @@ object SimQ {
         .toDF("sel_rank", "vec_id", "rel", "score")
     }),
 
+    // Embedding-space drift: per-label centroid displacement between
+    // two deterministic corpus halves (vec_id parity — id-gap-robust) —
+    // the embedding counterpart of q120's event-mix TVD: an embedding
+    // model change, a crawler shift, or a pipeline bug moves label
+    // centroids long before downstream metrics notice. Integer end to
+    // end (q182's lattice: floor(x·1000) quantization, floor-mean DIV
+    // centroids, BIGINT squared displacement), so the drift report is
+    // bit-identical across engines. Shape: one component explode into
+    // a (label, half, dim)-keyed floor-mean — label·2·64 rows at any
+    // corpus size — then the halves join label-dim-wise. Nothing
+    // corpus-sized shuffles twice.
+    "q201_embedding_drift" -> ((s, dir) => {
+      val comp = t(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(transform(col("embedding"),
+            v => floor(v.cast("double") * 1000).cast("long")))
+            .as(Seq("pos", "v")))
+      val cent = comp.groupBy("label", "half", "pos")
+        .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"),
+          count(lit(1)).as("nc"))
+      val a = cent.filter(col("half") === 0)
+        .select(col("label"), col("pos"), col("cv").as("ca"),
+          col("nc").as("na"))
+      val b = cent.filter(col("half") === 1)
+        .select(col("label"), col("pos"), col("cv").as("cb"),
+          col("nc").as("nb"))
+      a.join(b, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(min(col("na")).as("n_even"),
+          min(col("nb")).as("n_odd"),
+          sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+            .as("drift_sq"))
+        .orderBy("label")
+    }),
+
     // Label centroid distance: per-label mean vector then each label's
     // cosine to the global mean — exercises array aggregation at scale.
     "q26_label_stats" -> ((s, dir) => {
@@ -453,6 +488,26 @@ object SimQ {
         | min(cs.cb_checksum) AS cb_checksum
         |FROM a2 JOIN cs ON cs.sub = a2.sub AND cs.code = a2.code
         |GROUP BY a2.sub, a2.code ORDER BY a2.sub, a2.code""".stripMargin,
+
+    "q201_embedding_drift" ->
+      """WITH comp AS (
+        | SELECT label, vec_id % 2 AS half, i AS pos,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |    AS v
+        | FROM embeddings
+        | CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+        |cent AS (
+        | SELECT label, half, pos,
+        |  CAST(sum(v) // count(*) AS BIGINT) AS cv,
+        |  CAST(count(*) AS BIGINT) AS nc
+        | FROM comp GROUP BY label, half, pos)
+        |SELECT a.label, CAST(min(a.nc) AS BIGINT) AS n_even,
+        | CAST(min(b.nc) AS BIGINT) AS n_odd,
+        | CAST(sum((a.cv - b.cv) * (a.cv - b.cv)) AS BIGINT) AS drift_sq
+        |FROM cent a JOIN cent b
+        |  ON a.label = b.label AND a.pos = b.pos
+        |  AND a.half = 0 AND b.half = 1
+        |GROUP BY a.label ORDER BY a.label""".stripMargin,
 
     // The greedy MMR rounds unrolled; integer scores make each argmax
     // well-defined (ties by vec_id), so four sequential LIMIT 1 picks

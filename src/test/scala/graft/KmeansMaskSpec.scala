@@ -392,6 +392,29 @@ class KmeansMaskSpec extends SparkSpec {
       (card.getLong(0) - fps) * 10000L / card.getLong(0))
   }
 
+  test("q201: centroid drift equals brute force per label") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(v =>
+          math.floor(v.toDouble * 1000).toLong).toArray))
+    val exact = rows.groupBy(_._2).toSeq.flatMap { case (label, g) =>
+      val (even, odd) = g.partition(_._1 % 2 == 0)
+      if (even.isEmpty || odd.isEmpty) None
+      else {
+        def cent(h: Seq[(Long, Int, Array[Long])]) =
+          (0 until 64).map(i => h.map(_._3(i)).sum / h.length)
+        val (ca, cb) = (cent(even), cent(odd))
+        Some((label, even.length.toLong, odd.length.toLong,
+          ca.zip(cb).map { case (x, y) => (x - y) * (x - y) }.sum))
+      }
+    }.sortBy(_._1)
+    val got = SimQ.queries("q201_embedding_drift")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == exact)
+  }
+
   test("q184: mask rollup equals the stateless mixer recomputed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
