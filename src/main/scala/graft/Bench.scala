@@ -70,15 +70,39 @@ object Bench {
       graft.SessionCaches.resetAll()
       System.gc()
     }
+    // Interference robustness (the r5 lesson, SCALING.md): the driver's
+    // r5 bench ran under ~2x external CPU load and recorded 250.7s for
+    // code that measures 113-122s idle — an n=1 sample can't tell a slow
+    // engine from a busy machine. Two defenses: (a) each query is timed
+    // as the MEDIAN of 3 back-to-back runs (a transient load spike or GC
+    // outlier loses the vote; wall cost ~3x, still driver-budget-small),
+    // (b) /proc/loadavg is sampled at start and reported in the total
+    // line, so a contaminated run is *labeled* instead of silently
+    // poisoning round-over-round comparisons.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val load1 = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    if (load1 > 1.5) System.err.println(
+      f"BENCH WARNING: /proc/loadavg=$load1%.2f at start — external CPU " +
+        "interference will inflate these numbers (see SCALING.md, r5 incident)")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-          false
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+            None
+        }
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -87,7 +111,7 @@ object Bench {
     // tail-capture always sees a complete, parseable total (BENCH_r02 lost
     // its headline number to a front-loaded total on one very long line).
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"load1_at_start":$load1}""")
     spark.stop()
   }
 }

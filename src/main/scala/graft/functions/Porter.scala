@@ -123,7 +123,10 @@ object Porter {
     * a hash probe. Bounded (beyond the cap we compute without caching)
     * so an adversarial unbounded vocabulary degrades to the uncached
     * cost instead of an executor OOM; stem() is pure, so a shared map
-    * is safe and last-write-wins races are benign. */
+    * is safe and last-write-wins races are benign. The size check and
+    * put are not atomic, so concurrent misses can overshoot the cap by
+    * up to the executor thread count — bounded and benign, not a hard
+    * cap. */
   private val cacheCap = 1 << 17
   private val stemCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -137,8 +140,24 @@ object Porter {
     }
   }
 
-  /** Per-string column function. */
-  val stemUdf = org.apache.spark.sql.functions.udf((s: String) => stemCached(s))
+  /** UTF8String-keyed twin of stemCached for the expression hot loop.
+    * On the (Zipf-dominant) hit path there is NO decode and NO
+    * allocation: the probe uses the BORROWED key straight off the
+    * unsafe row (UTF8String.hashCode/equals read the bytes in place)
+    * and returns the shared immutable result. Keys are cloned only on
+    * insert, because the probe key aliases the scan's reused buffer;
+    * values are fresh UTF8Strings and safe to share across rows. */
+  private val u8Cache =
+    new java.util.concurrent.ConcurrentHashMap[UTF8String, UTF8String]()
+  def stemU8(s: UTF8String): UTF8String = {
+    val hit = u8Cache.get(s)
+    if (hit != null) hit
+    else {
+      val r = UTF8String.fromString(stem(s.toString))
+      if (u8Cache.size < cacheCap) u8Cache.put(s.clone(), r)
+      r
+    }
+  }
 
   /** Array-of-tokens expression: stems every element in one pass. */
   def stemTokens(toks: Column): Column = {
@@ -159,9 +178,7 @@ case class StemTokensExpr(child: Expression)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      out(i) =
-        if (s == null) null
-        else UTF8String.fromString(Porter.stemCached(s.toString))
+      out(i) = if (s == null) null else Porter.stemU8(s)
       i += 1
     }
     new GenericArrayData(out)

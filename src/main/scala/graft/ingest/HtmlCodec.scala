@@ -13,7 +13,12 @@ package graft.ingest
   *     and `::attr(name)` (first match), plain selector → outer HTML of
   *     the first match (Scrapy's .get()).
   *   - The anchor mode's `ancestor::TAG[1]` lookup (nearest enclosing).
-  * Declared OUT, loudly: general XPath (`xpath:` selectors throw).
+  *   - XPath (`xpath:` prefix): exactly the subset the reference's own
+  *     sites.json uses, via XPathLite — descendant `.//`,
+  *     `contains(@attr, …)`, per-parent positional `[N]`, `/text()`,
+  *     `//text()`, `/@attr`, `following-sibling::text()` — with the
+  *     spider's get-vs-getall dispatch (see extractData).
+  * Declared OUT, loudly: XPath outside that subset (XPathLite throws).
   *
   * Parser tolerance mirrors what browsers guarantee and spiders rely
   * on: void elements self-close, unmatched close tags are dropped,
@@ -195,7 +200,7 @@ object HtmlCodec {
 
   private def parseSelector(sel: String): Seq[Simple] = {
     require(!sel.startsWith("xpath:"),
-      s"general XPath is not supported (declared): $sel")
+      s"xpath: selector reached the CSS parser (dispatch bug): $sel")
     val s = sel.stripPrefix("css:").trim
     require(s.nonEmpty, "empty selector")
     val out = Seq.newBuilder[Simple]
@@ -227,8 +232,14 @@ object HtmlCodec {
   final case class Hit(ancestors: List[HElem], el: HElem)
 
   /** All elements in root's subtree (descendant-or-self, Scrapy's css
-    * translation) matching the selector, document order. */
+    * translation) matching the selector, document order. `xpath:`
+    * selectors route through XPathLite (generic_spider.py:79-82). */
   def select(root: HElem, selector: String): Seq[Hit] = {
+    if (selector.startsWith("xpath:"))
+      return XPathLite.eval(root, selector.stripPrefix("xpath:")).collect {
+        case XPathLite.RNode(c) if c.node.isInstanceOf[HElem] =>
+          Hit(XPathLite.ancestorsOf(c), c.node.asInstanceOf[HElem])
+      }
     val (sels, _) = splitPseudo(selector)
     val chain = parseSelector(sels)
     val hits = Seq.newBuilder[Hit]
@@ -269,8 +280,21 @@ object HtmlCodec {
 
   /** Scrapy `.css(sel).getall()` joined — every matching node's
     * descendant text, each part stripped, blanks dropped, space-joined
-    * (generic_spider.py:86-88). */
+    * (generic_spider.py:86-88). `xpath:` selectors evaluate through the
+    * XPathLite subset, with the spider's exact get-vs-getall dispatch:
+    * a selector string containing `::text` (which following-sibling::
+    * text() does, but /text() and //text() do NOT) is getall-strip-
+    * joined; anything else returns the FIRST match raw (.get()),
+    * mirroring generic_spider.py:83-90's substring check. */
   def extractData(scope: Hit, selector: String): Option[String] = {
+    if (selector.startsWith("xpath:")) {
+      val xp = selector.stripPrefix("xpath:")
+      val vals = XPathLite.eval(scope.el, xp).map(serializeXr)
+      return if (xp.contains("::text")) {
+        val parts = vals.map(_.trim).filter(_.nonEmpty)
+        if (parts.isEmpty) None else Some(parts.mkString(" "))
+      } else vals.headOption
+    }
     val (sels, pseudo) = splitPseudo(selector)
     pseudo match {
       case Some("text") =>
@@ -299,6 +323,16 @@ object HtmlCodec {
     }
     walk(scope.el, scope.ancestors)
     hits.result()
+  }
+
+  /** Scrapy serialization of an XPath result: text node → raw text,
+    * attribute → value, element → outer HTML. */
+  private def serializeXr(r: XPathLite.XResult): String = r match {
+    case XPathLite.RNode(c) => c.node match {
+      case HText(t) => t
+      case e: HElem => render(e)
+    }
+    case XPathLite.RAttr(v, _) => v
   }
 
   private def textNodes(e: HElem): Seq[String] =

@@ -7,11 +7,12 @@ import java.util.zip.{Deflater, Inflater}
   * stance narrowed to its honest core. The reference's PDF route
   * (pdf_spider.py:42-50) extracts TEXT from text-addressable PDFs and
   * feeds the line state machine; this codec does the same for the
-  * dominant on-disk shape: Flate-compressed (or raw) content streams
-  * with `Tj`/`TJ` text-showing operators, using only JDK zlib. Declared
-  * out of scope, loudly: image-only PDFs (would need OCR), encrypted
-  * files, and non-Flate filters — `decode` on those throws rather than
-  * returning garbage.
+  * dominant on-disk shapes: Flate-compressed, raw, ASCIIHexDecode and
+  * RunLengthDecode content streams with `Tj`/`TJ` text-showing
+  * operators, using only the JDK. Declared out of scope, loudly:
+  * image-only PDFs (would need OCR), encrypted files, filter CHAINS,
+  * and the remaining filters (LZW/DCT/JPX…) — `decode` on those throws
+  * rather than returning garbage.
   *
   * Scale: decode is per-row executor work over a binary column, same
   * envelope as DocxCodec.
@@ -54,11 +55,23 @@ object PdfCodec {
       val end = raw.indexOf("endstream", e)
       require(end >= e, "PDF stream without endstream")
       val seg = raw.substring(s, e).getBytes("ISO-8859-1")
-      if (dict.contains("/Filter") && !dict.contains("/FlateDecode"))
+      val known = Seq("/FlateDecode", "/ASCIIHexDecode", "/RunLengthDecode")
+        .filter(dict.contains)
+      // contains-based dispatch can't express a filter CHAIN
+      // ([/ASCIIHexDecode /FlateDecode]) — refuse rather than decode
+      // only one link and return garbage
+      require(known.size <= 1,
+        s"unsupported PDF filter chain in $dict")
+      if (dict.contains("/Filter") && known.isEmpty)
         throw new IllegalArgumentException(
-          s"unsupported PDF filter in $dict — only /FlateDecode")
-      val content =
-        if (dict.contains("/FlateDecode")) inflate(seg) else seg
+          s"unsupported PDF filter in $dict — only " +
+            "/FlateDecode, /ASCIIHexDecode, /RunLengthDecode")
+      val content = known.headOption match {
+        case Some("/FlateDecode") => inflate(seg)
+        case Some("/ASCIIHexDecode") => asciiHexDecode(seg)
+        case Some("/RunLengthDecode") => runLengthDecode(seg)
+        case _ => seg
+      }
       lines ++= showOps(new String(content, "ISO-8859-1"))
       found = true
       from = end + "endstream".length
@@ -124,10 +137,103 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** ASCIIHexDecode (PDF 32000-1 §7.4.2): hex digit pairs, whitespace
+    * ignored, `>` is EOD; an odd trailing digit implies a final 0. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        require(v >= 0, s"bad ASCIIHex character '$c'")
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (PDF 32000-1 §7.4.5): length byte L — 0..127 copy
+    * the next L+1 bytes; 129..255 repeat the next byte 257−L times;
+    * 128 is EOD. */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      if (l == 128) done = true
+      else if (l < 128) {
+        require(i + 1 + l + 1 <= data.length, "truncated RunLength literal")
+        out.write(data, i + 1, l + 1)
+        i += 1 + l + 1
+      } else {
+        require(i + 1 < data.length, "truncated RunLength repeat")
+        val b = data(i + 1)
+        var k = 257 - l
+        while (k > 0) { out.write(b.toInt); k -= 1 }
+        i += 2
+      }
+    }
+    require(done, "RunLength stream without EOD (128)")
+    out.toByteArray
+  }
+
+  private[graft] def asciiHexEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 2 + data.length / 32 + 1)
+    data.zipWithIndex.foreach { case (b, i) =>
+      sb.append(f"${b & 0xff}%02x")
+      if ((i + 1) % 32 == 0) sb.append('\n') // PDF allows arbitrary ws
+    }
+    sb.append('>')
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  /** Run-aware RLE encoder: runs of ≥3 identical bytes become repeat
+    * tokens, everything else literal chunks — so decode's BOTH branches
+    * are exercised by real fixtures. */
+  private[graft] def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + data.length / 128 + 2)
+    var i = 0
+    val n = data.length
+    while (i < n) {
+      var run = 1
+      while (i + run < n && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i).toInt)
+        i += run
+      } else {
+        var lit = i
+        // literal run until the next ≥3-repeat or 128 bytes
+        while (lit < n && lit - i < 128 &&
+          !(lit + 2 < n && data(lit) == data(lit + 1) &&
+            data(lit) == data(lit + 2))) lit += 1
+        out.write(lit - i - 1)
+        out.write(data, i, lit - i)
+        i = lit
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
   /** Encode text lines as a minimal valid PDF (one page, one
     * Flate-compressed content stream, correct xref) — the test and
-    * roundtrip-query side. */
-  def encode(lines: Seq[String], compress: Boolean = true): Array[Byte] = {
+    * roundtrip-query side. `filterName`: "flate" | "raw" | "ahx"
+    * (ASCIIHexDecode) | "rle" (RunLengthDecode). */
+  def encodeWith(lines: Seq[String], filterName: String): Array[Byte] =
+    build(lines, filterName)
+
+  def encode(lines: Seq[String], compress: Boolean = true): Array[Byte] =
+    build(lines, if (compress) "flate" else "raw")
+
+  private def build(lines: Seq[String], filterName: String): Array[Byte] = {
     def esc(s: String): String = s.flatMap {
       case '\\' => "\\\\"
       case '(' => "\\("
@@ -137,16 +243,27 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val data = if (compress) {
-      val d = new Deflater()
-      d.setInput(content); d.finish()
-      val out = new ByteArrayOutputStream(content.length)
-      val tmp = new Array[Byte](8192)
-      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-      d.end()
-      out.toByteArray
-    } else content
-    val filter = if (compress) " /Filter /FlateDecode" else ""
+    val data = filterName match {
+      case "flate" =>
+        val d = new Deflater()
+        d.setInput(content); d.finish()
+        val out = new ByteArrayOutputStream(content.length)
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        out.toByteArray
+      case "ahx" => asciiHexEncode(content)
+      case "rle" => runLengthEncode(content)
+      case "raw" => content
+      case other => throw new IllegalArgumentException(
+        s"unknown filterName $other — flate | raw | ahx | rle")
+    }
+    val filter = filterName match {
+      case "flate" => " /Filter /FlateDecode"
+      case "ahx" => " /Filter /ASCIIHexDecode"
+      case "rle" => " /Filter /RunLengthDecode"
+      case _ => ""
+    }
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val offsets = Array.newBuilder[Int]

@@ -53,6 +53,35 @@ object BinaryOps {
   def readMediaDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
 
+  /** Push image-kind rows through a REAL codec roundtrip: the payload
+    * is encoded as an actual 8-bit grayscale image (PNG on even ids,
+    * BMP on odd — both JDK ImageIO codecs) and decoded back to pixels
+    * executor-side, replacing `content` with the decoded pixel array.
+    * Geometry is 1×len so pixels == source bytes exactly — which is
+    * what lets every downstream integer checksum oracle stay verbatim
+    * while the decode becomes real (the q175/q176/q177 roundtrip-gate
+    * discipline applied to images). Non-image kinds pass through
+    * untouched: the container has no audio/video codecs, so those stay
+    * behind the declared stub. */
+  def withImageRoundtrip(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, bytes) =>
+          if (kind == "image" && bytes.nonEmpty) {
+            val fmt = if (id % 2 == 0) "png" else "bmp"
+            val enc = ImageCodec.encodeGray(bytes.length, 1, bytes, fmt)
+            val (w, h, pix) = ImageCodec.decodeGray(enc)
+            require(w == bytes.length && h == 1,
+              s"image roundtrip drifted to ${w}x$h for media $id")
+            (id, kind, pix)
+          } else (id, kind, bytes)
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
   final case class ResizedMedia(media_id: Long, kind: String,
       target_w: Int, target_h: Int, content: Array[Byte])
 

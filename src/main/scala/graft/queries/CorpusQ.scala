@@ -337,18 +337,23 @@ object CorpusQ {
     // table (binary content + kind) synthesized from document bytes runs
     // through the REAL plumbing — mapPartitions feature extraction,
     // stride resize, 1→N video frame sampling — and emits integer byte
-    // checksums an oracle can recompute from the same bytes. The decode
-    // stays behind the MediaDecoder seam (no codecs in the container);
+    // checksums an oracle can recompute from the same bytes. Image-kind
+    // rows additionally pass through a REAL JDK-ImageIO codec roundtrip
+    // (PNG even ids / BMP odd, 1×len grayscale so pixels == source
+    // bytes): the decode is no longer a stub, and any codec defect
+    // shifts a pixel and breaks the hash. Audio/video decode stays
+    // behind the MediaDecoder seam (no such codecs in the JDK);
     // everything the cluster actually schedules — schema, batching,
     // flatMap fan-out, join-back — is exercised and exact.
     "q105_multimodal_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(
-        col("doc_id").as("media_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("kind"),
-        col("text").cast("binary").as("content"))
+      val media = graft.multimodal.BinaryOps.withImageRoundtrip(
+        t(s, dir, "documents").select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          col("text").cast("binary").as("content")))
       val feats = graft.multimodal.BinaryOps.extractFeatures(media)
         .toDF().select(col("media_id"), col("kind"), col("n_bytes"))
       val rsum = graft.multimodal.BinaryOps.resize(media, 8, 8)

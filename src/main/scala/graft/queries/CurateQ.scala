@@ -121,16 +121,60 @@ object CurateQ {
     // hash. At 100 TB this is the embedding-stage feed shape: per-row
     // fan-out bounded by blob size, no shuffle until the consumer.
     "q191_image_patchify" -> ((s, dir) => {
-      val media = graft.ops.Partitioning.ensureParallel(
-        t(s, dir, "documents").select(
-          col("doc_id").as("media_id"),
-          when(col("doc_id") % 3 === 0, "image")
-            .when(col("doc_id") % 3 === 1, "audio")
-            .otherwise("video").as("kind"),
-          col("text").cast("binary").as("content")))
+      // image rows pass a REAL ImageIO roundtrip first (PNG/BMP,
+      // 1×len gray so pixels == source bytes): the patch grid below is
+      // computed over DECODED pixels, and a codec defect breaks the
+      // position-weighted hash
+      val media = graft.multimodal.BinaryOps.withImageRoundtrip(
+        graft.ops.Partitioning.ensureParallel(
+          t(s, dir, "documents").select(
+            col("doc_id").as("media_id"),
+            when(col("doc_id") % 3 === 0, "image")
+              .when(col("doc_id") % 3 === 1, "audio")
+              .otherwise("video").as("kind"),
+            col("text").cast("binary").as("content"))))
       graft.multimodal.BinaryOps.patchify(media, patchBytes = 32)
         .toDF()
         .orderBy("media_id", "patch_idx")
+    }),
+
+    // The image DECODER itself under the driver hash: each image-kind
+    // doc is encoded executor-side as a real PNG (even ids) or BMP
+    // (odd) — actual codec bytes in the binary column — then
+    // ImageCodec.decodeGray recovers the pixel array and the output
+    // reports its geometry plus exact integer pixel stats. The oracle
+    // reconstructs everything from the text (1×len gray ⇒ pixel k ==
+    // ord(char k)), so palette mishandling, sample-extraction or
+    // stride errors in the decoder all surface as hash mismatches.
+    // fmt rides along so a codec misroute can't hide. Per-row executor
+    // work, no shuffle — the 100 TB envelope of the other codecs.
+    "q203_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("ISO-8859-1")
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val enc = graft.multimodal.ImageCodec.encodeGray(
+            bytes.length, 1, bytes, fmt)
+          val (w, h, pix) =
+            graft.multimodal.ImageCodec.decodeGray(enc)
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < pix.length) {
+            val v = (pix(i) & 0xff).toLong
+            sum += v
+            chk += (i + 1) * v
+            i += 1
+          }
+          (id, fmt, w.toLong, h.toLong, sum, chk)
+        }
+        .toDF("doc_id", "fmt", "width", "height", "pix_sum", "pos_checksum")
+        .orderBy("doc_id")
     }),
 
     // Language-ID confusion matrix: the heuristic's predictions against
@@ -1065,6 +1109,23 @@ object CurateQ {
         |      * ord(substr(m.text, CAST(i AS INTEGER), 1)))), 0)
         |   AS BIGINT) AS energy
         |FROM m, w ORDER BY media_id, window_idx""".stripMargin,
+
+    // same ASCII premise as q136/q191: pixel k == ord(substr(text,k+1,1))
+    // — the roundtrip is lossless (PNG/gray-palette BMP), so the oracle
+    // never sees a codec byte
+    "q203_image_decode" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        | CAST(length(text) AS BIGINT) AS width,
+        | CAST(1 AS BIGINT) AS height,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT)
+        |   AS pix_sum,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> i * ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT)
+        |   AS pos_checksum
+        |FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // same ASCII premise as q136: byte k == ord(substr(text, k+1, 1))
     "q191_image_patchify" ->

@@ -209,6 +209,79 @@ object EtlQ {
         .orderBy("doc_id")
     }),
 
+    // The XPath slice of U5 under the driver gate: the two reference
+    // site shapes HtmlCodec previously threw on. Even ids render the
+    // playplayground layout (sites.json:48-56) and extract through the
+    // exact configured XPaths — contains(@class,…), per-parent //p[N],
+    // /text() and //text() via .get() (FIRST text node only — the
+    // spider's '::text'-substring dispatch), .//a/@href — with a decoy
+    // sibling <p> that //p[1] must ALSO match (per-parent semantics)
+    // but document order must rank second. Odd ids render the hotels
+    // layout (sites.json:18-31): anchor mode + name_filter_out, with
+    // the description taken by .//br[1]/following-sibling::text(),
+    // which DOES hit the getall-strip-join path. The oracle
+    // reconstructs every field from doc_id + text.
+    "q202_xpath_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ingest.HtmlCodec
+      graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.flatMap {
+            case '&' => "&amp;"
+            case '<' => "&lt;"
+            case '>' => "&gt;"
+            case c => c.toString
+          }
+          val (html, cfg) =
+            if (id % 2 == 0) (
+              s"""<html><body>
+                 |<div class="e-con-full e-con e-child">
+                 | <div class="wrap"><h2 class="elementor-heading-title big">Event $id &amp; Co</h2></div>
+                 | <div class="elementor-widget-text-editor widget">
+                 |  <div><p>First: $esc<b> ignored</b></p><p>DATE-$id</p></div>
+                 |  <p>trap para</p>
+                 | </div>
+                 | <a href="/pp/$id?a=1&amp;b=2">tickets</a>
+                 |</div>
+                 |<div class="e-con-full e-con e-child"><div><h2 class="elementor-heading-title">Other $id</h2></div></div>
+                 |</body></html>""".stripMargin,
+              HtmlCodec.HtmlConfig(
+                itemContainerSelector = Some("div.e-con-full.e-con.e-child"),
+                fields = Map(
+                  "name" -> "xpath:.//*[contains(@class, 'elementor-heading-title')]/text()",
+                  "description" -> "xpath:.//div[contains(@class, 'elementor-widget-text-editor')]//p[1]//text()",
+                  "extra" -> "xpath:.//div[contains(@class, 'elementor-widget-text-editor')]//p[2]//text()",
+                  "url" -> "xpath:.//a/@href")))
+            else (
+              s"""<html><body><div class="entry">
+                 |<p><span><a class="lnk" href="https://h/$id">Hotel $id</a></span>
+                 | <span class="_2iem"><strong>Addr $id</strong></span>
+                 | <br>$esc<br>tail-$id </p>
+                 |<p><a class="lnk" href="/skip">Best Rate guarantee</a><br>nope</p>
+                 |</div></body></html>""".stripMargin,
+              HtmlCodec.HtmlConfig(
+                itemAnchorSelector = Some("a.lnk"),
+                parentContainerTag = "p",
+                nameFilterOut = Some("Best Rate"),
+                fields = Map(
+                  "name" -> "a.lnk::text",
+                  "url" -> "a.lnk::attr(href)",
+                  "extra" -> "span._2iem strong::text",
+                  "description" -> "xpath:.//br[1]/following-sibling::text()")))
+          val items = HtmlCodec.extractItems(html, cfg)
+          val first = items.headOption.getOrElse(Map.empty[String, String])
+          (id, items.size.toLong, first.getOrElse("name", ""),
+            first.getOrElse("url", ""), first.getOrElse("extra", ""),
+            first.getOrElse("description", ""))
+        }
+        .toDF("doc_id", "n_items", "name", "url", "extra", "description")
+        .select(col("doc_id"), col("n_items"), col("name"), col("url"),
+          col("extra"), md5(col("description").cast("binary")).as("desc_md5"))
+        .orderBy("doc_id")
+    }),
+
     // The whole binary-ingest perimeter behind ONE content-dispatched
     // front door: each doc is packed as docx, pdf, xlsx, or CSV by
     // id%4, and the engine must SNIFF the format from magic bytes
@@ -327,6 +400,23 @@ object EtlQ {
         |      THEN '/venues/' || CAST(doc_id AS VARCHAR) || '?ref=x&b=2'
         |      ELSE '/e/' || CAST(doc_id AS VARCHAR) END AS url,
         | md5(text) AS desc_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q202_xpath_extract" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_items,
+        | CASE WHEN doc_id % 2 = 0
+        |      THEN 'Event ' || CAST(doc_id AS VARCHAR) || ' & Co'
+        |      ELSE 'Hotel ' || CAST(doc_id AS VARCHAR) END AS name,
+        | CASE WHEN doc_id % 2 = 0
+        |      THEN '/pp/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+        |      ELSE 'https://h/' || CAST(doc_id AS VARCHAR) END AS url,
+        | CASE WHEN doc_id % 2 = 0
+        |      THEN 'DATE-' || CAST(doc_id AS VARCHAR)
+        |      ELSE 'Addr ' || CAST(doc_id AS VARCHAR) END AS extra,
+        | CASE WHEN doc_id % 2 = 0
+        |      THEN md5('First: ' || text)
+        |      ELSE md5(text || ' tail-' || CAST(doc_id AS VARCHAR)) END AS desc_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q176_pdf_roundtrip" ->

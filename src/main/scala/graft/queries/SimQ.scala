@@ -133,7 +133,9 @@ object SimQ {
     // Everything is INTEGER: components quantize to floor(x·1000) once
     // (double math — float32 inputs widen exactly, so both engines see
     // the same lattice), distances are exact BIGINT sums of squared
-    // deltas, centroid updates are floor-mean via integral DIV, and the
+    // deltas, centroid updates are truncated means (integral DIV truncates
+    // TOWARD ZERO on both engines — not floor — and component sums go
+    // negative, so parity rests on both sides truncating), and the
     // argmin tiebreak is (dist, cid) row_number — no float compare
     // anywhere, which is what makes a clustering ORACLE-CHECKABLE
     // across engines. Scale shape: the quantized base is checkpointed
@@ -190,7 +192,7 @@ object SimQ {
     // once, which is exactly why PQ scales: codebooks are (k·64) rows
     // total regardless of corpus size, and training is two
     // component-exploded aggregates. Same integer discipline as q182
-    // (quantized lattice, BIGINT squared distances, floor-mean DIV
+    // (quantized lattice, BIGINT squared distances, truncate-toward-zero mean DIV
     // updates, (dist,code) tiebreak) so the codebook is bit-identical
     // across engines. The exploded component base is checkpointed once
     // (reused by both assign rounds); centroid tables stay tiny and
@@ -260,7 +262,9 @@ object SimQ {
           v => floor(v.cast("double") * 1000).cast("long")).as("q"))
         .localCheckpoint()
       val qvec = base.filter(col("vec_id") === 1)
-        .head().getSeq[Long](1)
+        .collect().headOption.getOrElse(throw new IllegalStateException(
+          "q189_mmr_select: query vector vec_id=1 not found in embeddings"))
+        .getSeq[Long](1)
       val cand = base.filter(col("vec_id") =!= 1)
         .select(col("vec_id"), col("q"), simNeg(col("q"), qvec).as("rel"))
       var sel = Vector.empty[(Long, Seq[Long], Long, Long)]
@@ -289,10 +293,10 @@ object SimQ {
     // the embedding counterpart of q120's event-mix TVD: an embedding
     // model change, a crawler shift, or a pipeline bug moves label
     // centroids long before downstream metrics notice. Integer end to
-    // end (q182's lattice: floor(x·1000) quantization, floor-mean DIV
+    // end (q182's lattice: floor(x·1000) quantization, truncate-toward-zero mean DIV
     // centroids, BIGINT squared displacement), so the drift report is
     // bit-identical across engines. Shape: one component explode into
-    // a (label, half, dim)-keyed floor-mean — label·2·64 rows at any
+    // a (label, half, dim)-keyed truncated mean (DIV, toward zero) — label·2·64 rows at any
     // corpus size — then the halves join label-dim-wise. Nothing
     // corpus-sized shuffles twice.
     "q201_embedding_drift" -> ((s, dir) => {

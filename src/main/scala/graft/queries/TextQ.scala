@@ -292,10 +292,13 @@ object TextQ {
       tok.groupBy("source")
         .agg(sum(col("c")).as("n_tok"),
           count(lit(1)).as("n_types"),
-          sum(col("c") * col("c")).as("c2"),
+          // cast BEFORE the product: a BIGINT c*c wraps silently near
+          // c≈3e9 while DuckDB's HUGEINT stays exact — the DECIMAL
+          // discipline has to start inside the aggregate
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("c2"),
           max(col("c")).as("top_c"))
         .select(col("source"), col("n_tok"), col("n_types"),
-          ldiv(col("c2").cast(dec) * lit(100000000L),
+          ldiv(col("c2") * lit(100000000L),
             col("n_tok").cast(dec) * col("n_tok")).as("simpson_pp100m"),
           ldiv(col("top_c").cast(dec) * lit(1000000L),
             col("n_tok").cast(dec)).as("top_share_pp1m"))

@@ -206,12 +206,45 @@ class DocTextSpec extends SparkSpec {
     assert(PdfCodec.decode(PdfCodec.encode(tricky)) == tricky)
   }
 
+  test("pdf codec: ASCIIHexDecode and RunLengthDecode roundtrip") {
+    import graft.ingest.PdfCodec
+    // runs of repeated chars force RLE's repeat branch; mixed text its
+    // literal branch; parens/backslash the escaping on top
+    val lines = Seq("aaaaaaaaaaaa run start", "mixed (x) \\ text",
+      "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", "")
+    for (f <- Seq("ahx", "rle"))
+      assert(PdfCodec.decode(PdfCodec.encodeWith(lines, f)) == lines,
+        s"filter=$f")
+  }
+
+  test("pdf codec: ASCIIHex whitespace/odd-digit, RLE primitives") {
+    import graft.ingest.PdfCodec
+    // whitespace is ignored; '>' is EOD; an odd trailing digit is a
+    // high nibble with implied 0 low nibble (PDF 32000-1 §7.4.2)
+    assert(PdfCodec.asciiHexDecode("48 65\n6c6C 6f>".getBytes("ISO-8859-1"))
+      .toSeq == "Hello".getBytes("ISO-8859-1").toSeq)
+    assert(PdfCodec.asciiHexDecode("7>".getBytes("ISO-8859-1")).toSeq ==
+      Seq(0x70.toByte))
+    // repeat token: 257-254=3 copies of 'a'; literal token: 2 bytes
+    assert(PdfCodec.runLengthDecode(
+      Array(254.toByte, 'a'.toByte, 1.toByte, 'b'.toByte, 'c'.toByte,
+        128.toByte)).toSeq == "aaabc".getBytes("ISO-8859-1").toSeq)
+    // missing EOD fails loudly
+    intercept[IllegalArgumentException](
+      PdfCodec.runLengthDecode(Array(0.toByte, 'x'.toByte)))
+  }
+
   test("pdf decode: hostile inputs fail loudly") {
     import graft.ingest.PdfCodec
     intercept[IllegalArgumentException](PdfCodec.decode("junk".getBytes))
     val lzw = ("%PDF-1.4\n1 0 obj << /Length 3 /Filter /LZWDecode >> " +
       "stream\nabc\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
     intercept[IllegalArgumentException](PdfCodec.decode(lzw))
+    // a filter CHAIN is refused rather than half-decoded
+    val chain = ("%PDF-1.4\n1 0 obj << /Length 3 " +
+      "/Filter [/ASCIIHexDecode /FlateDecode] >> " +
+      "stream\nabc\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException](PdfCodec.decode(chain))
   }
 
   test("xlsx codec: roundtrip, both string encodings, numeric cells") {

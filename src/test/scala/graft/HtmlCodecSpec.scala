@@ -103,8 +103,76 @@ class HtmlCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(extractData(Hit(Nil, r), "::text").contains("one two tail"))
   }
 
-  test("xpath selectors are declared out, loudly") {
+  // ---- the XPath subset the reference's sites.json actually uses ------
+
+  private val ppItem = // playplayground shape (sites.json:48-56)
+    """<div class="e-con-full e-con e-child">
+      | <div class="wrap"><h2 class="elementor-heading-title big">Show &amp; Tell</h2></div>
+      | <div class="elementor-widget-text-editor widget">
+      |  <div><p>First para <b>bold tail</b></p><p>SECOND para</p></div>
+      |  <p>direct child para</p>
+      | </div>
+      | <a href="/pp/9?a=1&amp;b=2">tickets</a>
+      |</div>""".stripMargin
+
+  test("xpath: contains(@class) + /text() returns FIRST text node (.get())") {
+    val item = select(parse(ppItem), "div.e-con-full").head
+    // sites.json:52 — /text() does NOT contain '::text', so the spider
+    // takes .get(): the first text node only, entities decoded
+    assert(extractData(item,
+      "xpath:.//*[contains(@class, 'elementor-heading-title')]/text()")
+      .contains("Show & Tell"))
+  }
+
+  test("xpath: //p[N] binds positionally PER PARENT (lxml semantics)") {
+    val item = select(parse(ppItem), "div.e-con-full").head
+    // //p[1] = every p that is the first p-child of its parent: the
+    // inner-div's "First para" AND the widget's "direct child para";
+    // document order puts the inner one first; //text() + .get() → first
+    assert(extractData(item,
+      "xpath:.//div[contains(@class, 'elementor-widget-text-editor')]//p[1]//text()")
+      .contains("First para "))
+    assert(extractData(item,
+      "xpath:.//div[contains(@class, 'elementor-widget-text-editor')]//p[2]//text()")
+      .contains("SECOND para"))
+  }
+
+  test("xpath: .//a/@href extracts the attribute, entities decoded") {
+    val item = select(parse(ppItem), "div.e-con-full").head
+    assert(extractData(item, "xpath:.//a/@href").contains("/pp/9?a=1&b=2"))
+  }
+
+  test("xpath: following-sibling::text() strip-joins ALL matches (getall)") {
+    // hotels shape (sites.json:27): description lives in the text nodes
+    // after the first <br> of the promoted <p> container
+    val p = select(parse(
+      """<p><a href="/h/1">Hotel One</a><br> The grand lobby <br>late checkout </p>"""),
+      "p").head
+    // '::text' IS a substring of 'following-sibling::text()' → getall-join
+    assert(extractData(p, "xpath:.//br[1]/following-sibling::text()")
+      .contains("The grand lobby late checkout"))
+  }
+
+  test("xpath: select() dispatches element results with real ancestors") {
+    val hits = select(parse(ppItem), "xpath:.//div[contains(@class, 'wrap')]")
+    assert(hits.size == 1)
+    assert(nearestAncestor(hits.head, "div").isDefined)
+  }
+
+  test("xpath outside the sites.json subset throws loudly") {
+    val root = parse(ppItem)
+    val item = select(root, "div.e-con-full").head
+    // absolute path
     intercept[IllegalArgumentException](
-      select(parse(page), "xpath://div[@class='event']"))
+      select(root, "xpath://div[@class='event']"))
+    // unsupported axis
+    intercept[IllegalArgumentException](
+      extractData(item, "xpath:.//p/ancestor::div"))
+    // unsupported predicate shape
+    intercept[IllegalArgumentException](
+      extractData(item, "xpath:.//div[@class='wrap']/text()"))
+    // unsupported function step
+    intercept[IllegalArgumentException](
+      extractData(item, "xpath:.//p[position()=1]/text()"))
   }
 }
