@@ -6,13 +6,13 @@ import java.util.zip.{Deflater, Inflater}
 /** In-engine PDF text codec — the S10 "binary decode out-of-engine"
   * stance narrowed to its honest core. The reference's PDF route
   * (pdf_spider.py:42-50) extracts TEXT from text-addressable PDFs and
-  * feeds the line state machine; this codec does the same for the
-  * dominant on-disk shapes: Flate-compressed, raw, ASCIIHexDecode and
-  * RunLengthDecode content streams with `Tj`/`TJ` text-showing
-  * operators, using only the JDK. Declared out of scope, loudly:
-  * image-only PDFs (would need OCR), encrypted files, filter CHAINS,
-  * and the remaining filters (LZW/DCT/JPX…) — `decode` on those throws
-  * rather than returning garbage.
+  * feeds the line state machine; this codec does the same for every
+  * text-bearing on-disk shape: Flate-compressed, raw, ASCIIHexDecode,
+  * RunLengthDecode and LZWDecode (EarlyChange honored) content streams
+  * with `Tj`/`TJ` text-showing operators, using only the JDK. Declared
+  * out of scope, loudly: image-only PDFs (would need OCR), encrypted
+  * files, filter CHAINS, and the image-codec filters (DCT/JPX/CCITT) —
+  * `decode` on those throws rather than returning garbage.
   *
   * Scale: decode is per-row executor work over a binary column, same
   * envelope as DocxCodec.
@@ -55,8 +55,8 @@ object PdfCodec {
       val end = raw.indexOf("endstream", e)
       require(end >= e, "PDF stream without endstream")
       val seg = raw.substring(s, e).getBytes("ISO-8859-1")
-      val known = Seq("/FlateDecode", "/ASCIIHexDecode", "/RunLengthDecode")
-        .filter(dict.contains)
+      val known = Seq("/FlateDecode", "/ASCIIHexDecode", "/RunLengthDecode",
+        "/LZWDecode").filter(dict.contains)
       // contains-based dispatch can't express a filter CHAIN
       // ([/ASCIIHexDecode /FlateDecode]) — refuse rather than decode
       // only one link and return garbage
@@ -65,11 +65,15 @@ object PdfCodec {
       if (dict.contains("/Filter") && known.isEmpty)
         throw new IllegalArgumentException(
           s"unsupported PDF filter in $dict — only " +
-            "/FlateDecode, /ASCIIHexDecode, /RunLengthDecode")
+            "/FlateDecode, /ASCIIHexDecode, /RunLengthDecode, /LZWDecode")
+      // EarlyChange=0 override (default 1) on LZW streams
+      val early = "/EarlyChange\\s+(\\d+)".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(1)
       val content = known.headOption match {
         case Some("/FlateDecode") => inflate(seg)
         case Some("/ASCIIHexDecode") => asciiHexDecode(seg)
         case Some("/RunLengthDecode") => runLengthDecode(seg)
+        case Some("/LZWDecode") => lzwDecode(seg, early)
         case _ => seg
       }
       lines ++= showOps(new String(content, "ISO-8859-1"))
@@ -185,6 +189,114 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** LZWDecode (PDF 32000-1 §7.4.4; TIFF-convention LZW): 9→12-bit
+    * MSB-first codes, 256=ClearTable, 257=EOD, EarlyChange=1 (the PDF
+    * default — the code width grows one code early). The width bump
+    * from dictionary entry k takes effect two codes after the code
+    * that created k; the decoder applies it immediately after its add,
+    * which lands on exactly that read. */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int = 1)
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 3)
+    val dict = new collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetDict(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict += Array(i.toByte); i += 1 }
+      dict += null // 256 ClearTable
+      dict += null // 257 EOD
+    }
+    resetDict()
+    var width = 9
+    var bitBuf = 0
+    var bitCnt = 0
+    var pos = 0
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff)
+        bitCnt += 8
+        pos += 1
+      }
+      if (bitCnt < width)
+        throw new IllegalArgumentException("truncated LZW stream (no EOD)")
+      val code = (bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)
+      bitCnt -= width
+      if (code == 256) { resetDict(); width = 9; prev = null }
+      else if (code == 257) done = true
+      else {
+        val entry: Array[Byte] =
+          if (code < dict.size && dict(code) != null) dict(code)
+          else if (code == dict.size && prev != null) prev :+ prev(0)
+          else throw new IllegalArgumentException(s"bad LZW code $code")
+        out.write(entry)
+        if (prev != null && dict.size < 4096) {
+          dict += (prev :+ entry(0))
+          if (width < 12 && dict.size + earlyChange >= (1 << width))
+            width += 1
+        }
+        prev = entry
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Mirror LZW encoder (fixture side). The decoder's width bump from
+    * add #j lands on its read of code j+2, so the encoder DEFERS each
+    * bump by one emit (pendingBump) — the classic LZW off-by-one. */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 16)
+    var width = 9
+    var bitBuf = 0
+    var bitCnt = 0
+    var pendingBump = false
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write((bitBuf >>> (bitCnt - 8)) & 0xff)
+        bitCnt -= 8
+      }
+      if (pendingBump) { width += 1; pendingBump = false }
+    }
+    def flushBits(): Unit =
+      if (bitCnt > 0) { out.write((bitBuf << (8 - bitCnt)) & 0xff); bitCnt = 0 }
+    val dict = new java.util.HashMap[String, Integer](8192)
+    var nextCode = 258
+    def reset(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict.put(String.valueOf(i.toChar), i); i += 1 }
+      nextCode = 258
+      width = 9
+      pendingBump = false
+    }
+    reset()
+    emit(256) // ClearTable
+    var prefix = ""
+    var i = 0
+    while (i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      val cand = prefix + c
+      if (dict.containsKey(cand)) prefix = cand
+      else {
+        emit(dict.get(prefix))
+        if (nextCode < 4093) {
+          dict.put(cand, nextCode)
+          nextCode += 1
+          if (width < 12 && nextCode + 1 >= (1 << width)) pendingBump = true
+        } else { emit(256); reset() } // table full: clear, restart
+        prefix = String.valueOf(c)
+      }
+      i += 1
+    }
+    if (prefix.nonEmpty) emit(dict.get(prefix))
+    emit(257) // EOD
+    flushBits()
+    out.toByteArray
+  }
+
   private[graft] def asciiHexEncode(data: Array[Byte]): Array[Byte] = {
     val sb = new StringBuilder(data.length * 2 + data.length / 32 + 1)
     data.zipWithIndex.foreach { case (b, i) =>
@@ -254,14 +366,16 @@ object PdfCodec {
         out.toByteArray
       case "ahx" => asciiHexEncode(content)
       case "rle" => runLengthEncode(content)
+      case "lzw" => lzwEncode(content)
       case "raw" => content
       case other => throw new IllegalArgumentException(
-        s"unknown filterName $other — flate | raw | ahx | rle")
+        s"unknown filterName $other — flate | raw | ahx | rle | lzw")
     }
     val filter = filterName match {
       case "flate" => " /Filter /FlateDecode"
       case "ahx" => " /Filter /ASCIIHexDecode"
       case "rle" => " /Filter /RunLengthDecode"
+      case "lzw" => " /Filter /LZWDecode"
       case _ => ""
     }
     val out = new ByteArrayOutputStream()

@@ -182,20 +182,50 @@ object SimilarityOps {
   }
 
   /** Size-dispatched near-dup front door: the O(n²) exact all-pairs while
-    * the corpus is small enough to broadcast (deterministic, oracle-
-    * checkable), the banded-LSH annSelfJoin beyond that (sub-quadratic;
-    * approximate by construction — each vector keeps its k best bucket-
-    * mates at ≥ minSim, emitted in both directions). One bounded count
-    * picks the plan, so no caller ever ships the unconditional broadcast
-    * theta-join to a corpus that can't take it. */
+    * the corpus is small enough (deterministic, oracle-checkable), the
+    * banded-LSH annSelfJoin beyond that (sub-quadratic; approximate by
+    * construction — each vector keeps its k best bucket-mates at
+    * ≥ minSim, emitted in both directions). One bounded count picks the
+    * plan, so no caller ever ships the unconditional broadcast
+    * theta-join to a corpus that can't take it.
+    *
+    * exactMaxRows is a COMPUTE bound, not just a broadcast-memory bound
+    * (the r6 scale probe caught the difference): exact cost is
+    * n²·dim/2 multiplies — 10k rows ≈ 3×10⁹, seconds on one machine —
+    * while the old 1M cap would have admitted 3×10¹³. Beyond the cap,
+    * the LSH path auto-derives planesPerBand from the measured corpus
+    * count (see autoPlanes) so bucket DENSITY, and with it pair work
+    * per row, stays flat as the corpus grows — the probe measured
+    * exponent 1.34 with fixed buckets; density-invariant buckets make
+    * the candidate stage ~linear at fixed recall envelope. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      dim: Int, minSim: Double, exactMaxRows: Long = 1000000L,
+      dim: Int, minSim: Double, exactMaxRows: Long = 10000L,
       k: Int = 5, planesPerBand: Int = 6, bands: Int = 32): DataFrame =
     if (boundedCount(vectors, idCol, exactMaxRows) <= exactMaxRows)
       exactPairsNoGuard(vectors, idCol, vecCol, minSim)
-    else
-      annSelfJoin(vectors, idCol, vecCol, dim, k, planesPerBand, bands)
+    else {
+      val n = vectors.select(col(idCol)).count() // pruned one-column pass
+      annSelfJoin(vectors, idCol, vecCol, dim, k,
+        autoPlanes(n, planesPerBand), bands)
         .filter(col("cos_sim") >= minSim)
+    }
+
+  /** Bucket-density-invariant plane count: enough hyperplanes that a
+    * band's expected bucket holds ~`targetBucket` vectors
+    * (2^planes ≈ n/targetBucket), floored at the caller's tuning and
+    * capped at 12 — past that, per-band match probability for real
+    * near-dup thresholds (cos ≥ 0.8, p ≈ 0.795/plane) drops below
+    * what 32 bands can recover (recall = 1 − (1 − p^planes)^bands;
+    * 12 planes × 32 bands ≈ 0.88). Above the cap's reach
+    * (n ≳ 4096·targetBucket ≈ 500k vectors per local unit), hold
+    * planes and scale BANDS — cost grows linearly in bands while
+    * recall returns exponentially. */
+  private[graft] def autoPlanes(n: Long, floor: Int,
+      targetBucket: Long = 128L, cap: Int = 12): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.max(floor, math.min(cap, needed))
+  }
 
   /** All-pairs top-k neighbor join via banded multi-table LSH (each vector
     * keeps its k nearest among its bucket-mates) — the scalable

@@ -282,6 +282,36 @@ object EtlQ {
         .orderBy("doc_id")
     }),
 
+    // Every PDF stream filter under one driver hash: the same record
+    // rides through flate / raw / ASCIIHex / RunLength / LZW by id%5
+    // (q176 keeps its original two-path shape per the r5 pin; this is
+    // the r6 filter-perimeter gate). The filter name rides in the
+    // output, so a misrouted or silently-wrong codec can't hide behind
+    // a lucky decode. Per-row executor work, no shuffle.
+    "q207_pdf_filters" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val f = (id % 5) match {
+            case 0 => "flate"
+            case 1 => "raw"
+            case 2 => "ahx"
+            case 3 => "rle"
+            case _ => "lzw"
+          }
+          val lines = Seq(s"Name: Event $id", text)
+          val got = graft.ingest.PdfCodec.decode(
+            graft.ingest.PdfCodec.encodeWith(lines, f))
+          (id, f, got.size.toLong, got.mkString("\n"))
+        }
+        .toDF("doc_id", "filter", "n_lines", "joined")
+        .select(col("doc_id"), col("filter"), col("n_lines"),
+          md5(col("joined").cast("binary")).as("lines_md5"))
+        .orderBy("doc_id")
+    }),
+
     // The whole binary-ingest perimeter behind ONE content-dispatched
     // front door: each doc is packed as docx, pdf, xlsx, or CSV by
     // id%4, and the engine must SNIFF the format from magic bytes
@@ -400,6 +430,16 @@ object EtlQ {
         |      THEN '/venues/' || CAST(doc_id AS VARCHAR) || '?ref=x&b=2'
         |      ELSE '/e/' || CAST(doc_id AS VARCHAR) END AS url,
         | md5(text) AS desc_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q207_pdf_filters" ->
+      """SELECT doc_id,
+        | CASE doc_id % 5 WHEN 0 THEN 'flate' WHEN 1 THEN 'raw'
+        |      WHEN 2 THEN 'ahx' WHEN 3 THEN 'rle' ELSE 'lzw'
+        | END AS filter,
+        | CAST(2 AS BIGINT) AS n_lines,
+        | md5('Name: Event ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |   text) AS lines_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q202_xpath_extract" ->

@@ -41,10 +41,12 @@ object SimQ {
     }),
 
     // Embedding-cosine near-dup front door: size-DISPATCHED — exact
-    // pairwise while the corpus fits a broadcast (the oracle-checkable
-    // path this gate exercises), the LSH-bucketed annSelfJoin beyond
+    // pairwise while n²·dim compute stays seconds-scale (≤10k rows;
+    // the oracle-checkable path this gate exercises), the LSH-bucketed
+    // annSelfJoin with density-invariant auto-scaled planes beyond
     // (q74 registers that path standalone; AnnContainmentSpec relates
-    // the two). No unconditional O(n²) plan is reachable from here.
+    // the two). No unconditional O(n²) plan is reachable from here —
+    // and since r6, no quadratic-compute plan past the cap either.
     "q40_embedding_dups" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(t(s, dir, "embeddings"),
           "vec_id", "embedding", 64, 0.4)

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Web-corpus curation operators added in round 6: URL canonicalization
+  * and canonical-identity dedup (the crawl-side generalization of the
+  * reference's url-as-record-identity rule, transform_data.py:344-356),
+  * and Okapi BM25 ranking (Robertson & Spärck Jones's published
+  * formula) extending the §2.8 relevance family beyond ts_rank. */
+object WebQ {
+
+  /** BM25 free parameters — the textbook defaults. */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL canonicalization as a codegen expression: four deterministic
+    // dirt classes (scheme/host case, default ports, duplicate and ./
+    // path segments, tracking params, unsorted query, fragments) are
+    // synthesized from doc_id and must collapse to the documented
+    // canonical form. The oracle reconstructs every canonical string
+    // directly — any rule drift (a missed port, an unsorted param, a
+    // surviving fragment) breaks the hash. One narrow projection, no
+    // shuffle: at 100 TB this runs inside the scan.
+    "q204_url_canonical" -> ((s, dir) => {
+      import graft.functions.UrlCanon.{canonicalizeUrl, urlHost}
+      val k = col("doc_id") % 5
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Example"), k,
+            lit(".COM:443/Events//"), col("doc_id"),
+            lit("/./x?utm_source=feed&b=2&a=1#sec")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://Site"), k, lit(".org:80/a//b/./c")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("example"), k, lit(".com/p?id="), col("doc_id"),
+            lit("&gclid=zz&ref=home")))
+        .otherwise(
+          concat(lit("https://cdn.example"), k, lit(".com/img#frag")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          canonicalizeUrl(col("url")).as("canon"),
+          urlHost(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
+
+    // Canonical-identity dedup: consecutive id pairs carry DIFFERENT
+    // dirt (uppercase scheme+host+:80 and /./ segment vs duplicate
+    // slash and a utm param) around the SAME identity; grouping by the
+    // canonical form must find exactly the pairs. The shuffle key is
+    // the canonical string — at 100 TB this is the standard
+    // crawl-dedup exchange, count+min combine map-side.
+    "q205_url_dedup" -> ((s, dir) => {
+      import graft.functions.UrlCanon.canonicalizeUrl
+      val gid = ldiv(col("doc_id"), lit(2L))
+      val url = when(col("doc_id") % 2 === 0,
+          concat(lit("http://shop.example.com/item//"), gid,
+            lit("?utm_campaign=x&size=2&color=1")))
+        .otherwise(
+          concat(lit("HTTP://SHOP.Example.COM:80/item/./"), gid,
+            lit("?color=1&fbclid=q&size=2")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), canonicalizeUrl(url).as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_dup"), min(col("doc_id")).as("first_doc"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy("first_doc")
+    }),
+
+    // Okapi BM25 over a two-term query: idf_t = ln((N − df_t + 0.5) /
+    // (df_t + 0.5) + 1) (the Lucene-style always-positive variant),
+    // score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    // k1=1.2 b=0.75. All counts are exact integers; the double math is
+    // a FIXED-ORDER two-term sum per doc, and scores round to 6
+    // decimals with a doc_id tie-break (the q95 float discipline).
+    // Corpus stats (N, Σdl, df per term) are one tiny aggregate
+    // broadcast back — at 100 TB the scored pass is a single scan.
+    "q206_bm25_rank" -> ((s, dir) => {
+      import graft.functions.CountInSetExpr.countInSet
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("dl"),
+          countInSet(col("tk"), Seq("scan")).as("tf_scan"),
+          countInSet(col("tk"), Seq("merge")).as("tf_merge"))
+      val stats = base.agg(
+        count(lit(1)).as("n"),
+        sum(col("dl")).as("sum_dl"),
+        sum(when(col("tf_scan") > 0, 1L).otherwise(0L)).as("df_scan"),
+        sum(when(col("tf_merge") > 0, 1L).otherwise(0L)).as("df_merge"))
+      def idf(df: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        log((n.cast("double") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      def part(tf: org.apache.spark.sql.Column, idfc: org.apache.spark.sql.Column,
+          dl: org.apache.spark.sql.Column, avgdl: org.apache.spark.sql.Column) =
+        when(tf > 0,
+          idfc * (tf * lit(K1 + 1.0)) /
+            (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl)))
+          .otherwise(lit(0.0))
+      base.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
+        .select(col("doc_id"),
+          round(
+            part(col("tf_scan"), idf(col("df_scan"), col("n")),
+              col("dl"), col("avgdl")) +
+            part(col("tf_merge"), idf(col("df_merge"), col("n")),
+              col("dl"), col("avgdl")), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(25)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q204_url_canonical" ->
+      """SELECT doc_id,
+        | CASE doc_id % 4
+        |  WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 5) ||
+        |   '.COM:443/Events//' || doc_id || '/./x?utm_source=feed&b=2&a=1#sec'
+        |  WHEN 1 THEN 'http://Site' || (doc_id % 5) || '.org:80/a//b/./c'
+        |  WHEN 2 THEN 'example' || (doc_id % 5) || '.com/p?id=' || doc_id ||
+        |   '&gclid=zz&ref=home'
+        |  ELSE 'https://cdn.example' || (doc_id % 5) || '.com/img#frag'
+        | END AS url,
+        | CASE doc_id % 4
+        |  WHEN 0 THEN 'https://www.example' || (doc_id % 5) ||
+        |   '.com/Events/' || doc_id || '/x?a=1&b=2'
+        |  WHEN 1 THEN 'http://site' || (doc_id % 5) || '.org/a/b/c'
+        |  WHEN 2 THEN 'http://example' || (doc_id % 5) || '.com/p?id=' || doc_id
+        |  ELSE 'https://cdn.example' || (doc_id % 5) || '.com/img'
+        | END AS canon,
+        | CASE doc_id % 4
+        |  WHEN 0 THEN 'www.example' || (doc_id % 5) || '.com'
+        |  WHEN 1 THEN 'site' || (doc_id % 5) || '.org'
+        |  WHEN 2 THEN 'example' || (doc_id % 5) || '.com'
+        |  ELSE 'cdn.example' || (doc_id % 5) || '.com'
+        | END AS host
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q205_url_dedup" ->
+      """SELECT 'http://shop.example.com/item/' || (doc_id // 2) ||
+        |   '?color=1&size=2' AS canon,
+        | count(*) AS n_dup, min(doc_id) AS first_doc,
+        | CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM documents GROUP BY doc_id // 2 ORDER BY first_doc""".stripMargin,
+
+    "q206_bm25_rank" ->
+      """WITH b AS (
+        | SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    x -> x = 'scan')) AS tf_scan,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    x -> x = 'merge')) AS tf_merge
+        | FROM documents),
+        |st AS (
+        | SELECT count(*) AS n, sum(dl) AS sum_dl,
+        |  sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan,
+        |  sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        | FROM b)
+        |SELECT doc_id,
+        | round(
+        |  (CASE WHEN tf_scan > 0 THEN
+        |    ln((st.n - st.df_scan + 0.5) / (st.df_scan + 0.5) + 1.0)
+        |    * (tf_scan * 2.2) / (tf_scan + 1.2 *
+        |       (0.25 + 0.75 * dl / (CAST(st.sum_dl AS DOUBLE) / st.n)))
+        |   ELSE 0.0 END) +
+        |  (CASE WHEN tf_merge > 0 THEN
+        |    ln((st.n - st.df_merge + 0.5) / (st.df_merge + 0.5) + 1.0)
+        |    * (tf_merge * 2.2) / (tf_merge + 1.2 *
+        |       (0.25 + 0.75 * dl / (CAST(st.sum_dl AS DOUBLE) / st.n)))
+        |   ELSE 0.0 END), 6) AS bm25
+        |FROM b, st ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin,
+  )
+}

@@ -61,6 +61,17 @@ class AnnContainmentSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH bands missed planted twins: $missed")
   }
 
+  test("autoPlanes holds bucket density flat, floored and capped") {
+    import SimilarityOps.autoPlanes
+    // below floor·target the caller's tuning wins
+    assert(autoPlanes(2000, 6) == 6)
+    // density rule: 2^planes ≈ n/128 (the r6 probe's 10x corpus → 8)
+    assert(autoPlanes(20000, 6) == 8)
+    assert(autoPlanes(160000, 6) == 11)
+    // recall-envelope cap: past 12 planes, scale bands instead
+    assert(autoPlanes(100000000L, 6) == 12)
+  }
+
   test("registered banding covers the exact pairs at the q74 threshold") {
     val e = Tables.t(spark, dir, "embeddings")
     val exact = undirected(

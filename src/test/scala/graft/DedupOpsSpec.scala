@@ -70,6 +70,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 0.7778)
   }
 
+  // Which of the two equivalent joins to use is a REGIME choice, not a
+  // correctness one (same oracle, pinned below). The r6 scale probe
+  // measured PPJoin ~2.1x SLOWER than the plain posting join at BOTH
+  // sf0.1 and x10 (SCALING.md "PPJoin vs SSJoin"): short docs + a 0.5
+  // threshold leave little for the prefix bound to prune, so it pays
+  // its per-doc sort/prefix cost for nothing. The q116 skew report is
+  // the dial: heavy token-frequency skew (hub postings) and/or high
+  // thresholds move a corpus into PPJoin's regime; uniform short docs
+  // stay with jaccardPairs.
   test("prefix-filtered jaccardPairsPrefix ≡ jaccardPairs on a real corpus") {
     val docs01 = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -234,12 +234,36 @@ class DocTextSpec extends SparkSpec {
       PdfCodec.runLengthDecode(Array(0.toByte, 'x'.toByte)))
   }
 
+  test("pdf codec: LZW roundtrip crosses the 10- and 11-bit boundaries") {
+    import graft.ingest.PdfCodec
+    // LCG bytes: high entropy → ~1 dictionary add per input byte, so
+    // 3000 bytes cross both the 511 and 1023 width-change points (the
+    // EarlyChange=1 off-by-one is exactly what this pins)
+    var x = 12345
+    val noisy = Array.fill[Byte](3000) {
+      x = x * 1103515245 + 12345
+      ((x >>> 16) & 0xff).toByte
+    }
+    assert(PdfCodec.lzwDecode(PdfCodec.lzwEncode(noisy)).toSeq ==
+      noisy.toSeq)
+    // repetitive text (long matches, KwKwK cases) roundtrips too
+    val texty = ("the theme the theater thesis " * 200).getBytes("ISO-8859-1")
+    assert(PdfCodec.lzwDecode(PdfCodec.lzwEncode(texty)).toSeq ==
+      texty.toSeq)
+    // and through a whole PDF
+    val lines = Seq("LZW line (one)", "and \\ two")
+    assert(PdfCodec.decode(PdfCodec.encodeWith(lines, "lzw")) == lines)
+  }
+
   test("pdf decode: hostile inputs fail loudly") {
     import graft.ingest.PdfCodec
     intercept[IllegalArgumentException](PdfCodec.decode("junk".getBytes))
-    val lzw = ("%PDF-1.4\n1 0 obj << /Length 3 /Filter /LZWDecode >> " +
+    val dct = ("%PDF-1.4\n1 0 obj << /Length 3 /Filter /DCTDecode >> " +
       "stream\nabc\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
-    intercept[IllegalArgumentException](PdfCodec.decode(lzw))
+    intercept[IllegalArgumentException](PdfCodec.decode(dct))
+    // truncated LZW (no EOD) is loud, not garbage
+    intercept[IllegalArgumentException](
+      PdfCodec.lzwDecode(Array(0x40.toByte, 0x20.toByte)))
     // a filter CHAIN is refused rather than half-decoded
     val chain = ("%PDF-1.4\n1 0 obj << /Length 3 " +
       "/Filter [/ASCIIHexDecode /FlateDecode] >> " +

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.UrlCanon.{canonicalize, host}
+
+/** URL canonicalization rules — each documented rule in isolation plus
+  * the collision property q205 leans on (different dirt, one identity). */
+class UrlCanonSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("scheme/host lowercase, default ports dropped, fragment dropped") {
+    assert(canonicalize("HTTPS://WWW.Ex.COM:443/A#f") ==
+      "https://www.ex.com/A")
+    assert(canonicalize("HTTP://Ex.COM:80/") == "http://ex.com/")
+    // non-default port survives
+    assert(canonicalize("http://ex.com:8080/x") == "http://ex.com:8080/x")
+    // https on :80 is NOT a default — survives
+    assert(canonicalize("https://ex.com:80/x") == "https://ex.com:80/x")
+  }
+
+  test("missing scheme defaults to http; empty path becomes /") {
+    assert(canonicalize("Ex.com") == "http://ex.com/")
+    assert(canonicalize("ex.com?b=1&a=2") == "http://ex.com/?a=2&b=1")
+  }
+
+  test("path: duplicate slashes and ./ segments collapse; case kept") {
+    assert(canonicalize("http://e.com/A//B/./c") == "http://e.com/A/B/c")
+    assert(canonicalize("http://e.com/a/.") == "http://e.com/a/")
+    // .. is preserved, declared
+    assert(canonicalize("http://e.com/a/../b") == "http://e.com/a/../b")
+  }
+
+  test("query: tracking params dropped, atoms sorted, empty ? dropped") {
+    assert(canonicalize("http://e.com/p?utm_source=x&b=2&a=1") ==
+      "http://e.com/p?a=1&b=2")
+    assert(canonicalize("http://e.com/p?fbclid=1&gclid=2&ref=x") ==
+      "http://e.com/p")
+    assert(canonicalize("http://e.com/p?UTM_Campaign=x&z=1") ==
+      "http://e.com/p?z=1")
+  }
+
+  test("collision property: q205's two dirt classes meet in one canonical") {
+    val a = canonicalize("http://shop.example.com/item//7?utm_campaign=x&size=2&color=1")
+    val b = canonicalize("HTTP://SHOP.Example.COM:80/item/./7?color=1&fbclid=q&size=2")
+    assert(a == b)
+    assert(a == "http://shop.example.com/item/7?color=1&size=2")
+  }
+
+  test("host extraction and null/empty safety") {
+    assert(host("HTTPS://WWW.Ex.COM:443/a/b?c=1") == "www.ex.com")
+    assert(host("ex.org/path") == "ex.org")
+    assert(host("http://ex.com:8080/x") == "ex.com")
+    assert(canonicalize(null) == null)
+    assert(canonicalize("  ") == "")
+  }
+}
