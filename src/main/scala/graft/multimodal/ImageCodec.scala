@@ -19,6 +19,12 @@ import javax.imageio.ImageIO
   * binary column, the same 100 TB envelope as DocxCodec/PdfCodec. */
 object ImageCodec {
 
+  // ImageIO's default ImageInputStream cache is a TEMP FILE per call —
+  // a disk write/delete for every decoded blob. Memory-backed streams
+  // drop that to pure CPU; executor-side decode of many small blobs is
+  // exactly the case the file cache pessimizes.
+  ImageIO.setUseCache(false)
+
   /** Encode an 8-bit grayscale image. `format`: "png" | "bmp". */
   def encodeGray(w: Int, h: Int, pix: Array[Byte], format: String)
       : Array[Byte] = {

@@ -74,6 +74,66 @@ object SimQ {
     // is one codegen'd pass over the corpus, and the per-query top-k is a
     // window partitioned BY QUERY — parallel across queries, never a
     // global sort. Fully deterministic → exact oracle.
+    // Embedding hygiene gate — the check every ANN index build runs
+    // first, because one NaN poisons a distance sort and one zero
+    // vector divides cosine by zero. Defects are INJECTED
+    // deterministically (id classes: NaN component / all-zero / ×100
+    // norm blow-up) and the gate must classify every vector by
+    // LOOKING AT THE FLOATS (isnan scan, Σx² in double), while the
+    // oracle knows the truth from the id arithmetic — the codec-gate
+    // discipline applied to vector quality. Classification precedence
+    // mirrors injection precedence. One scan, 4-row rollup.
+    "q208_embedding_hygiene" -> ((s, dir) => {
+      val injected = t(s, dir, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 97 === 0,
+            transform(col("embedding"),
+              (x, i) => when(i === 3, lit(Float.NaN)).otherwise(x)))
+          .when(col("vec_id") % 89 === 0,
+            transform(col("embedding"), _ => lit(0.0f)))
+          .when(col("vec_id") % 83 === 0,
+            transform(col("embedding"), x => x * 100.0f))
+          .otherwise(col("embedding")).as("v"))
+      val normSq = aggregate(
+        transform(col("v"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x)
+      injected
+        .withColumn("cls",
+          when(exists(col("v"), x => isnan(x)), "nan")
+            .when(normSq === 0.0, "zero")
+            .when(normSq > 4.0, "norm_outlier")
+            .otherwise("ok"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n"),
+          sum(col("vec_id")).cast("long").as("id_checksum"))
+        .orderBy("cls")
+    }),
+
+    // Hard-negative mining for contrastive training: for each probe
+    // vector (every 100th id), the 3 highest-cosine vectors with a
+    // DIFFERENT label — the "looks similar, isn't" pairs a triplet
+    // loss wants. Probes broadcast (they are the tiny side by
+    // construction); scoring is one codegen pass over the corpus and
+    // the top-3 is a window partitioned BY PROBE — parallel across
+    // probes, never a global sort. Deterministic (round-6 cosine,
+    // vec_id tie-break) → exact oracle.
+    "q210_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = broadcast(
+        e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("qv")))
+      val scored = e.join(probes, col("label") =!= col("q_label"))
+        .withColumn("cos_sim",
+          round(SimilarityOps.cosine(col("embedding"), col("qv")), 6))
+      val w = Window.partitionBy("q_id")
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id").as("neg_id"),
+          col("rank").cast("long").as("rank"), col("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     "q90_knn_classify" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
@@ -339,6 +399,33 @@ object SimQ {
   )
 
   val oracles: Map[String, String] = Map(
+    // injection truth from id arithmetic — the gate must rediscover it
+    // from the floats; precedence identical on both sides
+    "q208_embedding_hygiene" ->
+      """SELECT CASE WHEN vec_id % 97 = 0 THEN 'nan'
+        |  WHEN vec_id % 89 = 0 THEN 'zero'
+        |  WHEN vec_id % 83 = 0 THEN 'norm_outlier'
+        |  ELSE 'ok' END AS cls,
+        | count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_checksum
+        |FROM embeddings GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "q210_hard_negatives" ->
+      """WITH p AS (
+        | SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+        | FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (
+        | SELECT p.q_id, e.vec_id AS neg_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(p.qv AS DOUBLE[])), 6) AS cos_sim
+        | FROM embeddings e JOIN p ON e.label <> p.q_label),
+        |r AS (
+        | SELECT q_id, neg_id, cos_sim,
+        |  row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, neg_id) AS rank
+        | FROM s)
+        |SELECT q_id, neg_id, CAST(rank AS BIGINT) AS rank, cos_sim
+        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
     // positions are engine-local (0- vs 1-based never escapes the
     // engine): they only align member components with centroid
     // components inside each formulation
