@@ -245,6 +245,81 @@ object SimQ {
         .orderBy("cid")
     }),
 
+    // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    // at web-scale through semantic deduplication" — the published
+    // method): cluster the embedding corpus, then remove near-
+    // duplicates WITHIN each cluster only — the cluster bound is what
+    // makes semantic dedup tractable at web scale (the quadratic is
+    // per-cluster, so k scales with n to hold cluster size ~constant;
+    // k=4 here mirrors q182's oracle-checkable clustering). Everything
+    // is the q182 integer lattice: identical 2-round Lloyd assignment,
+    // then intra-cluster pairs pass cos ≥ 0.4 as the INTEGER predicate
+    // 25·dot² ≥ 4·‖a‖²·‖b‖² ∧ dot>0 (exact — no float compare), then
+    // min-label connected components pick each group's survivor.
+    // Shuffle story: assignment is broadcast-only; the pair stage
+    // shuffles once on cid; CC runs on the (tiny) edge set. Output is
+    // the per-cluster dedup report a curation run logs.
+    "q211_semantic_dedup" -> ((s, dir) => {
+      val k = 4
+      val quant = transform(col("embedding"),
+        v => floor(v.cast("double") * 1000).cast("long"))
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), quant.as("q"))
+        .localCheckpoint()
+      val c0 = base.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("q").as("cent"))
+      def dist2(q: Column, cent: Column): Column =
+        aggregate(zip_with(q, cent, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        base.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("q"), col("cid"),
+            dist2(col("q"), col("cent")).as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn", "dist")
+      }
+      def update(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"),
+            col("cv")))), x => x.getField("cv")).as("cent"))
+      val a3 = assign(update(assign(update(assign(c0)))))
+        .localCheckpoint() // two consumers: pair join sides + rollup
+      val x = a3.select(col("cid"), col("vec_id").as("a_id"),
+        col("q").as("qa"))
+      val y = a3.select(col("cid"), col("vec_id").as("b_id"),
+        col("q").as("qb"))
+      def dotc(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (p, r) => p * r), lit(0L), (acc, v) => acc + v)
+      val pairs = x.join(y, "cid").filter(col("a_id") < col("b_id"))
+        .select(col("cid"), col("a_id"), col("b_id"),
+          dotc(col("qa"), col("qb")).as("dot"),
+          dotc(col("qa"), col("qa")).as("na"),
+          dotc(col("qb"), col("qb")).as("nb"))
+      val edges = pairs.filter(col("dot") > 0 &&
+        lit(25L) * col("dot") * col("dot") >= lit(4L) * col("na") * col("nb"))
+      val nEdges = edges.groupBy("cid").agg(count(lit(1)).as("n_edges"))
+      val removed = graft.ops.DedupOps
+        .connectedComponents(edges.select("a_id", "b_id"))
+        .filter(col("node") =!= col("cluster")) // survivor = min id
+        .select(col("node").as("vec_id")).withColumn("rem", lit(1L))
+      a3.join(removed, Seq("vec_id"), "left")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("rem"), lit(0L))).as("n_removed"),
+          sum(when(col("rem").isNull, col("vec_id"))).cast("long")
+            .as("kept_checksum"))
+        .join(nEdges, Seq("cid"), "left")
+        .select(col("cid"), col("n_vecs"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          col("n_removed"), col("kept_checksum"))
+        .orderBy("cid")
+    }),
+
     // Product-quantization codebook training + encoding (the PQ half
     // of IVF-PQ, the standard billion-vector ANN memory layout): 64
     // dims split into 8 subspaces of 8, k=4 codes per subspace, one
@@ -504,6 +579,75 @@ object SimQ {
     // Unrolled Lloyd rounds; all arithmetic integral so the clustering
     // is bit-identical to the engine (1-based positions are DuckDB-local
     // — they only align members with centroids inside this SQL).
+    // q182's kmeans CTE prefix + intra-cluster integer near-dup pairs
+    // + the q56-style recursive-CTE components, sequentially
+    "q211_semantic_dedup" ->
+      """WITH RECURSIVE
+        |b AS (
+        | SELECT vec_id, list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, q AS cent FROM b WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c0 c)) WHERE rn = 1),
+        |c1 AS (SELECT cid, list(cv ORDER BY pos) AS cent FROM (
+        |  SELECT cid, i AS pos,
+        |   CAST(sum(q[i]) // count(*) AS BIGINT) AS cv
+        |  FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c1 c)) WHERE rn = 1),
+        |c2 AS (SELECT cid, list(cv ORDER BY pos) AS cent FROM (
+        |  SELECT cid, i AS pos,
+        |   CAST(sum(q[i]) // count(*) AS BIGINT) AS cv
+        |  FROM a2, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+        |a3 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c2 c)) WHERE rn = 1),
+        |p AS (
+        | SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> x.q[i] * y.q[i])) AS dot,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> x.q[i] * x.q[i])) AS na,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> y.q[i] * y.q[i])) AS nb
+        | FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        |e AS (
+        | SELECT cid, a_id, b_id FROM p
+        | WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb),
+        |ec AS (SELECT cid, count(*) AS n_edges FROM e GROUP BY cid),
+        |sym AS (
+        | SELECT a_id AS src, b_id AS dst FROM e
+        | UNION ALL SELECT b_id, a_id FROM e),
+        |reach(node, r) AS (
+        | SELECT src, src FROM sym
+        | UNION
+        | SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.node),
+        |lab AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+        |rem AS (SELECT node FROM lab WHERE node <> root)
+        |SELECT a3.cid, count(*) AS n_vecs,
+        | CAST(coalesce(any_value(ec.n_edges), 0) AS BIGINT) AS n_edges,
+        | CAST(count(rem.node) AS BIGINT) AS n_removed,
+        | CAST(sum(CASE WHEN rem.node IS NULL THEN a3.vec_id END)
+        |   AS BIGINT) AS kept_checksum
+        |FROM a3 LEFT JOIN rem ON a3.vec_id = rem.node
+        |LEFT JOIN ec ON a3.cid = ec.cid
+        |GROUP BY a3.cid ORDER BY a3.cid""".stripMargin,
+
     "q182_kmeans_embed" ->
       """WITH b AS (
         | SELECT vec_id, list_transform(embedding,
