@@ -69,6 +69,47 @@ object WebQ {
         .orderBy("first_doc")
     }),
 
+    // Zipf rank-frequency slope per source — the corpus-health twin of
+    // q109's Heaps curve: natural text runs ln(freq) ≈ −1·ln(rank)+c
+    // over the head; a far-off slope flags boilerplate or synthetic
+    // spam. The regression is DECIMAL-EXACT: ln values round to 9
+    // decimals ONCE, every Σ (x, y, xy, x²) accumulates in DECIMAL
+    // (order-free), sums re-cast to DECIMAL(15,9) before the closed-
+    // form products so neither engine's precision-propagation rules
+    // overflow, and only the final slope division runs in double. One
+    // token explode → (source, word) partials → 50-row-per-source
+    // windows → source-sized rollup.
+    "q209_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(15, 9)
+      val counts = t(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val wn = Window.partitionBy("source")
+        .orderBy(col("c").desc, col("w"))
+      val ranked = counts.withColumn("rank", row_number().over(wn))
+        .filter(col("rank") <= 50)
+        .select(col("source"),
+          round(log(col("rank")), 9).cast(DecimalType(20, 9)).as("x"),
+          round(log(col("c")), 9).cast(DecimalType(20, 9)).as("y"))
+      ranked.groupBy("source")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("y")).cast(DecimalType(31, 18))).as("sxy"),
+          sum((col("x") * col("x")).cast(DecimalType(31, 18))).as("sxx"))
+        .select(col("source"), col("n_terms"),
+          round(
+            (col("n_terms").cast(DecimalType(6, 0)) *
+                col("sxy").cast(dec) -
+              col("sx").cast(dec) * col("sy").cast(dec)).cast("double") /
+            (col("n_terms").cast(DecimalType(6, 0)) *
+                col("sxx").cast(dec) -
+              col("sx").cast(dec) * col("sx").cast(dec)).cast("double"),
+            6).as("zipf_slope"))
+        .orderBy("source")
+    }),
+
     // Okapi BM25 over a two-term query: idf_t = ln((N − df_t + 0.5) /
     // (df_t + 0.5) + 1) (the Lucene-style always-positive variant),
     // score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
@@ -143,6 +184,35 @@ object WebQ {
         | count(*) AS n_dup, min(doc_id) AS first_doc,
         | CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM documents GROUP BY doc_id // 2 ORDER BY first_doc""".stripMargin,
+
+    "q209_zipf_slope" ->
+      """WITH c AS (
+        | SELECT source, w, count(*) AS c FROM (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents)
+        | GROUP BY source, w),
+        |r AS (
+        | SELECT source,
+        |  CAST(round(ln(rank), 9) AS DECIMAL(20,9)) AS x,
+        |  CAST(round(ln(c), 9) AS DECIMAL(20,9)) AS y
+        | FROM (
+        |  SELECT source, c, row_number() OVER (PARTITION BY source
+        |    ORDER BY c DESC, w) AS rank
+        |  FROM c)
+        | WHERE rank <= 50),
+        |g AS (
+        | SELECT source, count(*) AS n_terms,
+        |  CAST(sum(x) AS DECIMAL(15,9)) AS sx,
+        |  CAST(sum(y) AS DECIMAL(15,9)) AS sy,
+        |  CAST(sum(CAST(x * y AS DECIMAL(31,18))) AS DECIMAL(15,9)) AS sxy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(31,18))) AS DECIMAL(15,9)) AS sxx
+        | FROM r GROUP BY source)
+        |SELECT source, n_terms,
+        | round(CAST(CAST(n_terms AS DECIMAL(6,0)) * sxy - sx * sy
+        |     AS DOUBLE) /
+        |   CAST(CAST(n_terms AS DECIMAL(6,0)) * sxx - sx * sx
+        |     AS DOUBLE), 6) AS zipf_slope
+        |FROM g ORDER BY source""".stripMargin,
 
     "q206_bm25_rank" ->
       """WITH b AS (

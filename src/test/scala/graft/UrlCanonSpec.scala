@@ -44,6 +44,17 @@ class UrlCanonSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(a == "http://shop.example.com/item/7?color=1&size=2")
   }
 
+  test("canonicalize is idempotent (a canonical URL maps to itself)") {
+    val fixtures = Seq(
+      "HTTPS://WWW.Ex.COM:443/A//B/./c?utm_source=x&b=2&a=1#f",
+      "ex.com", "http://e.com/p?fbclid=1", "https://ex.com:8080/x?z=1&y=2",
+      "HTTP://SHOP.Example.COM:80/item/./7?color=1&fbclid=q&size=2")
+    for (u <- fixtures) {
+      val once = canonicalize(u)
+      assert(canonicalize(once) == once, s"not idempotent for $u")
+    }
+  }
+
   test("host extraction and null/empty safety") {
     assert(host("HTTPS://WWW.Ex.COM:443/a/b?c=1") == "www.ex.com")
     assert(host("ex.org/path") == "ex.org")
