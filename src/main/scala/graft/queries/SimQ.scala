@@ -337,40 +337,41 @@ object SimQ {
     // quantization error, and codebook checksum — the codebook quality
     // report that decides nprobe/code-width at deploy time.
     "q185_product_quant" -> ((s, dir) => {
-      val k = 4
-      val base = t(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding"))
-          .as(Seq("pos", "x")))
-        .select(col("vec_id"), ldiv(col("pos"), lit(8L)).as("sub"),
-          (col("pos") % 8L).as("j"),
-          floor(col("x").cast("double") * 1000).cast("long").as("v"))
-        .localCheckpoint()
-      val c0 = base.filter(col("vec_id") < k)
-        .select(col("sub"), col("vec_id").as("code"), col("j"),
-          col("v").as("cv"))
-      def assign(cb: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id", "sub").orderBy("dist", "code")
-        base.join(broadcast(cb), Seq("sub", "j"))
-          .groupBy("vec_id", "sub", "code")
-          .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
-            .as("dist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-      }
-      def update(a: DataFrame): DataFrame =
-        base.join(a.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
-          .groupBy("sub", "code", "j")
-          .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
-      // two consumers (checksum + final assign): materialize the
-      // 256-row codebook once instead of re-running training per use
-      val cb1 = update(assign(c0)).localCheckpoint()
+      val (_, cb1, assigned) = pqTrained(s, dir)
       val checksum = cb1.groupBy("sub", "code")
         .agg(sum(col("cv")).as("cb_checksum"))
-      assign(cb1)
+      assigned
         .groupBy("sub", "code")
         .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("total_err"))
         .join(broadcast(checksum), Seq("sub", "code"))
         .orderBy("sub", "code")
+    }),
+
+    // PQ asymmetric-distance search (Jégou, Douze & Schmid, TPAMI
+    // 2011, §IV) — the READ path of the q185 codebook and the reason
+    // PQ exists: the query stays UNQUANTIZED-to-codes while every base
+    // vector is its 8 sub-codes, and distance is 8 table lookups. The
+    // ADC lookup table (query-to-centroid squared distance per (sub,
+    // code)) is k·subspaces = 32 rows computed once per query and
+    // broadcast; the scored pass touches only the CODES relation (8
+    // small ints per vector — the 32× memory compression), never the
+    // raw embeddings. Same integer lattice as training, so the top-10
+    // is bit-identical cross-engine; at 100 TB the codes relation IS
+    // the index and this plan is one broadcast-join scan + top-k. */
+    "q216_pq_adc_search" -> ((s, dir) => {
+      val (base, cb1, assigned) = pqTrained(s, dir)
+      val qv = base.filter(col("vec_id") === 7)
+        .select(col("sub"), col("j"), col("v").as("qv"))
+      val lut = cb1.join(broadcast(qv), Seq("sub", "j"))
+        .groupBy("sub", "code")
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+          .as("lut"))
+      assigned.select("vec_id", "sub", "code")
+        .join(broadcast(lut), Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(sum(col("lut")).as("adc_dist"))
+        .orderBy(asc("adc_dist"), asc("vec_id"))
+        .limit(10)
     }),
 
     // Maximal-marginal-relevance selection (Carbonell–Goldstein MMR):
@@ -472,6 +473,43 @@ object SimQ {
         .orderBy("label")
     }),
   )
+
+  /** Shared PQ lattice + one-Lloyd-round training (q185's codebook,
+    * reused by q216's ADC read path): 64 dims → 8 subspaces × 8
+    * components on the floor(x·1000) integer lattice, k=4 codes seeded
+    * from vec_id<4, one truncated-mean (toward zero, integral DIV)
+    * update. Returns (base, codebook, assignment-with-dist); base and
+    * the 256-row codebook are each localCheckpointed ONCE because both
+    * have two consumers downstream (checkpoint-two-consumers rule). */
+  private def pqTrained(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val k = 4
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding"))
+        .as(Seq("pos", "x")))
+      .select(col("vec_id"), ldiv(col("pos"), lit(8L)).as("sub"),
+        (col("pos") % 8L).as("j"),
+        floor(col("x").cast("double") * 1000).cast("long").as("v"))
+      .localCheckpoint()
+    val c0 = base.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("code"), col("j"),
+        col("v").as("cv"))
+    def assign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "sub").orderBy("dist", "code")
+      base.join(broadcast(cb), Seq("sub", "j"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
+          .as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    def update(a: DataFrame): DataFrame =
+      base.join(a.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
+        .groupBy("sub", "code", "j")
+        .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
+    val cb1 = update(assign(c0)).localCheckpoint()
+    (base, cb1, assign(cb1))
+  }
 
   val oracles: Map[String, String] = Map(
     // injection truth from id arithmetic — the gate must rediscover it
@@ -725,6 +763,47 @@ object SimQ {
         | min(cs.cb_checksum) AS cb_checksum
         |FROM a2 JOIN cs ON cs.sub = a2.sub AND cs.code = a2.code
         |GROUP BY a2.sub, a2.code ORDER BY a2.sub, a2.code""".stripMargin,
+
+    // q185's training chain verbatim through the final assignment a2,
+    // then the ADC read path: 32-row query lookup table + 8 lookups
+    // per vector — integers end to end, so the top-10 is exact.
+    "q216_pq_adc_search" ->
+      """WITH b AS (
+        | SELECT vec_id, (i - 1) // 8 AS sub, (i - 1) % 8 AS j,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |    AS v
+        | FROM embeddings
+        | CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+        |c0 AS (SELECT sub, vec_id AS code, j, v AS cv
+        |  FROM b WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, sub, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) AS rn FROM (
+        |   SELECT b.vec_id, b.sub, c.code,
+        |    sum((b.v - c.cv) * (b.v - c.cv)) AS dist
+        |   FROM b JOIN c0 c ON c.sub = b.sub AND c.j = b.j
+        |   GROUP BY b.vec_id, b.sub, c.code)) WHERE rn = 1),
+        |c1 AS (SELECT b.sub, a.code, b.j,
+        |  CAST(sum(b.v) // count(*) AS BIGINT) AS cv
+        | FROM b JOIN a1 a ON a.vec_id = b.vec_id AND a.sub = b.sub
+        | GROUP BY b.sub, a.code, b.j),
+        |a2 AS (SELECT vec_id, sub, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) AS rn FROM (
+        |   SELECT b.vec_id, b.sub, c.code,
+        |    sum((b.v - c.cv) * (b.v - c.cv)) AS dist
+        |   FROM b JOIN c1 c ON c.sub = b.sub AND c.j = b.j
+        |   GROUP BY b.vec_id, b.sub, c.code)) WHERE rn = 1),
+        |qv AS (SELECT sub, j, v AS qv FROM b WHERE vec_id = 7),
+        |lut AS (
+        | SELECT c1.sub, c1.code,
+        |  sum((qv.qv - c1.cv) * (qv.qv - c1.cv)) AS lut
+        | FROM c1 JOIN qv ON qv.sub = c1.sub AND qv.j = c1.j
+        | GROUP BY c1.sub, c1.code)
+        |SELECT a2.vec_id, CAST(sum(l.lut) AS BIGINT) AS adc_dist
+        |FROM a2 JOIN lut l ON l.sub = a2.sub AND l.code = a2.code
+        |GROUP BY a2.vec_id ORDER BY adc_dist, a2.vec_id
+        |LIMIT 10""".stripMargin,
 
     "q201_embedding_drift" ->
       """WITH comp AS (

@@ -118,39 +118,144 @@ object WebQ {
     // decimals with a doc_id tie-break (the q95 float discipline).
     // Corpus stats (N, Σdl, df per term) are one tiny aggregate
     // broadcast back — at 100 TB the scored pass is a single scan.
-    "q206_bm25_rank" -> ((s, dir) => {
-      import graft.functions.CountInSetExpr.countInSet
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-        .select(col("doc_id"),
-          size(col("tk")).cast("long").as("dl"),
-          countInSet(col("tk"), Seq("scan")).as("tf_scan"),
-          countInSet(col("tk"), Seq("merge")).as("tf_merge"))
-      val stats = base.agg(
-        count(lit(1)).as("n"),
-        sum(col("dl")).as("sum_dl"),
-        sum(when(col("tf_scan") > 0, 1L).otherwise(0L)).as("df_scan"),
-        sum(when(col("tf_merge") > 0, 1L).otherwise(0L)).as("df_merge"))
-      def idf(df: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
-        log((n.cast("double") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
-      def part(tf: org.apache.spark.sql.Column, idfc: org.apache.spark.sql.Column,
-          dl: org.apache.spark.sql.Column, avgdl: org.apache.spark.sql.Column) =
-        when(tf > 0,
-          idfc * (tf * lit(K1 + 1.0)) /
-            (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl)))
-          .otherwise(lit(0.0))
-      base.crossJoin(broadcast(stats))
-        .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
-        .select(col("doc_id"),
-          round(
-            part(col("tf_scan"), idf(col("df_scan"), col("n")),
-              col("dl"), col("avgdl")) +
-            part(col("tf_merge"), idf(col("df_merge"), col("n")),
-              col("dl"), col("avgdl")), 6).as("bm25"))
+    "q206_bm25_rank" -> ((s, dir) =>
+      bm25Scored(s, dir)
         .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(25)
+        .limit(25)),
+
+    // Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    // the standard hybrid-retrieval combiner: a lexical ranking (the
+    // q206 BM25 scorer) and a semantic ranking (cosine against a probe
+    // embedding) fuse as Σ 1/(60+rank) WITHOUT comparing their
+    // incommensurable scores; only ranks cross the boundary. Scores are
+    // exact integers — ldiv(10⁷, 60+rank) on both engines — so the
+    // fused ordering has a defined cross-engine answer. The two global
+    // row_number windows rank a CANDIDATE POOL: in production each
+    // retriever feeds its top-k (the rank cutoff caps the window at
+    // k·n_queries rows), and here the whole 500-doc corpus stands in
+    // for that pool, so the single-partition window is pool-sized, not
+    // corpus-sized, at 100 TB.
+    "q212_rrf_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = bm25Scored(s, dir)
+        .withColumn("lex_rank", row_number()
+          .over(Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
+        .select("doc_id", "lex_rank")
+      val e = t(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 7)
+        .select(col("embedding").as("qv"))
+      val sem = e.crossJoin(broadcast(probe))
+        .withColumn("cos_sim",
+          round(graft.ops.SimilarityOps.cosine(col("embedding"), col("qv")), 6))
+        .withColumn("sem_rank", row_number()
+          .over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("long"))
+        .select(col("vec_id"), col("sem_rank"))
+      lex.join(sem, col("doc_id") === col("vec_id"))
+        .withColumn("rrf",
+          ldiv(lit(10000000L), lit(60L) + col("lex_rank")) +
+            ldiv(lit(10000000L), lit(60L) + col("sem_rank")))
+        .select("doc_id", "lex_rank", "sem_rank", "rrf")
+        .orderBy(desc("rrf"), asc("doc_id"))
+        .limit(20)
+    }),
+
+    // Tokenizer fertility audit — chars-per-token by (source, lang), the
+    // standard tokenizer-efficiency signal (a language whose bp blows up
+    // is being shredded into fragments and will eat context budget).
+    // Whole query is one narrow scan folding into a (source·lang)-sized
+    // rollup with map-side combine; ratios in exact integer basis
+    // points via ldiv.
+    "q213_token_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("chars_per_token_bp",
+          ldiv(col("sum_chars") * lit(10000L), col("n_tokens")))
+        .orderBy("source", "lang")),
+
+    // Context-window truncation loss — for a C=32-token window, the
+    // share of tokens a naive truncating loader would DROP, per source
+    // (the complement of q174's padding waste: q174 measures slack below
+    // the bucket boundary, this measures loss above it). All integral:
+    // per-doc excess max(0, n_tok−C) sums exactly, share in bp via
+    // ldiv. One scan, source-sized rollup.
+    "q214_truncation_loss" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), size(toks(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("n_tok") > 32, col("n_tok") - 32)
+            .otherwise(0L)).as("lost_tokens"),
+          sum(when(col("n_tok") > 32, 1L).otherwise(0L)).as("n_truncated"))
+        .withColumn("lost_bp",
+          ldiv(col("lost_tokens") * lit(10000L), col("n_tokens")))
+        .orderBy("source")),
+
+    // Content-defined chunking dedup profile (LBFS/FastCDC family) —
+    // chunk boundaries follow content, so shared boilerplate surfaces
+    // as identical chunks at ANY offset; per source this reports the
+    // chunk-level duplication a CDC store would reclaim. The engine
+    // side computes all cuts in ONE codegen'd pass per document
+    // (functions/CdcChunks — no position explode ever runs on Spark);
+    // the oracle replays the identical md5-window cut set positionally.
+    // The only exchange is the (source, chunk) distinct-count — the
+    // standard dedup shuffle, map-side combined.
+    "q215_cdc_chunks" -> ((s, dir) => {
+      import graft.functions.CdcChunksExpr.cdcChunks
+      t(s, dir, "documents")
+        .select(col("source"), explode(cdcChunks(col("text"), 8)).as("chunk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk")).as("n_distinct"),
+          sum(length(col("chunk")).cast("long")).as("sum_len"))
+        .select(col("source"), col("n_chunks"), col("n_distinct"),
+          ldiv((col("n_chunks") - col("n_distinct")) * lit(10000L),
+            col("n_chunks")).as("dup_bp"),
+          ldiv(col("sum_len"), col("n_chunks")).as("mean_chunk_len"))
+        .orderBy("source")
     }),
   )
+
+  /** doc_id + two-term ("scan","merge") BM25 score rounded to 6 decimals
+    * with the q95 float discipline — shared by q206 (pure ranking) and
+    * q212 (the lexical leg of RRF). Corpus stats (N, Σdl, df per term)
+    * are one tiny aggregate broadcast back; the scored pass is a single
+    * scan at any corpus size. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountInSetExpr.countInSet
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("dl"),
+        countInSet(col("tk"), Seq("scan")).as("tf_scan"),
+        countInSet(col("tk"), Seq("merge")).as("tf_merge"))
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sum_dl"),
+      sum(when(col("tf_scan") > 0, 1L).otherwise(0L)).as("df_scan"),
+      sum(when(col("tf_merge") > 0, 1L).otherwise(0L)).as("df_merge"))
+    def idf(df: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      log((n.cast("double") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    def part(tf: org.apache.spark.sql.Column, idfc: org.apache.spark.sql.Column,
+        dl: org.apache.spark.sql.Column, avgdl: org.apache.spark.sql.Column) =
+      when(tf > 0,
+        idfc * (tf * lit(K1 + 1.0)) /
+          (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl)))
+        .otherwise(lit(0.0))
+    base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
+      .select(col("doc_id"),
+        round(
+          part(col("tf_scan"), idf(col("df_scan"), col("n")),
+            col("dl"), col("avgdl")) +
+          part(col("tf_merge"), idf(col("df_merge"), col("n")),
+            col("dl"), col("avgdl")), 6).as("bm25"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q204_url_canonical" ->
@@ -240,5 +345,99 @@ object WebQ {
         |       (0.25 + 0.75 * dl / (CAST(st.sum_dl AS DOUBLE) / st.n)))
         |   ELSE 0.0 END), 6) AS bm25
         |FROM b, st ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q212_rrf_hybrid" ->
+      """WITH b AS (
+        | SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    x -> x = 'scan')) AS tf_scan,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    x -> x = 'merge')) AS tf_merge
+        | FROM documents),
+        |st AS (
+        | SELECT count(*) AS n, sum(dl) AS sum_dl,
+        |  sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan,
+        |  sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        | FROM b),
+        |scored AS (
+        | SELECT doc_id,
+        |  round(
+        |   (CASE WHEN tf_scan > 0 THEN
+        |     ln((st.n - st.df_scan + 0.5) / (st.df_scan + 0.5) + 1.0)
+        |     * (tf_scan * 2.2) / (tf_scan + 1.2 *
+        |        (0.25 + 0.75 * dl / (CAST(st.sum_dl AS DOUBLE) / st.n)))
+        |    ELSE 0.0 END) +
+        |   (CASE WHEN tf_merge > 0 THEN
+        |     ln((st.n - st.df_merge + 0.5) / (st.df_merge + 0.5) + 1.0)
+        |     * (tf_merge * 2.2) / (tf_merge + 1.2 *
+        |        (0.25 + 0.75 * dl / (CAST(st.sum_dl AS DOUBLE) / st.n)))
+        |    ELSE 0.0 END), 6) AS bm25
+        | FROM b, st),
+        |lex AS (
+        | SELECT doc_id,
+        |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        | FROM scored),
+        |sem AS (
+        | SELECT vec_id,
+        |  row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS sem_rank
+        | FROM (
+        |  SELECT e.vec_id,
+        |   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |     CAST(p.qv AS DOUBLE[])), 6) AS cos_sim
+        |  FROM embeddings e,
+        |   (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) p))
+        |SELECT l.doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+        | CAST(sem_rank AS BIGINT) AS sem_rank,
+        | (10000000 // (60 + lex_rank)) + (10000000 // (60 + sem_rank)) AS rrf
+        |FROM lex l JOIN sem s ON l.doc_id = s.vec_id
+        |ORDER BY rrf DESC, l.doc_id LIMIT 20""".stripMargin,
+
+    "q213_token_fertility" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |   AS n_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(n_chars) AS BIGINT) * 10000
+        |  // CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |   AS chars_per_token_bp
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "q214_truncation_loss" ->
+      """WITH d AS (
+        | SELECT source, len(string_split(lower(text), ' ')) AS n_tok
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN n_tok > 32 THEN n_tok - 32 ELSE 0 END)
+        |   AS BIGINT) AS lost_tokens,
+        | CAST(sum(CASE WHEN n_tok > 32 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_truncated,
+        | CAST(sum(CASE WHEN n_tok > 32 THEN n_tok - 32 ELSE 0 END)
+        |   AS BIGINT) * 10000 // CAST(sum(n_tok) AS BIGINT) AS lost_bp
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q215_cdc_chunks" ->
+      """WITH d AS (
+        | SELECT doc_id, source, text, length(text) AS n FROM documents),
+        |pos AS (
+        | SELECT doc_id, source, text, n, unnest(range(8, n + 1)) AS i
+        | FROM d),
+        |cuts AS (
+        | SELECT doc_id, source, text, i FROM pos
+        | WHERE substr(md5(substr(text, i - 7, 8)), 32, 1) = '0'
+        | UNION
+        | SELECT doc_id, source, text, n AS i FROM d),
+        |ch AS (
+        | SELECT doc_id, source,
+        |  substr(text,
+        |   coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1,
+        |   i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0))
+        |   AS chunk
+        | FROM cuts)
+        |SELECT source, count(*) AS n_chunks,
+        | count(DISTINCT chunk) AS n_distinct,
+        | (count(*) - count(DISTINCT chunk)) * 10000 // count(*) AS dup_bp,
+        | CAST(sum(length(chunk)) AS BIGINT) // count(*) AS mean_chunk_len
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
   )
 }
