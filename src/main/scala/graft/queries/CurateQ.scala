@@ -177,6 +177,51 @@ object CurateQ {
         .orderBy("doc_id")
     }),
 
+    // The audio DECODER under the driver hash — q203's pattern for the
+    // audio half of the seam: each audio-kind doc becomes real PCM16
+    // WAV bytes (samples s_k = byte_k·257 − 32768 spans the full
+    // 16-bit range losslessly), WavCodec chunk-walks the RIFF back,
+    // and the output reports exact integer amplitude stats. The oracle
+    // reconstructs every sample from the text, so an endianness flip,
+    // a header misparse or an off-by-one in the data chunk shifts a
+    // sample and breaks the hash. Per-row executor work, no shuffle.
+    "q217_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val src = text.getBytes("ISO-8859-1")
+          val samples = new Array[Short](src.length)
+          var i = 0
+          while (i < src.length) {
+            samples(i) = ((src(i) & 0xff) * 257 - 32768).toShort
+            i += 1
+          }
+          val wav = graft.multimodal.WavCodec.encodePcm16(8000, 1, samples)
+          val (rate, ch, dec) = graft.multimodal.WavCodec.decodePcm16(wav)
+          require(ch == 1 && dec.length == samples.length,
+            s"roundtrip shape drift: $ch ch, ${dec.length} samples")
+          var sum = 0L
+          var chk = 0L
+          var peak = 0L
+          var k = 0
+          while (k < dec.length) {
+            val v = dec(k).toLong
+            sum += v
+            chk += (k + 1) * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            k += 1
+          }
+          (id, rate.toLong, dec.length.toLong, sum, chk, peak)
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "amp_sum",
+          "pos_checksum", "peak_abs")
+        .orderBy("doc_id")
+    }),
+
     // Language-ID confusion matrix: the heuristic's predictions against
     // the table's labeled lang column — the evaluation every langid
     // gate needs before it filters a corpus. One scan (the 25 marker
@@ -1125,6 +1170,24 @@ object CurateQ {
         |   i -> i * ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT)
         |   AS pos_checksum
         |FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // sample k == ord(char k)·257 − 32768: the roundtrip is lossless
+    // PCM16, so the oracle reconstructs every sample from the text
+    "q217_wav_decode" ->
+      """SELECT doc_id,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(length(text) AS BIGINT) AS n_samples,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> ord(substr(text, CAST(i AS INTEGER), 1)) * 257 - 32768))
+        |   AS BIGINT) AS amp_sum,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> i * (ord(substr(text, CAST(i AS INTEGER), 1)) * 257
+        |     - 32768))) AS BIGINT) AS pos_checksum,
+        | CAST(list_max(list_transform(range(1, length(text) + 1),
+        |   i -> abs(ord(substr(text, CAST(i AS INTEGER), 1)) * 257
+        |     - 32768))) AS BIGINT) AS peak_abs
+        |FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // same ASCII premise as q136: byte k == ord(substr(text, k+1, 1))
