@@ -364,3 +364,54 @@ object WinnowExpr {
   def winnow(toks: Column, k: Int, w: Int): Column =
     toCol(WinnowExpr(toExpr(toks), k, w))
 }
+
+/** Exact integer dot product of two BIGINT arrays in one tight codegen'd
+  * loop — the pairwise-join hot path of the integer-lattice embedding
+  * family (q211 SemDeDup's intra-cluster quadratic). The declarative
+  * `aggregate(zip_with(a, b, (x,y) => x*y), 0L, _+_)` evaluates its
+  * lambdas INTERPRETED per element: 64 boxed evals per array per pair
+  * made the pair stage the whole query's cost. Null or length-mismatched
+  * inputs return null (matching zip_with's null semantics on the sizes
+  * this repo uses). Overflow: |v| ≤ 2¹¹ on the floor(x·1000) lattice ⇒
+  * Σ products ≤ 2⁶⁸/2⁴⁶… well inside BIGINT for dim 64. */
+case class LongDotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  /** public bridge for generated code */
+  def evalTwo(l: Any, r: Any): Any = nullSafeEval(l, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("ldotExpr", this,
+      classOf[LongDotExpr].getName)
+    val r = ctx.freshName("graftLdot")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |Object $r = $ref.evalTwo($a, $b);
+      |if ($r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ((java.lang.Long) $r).longValue();
+      |}""".stripMargin)
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : LongDotExpr = copy(left = l, right = r)
+}
+
+object LongDotExpr {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
+  def longDot(a: Column, b: Column): Column =
+    toCol(LongDotExpr(toExpr(a), toExpr(b)))
+}

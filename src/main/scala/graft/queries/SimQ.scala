@@ -268,9 +268,13 @@ object SimQ {
         .localCheckpoint()
       val c0 = base.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("q").as("cent"))
-      def dist2(q: Column, cent: Column): Column =
-        aggregate(zip_with(q, cent, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v)
+      // ‖q−c‖² expanded to dot identities so each distance is three
+      // codegen'd integer loops (LongDotExpr), not an interpreted
+      // zip_with fold — bit-identical values, same (dist, cid) argmin
+      def dist2(q: Column, cent: Column): Column = {
+        import graft.functions.LongDotExpr.longDot
+        longDot(q, q) - lit(2L) * longDot(q, cent) + longDot(cent, cent)
+      }
       def assign(cents: DataFrame): DataFrame = {
         val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
         base.crossJoin(broadcast(cents))
@@ -287,19 +291,24 @@ object SimQ {
           .groupBy("cid")
           .agg(transform(array_sort(collect_list(struct(col("pos"),
             col("cv")))), x => x.getField("cv")).as("cent"))
+      import graft.functions.LongDotExpr.longDot
+      // per-vector squared norm computed ONCE before the checkpoint (it
+      // materializes with the assignment) — the pair stage below must
+      // never recompute an O(dim) quantity per PAIR, only the dot
       val a3 = assign(update(assign(update(assign(c0)))))
+        .withColumn("nv", longDot(col("q"), col("q")))
         .localCheckpoint() // two consumers: pair join sides + rollup
       val x = a3.select(col("cid"), col("vec_id").as("a_id"),
-        col("q").as("qa"))
+        col("q").as("qa"), col("nv").as("na"))
       val y = a3.select(col("cid"), col("vec_id").as("b_id"),
-        col("q").as("qb"))
-      def dotc(a: Column, b: Column) =
-        aggregate(zip_with(a, b, (p, r) => p * r), lit(0L), (acc, v) => acc + v)
+        col("q").as("qb"), col("nv").as("nb"))
+      // the quadratic's inner loop is ONE codegen'd integer dot
+      // (LongDotExpr) — the interpreted zip_with fold here was 13% of
+      // the whole 217-query bench before this
       val pairs = x.join(y, "cid").filter(col("a_id") < col("b_id"))
         .select(col("cid"), col("a_id"), col("b_id"),
-          dotc(col("qa"), col("qb")).as("dot"),
-          dotc(col("qa"), col("qa")).as("na"),
-          dotc(col("qb"), col("qb")).as("nb"))
+          longDot(col("qa"), col("qb")).as("dot"),
+          col("na"), col("nb"))
       val edges = pairs.filter(col("dot") > 0 &&
         lit(25L) * col("dot") * col("dot") >= lit(4L) * col("na") * col("nb"))
       val nEdges = edges.groupBy("cid").agg(count(lit(1)).as("n_edges"))
@@ -371,6 +380,37 @@ object SimQ {
         .groupBy("vec_id")
         .agg(sum(col("lut")).as("adc_dist"))
         .orderBy(asc("adc_dist"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // Binary-embedding Hamming search — the OTHER standard embedding
+    // compression next to PQ (q216): each vector collapses to its 64
+    // sign bits (Charikar hyperplane sketch with axis-aligned planes),
+    // distance is XOR + popcount. Bits pack into TWO 32-bit words so
+    // no 2⁶³ literal ever overflows a signed BIGINT on either engine;
+    // sign extraction (x ≥ 0), shifts, xor and bit_count are all exact
+    // integer builtins both sides, so the top-10 is hash-checkable —
+    // unlike the q18/q74 sketches whose hash families force rows-only.
+    // At 100 TB the signature relation is 16 bytes/vector (a 256×
+    // compression) and this plan is one codegen'd scan + top-k; the
+    // signature build is a projection that fuses into the parquet scan.
+    "q218_hamming_search" -> ((s, dir) => {
+      def word(lo: Int, hi: Int): Column =
+        (lo to hi).map(k =>
+          when(element_at(col("embedding"), k + 1).cast("double") >= 0,
+            lit(1L << (k - lo))).otherwise(lit(0L)))
+          .reduce(_ + _)
+      val sig = t(s, dir, "embeddings")
+        .select(col("vec_id"), word(0, 31).as("lo"), word(32, 63).as("hi"))
+      val probe = sig.filter(col("vec_id") === 7)
+        .select(col("lo").as("qlo"), col("hi").as("qhi"))
+      sig.crossJoin(broadcast(probe))
+        .filter(col("vec_id") =!= 7)
+        .select(col("vec_id"),
+          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+            bit_count(col("hi").bitwiseXOR(col("qhi"))))
+            .cast("long").as("hamming"))
+        .orderBy(asc("hamming"), asc("vec_id"))
         .limit(10)
     }),
 
@@ -804,6 +844,27 @@ object SimQ {
         |FROM a2 JOIN lut l ON l.sub = a2.sub AND l.code = a2.code
         |GROUP BY a2.vec_id ORDER BY adc_dist, a2.vec_id
         |LIMIT 10""".stripMargin,
+
+    // sign bits packed into two 32-bit words (no 2^63 overflow);
+    // xor + bit_count are exact integer builtins on both engines
+    "q218_hamming_search" ->
+      """WITH s AS (
+        | SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |   k -> CASE WHEN CAST(embedding[k] AS DOUBLE) >= 0
+        |    THEN 1::BIGINT << CAST(k - 1 AS INTEGER) ELSE 0 END))
+        |   AS BIGINT) AS lo,
+        |  CAST(list_sum(list_transform(range(33, 65),
+        |   k -> CASE WHEN CAST(embedding[k] AS DOUBLE) >= 0
+        |    THEN 1::BIGINT << CAST(k - 33 AS INTEGER) ELSE 0 END))
+        |   AS BIGINT) AS hi
+        | FROM embeddings),
+        |p AS (SELECT lo AS qlo, hi AS qhi FROM s WHERE vec_id = 7)
+        |SELECT s.vec_id,
+        | CAST(bit_count(xor(s.lo, p.qlo))
+        |   + bit_count(xor(s.hi, p.qhi)) AS BIGINT) AS hamming
+        |FROM s, p WHERE s.vec_id <> 7
+        |ORDER BY hamming, s.vec_id LIMIT 10""".stripMargin,
 
     "q201_embedding_drift" ->
       """WITH comp AS (

@@ -219,7 +219,48 @@ object WebQ {
           ldiv(col("sum_len"), col("n_chunks")).as("mean_chunk_len"))
         .orderBy("source")
     }),
+
+    // see contaminationMatrix below for semantics + scale rationale
+    "q219_source_contamination" -> ((s, dir) => contaminationMatrix(s, dir)),
   )
+
+  /** Cross-source contamination matrix — which SOURCES share verbatim
+    * 8-gram content (mirrored crawls, syndicated boilerplate, copied
+    * docs that survived per-doc dedup because they landed in different
+    * source buckets). Pairwise containment = |spans_A ∩ spans_B| /
+    * min(|A|, |B|) in exact bp over DISTINCT per-source spans. Scale
+    * shape: the corpus pays one span explode collapsed to distinct
+    * (source, span); the self-join fans out per span at most
+    * C(n_sources, 2) — a CONSTANT in source count, not corpus size —
+    * and the rollup is matrix-sized. The q150/q156 posting-join family,
+    * with the hub bound coming free from the source-distinct collapse. */
+  val contaminationMatrix: (SparkSession, String) => DataFrame = (s, dir) => {
+    val spans = t(s, dir, "documents")
+      .select(col("source"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 7),
+        i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("ng"))
+      .distinct()
+    val sizes = spans.groupBy("source")
+      .agg(count(lit(1)).as("n_spans"))
+    val shared = spans.as("a")
+      .join(spans.as("b"), Seq("ng"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n_spans").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_spans").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_spans"),
+        col("n_a"), col("n_b"),
+        ldiv(col("shared_spans") * lit(10000L), least(col("n_a"), col("n_b")))
+          .as("containment_bp"))
+      .orderBy(desc("containment_bp"), asc("src_a"), asc("src_b"))
+      .limit(50)
+  }
 
   /** doc_id + two-term ("scan","merge") BM25 score rounded to 6 decimals
     * with the q95 float discipline — shared by q206 (pure ranking) and
@@ -439,5 +480,31 @@ object WebQ {
         | (count(*) - count(DISTINCT chunk)) * 10000 // count(*) AS dup_bp,
         | CAST(sum(length(chunk)) AS BIGINT) // count(*) AS mean_chunk_len
         |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
+    "q219_source_contamination" ->
+      """WITH t AS (
+        | SELECT source, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT DISTINCT source, array_to_string(toks[i:i+7], ' ') AS ng
+        | FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+        | WHERE len(toks) >= 8),
+        |sz AS (SELECT source, count(*) AS n_spans FROM g GROUP BY source),
+        |sh AS (
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS shared_spans
+        | FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+        | GROUP BY a.source, b.source)
+        |SELECT sh.src_a, sh.src_b,
+        | CAST(sh.shared_spans AS BIGINT) AS shared_spans,
+        | CAST(sa.n_spans AS BIGINT) AS n_a,
+        | CAST(sb.n_spans AS BIGINT) AS n_b,
+        | CAST(sh.shared_spans AS BIGINT) * 10000
+        |  // CAST(least(sa.n_spans, sb.n_spans) AS BIGINT)
+        |  AS containment_bp
+        |FROM sh
+        | JOIN sz sa ON sa.source = sh.src_a
+        | JOIN sz sb ON sb.source = sh.src_b
+        |ORDER BY containment_bp DESC, src_a, src_b LIMIT 50""".stripMargin,
   )
 }
