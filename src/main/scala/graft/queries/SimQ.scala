@@ -217,9 +217,12 @@ object SimQ {
         .localCheckpoint()
       val c0 = base.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("q").as("cent"))
-      def dist2(q: Column, cent: Column): Column =
-        aggregate(zip_with(q, cent, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v)
+      // ‖q−c‖² via codegen'd dot identities (LongDotExpr) — identical
+      // integers, no interpreted per-element lambdas in the assign scan
+      def dist2(q: Column, cent: Column): Column = {
+        import graft.functions.LongDotExpr.longDot
+        longDot(q, q) - lit(2L) * longDot(q, cent) + longDot(cent, cent)
+      }
       def assign(cents: DataFrame): DataFrame = {
         val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
         base.crossJoin(broadcast(cents))
@@ -432,9 +435,13 @@ object SimQ {
     // same cost profile as k rounds of q19.
     "q189_mmr_select" -> ((s, dir) => {
       import s.implicits._
-      def simNeg(q: Column, c: Seq[Long]): Column =
-        -aggregate(zip_with(q, typedlit(c), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v)
+      def simNeg(q: Column, c: Seq[Long]): Column = {
+        // −‖q−c‖² via dot identities: the literal's self-dot folds at
+        // plan time, the two remaining dots are codegen'd LongDotExpr
+        import graft.functions.LongDotExpr.longDot
+        val cc = c.map(x => x * x).sum
+        -(longDot(q, q) - lit(2L) * longDot(q, typedlit(c)) + lit(cc))
+      }
       val base = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"),
           v => floor(v.cast("double") * 1000).cast("long")).as("q"))
