@@ -1,0 +1,175 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real video decode for the BinaryOps seam — uncompressed-DIB AVI
+  * (RIFF 'AVI ' per the published OpenDML/VfW layout), parsed with zero
+  * dependencies and no egress, completing the media trio next to
+  * ImageCodec (image) and WavCodec (audio). Uncompressed BI_RGB frames
+  * ('00db' chunks) are the one mainstream video payload that is
+  * LOSSLESS, which is what lets the driver's integer checksum oracles
+  * hold bit-for-bit through a real container roundtrip; compressed
+  * codecs (MJPG/H.264/…) stay behind the declared stub, the same
+  * perimeter stance as PdfCodec's filter set.
+  *
+  * The DIB payload carries the two classic traps and the decoder must
+  * handle both or the driver hash breaks: rows are stored BOTTOM-UP,
+  * and every row is padded to a 4-byte boundary (stride = ⌈3w/4⌉·4 for
+  * 24-bit BGR). Decode emits top-down, padding-stripped BGR bytes.
+  *
+  * Structure written/walked: RIFF('AVI ') → LIST(hdrl){ avih(56),
+  * LIST(strl){ strh(56,'vids'), strf(BITMAPINFOHEADER 40) } } →
+  * LIST(movi){ 00db… }. idx1 is optional per spec and not written
+  * (AVIF_HASINDEX unset). Unknown chunks are skipped by declared size;
+  * anything outside the perimeter (non-'vids' first stream, compressed
+  * biCompression, bit depth ≠ 24) throws loudly with the detail. */
+object AviCodec {
+
+  private def stride(w: Int): Int = ((3 * w + 3) / 4) * 4
+
+  /** Encode top-down BGR frames (each 3·w·h bytes) as uncompressed AVI. */
+  def encodeDib24(w: Int, h: Int, frames: Seq[Array[Byte]], fps: Int)
+      : Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0, "bad geometry/rate")
+    frames.foreach(f => require(f.length == 3 * w * h,
+      s"frame has ${f.length} bytes, want ${3 * w * h}"))
+    val st = stride(w)
+    val frameBytes = st * h
+    val moviBody = 4 + frames.size * (8 + frameBytes) // 'movi' + chunks
+    val hdrlBody = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (12 + hdrlBody - 4) + (12 + moviBody - 4)
+    val buf = ByteBuffer.allocate(8 + riffBody).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); buf.putInt(riffBody); tag("AVI ")
+    // ---- LIST hdrl
+    tag("LIST"); buf.putInt(hdrlBody); tag("hdrl")
+    tag("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // microseconds per frame
+    buf.putInt(frameBytes * fps) // max bytes/sec
+    buf.putInt(0) // padding granularity
+    buf.putInt(0) // flags (no AVIF_HASINDEX: idx1 not written)
+    buf.putInt(frames.size)
+    buf.putInt(0) // initial frames
+    buf.putInt(1) // streams
+    buf.putInt(frameBytes)
+    buf.putInt(w); buf.putInt(h)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0) // dwReserved[4]
+    //   -- LIST strl
+    tag("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); tag("strl")
+    tag("strh"); buf.putInt(56)
+    tag("vids"); tag("DIB ")
+    buf.putInt(0) // flags
+    buf.putShort(0); buf.putShort(0) // priority, language
+    buf.putInt(0) // initial frames
+    buf.putInt(1); buf.putInt(fps) // scale, rate -> fps
+    buf.putInt(0) // start
+    buf.putInt(frames.size) // length in frames
+    buf.putInt(frameBytes) // suggested buffer size
+    buf.putInt(-1) // quality
+    buf.putInt(0) // sample size (varies)
+    buf.putShort(0); buf.putShort(0); buf.putShort(w.toShort)
+    buf.putShort(h.toShort) // rcFrame
+    tag("strf"); buf.putInt(40) // BITMAPINFOHEADER
+    buf.putInt(40); buf.putInt(w); buf.putInt(h)
+    buf.putShort(1); buf.putShort(24) // planes, bit count
+    buf.putInt(0) // BI_RGB
+    buf.putInt(frameBytes)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    // ---- LIST movi
+    tag("LIST"); buf.putInt(moviBody); tag("movi")
+    frames.foreach { f =>
+      tag("00db"); buf.putInt(frameBytes)
+      // bottom-up rows, each padded to the 4-byte stride
+      var y = h - 1
+      while (y >= 0) {
+        buf.put(f, y * 3 * w, 3 * w)
+        var p = 3 * w
+        while (p < st) { buf.put(0.toByte); p += 1 }
+        y -= 1
+      }
+    }
+    buf.array()
+  }
+
+  /** Decode → (w, h, fps, top-down padding-stripped BGR frames). */
+  def decodeDib24(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(bytes.length >= 12, s"not an AVI: ${bytes.length} bytes")
+    val riff = tag()
+    require(riff == "RIFF", s"not an AVI: leading tag '$riff'")
+    buf.getInt()
+    val form = tag()
+    require(form == "AVI ", s"not an AVI: form type '$form'")
+    var w = -1; var h = -1; var fps = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    def walkStrl(end: Int): Unit = {
+      var rate = -1; var scale = -1
+      while (buf.position() < end) {
+        val id = tag(); val size = buf.getInt()
+        val next = buf.position() + size + (size & 1)
+        id match {
+          case "strh" =>
+            val typ = tag()
+            require(typ == "vids", s"first stream is '$typ', want 'vids'")
+            tag() // handler
+            buf.getInt(); buf.getShort(); buf.getShort(); buf.getInt()
+            scale = buf.getInt(); rate = buf.getInt()
+          case "strf" =>
+            buf.getInt() // biSize
+            w = buf.getInt(); h = buf.getInt()
+            buf.getShort() // planes
+            val bits = buf.getShort()
+            require(bits == 24, s"unsupported bit depth $bits (only 24)")
+            val comp = buf.getInt()
+            require(comp == 0, s"compressed AVI (biCompression=$comp) " +
+              "is outside the decode perimeter")
+          case _ => ()
+        }
+        buf.position(next)
+      }
+      require(rate > 0 && scale > 0, "no strh rate")
+      fps = rate / scale
+    }
+
+    def walkList(end: Int): Unit = while (buf.position() < end) {
+      val id = tag(); val size = buf.getInt()
+      val next = buf.position() + size + (size & 1)
+      require(size >= 0 && next <= bytes.length,
+        s"truncated chunk '$id': declared $size")
+      id match {
+        case "LIST" =>
+          tag() match {
+            case "hdrl" => walkList(next)
+            case "strl" => walkStrl(next)
+            case "movi" => walkList(next)
+            case _ => buf.position(next)
+          }
+        case "00db" =>
+          require(w > 0 && h > 0, "frame before strf header")
+          val st = stride(w)
+          require(size == st * h, s"frame size $size, want ${st * h}")
+          val out = new Array[Byte](3 * w * h)
+          var y = h - 1
+          while (y >= 0) {
+            buf.get(out, y * 3 * w, 3 * w)
+            buf.position(buf.position() + (st - 3 * w))
+            y -= 1
+          }
+          frames += out
+        case "00dc" =>
+          throw new IllegalArgumentException(
+            "compressed frame chunk 00dc is outside the decode perimeter")
+        case _ => ()
+      }
+      buf.position(next)
+    }
+
+    walkList(bytes.length)
+    require(w > 0 && h > 0, "no strf header")
+    (w, h, fps, frames.toSeq)
+  }
+}

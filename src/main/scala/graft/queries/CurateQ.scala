@@ -222,6 +222,50 @@ object CurateQ {
         .orderBy("doc_id")
     }),
 
+    // The video DECODER under the driver hash — completes the media
+    // trio (q203 image, q217 audio): each video-kind doc becomes a
+    // real uncompressed-DIB AVI (5×3 BGR frames whose bytes cycle the
+    // text), AviCodec walks the RIFF back, and every SECOND decoded
+    // frame (the frame-sample pattern an embedding feed uses) reports
+    // exact integer checksums. The 5-px width forces a padded DIB
+    // stride and rows are stored bottom-up, so a flip or stride error
+    // in the decoder shifts bytes and breaks the hash. Per-row
+    // executor work, no shuffle.
+    "q220_avi_frames" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val src = text.getBytes("ISO-8859-1")
+          val len = src.length
+          val nf = (3 + id % 3).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(45)(p => src((f * 45 + p) % len))
+          }
+          val avi = graft.multimodal.AviCodec.encodeDib24(5, 3, frames, 10)
+          val (w, h, fps, dec) = graft.multimodal.AviCodec.decodeDib24(avi)
+          require(w == 5 && h == 3 && fps == 10 && dec.length == nf,
+            s"roundtrip shape drift: ${w}x$h @$fps, ${dec.length} frames")
+          dec.zipWithIndex.filter(_._2 % 2 == 0).map { case (fr, fi) =>
+            var sum = 0L
+            var chk = 0L
+            var p = 0
+            while (p < fr.length) {
+              val v = (fr(p) & 0xff).toLong
+              sum += v
+              chk += (p + 1) * v
+              p += 1
+            }
+            (id, nf.toLong, fi.toLong, sum, chk)
+          }
+        }
+        .toDF("doc_id", "n_frames", "frame_idx", "pix_sum", "pos_checksum")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Language-ID confusion matrix: the heuristic's predictions against
     // the table's labeled lang column — the evaluation every langid
     // gate needs before it filters a corpus. One scan (the 25 marker
@@ -1189,6 +1233,32 @@ object CurateQ {
         |     - 32768))) AS BIGINT) AS peak_abs
         |FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // frame f, BGR position p: byte == ord(char ((f·45+p) mod len)) —
+    // the DIB roundtrip is lossless, so the oracle never sees a
+    // container byte; only even frames (the sample) are reported
+    "q220_avi_frames" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len,
+        |  3 + doc_id % 3 AS nf
+        | FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+        |fr AS (
+        | SELECT doc_id, text, len, nf, unnest(range(0, nf)) AS f
+        | FROM d),
+        |px AS (
+        | SELECT doc_id, nf, f, text, len, unnest(range(0, 45)) AS p
+        | FROM fr WHERE f % 2 = 0),
+        |v AS (
+        | SELECT doc_id, nf, f, p,
+        |  ord(substr(text,
+        |   CAST((f * 45 + p) % len + 1 AS INTEGER), 1)) AS v
+        | FROM px)
+        |SELECT doc_id, CAST(min(nf) AS BIGINT) AS n_frames,
+        | CAST(f AS BIGINT) AS frame_idx,
+        | CAST(sum(v) AS BIGINT) AS pix_sum,
+        | CAST(sum((p + 1) * v) AS BIGINT) AS pos_checksum
+        |FROM v GROUP BY doc_id, f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // same ASCII premise as q136: byte k == ord(substr(text, k+1, 1))
     "q191_image_patchify" ->

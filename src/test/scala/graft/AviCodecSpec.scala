@@ -1,0 +1,73 @@
+package graft
+
+import graft.multimodal.AviCodec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Uncompressed-DIB AVI codec perimeter: lossless frame roundtrip with
+  * a PADDED stride and bottom-up rows (distinct per-row bytes so a
+  * flip or stride slip shifts values), unknown-chunk skipping, and
+  * loud rejection of compressed/deep shapes. */
+class AviCodecSpec extends AnyFunSuite {
+
+  // w=5 -> 15-byte rows padded to 16; every byte distinct per position
+  private def frame(seed: Int): Array[Byte] =
+    Array.tabulate(45)(p => ((seed * 31 + p * 7) & 0xff).toByte)
+
+  test("multi-frame roundtrip: geometry, fps, every byte, frame order") {
+    val fs = (0 until 4).map(frame)
+    val (w, h, fps, back) = AviCodec.decodeDib24(
+      AviCodec.encodeDib24(5, 3, fs, 10))
+    assert(w == 5 && h == 3 && fps == 10 && back.size == 4)
+    fs.zip(back).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
+
+  test("stride-aligned width (w=4) also roundtrips") {
+    val f = Array.tabulate(36)(p => (p * 11 & 0xff).toByte)
+    val (w, h, _, back) = AviCodec.decodeDib24(
+      AviCodec.encodeDib24(4, 3, Seq(f), 25))
+    assert(w == 4 && h == 3 && back.head.toSeq == f.toSeq)
+  }
+
+  test("unknown chunk inside movi is skipped by declared size") {
+    val fs = Seq(frame(1), frame(2))
+    val avi = AviCodec.encodeDib24(5, 3, fs, 10)
+    // splice a JUNK chunk right after the 'movi' list type tag
+    val moviAt = {
+      var i = 0
+      var found = -1
+      while (found < 0 && i < avi.length - 4) {
+        if (avi(i) == 'm' && avi(i + 1) == 'o' && avi(i + 2) == 'v' &&
+          avi(i + 3) == 'i') found = i
+        i += 1
+      }
+      found
+    }
+    assert(moviAt > 0)
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      Array[Byte](9, 9, 9, 9)
+    val spliced = avi.take(moviAt + 4) ++ junk ++ avi.drop(moviAt + 4)
+    def patchLE(arr: Array[Byte], at: Int, v: Int): Unit =
+      for (i <- 0 until 4) arr(at + i) = ((v >> (8 * i)) & 0xff).toByte
+    patchLE(spliced, 4, spliced.length - 8) // RIFF size
+    patchLE(spliced, moviAt - 4, // movi LIST size grows by the splice
+      java.nio.ByteBuffer.wrap(avi, moviAt - 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt + junk.length)
+    val (_, _, _, back) = AviCodec.decodeDib24(spliced)
+    assert(back.size == 2 && back.head.toSeq == frame(1).toSeq)
+  }
+
+  test("loud throws outside the perimeter") {
+    assertThrows[IllegalArgumentException](
+      AviCodec.decodeDib24("RIFFxxxxWAVE".getBytes("US-ASCII")))
+    val ok = AviCodec.encodeDib24(5, 3, Seq(frame(0)), 10)
+    // compressed frame chunk: rewrite 00db -> 00dc
+    val comp = ok.clone()
+    var i = 0
+    while (i < comp.length - 4) {
+      if (comp(i) == '0' && comp(i + 1) == '0' && comp(i + 2) == 'd' &&
+        comp(i + 3) == 'b') { comp(i + 3) = 'c'; i = comp.length }
+      i += 1
+    }
+    assertThrows[IllegalArgumentException](AviCodec.decodeDib24(comp))
+  }
+}
