@@ -82,6 +82,48 @@ object BinaryOps {
       }.toDF("media_id", "kind", "content")
   }
 
+  /** All three media kinds through their REAL codecs, byte-identically:
+    * image rows PNG/BMP-roundtrip via ImageIO (as withImageRoundtrip),
+    * audio rows ride WAV PCM16 (byte b ↔ sample b·257−32768 is an exact
+    * bijection, inverted after decode), video rows ride an
+    * uncompressed-DIB AVI as one ⌈len/3⌉-pixel frame (the 0–2 pad bytes
+    * the 3-byte pixels need are stripped by the tracked length). Every
+    * downstream checksum oracle therefore certifies the decoder paths
+    * for free: a codec defect perturbs bytes and breaks the driver
+    * hash, while a correct one is invisible. Per-row executor work. */
+  def withMediaRoundtrip(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, bytes) =>
+          val out = kind match {
+            case "image" if bytes.nonEmpty =>
+              val fmt = if (id % 2 == 0) "png" else "bmp"
+              val (w, h, pix) = ImageCodec.decodeGray(
+                ImageCodec.encodeGray(bytes.length, 1, bytes, fmt))
+              require(w == bytes.length && h == 1,
+                s"image roundtrip drifted to ${w}x$h for media $id")
+              pix
+            case "audio" if bytes.nonEmpty =>
+              val samples = bytes.map(b => ((b & 0xff) * 257 - 32768).toShort)
+              val (_, _, dec) = WavCodec.decodePcm16(
+                WavCodec.encodePcm16(8000, 1, samples))
+              dec.map(s => ((s + 32768) / 257).toByte)
+            case "video" if bytes.nonEmpty =>
+              val w = (bytes.length + 2) / 3
+              val padded = java.util.Arrays.copyOf(bytes, 3 * w)
+              val (_, _, _, frames) = AviCodec.decodeDib24(
+                AviCodec.encodeDib24(w, 1, Seq(padded), 10))
+              frames.head.take(bytes.length)
+            case _ => bytes
+          }
+          (id, kind, out)
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
   final case class ResizedMedia(media_id: Long, kind: String,
       target_w: Int, target_h: Int, content: Array[Byte])
 

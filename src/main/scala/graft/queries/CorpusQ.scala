@@ -347,7 +347,10 @@ object CorpusQ {
     // flatMap fan-out, join-back — is exercised and exact.
     "q105_multimodal_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val media = graft.multimodal.BinaryOps.withImageRoundtrip(
+      // ALL three kinds pass their real codec (ImageIO / WAV / AVI)
+      // before the feature stages — byte-identical roundtrips, so the
+      // unchanged checksums downstream certify the decoders
+      val media = graft.multimodal.BinaryOps.withMediaRoundtrip(
         t(s, dir, "documents").select(
           col("doc_id").as("media_id"),
           when(col("doc_id") % 3 === 0, "image")
