@@ -367,6 +367,53 @@ object EtlQ {
         .orderBy("hour", "event_type")
         .limit(500)
     }),
+
+    // Record linkage: blocking + edit-distance verification (the
+    // Fellegi–Sunter pipeline shape every entity-resolution ETL runs).
+    // A dirty registry is synthesized deterministically from customer
+    // names (per id mod 4: clean / last-two-digit swap / last-char drop
+    // / last-char 'X'), candidates are generated ONLY within a
+    // c_nationkey BLOCK — the blocking key is what bounds the quadratic
+    // (n²/n_blocks candidate pairs, the standard linkage scale lever) —
+    // and survivors verify at levenshtein ≤ 2 (exact integer, same DP
+    // distance both engines). Best match per dirty record is the
+    // deterministic (lev, custkey) argmin; the output is the per-
+    // corruption-class accuracy report a linkage run logs. Names are
+    // fixed-width 18 chars ("Customer#%09d"), so the corruption
+    // positions are engine-identical literals.
+    "q221_record_linkage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val head = substring(col("c_name"), 1, 16)
+      val d17 = substring(col("c_name"), 17, 1)
+      val d18 = substring(col("c_name"), 18, 1)
+      val cls = col("c_custkey") % 4
+      val dirty = c.select(col("c_custkey").as("d_id"),
+        col("c_nationkey").as("d_nat"), cls.as("cls"),
+        when(cls === 0, col("c_name"))
+          .when(cls === 1, concat(head, d18, d17))
+          .when(cls === 2, concat(head, d17))
+          .otherwise(concat(head, d17, lit("X"))).as("d_name"))
+      val cand = dirty.join(c, col("d_nat") === col("c_nationkey"))
+        .withColumn("lev", levenshtein(col("d_name"), col("c_name")))
+        .filter(col("lev") <= 2)
+      val w = Window.partitionBy("d_id").orderBy("lev", "c_custkey")
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val totals = dirty.groupBy("cls")
+        .agg(count(lit(1)).as("n_records"))
+      best.groupBy("cls")
+        .agg(count(lit(1)).as("n_matched"),
+          sum(when(col("c_custkey") === col("d_id"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .join(broadcast(totals), "cls")
+        .select(col("cls"), col("n_records"), col("n_matched"),
+          col("n_correct"),
+          ldiv(col("n_correct") * lit(10000L), col("n_records"))
+            .as("accuracy_bp"))
+        .orderBy("cls")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -469,5 +516,39 @@ object EtlQ {
         |   'Venue: Hall (njk) \ ' || CAST(doc_id AS VARCHAR) || chr(10) ||
         |   text) AS lines_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q221_record_linkage" ->
+      """WITH dirty AS (
+        | SELECT c_custkey AS d_id, c_nationkey AS d_nat,
+        |  c_custkey % 4 AS cls,
+        |  CASE c_custkey % 4
+        |   WHEN 0 THEN c_name
+        |   WHEN 1 THEN substr(c_name, 1, 16) || substr(c_name, 18, 1)
+        |     || substr(c_name, 17, 1)
+        |   WHEN 2 THEN substr(c_name, 1, 16) || substr(c_name, 17, 1)
+        |   ELSE substr(c_name, 1, 16) || substr(c_name, 17, 1) || 'X'
+        |  END AS d_name
+        | FROM customer),
+        |cand AS (
+        | SELECT d.d_id, d.cls, c.c_custkey,
+        |  levenshtein(d.d_name, c.c_name) AS lev
+        | FROM dirty d JOIN customer c ON d.d_nat = c.c_nationkey
+        | WHERE levenshtein(d.d_name, c.c_name) <= 2),
+        |best AS (
+        | SELECT d_id, cls, c_custkey FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY d_id
+        |    ORDER BY lev, c_custkey) AS rn FROM cand)
+        | WHERE rn = 1),
+        |tot AS (SELECT cls, count(*) AS n_records FROM dirty GROUP BY cls)
+        |SELECT b.cls, CAST(t.n_records AS BIGINT) AS n_records,
+        | CAST(count(*) AS BIGINT) AS n_matched,
+        | CAST(sum(CASE WHEN b.c_custkey = b.d_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_correct,
+        | CAST(sum(CASE WHEN b.c_custkey = b.d_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) * 10000 // CAST(t.n_records AS BIGINT)
+        |   AS accuracy_bp
+        |FROM best b JOIN tot t ON t.cls = b.cls
+        |GROUP BY b.cls, t.n_records
+        |ORDER BY b.cls""".stripMargin,
   )
 }
