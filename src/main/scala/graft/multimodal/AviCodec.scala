@@ -111,14 +111,19 @@ object AviCodec {
       while (buf.position() < end) {
         val id = tag(); val size = buf.getInt()
         val next = buf.position() + size + (size & 1)
+        require(size >= 0 && next <= bytes.length,
+          s"truncated chunk '$id': declared $size")
         id match {
           case "strh" =>
+            require(size >= 28, s"strh too small ($size bytes)")
             val typ = tag()
             require(typ == "vids", s"first stream is '$typ', want 'vids'")
             tag() // handler
             buf.getInt(); buf.getShort(); buf.getShort(); buf.getInt()
             scale = buf.getInt(); rate = buf.getInt()
           case "strf" =>
+            require(size >= 40,
+              s"strf too small ($size bytes, BITMAPINFOHEADER needs 40)")
             buf.getInt() // biSize
             w = buf.getInt(); h = buf.getInt()
             buf.getShort() // planes
@@ -144,7 +149,9 @@ object AviCodec {
         case "LIST" =>
           tag() match {
             case "hdrl" => walkList(next)
-            case "strl" => walkStrl(next)
+            // only the FIRST stream must be the video stream; later
+            // strls (e.g. an audio track) are skipped, per the doc
+            case "strl" if w < 0 => walkStrl(next)
             case "movi" => walkList(next)
             case _ => buf.position(next)
           }

@@ -70,16 +70,23 @@ object BinaryOps {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, kind, bytes) =>
-          if (kind == "image" && bytes.nonEmpty) {
-            val fmt = if (id % 2 == 0) "png" else "bmp"
-            val enc = ImageCodec.encodeGray(bytes.length, 1, bytes, fmt)
-            val (w, h, pix) = ImageCodec.decodeGray(enc)
-            require(w == bytes.length && h == 1,
-              s"image roundtrip drifted to ${w}x$h for media $id")
-            (id, kind, pix)
-          } else (id, kind, bytes)
+          if (kind == "image" && bytes.nonEmpty)
+            (id, kind, imageRoundtrip(id, bytes))
+          else (id, kind, bytes)
         }
       }.toDF("media_id", "kind", "content")
+  }
+
+  /** One real ImageIO roundtrip (PNG for even ids, BMP for odd) of a
+    * byte stream as a 1×len gray image — shared by withImageRoundtrip
+    * and withMediaRoundtrip so both certify the SAME codec path. */
+  private def imageRoundtrip(id: Long, bytes: Array[Byte]): Array[Byte] = {
+    val fmt = if (id % 2 == 0) "png" else "bmp"
+    val (w, h, pix) = ImageCodec.decodeGray(
+      ImageCodec.encodeGray(bytes.length, 1, bytes, fmt))
+    require(w == bytes.length && h == 1,
+      s"image roundtrip drifted to ${w}x$h for media $id")
+    pix
   }
 
   /** All three media kinds through their REAL codecs, byte-identically:
@@ -100,12 +107,7 @@ object BinaryOps {
         rows.map { case (id, kind, bytes) =>
           val out = kind match {
             case "image" if bytes.nonEmpty =>
-              val fmt = if (id % 2 == 0) "png" else "bmp"
-              val (w, h, pix) = ImageCodec.decodeGray(
-                ImageCodec.encodeGray(bytes.length, 1, bytes, fmt))
-              require(w == bytes.length && h == 1,
-                s"image roundtrip drifted to ${w}x$h for media $id")
-              pix
+              imageRoundtrip(id, bytes)
             case "audio" if bytes.nonEmpty =>
               val samples = bytes.map(b => ((b & 0xff) * 257 - 32768).toShort)
               val (_, _, dec) = WavCodec.decodePcm16(

@@ -65,6 +65,8 @@ object WavCodec {
         s"truncated chunk '$id': declared $size, ${buf.remaining()} left")
       id match {
         case "fmt " =>
+          require(size >= 16,
+            s"fmt chunk too small ($size bytes, PCM needs 16)")
           val fmtEnd = buf.position() + size
           val audioFormat = buf.getShort()
           require(audioFormat == 1,

@@ -208,6 +208,7 @@ object WebQ {
     "q215_cdc_chunks" -> ((s, dir) => {
       import graft.functions.CdcChunksExpr.cdcChunks
       t(s, dir, "documents")
+        .filter(length(col("text")) > 0) // empty doc = no chunks, both sides
         .select(col("source"), explode(cdcChunks(col("text"), 8)).as("chunk"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_chunks"),
@@ -242,6 +243,9 @@ object WebQ {
         sequence(lit(1), size(col("tk")) - 7),
         i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("ng"))
       .distinct()
+      // three consumers (join a-side, b-side, sizes): materialize the
+      // corpus-wide explode+distinct once (checkpoint-multi-consumer rule)
+      .localCheckpoint()
     val sizes = spans.groupBy("source")
       .agg(count(lit(1)).as("n_spans"))
     val shared = spans.as("a")
@@ -459,7 +463,8 @@ object WebQ {
 
     "q215_cdc_chunks" ->
       """WITH d AS (
-        | SELECT doc_id, source, text, length(text) AS n FROM documents),
+        | SELECT doc_id, source, text, length(text) AS n FROM documents
+        | WHERE length(text) > 0),
         |pos AS (
         | SELECT doc_id, source, text, n, unnest(range(8, n + 1)) AS i
         | FROM d),
