@@ -936,6 +936,36 @@ object CurateQ {
             .cast("long").as("mask_chars"))
         .orderBy("doc_id")
     }),
+
+    // Randomized-response private counting (Warner 1965, the local-DP
+    // primitive telemetry pipelines use): each record reports its
+    // sensitive bit (lang = 'en') TRUTHFULLY except with probability
+    // 1/4, decided by the same stateless q184 mixer — reproducible on
+    // any executor/retry with no stored RNG, and replayable by the
+    // oracle. The aggregate debiases exactly in integers:
+    // E[noisy] = n/4 + true/2, so est·2 = 4·noisy − n (kept ×2 to stay
+    // integral); the true count rides along as the calibration audit
+    // this synthetic setting affords. One scan, source-sized rollup,
+    // all inside whole-stage codegen.
+    "q222_private_counts" -> ((s, dir) => {
+      val m = lit(2147483647L)
+      val h1 = (col("doc_id") * 48271L + 12345L) % m
+      val h2 = (h1 * 48271L) % m
+      val flip = h2 % 4L === 0L
+      val truth = col("lang") === "en"
+      t(s, dir, "documents")
+        .select(col("source"), truth.as("t"), (truth =!= flip).as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("t"), 1L).otherwise(0L)).as("true_en"),
+          sum(when(col("r"), 1L).otherwise(0L)).as("noisy_en"))
+        .select(col("source"), col("n_docs"), col("true_en"),
+          col("noisy_en"),
+          (lit(4L) * col("noisy_en") - col("n_docs")).as("est_times2"),
+          (lit(4L) * col("noisy_en") - col("n_docs")
+            - lit(2L) * col("true_en")).as("err_times2"))
+        .orderBy("source")
+    }),
   )
 
   /** q171's target mixture (basis points, sums to 10000) — one source of
@@ -1511,5 +1541,23 @@ object CurateQ {
         | CAST(sum(CASE WHEN masked THEN tklen ELSE 0 END) AS BIGINT)
         |   AS mask_chars
         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same mixer replay as q184; XOR via <> on booleans
+    "q222_private_counts" ->
+      """WITH r AS (
+        | SELECT source, lang = 'en' AS t,
+        |  (lang = 'en') <>
+        |   ((doc_id * 48271 + 12345) % 2147483647
+        |     * 48271 % 2147483647 % 4 = 0) AS rep
+        | FROM documents),
+        |g AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS true_en,
+        |  CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS noisy_en
+        | FROM r GROUP BY source)
+        |SELECT source, n_docs, true_en, noisy_en,
+        | 4 * noisy_en - n_docs AS est_times2,
+        | 4 * noisy_en - n_docs - 2 * true_en AS err_times2
+        |FROM g ORDER BY source""".stripMargin,
   )
 }
