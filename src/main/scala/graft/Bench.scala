@@ -102,7 +102,10 @@ object Bench {
             None
         }
       }
-      name -> (if (times.isEmpty) -1.0 else median(times))
+      // ANY failed run marks the query failed in the artifact (-1.0):
+      // a median over the surviving runs would make an intermittently
+      // OOMing query look healthy to JSON-only round-over-round tooling
+      name -> (if (times.size < runs) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -102,7 +102,12 @@ object ScaleProbe {
         (if (k == 0) col("text")
          else array_join(transform(split(col("text"), " "),
            t => concat(t, lit(s"~$k"))), " ")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"),
+        // suffixed copies are LONGER — keep n_chars consistent with
+        // text so length-gated probe queries see the same selectivity
+        (if (k == 0) col("n_chars")
+         else length(array_join(transform(split(col("text"), " "),
+           t => concat(t, lit(s"~$k"))), " ")).cast("long")).as("n_chars"))
     }.reduce(_ union _)
     bigDocs.repartition(32).write.mode("overwrite")
       .parquet(s"$big/documents.parquet")

@@ -118,35 +118,21 @@ object Porter {
     w
   }
 
-  /** Zipf cache: token TYPES are few while token INSTANCES are the
-    * corpus, so per-executor memoization turns almost every stem() into
-    * a hash probe. Bounded (beyond the cap we compute without caching)
-    * so an adversarial unbounded vocabulary degrades to the uncached
-    * cost instead of an executor OOM; stem() is pure, so a shared map
-    * is safe and last-write-wins races are benign. The size check and
-    * put are not atomic, so concurrent misses can overshoot the cap by
-    * up to the executor thread count — bounded and benign, not a hard
-    * cap. */
+  /** Zipf cache for the expression hot loop: token TYPES are few while
+    * token INSTANCES are the corpus, so per-executor memoization turns
+    * almost every stem into a hash probe. On the (Zipf-dominant) hit
+    * path there is NO decode and NO allocation: the probe uses the
+    * BORROWED key straight off the unsafe row (UTF8String.hashCode/
+    * equals read the bytes in place) and returns the shared immutable
+    * result. Keys are cloned only on insert, because the probe key
+    * aliases the scan's reused buffer; values are fresh UTF8Strings and
+    * safe to share across rows. Bounded (beyond the cap we compute
+    * without caching) so an adversarial unbounded vocabulary degrades
+    * to the uncached cost instead of an executor OOM; stem() is pure,
+    * so last-write-wins races are benign, and the non-atomic size
+    * check means the cap can overshoot by up to the executor thread
+    * count — bounded and benign, not a hard cap. */
   private val cacheCap = 1 << 17
-  private val stemCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def stemCached(s: String): String = {
-    val hit = stemCache.get(s)
-    if (hit != null) hit
-    else {
-      val r = stem(s)
-      if (stemCache.size < cacheCap) stemCache.put(s, r)
-      r
-    }
-  }
-
-  /** UTF8String-keyed twin of stemCached for the expression hot loop.
-    * On the (Zipf-dominant) hit path there is NO decode and NO
-    * allocation: the probe uses the BORROWED key straight off the
-    * unsafe row (UTF8String.hashCode/equals read the bytes in place)
-    * and returns the shared immutable result. Keys are cloned only on
-    * insert, because the probe key aliases the scan's reused buffer;
-    * values are fresh UTF8Strings and safe to share across rows. */
   private val u8Cache =
     new java.util.concurrent.ConcurrentHashMap[UTF8String, UTF8String]()
   def stemU8(s: UTF8String): UTF8String = {

@@ -49,10 +49,15 @@ object UrlCanon {
       case -1 => trimmed
       case i => trimmed.substring(0, i)
     }
-    val (scheme, rest) = noFrag.indexOf("://") match {
-      case -1 => ("http", noFrag)
-      case i => (noFrag.substring(0, i).toLowerCase, noFrag.substring(i + 3))
-    }
+    // "://" only separates a scheme when it precedes the first '/' or
+    // '?' — a scheme-less URL with an absolute URL in its QUERY
+    // ("a.com/r?next=https://b.com") must not adopt b.com as authority
+    val sep = noFrag.indexOf("://")
+    val firstBreak = noFrag.indexWhere(c => c == '/' || c == '?')
+    val (scheme, rest) =
+      if (sep >= 0 && (firstBreak < 0 || sep < firstBreak))
+        (noFrag.substring(0, sep).toLowerCase, noFrag.substring(sep + 3))
+      else ("http", noFrag)
     val authEnd = rest.indexWhere(c => c == '/' || c == '?')
     val (auth, tail) =
       if (authEnd < 0) (rest, "")
@@ -92,8 +97,20 @@ object UrlCanon {
       case -1 => c
       case i => c.substring(i + 3)
     }
-    val end = afterScheme.indexWhere(ch => ch == '/' || ch == '?' || ch == ':')
-    if (end < 0) afterScheme else afterScheme.substring(0, end)
+    // authority first (to the first '/' or '?'), THEN strip userinfo
+    // (everything to the last '@' — "user:pass@ex.com" hosts ex.com,
+    // not "user") and finally the port
+    val authEnd = afterScheme.indexWhere(ch => ch == '/' || ch == '?')
+    val auth = if (authEnd < 0) afterScheme
+      else afterScheme.substring(0, authEnd)
+    val noUser = auth.lastIndexOf('@') match {
+      case -1 => auth
+      case i => auth.substring(i + 1)
+    }
+    noUser.indexOf(':') match {
+      case -1 => noUser
+      case i => noUser.substring(0, i)
+    }
   }
 
   def canonicalizeUrl(c: Column): Column = toCol(CanonUrlExpr(toExpr(c)))

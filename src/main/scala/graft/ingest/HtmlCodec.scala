@@ -235,11 +235,22 @@ object HtmlCodec {
     * translation) matching the selector, document order. `xpath:`
     * selectors route through XPathLite (generic_spider.py:79-82). */
   def select(root: HElem, selector: String): Seq[Hit] = {
-    if (selector.startsWith("xpath:"))
-      return XPathLite.eval(root, selector.stripPrefix("xpath:")).collect {
+    if (selector.startsWith("xpath:")) {
+      val results = XPathLite.eval(root, selector.stripPrefix("xpath:"))
+      // an item/container selector must yield ELEMENTS — an xpath
+      // ending in /text() or /@attr here is a misconfiguration and
+      // must fail loudly (the perimeter contract), not return an
+      // empty item list that reads as "page had no items"
+      require(results.forall {
+        case XPathLite.RNode(c) => c.node.isInstanceOf[HElem]
+        case _ => false
+      }, s"xpath selector '$selector' yields text/attribute results; " +
+        "an item selector must select elements")
+      return results.collect {
         case XPathLite.RNode(c) if c.node.isInstanceOf[HElem] =>
           Hit(XPathLite.ancestorsOf(c), c.node.asInstanceOf[HElem])
       }
+    }
     val (sels, _) = splitPseudo(selector)
     val chain = parseSelector(sels)
     val hits = Seq.newBuilder[Hit]

@@ -57,10 +57,15 @@ object PdfCodec {
       val seg = raw.substring(s, e).getBytes("ISO-8859-1")
       val known = Seq("/FlateDecode", "/ASCIIHexDecode", "/RunLengthDecode",
         "/LZWDecode").filter(dict.contains)
-      // contains-based dispatch can't express a filter CHAIN
-      // ([/ASCIIHexDecode /FlateDecode]) — refuse rather than decode
-      // only one link and return garbage
-      require(known.size <= 1,
+      // contains-based dispatch can't express a filter CHAIN — refuse
+      // on the count of ALL filter names after /Filter (a known+UNKNOWN
+      // chain like [/RunLengthDecode /ASCII85Decode] must not slip
+      // through a known-only count and decode one link into garbage)
+      val allFilters = "/Filter\\s*(\\[[^\\]]*\\]|/\\w+)".r
+        .findFirstMatchIn(dict).map(m =>
+          "/[A-Za-z0-9]+".r.findAllIn(m.group(1)).toList)
+        .getOrElse(Nil)
+      require(allFilters.size <= 1,
         s"unsupported PDF filter chain in $dict")
       if (dict.contains("/Filter") && known.isEmpty)
         throw new IllegalArgumentException(

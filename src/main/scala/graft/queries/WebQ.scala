@@ -91,8 +91,8 @@ object WebQ {
       val ranked = counts.withColumn("rank", row_number().over(wn))
         .filter(col("rank") <= 50)
         .select(col("source"),
-          round(log(col("rank")), 9).cast(DecimalType(20, 9)).as("x"),
-          round(log(col("c")), 9).cast(DecimalType(20, 9)).as("y"))
+          round(log(col("rank")), 9).cast(DecimalType(12, 9)).as("x"),
+          round(log(col("c")), 9).cast(DecimalType(12, 9)).as("y"))
       ranked.groupBy("source")
         .agg(count(lit(1)).as("n_terms"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -343,8 +343,8 @@ object WebQ {
         | GROUP BY source, w),
         |r AS (
         | SELECT source,
-        |  CAST(round(ln(rank), 9) AS DECIMAL(20,9)) AS x,
-        |  CAST(round(ln(c), 9) AS DECIMAL(20,9)) AS y
+        |  CAST(round(ln(rank), 9) AS DECIMAL(12,9)) AS x,
+        |  CAST(round(ln(c), 9) AS DECIMAL(12,9)) AS y
         | FROM (
         |  SELECT source, c, row_number() OVER (PARTITION BY source
         |    ORDER BY c DESC, w) AS rank
