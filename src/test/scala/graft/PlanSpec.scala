@@ -414,4 +414,31 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q187_returned_customers")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
+
+  test("PQ ADC search: LUT and query vector join by broadcast only") {
+    // the scored pass must stay a scan over the codes relation with
+    // 32-row broadcasts — a sort-merge join here would shuffle the
+    // whole codes table per query at scale
+    val p = planOf("q216_pq_adc_search")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("Hamming search plans one scan + top-k over 16-byte signatures") {
+    val p = planOf("q218_hamming_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("record linkage joins candidates on BOTH blocking keys") {
+    // the prefix key must reach the join (equi-key, not a post-join
+    // filter): nationkey alone leaves n²/25 levenshtein pairs — the
+    // 30 s sf0.1 regression SCALING.md records
+    val p = planOf("q221_record_linkage")
+    val joinLines = p.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .toList
+    assert(joinLines.exists(_.contains("substring")),
+      s"prefix blocking key not in any join's keys: ${joinLines.mkString(" | ")}")
+  }
 }
