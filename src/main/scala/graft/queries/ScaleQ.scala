@@ -415,9 +415,60 @@ object ScaleQ {
         .crossJoin(broadcast(nk))
         .select(col("n"), col("k"), col("cents").as("median_cents"))
     }),
+
+    // Pareto skyline (maximize price, maximize recency; Börzsönyi et
+    // al. ICDE'01): orders no other order strictly beats on BOTH
+    // dimensions — the multi-criteria "best offers" operator. Strict
+    // dominance is a range window: dominated iff max(date) over rows
+    // with price' > price exceeds date (integer-cents RANGE frame with
+    // offset 1 ⇒ strictly-higher prices). DISTRIBUTED SHAPE: a
+    // bucket-local skyline pass prunes first — the local non-dominated
+    // set provably contains the global skyline (a global dominator in
+    // the same bucket also dominates locally) — so the global window
+    // runs over the tiny candidate set, not the fact table; the oracle
+    // computes the same set in one global pass (the phases are
+    // result-equivalent by construction).
+    "q223_pareto_skyline" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(20, 2)) * 100)
+            .cast("long").as("price_c"),
+          to_date(col("o_orderdate")).as("d"))
+      val wLocal = Window.partitionBy("bk").orderBy("price_c")
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val candidates = o
+        .withColumn("bk", pmod(col("o_orderkey"), lit(64)))
+        .withColumn("mx", max(col("d")).over(wLocal))
+        .filter(col("mx").isNull || col("mx") <= col("d"))
+        .drop("bk", "mx")
+      val wGlobal = Window.orderBy("price_c")
+        .rangeBetween(1L, Window.unboundedFollowing)
+      candidates.withColumn("gmx", max(col("d")).over(wGlobal))
+        .filter(col("gmx").isNull || col("gmx") <= col("d"))
+        .select(col("o_orderkey"), col("price_c"), col("d").as("o_date"))
+        .orderBy(desc("price_c"), asc("o_orderkey"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // single global pass — result-equivalent to the engine's
+    // local-prune + global phases (the prune only removes dominated rows)
+    "q223_pareto_skyline" ->
+      """WITH o AS (
+        | SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100 AS BIGINT)
+        |    AS price_c,
+        |  CAST(o_orderdate AS DATE) AS d
+        | FROM orders),
+        |m AS (
+        | SELECT o_orderkey, price_c, d,
+        |  max(d) OVER (ORDER BY price_c
+        |   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS gmx
+        | FROM o)
+        |SELECT o_orderkey, price_c, d AS o_date
+        |FROM m WHERE gmx IS NULL OR gmx <= d
+        |ORDER BY price_c DESC, o_orderkey""".stripMargin,
+
     "q159_global_median" ->
       """WITH v AS (
         | SELECT CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * 100
