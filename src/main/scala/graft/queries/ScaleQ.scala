@@ -416,6 +416,45 @@ object ScaleQ {
         .select(col("n"), col("k"), col("cents").as("median_cents"))
     }),
 
+    // Exact WEIGHTED median by distributed selection — q159's histogram
+    // selection generalized to per-row weights (quantity-weighted price:
+    // "the price point where half the shipped units sit below"), the
+    // shape importance-weighted corpus statistics need. Same scale
+    // story: bucket histogram of WEIGHT SUMS → histogram-sized
+    // cumulative locates the rank-K bucket → only that bucket's rows
+    // are touched again, collapsed per distinct value before the
+    // bucket-sized cumulative window; no global sort anywhere. K =
+    // (Σw+1) DIV 2 (lower weighted median), everything exact integers.
+    "q224_weighted_median" -> ((s, dir) => {
+      val W = 1000000L // cents per bucket, as q159
+      val v = t(s, dir, "lineitem")
+        .select((col("l_extendedprice").cast(DecimalType(20, 2)) * 100)
+          .cast("long").as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        .withColumn("bk", ldiv(col("cents"), lit(W)))
+      val hist = v.groupBy("bk").agg(sum(col("w")).as("wsum"))
+      val nk = hist.agg(sum(col("wsum")).as("total_w"),
+        ldiv(sum(col("wsum")) + 1, lit(2L)).as("k"))
+      val wH = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val target = hist
+        .withColumn("below", coalesce(sum(col("wsum")).over(wH), lit(0L)))
+        .crossJoin(broadcast(nk))
+        .filter(col("below") < col("k") &&
+          col("k") <= col("below") + col("wsum"))
+        .select(col("bk").as("tbk"),
+          (col("k") - col("below")).as("local_k"))
+      val wB = Window.partitionBy("bk").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      v.join(broadcast(target), col("bk") === col("tbk"))
+        .groupBy("bk", "cents", "local_k").agg(sum(col("w")).as("cw"))
+        .withColumn("cum", sum(col("cw")).over(wB))
+        .filter(col("cum") >= col("local_k"))
+        .agg(min(col("cents")).as("weighted_median_cents"))
+        .crossJoin(broadcast(nk))
+        .select(col("total_w"), col("k"), col("weighted_median_cents"))
+    }),
+
     // Pareto skyline (maximize price, maximize recency; Börzsönyi et
     // al. ICDE'01): orders no other order strictly beats on BOTH
     // dimensions — the multi-criteria "best offers" operator. Strict
@@ -451,6 +490,27 @@ object ScaleQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "q224_weighted_median" ->
+      """WITH v AS (
+        | SELECT CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * 100
+        |   AS BIGINT) AS cents,
+        |  CAST(l_quantity AS BIGINT) AS w
+        | FROM lineitem),
+        |nk AS (
+        | SELECT CAST(sum(w) AS BIGINT) AS total_w,
+        |  (CAST(sum(w) AS BIGINT) + 1) // 2 AS k
+        | FROM v),
+        |c AS (SELECT cents, CAST(sum(w) AS BIGINT) AS cw
+        |  FROM v GROUP BY cents),
+        |cm AS (
+        | SELECT cents, sum(cw) OVER (ORDER BY cents
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM c)
+        |SELECT nk.total_w, nk.k,
+        | (SELECT min(cents) FROM cm WHERE cm.cum >= (SELECT k FROM nk))
+        |  AS weighted_median_cents
+        |FROM nk""".stripMargin,
+
     // single global pass — result-equivalent to the engine's
     // local-prune + global phases (the prune only removes dominated rows)
     "q223_pareto_skyline" ->
