@@ -467,23 +467,38 @@ object ScaleQ {
     // runs over the tiny candidate set, not the fact table; the oracle
     // computes the same set in one global pass (the phases are
     // result-equivalent by construction).
+    // Dominance check is an O(n) ROWS-frame running max over rows
+    // COLLAPSED to one per price (a shrinking RANGE frame recomputes
+    // its aggregate per row — O(n²) per bucket, 2.7 s of one-task CPU
+    // at sf0.1, measured): after the collapse, "preceding rows" under
+    // a price-descending order are exactly the STRICTLY higher prices,
+    // so equal prices never dominate each other and the running max is
+    // one pass. The bucket repartition is EXPLICIT so AQE's byte-based
+    // coalescing can't fold the 64 local windows into one task (the
+    // SCALING.md small-bytes trap — also measured here).
     "q223_pareto_skyline" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"),
           (col("o_totalprice").cast(DecimalType(20, 2)) * 100)
             .cast("long").as("price_c"),
           to_date(col("o_orderdate")).as("d"))
-      val wLocal = Window.partitionBy("bk").orderBy("price_c")
-        .rangeBetween(1L, Window.unboundedFollowing)
-      val candidates = o
-        .withColumn("bk", pmod(col("o_orderkey"), lit(64)))
-        .withColumn("mx", max(col("d")).over(wLocal))
-        .filter(col("mx").isNull || col("mx") <= col("d"))
-        .drop("bk", "mx")
-      val wGlobal = Window.orderBy("price_c")
-        .rangeBetween(1L, Window.unboundedFollowing)
-      candidates.withColumn("gmx", max(col("d")).over(wGlobal))
-        .filter(col("gmx").isNull || col("gmx") <= col("d"))
+      def prune(df: DataFrame, part: Option[String]): DataFrame = {
+        val w = part.fold(Window.orderBy(desc("price_c")))(p =>
+          Window.partitionBy(p).orderBy(desc("price_c")))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val keys = part.toSeq :+ "price_c"
+        val collapsed = df.groupBy(keys.map(col): _*)
+          .agg(max(col("d")).as("maxd"))
+          .withColumn("dom", max(col("maxd")).over(w))
+          .select(keys.map(col) :+ col("dom"): _*)
+        df.join(collapsed, keys)
+          .filter(col("dom").isNull || col("dom") <= col("d"))
+          .drop("dom")
+      }
+      val bucketed = o.withColumn("bk", pmod(col("o_orderkey"), lit(64)))
+        .repartition(s.sparkContext.defaultParallelism, col("bk"))
+      val candidates = prune(bucketed, Some("bk")).drop("bk")
+      prune(candidates, None)
         .select(col("o_orderkey"), col("price_c"), col("d").as("o_date"))
         .orderBy(desc("price_c"), asc("o_orderkey"))
     }),
