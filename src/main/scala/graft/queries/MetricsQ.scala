@@ -1,0 +1,559 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import graft.ops.TextOps
+
+/** Round-7 evaluation-and-analysis tier: the metrics a curation run
+  * computes ABOUT its own gates and sketches (ROC-AUC, Count-Min error,
+  * MinHash agreement), the deterministic assignment ops a training run
+  * needs (curriculum shards, k-fold strata), second-moment embedding
+  * statistics, and perceptual analysis layered on the REAL media codecs
+  * (image dHash, audio energy fingerprint, video scene cuts). Every
+  * query is hash-exact against DuckDB: sketches use md5-derived hashes
+  * so even the approximation is replayable, ratios ride in integer
+  * basis points via integral DIV, and wide sums go through DECIMAL
+  * before multiplying (the q104/q183 discipline). */
+object MetricsQ {
+
+  private val dec = DecimalType(38, 0)
+
+  /** The q87 quality-score column (exact integer basis points). */
+  private def qbp: Column = TextOps.qualityBp(TextOps.tokens(col("text")))
+
+  /** The q87 quality-score SQL fragment, from raw `text`. */
+  private val qbpSql: String =
+    """CAST(CASE WHEN len(string_split(lower(text), ' ')) <= 100
+      |  THEN (len(string_split(lower(text), ' '))
+      |        - len(list_filter(string_split(lower(text), ' '),
+      |            x -> x IN ('the','a','an','of','to','and','in','is','on','for')))) * 100
+      |  ELSE (len(string_split(lower(text), ' '))
+      |        - len(list_filter(string_split(lower(text), ' '),
+      |            x -> x IN ('the','a','an','of','to','and','in','is','on','for')))) * 10000
+      |       // len(string_split(lower(text), ' ')) END AS BIGINT)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROC-AUC of the quality score against the labeled-English target —
+    // the separation audit behind any threshold gate (does qualityBp
+    // actually rank the docs we want kept above the rest?). Exact
+    // Mann-Whitney with tie correction, all integers: collapse the
+    // corpus to a score histogram (≤10⁴ distinct bp values at ANY
+    // corpus size), then 2U = Σ_s pos_s·(2·negBelow_s + neg_s) — the
+    // 0.5-tie term stays integral because everything is doubled — and
+    // AUC_bp = 2U·5000 DIV (n₁·n₀) in DECIMAL so 10¹²-doc corpora
+    // can't wrap. The only window runs over the histogram, never the
+    // corpus; one scan, one tiny shuffle.
+    "q225_quality_auc" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        qbp.as("q_bp"),
+        (col("lang") === "en").cast("long").as("pos"))
+      val hist = d.groupBy("q_bp").agg(
+        sum("pos").as("p"),
+        (count(lit(1)) - sum("pos")).as("g"))
+      val w = Window.orderBy("q_bp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("cg", coalesce(sum("g").over(w), lit(0L)))
+        .agg(
+          sum("p").cast("long").as("n_pos"),
+          sum("g").cast("long").as("n_neg"),
+          sum(col("p").cast(dec) * (lit(2) * col("cg") + col("g")))
+            .as("u2"))
+        .select(col("n_pos"), col("n_neg"),
+          when(col("n_pos") === 0 || col("n_neg") === 0,
+            lit(null).cast("long"))
+            .otherwise(ldiv(col("u2") * lit(5000),
+              col("n_pos").cast(dec) * col("n_neg"))).as("auc_bp"))
+    }),
+
+    // Count-Min sketch (Cormode & Muthukrishnan 2005) with its error
+    // audited against exact counts — and unlike the rows-only sketch
+    // family, HASH-CHECKABLE: buckets are the first md5 hex pair under
+    // 4 seeds (string keys end to end — the q179 rule: no hex→int cast
+    // for engines to disagree on), so DuckDB replays the sketch bit for
+    // bit. Shape at 100 TB: corpus → vocab rollup (map-side combined),
+    // vocab → 4×256 cells, top-20 via TakeOrderedAndProject, probe join
+    // against the broadcast cell table. CMS guarantees est ≥ exact;
+    // over_bp reports the collision inflation per heavy hitter.
+    "q226_countmin_sketch" -> ((s, dir) => {
+      def bucket(seed: Int, tk: Column) =
+        substring(md5(concat(lit(s"$seed:"), tk)), 1, 2)
+      val seedCols = array((0 until 4).map(r =>
+        struct(lit(r).cast("long").as("seed"),
+          bucket(r, col("tk")).as("bucket"))): _*)
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("exact_n"))
+      val cells = vocab.select(col("exact_n"), explode(seedCols).as("sb"))
+        .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+        .agg(sum("exact_n").as("cell_n"))
+      val top = vocab.orderBy(desc("exact_n"), asc("tk")).limit(20)
+      top.select(col("tk"), col("exact_n"), explode(seedCols).as("sb"))
+        .select(col("tk"), col("exact_n"),
+          col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+        .join(broadcast(cells), Seq("seed", "bucket"))
+        .groupBy("tk", "exact_n").agg(min("cell_n").as("est_n"))
+        .select(col("tk"), col("exact_n"), col("est_n"),
+          ldiv((col("est_n") - col("exact_n")) * lit(10000L),
+            col("exact_n")).as("over_bp"))
+        .orderBy(desc("exact_n"), asc("tk"))
+    }),
+
+    // MinHash similarity ESTIMATION made oracle-exact (the contrast to
+    // rows-only q17): signatures are mins of md5 hex strings under 8
+    // seeds — lexicographic min of lowercase hex agrees across engines
+    // — so candidate generation (seed-0 band collision), the agreement
+    // count AND the Jaccard estimate all replay exactly in DuckDB.
+    // Shape: per-doc distinct shingles → 8 conditional mins in ONE
+    // vocab-keyed rollup (no seed explode), sig table self-joins on the
+    // band key only. Band-bucket fan-out is bounded by near-dup cluster
+    // size — run exact dedup (q09) upstream so identical docs can't
+    // form a mega-bucket.
+    "q227_minhash_estimate" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.functions.ShinglesExpr
+          .shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      val sigAggs = (0 until 8).map(r =>
+        min(md5(concat(lit(s"$r:"), col("sh")))).as(s"s$r"))
+      val sigs = sh.groupBy("doc_id")
+        .agg(sigAggs.head, sigAggs.tail: _*)
+      val left = sigs.select(col("doc_id").as("a_id") +:
+        (0 until 8).map(r => col(s"s$r").as(s"a$r")): _*)
+      val right = sigs.select(col("doc_id").as("b_id") +:
+        (0 until 8).map(r => col(s"s$r").as(s"b$r")): _*)
+      val agree = (0 until 8)
+        .map(r => when(col(s"a$r") === col(s"b$r"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      left.join(right, col("a0") === col("b0") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), agree.as("agree"),
+          ldiv(agree * lit(10000L), lit(8L)).as("est_jaccard_bp"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Curriculum sharding: quality-ranked serpentine assignment into 8
+    // shards (rank r → shard snake(r), so every shard gets the same
+    // quality PROFILE, not just the same count — the standard trick for
+    // difficulty-balanced training shards). The global rank is computed
+    // WITHOUT a global window: the total order is (q_bp desc, bucket,
+    // doc_id), offsets come from a cumulative over the (q_bp × 32
+    // buckets) HISTOGRAM (≤320k rows at any corpus size), and the only
+    // per-row window partitions by (q_bp, bucket) — the q159/PrefixSum
+    // distributed-selection idiom applied to ranking.
+    "q228_curriculum_shards" -> ((s, dir) => {
+      val nb = 32L
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), qbp.as("q_bp"))
+        .withColumn("bk", pmod(col("doc_id"), lit(nb)))
+      val hist = d.groupBy("q_bp", "bk").agg(count(lit(1)).as("c"))
+      val wOff = Window.orderBy(desc("q_bp"), asc("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = hist
+        .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+        .select("q_bp", "bk", "off")
+      val wIn = Window.partitionBy("q_bp", "bk").orderBy("doc_id")
+      val r0 = col("off") + row_number().over(wIn) - 1
+      val pass = ldiv(col("r0"), lit(8L))
+      val pos = pmod(col("r0"), lit(8L))
+      d.join(broadcast(off), Seq("q_bp", "bk"))
+        .withColumn("r0", r0)
+        .withColumn("shard",
+          when(pmod(pass, lit(2L)) === 0, pos).otherwise(lit(7L) - pos))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("q_bp").as("sq"))
+        .select(col("shard"), col("n_docs"),
+          ldiv(col("sq"), col("n_docs")).as("mean_q_bp"))
+        .orderBy("shard")
+    }),
+
+    // Stratified k-fold assignment audit: fold = md5-derived hash of
+    // the doc id mod 5, computed WITHOUT any window (pure per-row
+    // projection — the only fold assignment that scales, since a
+    // within-stratum rank would partition a window by `lang` and a
+    // 100 TB English stratum is one partition). The hex nibbles map to
+    // integers through instr('0123456789abcdef', ·) on both engines —
+    // the q179 no-hex-cast rule again. Output is the per-(lang, fold)
+    // balance report a CV harness logs before training.
+    "q229_kfold_strata" -> ((s, dir) => {
+      val nib1 = "instr('0123456789abcdef', substring(" +
+        "md5(concat('fold:', cast(doc_id as string))), 1, 1)) - 1"
+      val nib2 = "instr('0123456789abcdef', substring(" +
+        "md5(concat('fold:', cast(doc_id as string))), 2, 1)) - 1"
+      val fold = pmod(expr(s"($nib1) * 16 + ($nib2)"), lit(5)).cast("long")
+      val cnt = t(s, dir, "documents")
+        .select(col("lang"), fold.as("fold"))
+        .groupBy("lang", "fold").agg(count(lit(1)).as("n_docs"))
+      val wl = Window.partitionBy("lang")
+      cnt.withColumn("share_bp",
+          ldiv(col("n_docs") * lit(10000L), sum("n_docs").over(wl)))
+        .orderBy("lang", "fold")
+    }),
+
+    // Embedding second-moment statistics: the top-10 most-correlated
+    // dimension pairs by |covariance numerator| n·Σxᵢxⱼ − Σxᵢ·Σxⱼ over
+    // the q182 integer lattice (quantized components, so the moments
+    // are exact integers and the ranking is engine-independent). The
+    // n·d² work is inherent to any covariance; the SHAPE is what
+    // scales: per-row pair fan-out partial-aggregates into a fixed
+    // d·(d−1)/2-cell table (2016 rows for d=64 at any corpus size),
+    // dim sums are 64 rows, n is a broadcast scalar — shuffles never
+    // grow with the corpus. Products ride in DECIMAL (q183 rule:
+    // Σxᵢxⱼ·n wraps BIGINT near 10¹⁹).
+    "q230_embedding_covariance" -> ((s, dir) => {
+      val quant = transform(col("embedding"),
+        v => floor(v.cast("double") * 1000).cast("long"))
+      val base = t(s, dir, "embeddings").select(quant.as("q"))
+      val nDf = base.agg(count(lit(1)).cast(dec).as("n"))
+      val ex = base.select(col("q"), posexplode(col("q")))
+        .toDF("q", "i", "qi")
+      val sums = ex.groupBy("i").agg(sum(col("qi")).cast(dec).as("si"))
+      val pairs = ex.select(col("i"), col("qi"), posexplode(col("q")))
+        .toDF("i", "qi", "j", "qj")
+        .filter(col("j") > col("i"))
+        .groupBy("i", "j")
+        .agg(sum(col("qi").cast(dec) * col("qj")).as("sp"))
+      val sj = sums.select(col("i").as("j"), col("si").as("sj"))
+      pairs.join(broadcast(sums), "i").join(broadcast(sj), "j")
+        .crossJoin(broadcast(nDf))
+        .select((col("i") + 1).cast("long").as("dim_i"),
+          (col("j") + 1).cast("long").as("dim_j"),
+          (col("n") * col("sp") - col("si") * col("sj"))
+            .cast(dec).as("cov_num"))
+        .orderBy(abs(col("cov_num")).desc, col("dim_i"), col("dim_j"))
+        .limit(10)
+    }),
+
+    // Perceptual image dedup over the REAL decoder: each image-kind doc
+    // round-trips PNG/BMP through ImageCodec (q203's seam), then a
+    // 1-D dHash over 33 stride positions of the decoded pixels packs 32
+    // brightness-gradient bits into one BIGINT — re-encodings with the
+    // same content collide, so grouping the fingerprint is near-dup
+    // image dedup without pairwise pixel compares. The oracle recomputes
+    // every bit from the text (pixel k == ord(char k) — lossless
+    // roundtrip), so a decoder or stride bug breaks the hash. One
+    // decode pass + one fp-keyed exchange.
+    "q231_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val perDoc = graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0 && length(col("text")) >= 33)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("ISO-8859-1")
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val enc = graft.multimodal.ImageCodec.encodeGray(
+            bytes.length, 1, bytes, fmt)
+          val (w, h, pix) = graft.multimodal.ImageCodec.decodeGray(enc)
+          require(w == bytes.length && h == 1,
+            s"roundtrip shape drift: ${w}x$h")
+          val len = pix.length
+          var fp = 0L
+          var k = 0
+          while (k < 32) {
+            val a = pix((k.toLong * (len - 1) / 32).toInt) & 0xff
+            val b = pix(((k + 1).toLong * (len - 1) / 32).toInt) & 0xff
+            if (b > a) fp |= (1L << k)
+            k += 1
+          }
+          (id, fp)
+        }.toDF("doc_id", "fp")
+      val groups = perDoc.groupBy("fp").agg(count(lit(1)).as("n_same_fp"))
+      perDoc.join(groups, "fp")
+        .select(col("doc_id"), col("fp"), col("n_same_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Audio near-dup fingerprint over the REAL decoder (the Shazam-
+    // family shape at its smallest): WAV round-trip via WavCodec
+    // (q217's seam), windowed energies Σs² over 8-sample windows, then
+    // the SIGN of consecutive energy deltas packs into ≤32 bits — a
+    // level-invariant-ish sketch whose collisions flag re-encoded /
+    // re-recorded duplicates. Exact integers throughout (energy ≤
+    // 8·32768² fits BIGINT), oracle recomputes from the text samples.
+    // One decode pass + one fp-keyed exchange.
+    "q232_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val perDoc = graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 16)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val src = text.getBytes("ISO-8859-1")
+          val samples = new Array[Short](src.length)
+          var i = 0
+          while (i < src.length) {
+            samples(i) = ((src(i) & 0xff) * 257 - 32768).toShort
+            i += 1
+          }
+          val wav = graft.multimodal.WavCodec.encodePcm16(8000, 1, samples)
+          val (_, ch, decd) = graft.multimodal.WavCodec.decodePcm16(wav)
+          require(ch == 1 && decd.length == samples.length,
+            "roundtrip shape drift")
+          val nw = decd.length / 8
+          val energy = Array.tabulate(nw) { w =>
+            var e = 0L
+            var k = 0
+            while (k < 8) {
+              val v = decd(w * 8 + k).toLong; e += v * v; k += 1
+            }
+            e
+          }
+          val nbits = math.min(nw - 1, 32)
+          var fp = 0L
+          var w = 0
+          while (w < nbits) {
+            if (energy(w + 1) > energy(w)) fp |= (1L << w)
+            w += 1
+          }
+          (id, nw.toLong, fp)
+        }.toDF("doc_id", "n_windows", "fp")
+      val groups = perDoc.groupBy("fp").agg(count(lit(1)).as("n_same_fp"))
+      perDoc.join(groups, "fp")
+        .select(col("doc_id"), col("n_windows"), col("fp"),
+          col("n_same_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Scene-cut detection over the REAL video decoder: every frame of
+    // the AVI round-trip (q220's seam, but ALL frames — cut detection
+    // needs adjacent pairs), per-pair sum of absolute byte deltas, a
+    // cut wherever the mean per-byte delta exceeds 64 (diff > 45·64).
+    // The per-doc output (cut count, total/max motion) is what a frame-
+    // sampling embedding feed keys on: sample densely around cuts,
+    // sparsely inside still scenes. Per-row executor work, no shuffle;
+    // oracle replays the frame formula byte for byte.
+    "q233_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val src = text.getBytes("ISO-8859-1")
+          val len = src.length
+          val nf = (3 + id % 3).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(45)(p => src((f * 45 + p) % len))
+          }
+          val avi = graft.multimodal.AviCodec.encodeDib24(5, 3, frames, 10)
+          val (w, h, fps, decf) = graft.multimodal.AviCodec.decodeDib24(avi)
+          require(w == 5 && h == 3 && fps == 10 && decf.length == nf,
+            "roundtrip shape drift")
+          var cuts = 0L
+          var total = 0L
+          var mx = 0L
+          var f = 0
+          while (f < nf - 1) {
+            var diff = 0L
+            var p = 0
+            while (p < 45) {
+              diff += math.abs((decf(f + 1)(p) & 0xff) - (decf(f)(p) & 0xff))
+              p += 1
+            }
+            total += diff
+            if (diff > mx) mx = diff
+            if (diff > 2880) cuts += 1
+            f += 1
+          }
+          (id, nf.toLong, cuts, total, mx)
+        }.toDF("doc_id", "n_frames", "n_cuts", "total_diff", "max_diff")
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q225_quality_auc" ->
+      s"""WITH f AS (
+         | SELECT $qbpSql AS q_bp,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         | FROM documents),
+         |h AS (
+         | SELECT q_bp, CAST(sum(pos) AS BIGINT) AS p,
+         |  CAST(count(*) - sum(pos) AS BIGINT) AS g
+         | FROM f GROUP BY q_bp),
+         |c AS (
+         | SELECT p, g, CAST(coalesce(sum(g) OVER (ORDER BY q_bp
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS BIGINT) AS cg
+         | FROM h)
+         |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         | CAST(sum(g) AS BIGINT) AS n_neg,
+         | CAST(CASE WHEN sum(p) = 0 OR sum(g) = 0 THEN NULL
+         |  ELSE sum(CAST(p AS HUGEINT) * (2 * cg + g)) * 5000
+         |    // (CAST(sum(p) AS HUGEINT) * sum(g)) END AS BIGINT) AS auc_bp
+         |FROM c""".stripMargin,
+
+    "q226_countmin_sketch" ->
+      """WITH v AS (
+        | SELECT tk, CAST(count(*) AS BIGINT) AS exact_n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tk
+        |  FROM documents) GROUP BY tk),
+        |sb AS (
+        | SELECT tk, exact_n, s.seed,
+        |  substr(md5(CAST(s.seed AS VARCHAR) || ':' || tk), 1, 2) AS bucket
+        | FROM v, (SELECT unnest(range(0, 4)) AS seed) s),
+        |cells AS (
+        | SELECT seed, bucket, CAST(sum(exact_n) AS BIGINT) AS cell_n
+        | FROM sb GROUP BY seed, bucket),
+        |top AS (
+        | SELECT tk, exact_n FROM v ORDER BY exact_n DESC, tk LIMIT 20)
+        |SELECT t.tk, t.exact_n, CAST(min(c.cell_n) AS BIGINT) AS est_n,
+        | CAST((min(c.cell_n) - t.exact_n) * 10000 // t.exact_n AS BIGINT)
+        |   AS over_bp
+        |FROM top t
+        |JOIN sb ON sb.tk = t.tk
+        |JOIN cells c ON c.seed = sb.seed AND c.bucket = sb.bucket
+        |GROUP BY t.tk, t.exact_n
+        |ORDER BY t.exact_n DESC, t.tk""".stripMargin,
+
+    "q227_minhash_estimate" -> {
+      val mins = (0 until 8)
+        .map(r => s"min(md5('$r:' || sh)) AS s$r").mkString(", ")
+      val agree = (0 until 8)
+        .map(r => s"(CASE WHEN a.s$r = b.s$r THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH s AS (
+         | SELECT doc_id, string_split(lower(text), ' ') AS toks
+         | FROM documents),
+         |sh AS (
+         | SELECT doc_id, unnest(list_distinct(list_transform(
+         |   range(1, len(toks) - 1),
+         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+         | FROM s),
+         |sg AS (
+         | SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         | CAST($agree AS BIGINT) AS agree,
+         | CAST(($agree) * 10000 // 8 AS BIGINT) AS est_jaccard_bp
+         |FROM sg a JOIN sg b ON a.s0 = b.s0 AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "q228_curriculum_shards" ->
+      s"""WITH f AS (
+         | SELECT doc_id, $qbpSql AS q_bp FROM documents),
+         |r AS (
+         | SELECT q_bp, CAST(row_number() OVER (
+         |   ORDER BY q_bp DESC, doc_id % 32, doc_id) - 1 AS BIGINT) AS r0
+         | FROM f),
+         |sh AS (
+         | SELECT q_bp, CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+         |   ELSE 7 - (r0 % 8) END AS shard
+         | FROM r)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(q_bp) // count(*) AS BIGINT) AS mean_q_bp
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q229_kfold_strata" ->
+      """WITH f AS (
+        | SELECT lang,
+        |  CAST(((instr('0123456789abcdef',
+        |     substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + instr('0123456789abcdef',
+        |     substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 5
+        |   AS BIGINT) AS fold
+        | FROM documents),
+        |c AS (
+        | SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM f GROUP BY lang, fold)
+        |SELECT lang, fold, n_docs,
+        | CAST(n_docs * 10000 // CAST(sum(n_docs)
+        |   OVER (PARTITION BY lang) AS BIGINT) AS BIGINT) AS share_bp
+        |FROM c ORDER BY lang, fold""".stripMargin,
+
+    "q230_embedding_covariance" ->
+      """WITH b AS (
+        | SELECT list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n FROM b),
+        |s AS (
+        | SELECT i, CAST(sum(q[i]) AS DECIMAL(38,0)) AS si
+        | FROM b, range(1, 65) t(i) GROUP BY i),
+        |p AS (
+        | SELECT i, j, CAST(sum(CAST(q[i] AS DECIMAL(38,0)) * q[j])
+        |   AS DECIMAL(38,0)) AS sp
+        | FROM b, range(1, 65) t(i), range(1, 65) u(j)
+        | WHERE j > i GROUP BY i, j)
+        |SELECT CAST(p.i AS BIGINT) AS dim_i, CAST(p.j AS BIGINT) AS dim_j,
+        | CAST(nn.n * p.sp - a.si * c.sj AS DECIMAL(38,0)) AS cov_num
+        |FROM p
+        |JOIN s a ON a.i = p.i
+        |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
+        |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+
+    // pixel k == ord(char k): the gray roundtrip is lossless, so the
+    // oracle recomputes each dHash bit straight from the text
+    "q231_image_dhash" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len FROM documents
+        | WHERE doc_id % 3 = 0 AND length(text) >= 33),
+        |f AS (
+        | SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), k ->
+        |   CASE WHEN ord(substr(text,
+        |       CAST((k + 1) * (len - 1) // 32 + 1 AS INTEGER), 1))
+        |     > ord(substr(text,
+        |       CAST(k * (len - 1) // 32 + 1 AS INTEGER), 1))
+        |    THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+        |    ELSE 0 END)) AS BIGINT) AS fp
+        | FROM d)
+        |SELECT doc_id, fp,
+        | CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // sample k == ord(char k)·257 − 32768 (lossless PCM16 roundtrip);
+    // energies are 8-sample Σs², bits are consecutive-energy signs
+    "q232_audio_fingerprint" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len FROM documents
+        | WHERE doc_id % 3 = 1 AND length(text) >= 16),
+        |e AS (
+        | SELECT doc_id, len // 8 AS nw,
+        |  list_transform(range(0, len // 8), w ->
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (ord(substr(text, CAST(w * 8 + i AS INTEGER), 1)) * 257
+        |        - 32768)
+        |      * (ord(substr(text, CAST(w * 8 + i AS INTEGER), 1)) * 257
+        |        - 32768)))) AS en
+        | FROM d),
+        |f AS (
+        | SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    range(0, least(nw - 1, 32)), w ->
+        |    CASE WHEN en[CAST(w + 2 AS INTEGER)] > en[CAST(w + 1 AS INTEGER)]
+        |     THEN (CAST(1 AS BIGINT) << CAST(w AS INTEGER))
+        |     ELSE 0 END)), 0) AS BIGINT) AS fp
+        | FROM e)
+        |SELECT doc_id, n_windows, fp,
+        | CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // frame f, position p: byte == ord(char ((f·45+p) mod len)) — the
+    // DIB roundtrip is lossless, so adjacent-frame deltas replay exactly
+    "q233_scene_cuts" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len, 3 + doc_id % 3 AS nf
+        | FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+        |df AS (
+        | SELECT doc_id, nf,
+        |  list_sum(list_transform(range(0, 45), p ->
+        |    abs(ord(substr(text,
+        |        CAST(((f + 1) * 45 + p) % len + 1 AS INTEGER), 1))
+        |      - ord(substr(text,
+        |        CAST((f * 45 + p) % len + 1 AS INTEGER), 1))))) AS diff
+        | FROM (SELECT doc_id, text, len, nf,
+        |    unnest(range(0, nf - 1)) AS f FROM d))
+        |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        | CAST(coalesce(sum(CASE WHEN diff > 2880 THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS n_cuts,
+        | CAST(coalesce(sum(diff), 0) AS BIGINT) AS total_diff,
+        | CAST(coalesce(max(diff), 0) AS BIGINT) AS max_diff
+        |FROM df GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,220 @@
+package graft
+
+/** Round-7 additions q225-q233: every check recomputes the result from
+  * raw rows in plain Scala (no Spark ops, no codecs on the brute path),
+  * so a query bug and a test bug can't cancel out. The media queries'
+  * brute twins recompute from the TEXT formulas — agreement with the
+  * query output proves the real encode→decode roundtrip is lossless on
+  * top of the math being right. */
+class MetricsQSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(_._1)
+
+  private val stop = Set("the", "a", "an", "of", "to", "and", "in",
+    "is", "on", "for")
+
+  /** Spark's split(lower(text), " ") keeps trailing empties → limit -1. */
+  private def toks(text: String): Array[String] =
+    text.toLowerCase.split(" ", -1)
+
+  private def qualityBp(text: String): Long = {
+    val tk = toks(text)
+    val n = tk.length.toLong
+    val content = n - tk.count(stop)
+    if (n <= 100) content * 100 else content * 10000 / n
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q225 AUC equals brute-force pair counting") {
+    val scored = docs.map { case (_, text, lang) =>
+      (qualityBp(text), lang == "en")
+    }
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    var u2 = 0L
+    for (p <- pos; g <- neg) {
+      if (p > g) u2 += 2 else if (p == g) u2 += 1
+    }
+    val expAuc = u2 * 5000 / (pos.length.toLong * neg.length)
+    val Array(row) = run("q225_quality_auc").collect()
+    assert(row.getLong(0) === pos.length.toLong)
+    assert(row.getLong(1) === neg.length.toLong)
+    assert(row.getLong(2) === expAuc)
+  }
+
+  test("q226 Count-Min never underestimates and exact counts are exact") {
+    val counts = docs.flatMap(d => toks(d._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = run("q226_countmin_sketch").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (tk, exact, est, over) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(exact === counts(tk), s"exact count drift for '$tk'")
+      assert(est >= exact, s"CMS underestimated '$tk': $est < $exact")
+      assert(over === (est - exact) * 10000 / exact)
+    }
+    // top-20 selection really is the 20 largest with the (n desc, tk) tiebreak
+    val expTop = counts.toSeq.sortBy { case (tk, n) => (-n, tk) }.take(20)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      expTop.sortBy { case (tk, n) => (-n, tk) })
+  }
+
+  test("q227 MinHash signatures, candidates and estimates replay exactly") {
+    val sigs = docs.flatMap { case (id, text, _) =>
+      val tk = toks(text)
+      val shingles = (0 to tk.length - 3)
+        .map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").distinct
+      if (shingles.isEmpty) None
+      else Some(id -> (0 until 8).map(r =>
+        shingles.map(sh => md5hex(s"$r:$sh")).min))
+    }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && sa.head == sb.head
+    } yield {
+      val agree = (0 until 8).count(r => sa(r) == sb(r)).toLong
+      (a, b, agree, agree * 10000 / 8)
+    }).sortBy(t => (t._1, t._2))
+    val got = run("q227_minhash_estimate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("q228 serpentine shards are count-balanced and exactly reproducible") {
+    val ranked = docs.map { case (id, text, _) => (id, qualityBp(text)) }
+      .sortBy { case (id, bp) => (-bp, id % 32, id) }
+    val assigned = ranked.zipWithIndex.map { case ((_, bp), r0) =>
+      val pass = r0 / 8
+      val pos = r0 % 8
+      (if (pass % 2 == 0) pos.toLong else 7L - pos, bp)
+    }
+    val expected = assigned.groupBy(_._1).toSeq.map { case (sh, rows) =>
+      (sh, rows.size.toLong, rows.map(_._2).sum / rows.size)
+    }.sortBy(_._1)
+    val got = run("q228_curriculum_shards").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    val ns = got.map(_._2)
+    assert(ns.max - ns.min <= 1, s"serpentine shard counts unbalanced: $ns")
+  }
+
+  test("q229 k-fold strata replay the md5-nibble assignment") {
+    val hex = "0123456789abcdef"
+    val folds = docs.map { case (id, _, lang) =>
+      val h = md5hex(s"fold:$id")
+      val f = (hex.indexOf(h(0)) * 16 + hex.indexOf(h(1))) % 5
+      (lang, f.toLong)
+    }
+    val byLang = folds.groupBy(_._1).map { case (l, v) => l -> v.size.toLong }
+    val expected = folds.groupBy(identity).toSeq
+      .map { case ((l, f), v) =>
+        val n = v.size.toLong
+        (l, f, n, n * 10000 / byLang(l))
+      }.sortBy(t => (t._1, t._2))
+    val got = run("q229_kfold_strata").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    got.foreach { case (_, f, _, _) => assert(f >= 0 && f <= 4) }
+  }
+
+  test("q230 covariance top-10 equals brute-force moments") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v =>
+        math.floor(v.toDouble * 1000).toLong).toArray)
+    val n = BigInt(vecs.length)
+    val d = 64
+    val si = (0 until d).map(i => BigInt(vecs.map(_(i)).sum))
+    val expected = (for {
+      i <- 0 until d; j <- i + 1 until d
+    } yield {
+      val sp = vecs.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+      (i + 1L, j + 1L, n * sp - si(i) * si(j))
+    }).sortBy { case (i, j, c) => (-c.abs, i, j) }.take(10)
+    val got = run("q230_embedding_covariance").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger))).toSeq
+    assert(got === expected)
+  }
+
+  test("q231 dHash bits recompute from the text formula") {
+    val expected = docs.collect {
+      case (id, text, _) if id % 3 == 0 && text.length >= 33 =>
+        val len = text.length
+        var fp = 0L
+        for (k <- 0 until 32) {
+          val a = text.charAt((k.toLong * (len - 1) / 32).toInt).toInt
+          val b = text.charAt(((k + 1).toLong * (len - 1) / 32).toInt).toInt
+          if (b > a) fp |= (1L << k)
+        }
+        (id, fp)
+    }
+    val groupN = expected.groupBy(_._2).map { case (f, v) => f -> v.size.toLong }
+    val exp = expected.map { case (id, fp) => (id, fp, groupN(fp)) }
+      .sortBy(_._1)
+    val got = run("q231_image_dhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exp)
+  }
+
+  test("q232 audio fingerprint recomputes from the text formula") {
+    val expected = docs.collect {
+      case (id, text, _) if id % 3 == 1 && text.length >= 16 =>
+        val samples = text.map(c => c.toInt * 257 - 32768)
+        val nw = samples.length / 8
+        val energy = (0 until nw).map { w =>
+          (0 until 8).map(k => samples(w * 8 + k).toLong).map(v => v * v).sum
+        }
+        val nbits = math.min(nw - 1, 32)
+        var fp = 0L
+        for (w <- 0 until nbits)
+          if (energy(w + 1) > energy(w)) fp |= (1L << w)
+        (id, nw.toLong, fp)
+    }
+    val groupN = expected.groupBy(_._3).map { case (f, v) => f -> v.size.toLong }
+    val exp = expected.map { case (id, nw, fp) => (id, nw, fp, groupN(fp)) }
+      .sortBy(_._1)
+    val got = run("q232_audio_fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === exp)
+  }
+
+  test("q233 scene cuts recompute from the frame formula") {
+    val expected = docs.collect {
+      case (id, text, _) if id % 3 == 2 && text.nonEmpty =>
+        val len = text.length
+        val nf = (3 + id % 3).toInt
+        def byte(f: Int, p: Int): Int = text.charAt((f * 45 + p) % len).toInt
+        var cuts = 0L; var total = 0L; var mx = 0L
+        for (f <- 0 until nf - 1) {
+          val diff = (0 until 45)
+            .map(p => math.abs(byte(f + 1, p) - byte(f, p)).toLong).sum
+          total += diff
+          if (diff > mx) mx = diff
+          if (diff > 2880) cuts += 1
+        }
+        (id, nf.toLong, cuts, total, mx)
+    }.sortBy(_._1)
+    val got = run("q233_scene_cuts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+}
