@@ -35,7 +35,162 @@ object MetricsQ {
       |            x -> x IN ('the','a','an','of','to','and','in','is','on','for')))) * 10000
       |       // len(string_split(lower(text), ' ')) END AS BIGINT)""".stripMargin
 
+  /** Exact lower median per group by distributed selection — q159's
+    * histogram machinery generalized to grouped data: per-(key, bucket)
+    * histogram → per-key cumulative over the ≤|buckets|-row histogram
+    * locates each key's rank-k bucket → only those buckets' rows are
+    * ranked. No window ever partitions by the bare group key over raw
+    * rows (a 100 TB group would serialize into one task); every raw-row
+    * window is (key, bucket)-scoped. `cents` must be non-negative
+    * (integral DIV truncates toward zero, which would fold buckets -1
+    * and 0 together across the origin). */
+  private def lowerMedianPerGroup(v: DataFrame, key: String,
+      bucketW: Long): DataFrame = {
+    val hist = v.groupBy(key, "bk").agg(count(lit(1)).as("cnt"))
+    val nk = hist.groupBy(key).agg(sum("cnt").as("n"),
+      ldiv(sum("cnt") + 1, lit(2L)).as("k"))
+    val wH = Window.partitionBy(key).orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val target = hist
+      .withColumn("below", coalesce(sum("cnt").over(wH), lit(0L)))
+      .join(broadcast(nk), Seq(key))
+      .filter(col("below") < col("k") &&
+        col("k") <= col("below") + col("cnt"))
+      .select(col(key), col("bk"), (col("k") - col("below")).as("local_k"))
+    val wB = Window.partitionBy(key, "bk").orderBy("cents")
+    v.join(broadcast(target), Seq(key, "bk"))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") === col("local_k"))
+      .select(col(key), col("cents").as("kth"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered funnel conversion (view → click → purchase, each step
+    // STRICTLY after the previous): the product-analytics staple, and a
+    // window-chaining exercise — the "first view so far", "first valid
+    // click so far" running minimums are three Window nodes over ONE
+    // (user_id, ts) sort, and the per-user flag rollup groups on the
+    // same key, so the whole funnel pays a single exchange. The strict
+    // ordering lives in the 1-PRECEDING frame + mv < ts residual (a
+    // same-row view can't legitimize its own click). Null-guarded
+    // conversion in bp.
+    "q234_funnel_conversion" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("et"),
+          col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val s1 = e.withColumn("mv",
+        min(when(col("et") === "view", col("ts"))).over(w))
+      val validClick = col("et") === "click" &&
+        col("mv").isNotNull && col("mv") < col("ts")
+      val s2 = s1.withColumn("mc",
+        min(when(validClick, col("ts"))).over(w))
+      val validPurch = col("et") === "purchase" &&
+        col("mc").isNotNull && col("mc") < col("ts")
+      s2.groupBy("user_id").agg(
+          max(when(col("et") === "view", 1L).otherwise(0L)).as("v"),
+          max(when(validClick, 1L).otherwise(0L)).as("c"),
+          max(when(validPurch, 1L).otherwise(0L)).as("p"))
+        .agg(count(lit(1)).as("n_users"), sum("v").as("n_view"),
+          sum("c").as("n_click_after_view"),
+          sum("p").as("n_purchase_after_click"))
+        .select(col("n_users"), col("n_view"),
+          col("n_click_after_view"), col("n_purchase_after_click"),
+          when(col("n_view") === 0, lit(null).cast("long"))
+            .otherwise(ldiv(col("n_purchase_after_click") * lit(10000L),
+              col("n_view"))).as("conv_bp"))
+    }),
+
+    // Retention cohort table: users grouped by first-seen day, distinct
+    // actives per (cohort, weeks-since) — the growth dashboard's
+    // triangle. Scale shape: the first-event rollup and the join back
+    // are both user_id-keyed (co-partitioned, one exchange reused), the
+    // final aggregate is (cohort × offset)-sized with partial
+    // count-distinct expansion. No windows at all.
+    "q235_retention_cohorts" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+      e.join(first, "user_id")
+        .select(col("cohort_day"),
+          ldiv(datediff(col("d"), col("cohort_day")).cast("long"), lit(7L))
+            .as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    }),
+
+    // Robust scale per group: exact lower-median and MAD (median
+    // absolute deviation) of event value in integer cents — the outlier
+    // fence that, unlike stddev, one corrupt batch can't drag. TWO
+    // rounds of grouped distributed selection (values, then absolute
+    // deviations from the per-group median): histograms locate each
+    // group's rank-k bucket so no window ever runs over a full group's
+    // raw rows — the per-group generalization of q159/q224, and the
+    // shape that survives a 100 TB single-type skew.
+    "q236_event_value_mad" -> ((s, dir) => {
+      val W = 1000L // cents per bucket: $10 bands over [$0, $491]
+      val v = t(s, dir, "events")
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(20, 2)) * 100)
+            .cast("long").as("cents"))
+        .withColumn("bk", ldiv(col("cents"), lit(W)))
+      val med = lowerMedianPerGroup(v, "event_type", W)
+        .withColumnRenamed("kth", "median_cents")
+      val dev = v.join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          abs(col("cents") - col("median_cents")).as("cents"))
+        .withColumn("bk", ldiv(col("cents"), lit(W)))
+      val mad = lowerMedianPerGroup(dev, "event_type", W)
+        .withColumnRenamed("kth", "mad_cents")
+      val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
+      n.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("n"), col("median_cents"),
+          col("mad_cents"))
+        .orderBy("event_type")
+    }),
+
+    // 2-D grid-blocked neighbor join (the spatial-join shape): all
+    // embedding pairs within L∞ ≤ 25 on the first two quantized dims.
+    // Each point lands in ONE ~R-wide grid cell; the probe side
+    // replicates into its 9-cell neighborhood so every qualifying pair
+    // meets on exactly one cell key — a plain equi hash join, no
+    // cross/theta join anywhere, candidate fan-out a constant 9×.
+    // Truncating DIV keeps the cell map monotonic with boundaries ≥2R
+    // apart, so |Δcoord| ≤ R ⇒ adjacent cells even across the origin's
+    // double-width cell. The 1-D interval analogue is RangeJoin; this
+    // is the plane version every geo/embedding-blocking join reduces to.
+    "q237_grid_neighbor_join" -> ((s, dir) => {
+      val R = 25L
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000)
+            .cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1000)
+            .cast("long").as("y"))
+      def cell(c: Column) = ldiv(c, lit(R))
+      val a = pts.select(col("vec_id").as("a_id"), col("x").as("ax"),
+        col("y").as("ay"), cell(col("x")).as("cx"), cell(col("y")).as("cy"))
+      val offsets = for (dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L))
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      val b = pts
+        .select(col("vec_id").as("b_id"), col("x").as("bx"),
+          col("y").as("by"), explode(array(offsets: _*)).as("o"))
+        .select(col("b_id"), col("bx"), col("by"),
+          (cell(col("bx")) + col("o.dx")).as("cx"),
+          (cell(col("by")) + col("o.dy")).as("cy"))
+      a.join(b, Seq("cx", "cy"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dinf", greatest(abs(col("ax") - col("bx")),
+          abs(col("ay") - col("by"))))
+        .filter(col("dinf") <= R)
+        .select(col("a_id"), col("b_id"), col("dinf"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // ROC-AUC of the quality score against the labeled-English target —
     // the separation audit behind any threshold gate (does qualityBp
     // actually rank the docs we want kept above the rest?). Exact
@@ -208,9 +363,14 @@ object MetricsQ {
       val ex = base.select(col("q"), posexplode(col("q")))
         .toDF("q", "i", "qi")
       val sums = ex.groupBy("i").agg(sum(col("qi")).cast(dec).as("si"))
-      val pairs = ex.select(col("i"), col("qi"), posexplode(col("q")))
-        .toDF("i", "qi", "j", "qj")
-        .filter(col("j") > col("i"))
+      // only the j>i tail is exploded (slice from i+2, 1-based): 2016
+      // product rows per input row instead of 64²=4096 filtered later
+      val pairs = ex
+        .select(col("i"), col("qi"),
+          posexplode(slice(col("q"), col("i") + 2, lit(64))))
+        .toDF("i", "qi", "k", "qj")
+        .select(col("i"), col("qi"), (col("i") + 1 + col("k")).as("j"),
+          col("qj"))
         .groupBy("i", "j")
         .agg(sum(col("qi").cast(dec) * col("qj")).as("sp"))
       val sj = sums.select(col("i").as("j"), col("si").as("sj"))
@@ -222,6 +382,70 @@ object MetricsQ {
             .cast(dec).as("cov_num"))
         .orderBy(abs(col("cov_num")).desc, col("dim_i"), col("dim_j"))
         .limit(10)
+    }),
+
+    // Retrieval-compression evaluation: recall@10 of the 64-bit Hamming
+    // ranking (q218's sign signatures — 32× smaller than the vectors)
+    // against exact quantized-distance ranking, per probe. The metric
+    // every ANN/compression deployment needs before swapping rankers —
+    // and unlike recall of a float ANN, HASH-CHECKABLE: both rankings
+    // are deterministic integers with (score, vec_id) tiebreaks, so
+    // DuckDB replays top-10 sets exactly. Shape: probes broadcast, two
+    // one-pass scored scans (codegen dot / xor+bit_count), per-probe
+    // windows over probe-sized candidate groups, overlap via a
+    // (q_id, vec_id) equi join of two 10-row-per-probe sets.
+    "q238_hamming_recall" -> ((s, dir) => {
+      import graft.functions.LongDotExpr.longDot
+      val quant = transform(col("embedding"),
+        v => floor(v.cast("double") * 1000).cast("long"))
+      def word(lo: Int, hi: Int): Column =
+        (lo to hi).map(k =>
+          when(element_at(col("embedding"), k + 1).cast("double") >= 0,
+            lit(1L << (k - lo))).otherwise(lit(0L)))
+          .reduce(_ + _)
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), quant.as("q"),
+          word(0, 31).as("lo"), word(32, 63).as("hi"))
+      val probes = base.filter(pmod(col("vec_id"), lit(100)) === 7)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"),
+          col("lo").as("qlo"), col("hi").as("qhi"))
+      val w = Window.partitionBy("q_id").orderBy("score", "vec_id")
+      def top10(scored: DataFrame): DataFrame =
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).select("q_id", "vec_id")
+      val cand = base.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q_id"))
+      val exact = top10(cand.select(col("q_id"), col("vec_id"),
+        (longDot(col("q"), col("q"))
+          - lit(2L) * longDot(col("q"), col("qq"))
+          + longDot(col("qq"), col("qq"))).as("score")))
+      val ham = top10(cand.select(col("q_id"), col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi"))))
+          .cast("long").as("score")))
+      exact.join(ham, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+        .join(probes.select("q_id"), Seq("q_id"), "right")
+        .select(col("q_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) * 1000).as("recall_bp"))
+        .orderBy("q_id")
+    }),
+
+    // Calibration curve for the quality score: per score-decile, how
+    // often is the doc actually labeled English (q225's target)? The
+    // reliability diagram that turns an AUC into a usable threshold.
+    // One scan into an ≤11-row rollup — recomputable per snapshot at
+    // any scale.
+    "q239_quality_calibration" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(ldiv(qbp, lit(1000L)).as("decile"),
+          (col("lang") === "en").cast("long").as("pos"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          ldiv(col("n_pos") * lit(10000L), col("n_docs")).as("pos_bp"))
+        .orderBy("decile")
     }),
 
     // Perceptual image dedup over the REAL decoder: each image-kind doc
@@ -366,6 +590,87 @@ object MetricsQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "q234_funnel_conversion" ->
+      """WITH e AS (
+        | SELECT user_id, event_type AS et, ts, event_id FROM events),
+        |s1 AS (
+        | SELECT *, min(CASE WHEN et = 'view' THEN ts END) OVER w AS mv
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s2 AS (
+        | SELECT *, min(CASE WHEN et = 'click' AND mv IS NOT NULL
+        |    AND mv < ts THEN ts END) OVER w AS mc
+        | FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        | SELECT user_id,
+        |  max(CASE WHEN et = 'view' THEN 1 ELSE 0 END) AS v,
+        |  max(CASE WHEN et = 'click' AND mv IS NOT NULL AND mv < ts
+        |    THEN 1 ELSE 0 END) AS c,
+        |  max(CASE WHEN et = 'purchase' AND mc IS NOT NULL AND mc < ts
+        |    THEN 1 ELSE 0 END) AS p
+        | FROM s2 GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(v) AS BIGINT) AS n_view,
+        | CAST(sum(c) AS BIGINT) AS n_click_after_view,
+        | CAST(sum(p) AS BIGINT) AS n_purchase_after_click,
+        | CAST(CASE WHEN sum(v) = 0 THEN NULL
+        |  ELSE sum(p) * 10000 // sum(v) END AS BIGINT) AS conv_bp
+        |FROM f""".stripMargin,
+
+    "q235_retention_cohorts" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (
+        | SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day,
+        | CAST(date_diff('day', f.cohort_day, e.d) // 7 AS BIGINT)
+        |   AS week_offset,
+        | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q236_event_value_mad" ->
+      """WITH v AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |m AS (
+        | SELECT event_type, cents AS med FROM (
+        |  SELECT event_type, cents,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |   count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v) WHERE rn = (n + 1) // 2),
+        |d AS (
+        | SELECT v.event_type, abs(v.cents - m.med) AS dev
+        | FROM v JOIN m USING (event_type)),
+        |md AS (
+        | SELECT event_type, dev AS mad FROM (
+        |  SELECT event_type, dev,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |   count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d) WHERE rn = (n + 1) // 2),
+        |nn AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        | FROM v GROUP BY event_type)
+        |SELECT nn.event_type, nn.n,
+        | CAST(m.med AS BIGINT) AS median_cents,
+        | CAST(md.mad AS BIGINT) AS mad_cents
+        |FROM nn JOIN m USING (event_type) JOIN md USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q237_grid_neighbor_join" ->
+      """WITH p AS (
+        | SELECT vec_id,
+        |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |  CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
+        | FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | CAST(greatest(abs(a.x - b.x), abs(a.y - b.y)) AS BIGINT) AS dinf
+        |FROM p a JOIN p b ON a.vec_id < b.vec_id
+        |WHERE greatest(abs(a.x - b.x), abs(a.y - b.y)) <= 25
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q225_quality_auc" ->
       s"""WITH f AS (
          | SELECT $qbpSql AS q_bp,
@@ -486,6 +791,56 @@ object MetricsQ {
         |JOIN s a ON a.i = p.i
         |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
         |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+
+    "q238_hamming_recall" ->
+      """WITH b AS (
+        | SELECT vec_id,
+        |  list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |   k -> CASE WHEN CAST(embedding[k] AS DOUBLE) >= 0
+        |    THEN 1::BIGINT << CAST(k - 1 AS INTEGER) ELSE 0 END))
+        |   AS BIGINT) AS lo,
+        |  CAST(list_sum(list_transform(range(33, 65),
+        |   k -> CASE WHEN CAST(embedding[k] AS DOUBLE) >= 0
+        |    THEN 1::BIGINT << CAST(k - 33 AS INTEGER) ELSE 0 END))
+        |   AS BIGINT) AS hi
+        | FROM embeddings),
+        |p AS (
+        | SELECT vec_id AS q_id, q AS qq, lo AS qlo, hi AS qhi
+        | FROM b WHERE vec_id % 100 = 7),
+        |ex AS (
+        | SELECT q_id, vec_id FROM (
+        |  SELECT p.q_id, b.vec_id, row_number() OVER (PARTITION BY p.q_id
+        |   ORDER BY list_sum(list_transform(range(1, 65),
+        |    k -> (b.q[k] - p.qq[k]) * (b.q[k] - p.qq[k]))), b.vec_id)
+        |   AS rn
+        |  FROM b, p WHERE b.vec_id <> p.q_id) WHERE rn <= 10),
+        |hm AS (
+        | SELECT q_id, vec_id FROM (
+        |  SELECT p.q_id, b.vec_id, row_number() OVER (PARTITION BY p.q_id
+        |   ORDER BY bit_count(xor(b.lo, p.qlo))
+        |    + bit_count(xor(b.hi, p.qhi)), b.vec_id) AS rn
+        |  FROM b, p WHERE b.vec_id <> p.q_id) WHERE rn <= 10),
+        |ov AS (
+        | SELECT ex.q_id, count(*) AS n_overlap
+        | FROM ex JOIN hm USING (q_id, vec_id) GROUP BY ex.q_id)
+        |SELECT p.q_id,
+        | CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        | CAST(coalesce(ov.n_overlap, 0) * 1000 AS BIGINT) AS recall_bp
+        |FROM p LEFT JOIN ov ON ov.q_id = p.q_id
+        |ORDER BY p.q_id""".stripMargin,
+
+    "q239_quality_calibration" ->
+      s"""WITH f AS (
+         | SELECT $qbpSql // 1000 AS decile,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         | FROM documents)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(pos) AS BIGINT) AS n_pos,
+         | CAST(sum(pos) * 10000 // count(*) AS BIGINT) AS pos_bp
+         |FROM f GROUP BY decile ORDER BY decile""".stripMargin,
 
     // pixel k == ord(char k): the gray roundtrip is lossless, so the
     // oracle recomputes each dHash bit straight from the text

@@ -153,6 +153,52 @@ class MetricsQSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q238 recall@10 equals brute-force double ranking") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        val q = e.map(v => math.floor(v.toDouble * 1000).toLong).toArray
+        val lo = (0 until 32).map(k =>
+          if (e(k).toDouble >= 0) 1L << k else 0L).sum
+        val hi = (32 until 64).map(k =>
+          if (e(k).toDouble >= 0) 1L << (k - 32) else 0L).sum
+        (r.getLong(0), q, lo, hi)
+      }
+    val probes = rows.filter(_._1 % 100 == 7)
+    val expected = probes.map { case (qid, qq, qlo, qhi) =>
+      val others = rows.filter(_._1 != qid)
+      def top10(score: ((Long, Array[Long], Long, Long)) => Long) =
+        others.sortBy(r => (score(r), r._1)).take(10).map(_._1).toSet
+      val exact = top10 { case (_, q, _, _) =>
+        q.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      val ham = top10 { case (_, _, lo, hi) =>
+        (java.lang.Long.bitCount(lo ^ qlo) +
+          java.lang.Long.bitCount(hi ^ qhi)).toLong
+      }
+      val n = exact.intersect(ham).size.toLong
+      (qid, n, n * 1000)
+    }.sortBy(_._1).toSeq
+    val got = run("q238_hamming_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("q239 calibration deciles recompute from the quality score") {
+    val byDecile = docs.map { case (_, text, lang) =>
+      (qualityBp(text) / 1000, if (lang == "en") 1L else 0L)
+    }.groupBy(_._1).toSeq.map { case (d, v) =>
+      val n = v.size.toLong
+      val pos = v.map(_._2).sum
+      (d, n, pos, pos * 10000 / n)
+    }.sortBy(_._1)
+    val got = run("q239_quality_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === byDecile)
+  }
+
   test("q231 dHash bits recompute from the text formula") {
     val expected = docs.collect {
       case (id, text, _) if id % 3 == 0 && text.length >= 33 =>
@@ -194,6 +240,99 @@ class MetricsQSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got === exp)
+  }
+
+  private lazy val events: Seq[(Long, Long, String, Long, Long)] =
+    // (event_id, user_id, event_type, ts_micros, cents) via Tables.t so
+    // the spec sees the same normalized timestamps as the queries
+    Tables.t(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")),
+        (org.apache.spark.sql.functions.col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(20, 2)) * 100)
+          .cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+
+  test("q234 funnel equals brute-force per-user simulation") {
+    val flags = events.groupBy(_._2).map { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._1))
+      var mv = Long.MaxValue // first view so far (strictly before current)
+      var mc = Long.MaxValue // first valid click so far
+      var v = 0L; var c = 0L; var p = 0L
+      sorted.foreach { case (_, _, et, ts, _) =>
+        if (et == "view") v = 1
+        if (et == "click" && mv < ts) c = 1
+        if (et == "purchase" && mc < ts) p = 1
+        // update AFTER the checks: frame is 1-preceding (strictly prior)
+        if (et == "view" && ts < mv) mv = ts
+        if (et == "click" && mv < ts && ts < mc) mc = ts
+      }
+      (v, c, p)
+    }.toSeq
+    val (nv, nc, np) =
+      (flags.map(_._1).sum, flags.map(_._2).sum, flags.map(_._3).sum)
+    val Array(row) = run("q234_funnel_conversion").collect()
+    assert(row.getLong(0) === flags.size.toLong)
+    assert(row.getLong(1) === nv)
+    assert(row.getLong(2) === nc)
+    assert(row.getLong(3) === np)
+    assert(row.getLong(4) === np * 10000 / nv)
+  }
+
+  test("q235 retention cohorts equal brute-force day arithmetic") {
+    val days = events.map { case (_, uid, _, tsMicros, _) =>
+      (uid, tsMicros / 86400000000L) // UTC day number
+    }
+    val firstDay = days.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+    val expected = days.map { case (u, d) =>
+      (firstDay(u), (d - firstDay(u)) / 7, u)
+    }.distinct.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((cd, wk), v) => (cd, wk, v.size.toLong) }
+      .sortBy(t => (t._1, t._2))
+    val got = run("q235_retention_cohorts").collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1),
+        r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("q236 per-type median and MAD equal brute-force order statistics") {
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val k = (xs.length + 1) / 2
+      xs.sorted.apply(k - 1)
+    }
+    val expected = events.groupBy(_._3).toSeq.map { case (et, evs) =>
+      val cents = evs.map(_._5)
+      val m = lowerMedian(cents)
+      (et, cents.length.toLong, m, lowerMedian(cents.map(c => (c - m).abs)))
+    }.sortBy(_._1)
+    val got = run("q236_event_value_mad").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("q237 grid-blocked join finds exactly the brute-force L-inf pairs") {
+    val pts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        (r.getLong(0), math.floor(e(0).toDouble * 1000).toLong,
+          math.floor(e(1).toDouble * 1000).toLong)
+      }
+    val expected = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts
+      if a < b
+      d = math.max((ax - bx).abs, (ay - by).abs)
+      if d <= 25
+    } yield (a, b, d)).sortBy(t => (t._1, t._2)).toSeq
+    val got = run("q237_grid_neighbor_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
   }
 
   test("q233 scene cuts recompute from the frame formula") {

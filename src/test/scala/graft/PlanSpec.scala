@@ -252,12 +252,39 @@ class PlanSpec extends SparkSpec {
     // user_id — Catalyst must satisfy them with a single shuffle (extra
     // exchanges here would double-shuffle the event log at scale)
     for (q <- Seq("q134_gap_median", "q140_gap_quantiles",
-        "q141_attribution", "q158_debounce")) {
+        "q141_attribution", "q158_debounce", "q234_funnel_conversion")) {
       val p = planOf(q)
       val n = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(n == 1, s"$q: expected exactly 1 hash exchange, got $n:\n" +
         p.take(3000))
     }
+  }
+
+  test("grouped selection never windows a bare group over raw rows") {
+    // q236's scale contract: every raw-row window is (event_type, bk)-
+    // scoped — a window partitioned by event_type alone would serialize
+    // a 100 TB single-type skew into one task. The histogram cumulative
+    // (tiny) is the only type-partitioned window allowed, and it runs
+    // over the grouped histogram, whose plan rows carry `cnt`.
+    val p = planOf("q236_event_value_mad")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, p.take(2000))
+    windows.foreach { w =>
+      assert(w.contains("bk") || w.contains("cnt"),
+        s"window not bucket-scoped: $w")
+    }
+  }
+
+  test("grid neighbor join is a plain equi hash join, not a theta join") {
+    // q237's 9-cell replication turns the L-inf band predicate into an
+    // equi join on the cell key; a BroadcastNestedLoopJoin here would
+    // mean the band predicate leaked into the join condition and the
+    // plan degenerates to all-pairs at scale
+    val p = planOf("q237_grid_neighbor_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
   }
 
   test("ShingleFilterSimplify fired: rewritten token-count guard in plan") {
