@@ -87,7 +87,8 @@ object ScaleProbe {
     // all other tables: straight copies so every probe query resolves
     val names = new java.io.File(base).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet"))
-      .filterNot(n => n == "documents.parquet" || n == "embeddings.parquet")
+      .filterNot(n => n == "documents.parquet" ||
+        n == "embeddings.parquet" || n == "events.parquet")
     names.foreach { n =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(base, n), java.nio.file.Paths.get(big, n),
@@ -127,6 +128,22 @@ object ScaleProbe {
     }.reduce(_ union _)
     bigVecs.repartition(8).write.mode("overwrite")
       .parquet(s"$big/embeddings.parquet")
+    // events: user_id/event_id shift per copy — the event log grows ×N
+    // as N new user populations with identical per-user histories, so
+    // per-user window work, funnel shapes and per-type value
+    // distributions replicate instead of per-user histories growing ×N
+    val evs = Tables.t(spark, base, "events")
+    val Array(evMax) = evs
+      .agg(max(col("event_id")), max(col("user_id"))).collect()
+    val (nEv, nUs) = (evMax.getLong(0) + 1, evMax.getLong(1) + 1)
+    val bigEvs = (0 until mult).map { k =>
+      evs.select(
+        (col("event_id") + lit(k * nEv)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * nUs)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ union _)
+    bigEvs.repartition(16).write.mode("overwrite")
+      .parquet(s"$big/events.parquet")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(big, "_READY"), "ok")
     println(s"[scaleprobe] built $big (x$mult)")

@@ -64,6 +64,36 @@ object MetricsQ {
       .select(col(key), col("cents").as("kth"))
   }
 
+  /** Grid-blocked L∞ ≤ R neighbor pairs over the first two quantized
+    * embedding dims (the q237 shape, shared with q240's clustering):
+    * one-cell build side, 9-cell-replicated probe side, every
+    * qualifying pair meets on exactly one cell key. Returns
+    * (a_id, b_id, dinf) with a_id < b_id. */
+  private def gridPairs(embeddings: DataFrame, r: Long): DataFrame = {
+    val pts = embeddings.select(col("vec_id"),
+      floor(element_at(col("embedding"), 1).cast("double") * 1000)
+        .cast("long").as("x"),
+      floor(element_at(col("embedding"), 2).cast("double") * 1000)
+        .cast("long").as("y"))
+    def cell(c: Column) = ldiv(c, lit(r))
+    val a = pts.select(col("vec_id").as("a_id"), col("x").as("ax"),
+      col("y").as("ay"), cell(col("x")).as("cx"), cell(col("y")).as("cy"))
+    val offsets = for (dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L))
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val b = pts
+      .select(col("vec_id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"), explode(array(offsets: _*)).as("o"))
+      .select(col("b_id"), col("bx"), col("by"),
+        (cell(col("bx")) + col("o.dx")).as("cx"),
+        (cell(col("by")) + col("o.dy")).as("cy"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dinf", greatest(abs(col("ax") - col("bx")),
+        abs(col("ay") - col("by"))))
+      .filter(col("dinf") <= r)
+      .select(col("a_id"), col("b_id"), col("dinf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ordered funnel conversion (view → click → purchase, each step
     // STRICTLY after the previous): the product-analytics staple, and a
@@ -163,33 +193,8 @@ object MetricsQ {
     // apart, so |Δcoord| ≤ R ⇒ adjacent cells even across the origin's
     // double-width cell. The 1-D interval analogue is RangeJoin; this
     // is the plane version every geo/embedding-blocking join reduces to.
-    "q237_grid_neighbor_join" -> ((s, dir) => {
-      val R = 25L
-      val pts = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          floor(element_at(col("embedding"), 1).cast("double") * 1000)
-            .cast("long").as("x"),
-          floor(element_at(col("embedding"), 2).cast("double") * 1000)
-            .cast("long").as("y"))
-      def cell(c: Column) = ldiv(c, lit(R))
-      val a = pts.select(col("vec_id").as("a_id"), col("x").as("ax"),
-        col("y").as("ay"), cell(col("x")).as("cx"), cell(col("y")).as("cy"))
-      val offsets = for (dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L))
-        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
-      val b = pts
-        .select(col("vec_id").as("b_id"), col("x").as("bx"),
-          col("y").as("by"), explode(array(offsets: _*)).as("o"))
-        .select(col("b_id"), col("bx"), col("by"),
-          (cell(col("bx")) + col("o.dx")).as("cx"),
-          (cell(col("by")) + col("o.dy")).as("cy"))
-      a.join(b, Seq("cx", "cy"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("dinf", greatest(abs(col("ax") - col("bx")),
-          abs(col("ay") - col("by"))))
-        .filter(col("dinf") <= R)
-        .select(col("a_id"), col("b_id"), col("dinf"))
-        .orderBy("a_id", "b_id")
-    }),
+    "q237_grid_neighbor_join" -> ((s, dir) =>
+      gridPairs(t(s, dir, "embeddings"), 25L).orderBy("a_id", "b_id")),
 
     // ROC-AUC of the quality score against the labeled-English target —
     // the separation audit behind any threshold gate (does qualityBp
@@ -382,6 +387,89 @@ object MetricsQ {
             .cast(dec).as("cov_num"))
         .orderBy(abs(col("cov_num")).desc, col("dim_i"), col("dim_j"))
         .limit(10)
+    }),
+
+    // Density-based spatial clustering (DBSCAN shape, deterministic
+    // variant): core points have ≥3 L∞≤25 neighbors on the first two
+    // quantized embedding dims, clusters are connected components over
+    // core-core edges (min-label representative, the q56 contract),
+    // border points take the MINIMUM cluster among their core neighbors
+    // (classic DBSCAN leaves border assignment scan-order-dependent —
+    // the min rule makes it engine-independent and oracle-checkable),
+    // everything else is noise. Composes the round's grid-blocked
+    // neighbor join (candidate edges, constant 9× fan-out) with the
+    // dedup CC machinery; the CC runs on the edge set, never the corpus.
+    "q240_dbscan_lite" -> ((s, dir) => {
+      val edges = gridPairs(t(s, dir, "embeddings"), 25L)
+        .select("a_id", "b_id")
+      val sym = edges.select(col("a_id").as("v"), col("b_id").as("w"))
+        .union(edges.select(col("b_id").as("v"), col("a_id").as("w")))
+      val core = sym.groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select("v")
+      val coreEdges = edges
+        .join(core.withColumnRenamed("v", "a_id"), "a_id")
+        .join(core.withColumnRenamed("v", "b_id"), "b_id")
+        .select("a_id", "b_id")
+      val lab = graft.ops.DedupOps.connectedComponents(coreEdges)
+      // isolated core points (no core neighbor) root their own cluster
+      val coreLab = core.withColumnRenamed("v", "node")
+        .join(lab, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("cluster"), col("node")).as("cluster"))
+      val nbrCore = sym
+        .join(coreLab.withColumnRenamed("node", "w"), "w")
+        .groupBy("v").agg(min("cluster").as("bcluster"))
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(coreLab.withColumnRenamed("node", "vec_id"),
+          Seq("vec_id"), "left")
+        .join(nbrCore.withColumnRenamed("v", "vec_id"),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("cluster").isNotNull, lit("core"))
+            .when(col("bcluster").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("cluster"), col("bcluster")).as("cluster"))
+        .orderBy("vec_id")
+    }),
+
+    // Association rules over co-purchase pairs (the q128 basket support
+    // extended to the full Agrawal-Srikant rule metrics): confidence
+    // both directions and lift, all integral — conf = sup·10⁴ DIV n_a,
+    // lift = sup·N·10⁶ DIV (n_a·n_b) with DECIMAL products so 10¹⁰
+    // orders can't wrap. Item supports come from the same distinct
+    // basket relation as the pairs; the rule table is top-20-sized, so
+    // the metric joins are broadcast whatever the corpus.
+    "q241_association_rules" -> ((s, dir) => {
+      val basket = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .localCheckpoint()
+      val nOrders = basket.agg(count(lit(1)).cast(dec).as("n"))
+      val items = basket
+        .select(explode(col("parts")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("n_item"))
+      val top = basket
+        .select(explode(flatten(transform(col("parts"), (x, i) =>
+          transform(slice(col("parts"), i + 2, size(col("parts"))),
+            y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(desc("support"), asc("p1"), asc("p2"))
+        .limit(20)
+      top
+        .join(broadcast(items.withColumnRenamed("pk", "p1")
+          .withColumnRenamed("n_item", "n_a")), "p1")
+        .join(broadcast(items.withColumnRenamed("pk", "p2")
+          .withColumnRenamed("n_item", "n_b")), "p2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("support"),
+          ldiv(col("support") * lit(10000L), col("n_a")).as("conf_a2b_bp"),
+          ldiv(col("support") * lit(10000L), col("n_b")).as("conf_b2a_bp"),
+          ldiv(col("support").cast(dec) * col("n") * lit(1000000L),
+            col("n_a").cast(dec) * col("n_b")).as("lift_ppm"))
+        .orderBy(desc("support"), asc("p1"), asc("p2"))
     }),
 
     // Retrieval-compression evaluation: recall@10 of the 64-bit Hamming
@@ -791,6 +879,68 @@ object MetricsQ {
         |JOIN s a ON a.i = p.i
         |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
         |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+
+    "q240_dbscan_lite" ->
+      """WITH RECURSIVE p AS (
+        | SELECT vec_id,
+        |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |  CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
+        | FROM embeddings),
+        |e AS (
+        | SELECT a.vec_id AS a, b.vec_id AS b FROM p a JOIN p b
+        |  ON a.vec_id < b.vec_id
+        | WHERE greatest(abs(a.x - b.x), abs(a.y - b.y)) <= 25),
+        |sym AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+        |core AS (SELECT v FROM (
+        |  SELECT v, count(*) AS d FROM sym GROUP BY v) WHERE d >= 3),
+        |ce AS (
+        | SELECT e.a, e.b FROM e
+        | JOIN core ca ON ca.v = e.a JOIN core cb ON cb.v = e.b),
+        |cs AS (SELECT a AS src, b AS dst FROM ce
+        |       UNION ALL SELECT b, a FROM ce),
+        |reach(node, r) AS (
+        | SELECT src, src FROM cs
+        | UNION
+        | SELECT cs.dst, reach.r FROM reach JOIN cs ON cs.src = reach.node),
+        |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        |corelab AS (
+        | SELECT core.v AS node, coalesce(lab.cluster, core.v) AS cluster
+        | FROM core LEFT JOIN lab ON lab.node = core.v),
+        |nbr AS (
+        | SELECT sym.v, min(corelab.cluster) AS bcluster
+        | FROM sym JOIN corelab ON corelab.node = sym.w GROUP BY sym.v)
+        |SELECT p.vec_id,
+        | CASE WHEN corelab.cluster IS NOT NULL THEN 'core'
+        |      WHEN nbr.bcluster IS NOT NULL THEN 'border'
+        |      ELSE 'noise' END AS role,
+        | CAST(coalesce(corelab.cluster, nbr.bcluster) AS BIGINT) AS cluster
+        |FROM p
+        |LEFT JOIN corelab ON corelab.node = p.vec_id
+        |LEFT JOIN nbr ON nbr.v = p.vec_id
+        |ORDER BY p.vec_id""".stripMargin,
+
+    "q241_association_rules" ->
+      """WITH li AS (
+        | SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nn AS (SELECT count(DISTINCT ok) AS n FROM li),
+        |it AS (SELECT pk, count(*) AS n_item FROM li GROUP BY pk),
+        |pr AS (
+        | SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        | FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        | GROUP BY a.pk, b.pk),
+        |top AS (
+        | SELECT p1, p2, support FROM pr
+        | ORDER BY support DESC, p1, p2 LIMIT 20)
+        |SELECT top.p1, top.p2, CAST(top.support AS BIGINT) AS support,
+        | CAST(top.support * 10000 // ia.n_item AS BIGINT) AS conf_a2b_bp,
+        | CAST(top.support * 10000 // ib.n_item AS BIGINT) AS conf_b2a_bp,
+        | CAST(CAST(top.support AS HUGEINT) * nn.n * 1000000
+        |   // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT)
+        |   AS lift_ppm
+        |FROM top
+        |JOIN it ia ON ia.pk = top.p1
+        |JOIN it ib ON ib.pk = top.p2, nn
+        |ORDER BY support DESC, p1, p2""".stripMargin,
 
     "q238_hamming_recall" ->
       """WITH b AS (

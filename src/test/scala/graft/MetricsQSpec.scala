@@ -153,6 +153,68 @@ class MetricsQSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q240 DBSCAN roles and clusters equal brute-force union-find") {
+    val pts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        (r.getLong(0), math.floor(e(0).toDouble * 1000).toLong,
+          math.floor(e(1).toDouble * 1000).toLong)
+      }
+    val ids = pts.map(_._1)
+    def near(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._1 != b._1 && math.max((a._2 - b._2).abs, (a._3 - b._3).abs) <= 25
+    val nbrs = pts.map(p => p._1 -> pts.filter(q => near(p, q)).map(_._1).toSet).toMap
+    val core = ids.filter(v => nbrs(v).size >= 3).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(ids.map(v => v -> v): _*)
+    def find(v: Long): Long =
+      if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+    for (v <- core; w <- nbrs(v) if core(w)) {
+      val (rv, rw) = (find(v), find(w))
+      if (rv != rw) parent(math.max(rv, rw)) = math.min(rv, rw)
+    }
+    val clusterOf = core.map(v => v -> core.filter(w => find(w) == find(v)).min).toMap
+    val expected = ids.sorted.map { v =>
+      if (core(v)) (v, "core", Some(clusterOf(v)))
+      else {
+        val coreNbrs = nbrs(v).filter(core)
+        if (coreNbrs.nonEmpty) (v, "border", Some(coreNbrs.map(clusterOf).min))
+        else (v, "noise", None)
+      }
+    }.toSeq
+    val got = run("q240_dbscan_lite").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got === expected)
+  }
+
+  test("q241 rule metrics recompute from brute-force basket counts") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = li.groupBy(_._1).map { case (_, v) => v.map(_._2).toSet }
+    val n = BigInt(baskets.size)
+    val item = li.groupBy(_._2).map { case (pk, v) =>
+      pk -> v.map(_._1).distinct.size.toLong
+    }
+    val support = baskets.toSeq.flatMap { b =>
+      val s = b.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val top = support.toSeq.sortBy { case ((p1, p2), s) => (-s, p1, p2) }
+      .take(20)
+    val expected = top.map { case ((p1, p2), s) =>
+      val (na, nb) = (item(p1), item(p2))
+      (p1, p2, s, s * 10000 / na, s * 10000 / nb,
+        (BigInt(s) * n * 1000000 / (BigInt(na) * BigInt(nb))).toLong)
+    }
+    val got = run("q241_association_rules").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
   test("q238 recall@10 equals brute-force double ranking") {
     val rows = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
