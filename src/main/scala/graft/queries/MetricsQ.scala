@@ -389,6 +389,68 @@ object MetricsQ {
         .limit(10)
     }),
 
+    // Curation attrition funnel: how many docs survive each gate of the
+    // q87 pipeline (quality → langid → exact dedup), as the long-format
+    // report a curation run logs per snapshot. One feature scan computes
+    // every gate flag; the dedup stage is the fp-keyed first-wins
+    // aggregate over stage-2 survivors only; the stacked stage rows are
+    // 4 whatever the corpus, so the share/drop windows are constant-size.
+    "q242_curation_attrition" -> ((s, dir) => {
+      val tk = col("toks")
+      val d = t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          size(tk).cast("long").as("n_tokens"),
+          TextOps.qualityBp(tk).as("q_bp"),
+          TextOps.langPredict(TextOps.langScores(tk)).as("pred_lang"),
+          TextOps.docFingerprint(col("text")).as("fp"))
+        .withColumn("g1",
+          (col("q_bp") >= 3000 && col("n_tokens") >= 5).cast("long"))
+        .withColumn("g2",
+          (col("g1") === 1 && col("pred_lang") === "en").cast("long"))
+      val firstWins = d.filter(col("g2") === 1)
+        .groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val flagged = d.join(broadcast(firstWins), Seq("fp"), "left")
+        .withColumn("g3",
+          (col("g2") === 1 && col("doc_id") === col("keep_id"))
+            .cast("long"))
+      val one = flagged.agg(count(lit(1)).as("n0"), sum("g1").as("n1"),
+        sum("g2").as("n2"), sum("g3").as("n3"))
+      val stages = one.select(expr(
+        "stack(4, 0L, 'all', n0, 1L, 'quality_gate', n1, " +
+          "2L, 'langid_en', n2, 3L, 'exact_dedup', n3) " +
+          "AS (stage, gate, n_docs)"))
+      val wPrev = Window.orderBy("stage")
+      stages
+        .crossJoin(broadcast(one.select(col("n0").as("total"))))
+        .withColumn("share_bp", ldiv(col("n_docs") * lit(10000L),
+          col("total")))
+        .withColumn("dropped_from_prev",
+          coalesce(lag("n_docs", 1).over(wPrev) - col("n_docs"), lit(0L)))
+        .select("stage", "gate", "n_docs", "share_bp", "dropped_from_prev")
+        .orderBy("stage")
+    }),
+
+    // Deterministic rate limiting (quota admission): first 5 events per
+    // (user, hour) admitted by (ts, event_id) order, the rest throttled
+    // — the batch twin of a streaming token bucket, and the replayable
+    // form of an admission audit. The only window partitions by
+    // (user_id, hour): bounded groups at any scale, and the per-user
+    // rollup reuses the same user-keyed exchange.
+    "q243_rate_limit_admission" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val w = Window.partitionBy("user_id", "hr").orderBy("ts", "event_id")
+      e.withColumn("admitted",
+          (row_number().over(w) <= 5).cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("admitted").as("n_admitted"),
+          (count(lit(1)) - sum("admitted")).as("n_throttled"))
+        .orderBy("user_id")
+    }),
+
     // Density-based spatial clustering (DBSCAN shape, deterministic
     // variant): core points have ≥3 L∞≤25 neighbors on the first two
     // quantized embedding dims, clusters are connected components over
@@ -879,6 +941,68 @@ object MetricsQ {
         |JOIN s a ON a.i = p.i
         |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
         |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+
+    "q242_curation_attrition" -> {
+      val langSelects = TextOps.langMarkers.map { case (l, ws) =>
+        s"${TextQ.langCountSql(ws)} AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH feat AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |       x -> x IN ('the','a','an','of','to','and','in','is','on','for'))) AS BIGINT)
+         |    AS stop_hits,
+         |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         |  $langSelects
+         | FROM documents),
+         |fq AS (
+         | SELECT *, CAST(CASE WHEN n_tokens <= 100
+         |    THEN (n_tokens - stop_hits) * 100
+         |    ELSE (n_tokens - stop_hits) * 10000 // n_tokens END AS BIGINT)
+         |   AS q_bp
+         | FROM feat),
+         |lp AS (SELECT *, ${TextQ.langPredSql} AS pred_lang FROM fq),
+         |g AS (
+         | SELECT doc_id, fp,
+         |  CASE WHEN q_bp >= 3000 AND n_tokens >= 5 THEN 1 ELSE 0 END AS g1,
+         |  CASE WHEN q_bp >= 3000 AND n_tokens >= 5 AND pred_lang = 'en'
+         |   THEN 1 ELSE 0 END AS g2
+         | FROM lp),
+         |fw AS (
+         | SELECT fp, min(doc_id) AS keep_id FROM g WHERE g2 = 1 GROUP BY fp),
+         |gg AS (
+         | SELECT g.*, CASE WHEN g.g2 = 1 AND g.doc_id = fw.keep_id
+         |   THEN 1 ELSE 0 END AS g3
+         | FROM g LEFT JOIN fw ON fw.fp = g.fp),
+         |one AS (
+         | SELECT count(*) AS n0, sum(g1) AS n1, sum(g2) AS n2, sum(g3) AS n3
+         | FROM gg),
+         |st AS (
+         | SELECT 0 AS stage, 'all' AS gate, n0 AS n_docs, n0 AS total FROM one
+         | UNION ALL SELECT 1, 'quality_gate', n1, n0 FROM one
+         | UNION ALL SELECT 2, 'langid_en', n2, n0 FROM one
+         | UNION ALL SELECT 3, 'exact_dedup', n3, n0 FROM one)
+         |SELECT CAST(stage AS BIGINT) AS stage, gate,
+         | CAST(n_docs AS BIGINT) AS n_docs,
+         | CAST(n_docs * 10000 // total AS BIGINT) AS share_bp,
+         | CAST(coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0)
+         |   AS BIGINT) AS dropped_from_prev
+         |FROM st ORDER BY stage""".stripMargin
+    },
+
+    "q243_rate_limit_admission" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id, date_trunc('hour', ts) AS hr
+        | FROM events),
+        |a AS (
+        | SELECT user_id,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id, hr
+        |    ORDER BY ts, event_id) <= 5 THEN 1 ELSE 0 END AS adm
+        | FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(adm) AS BIGINT) AS n_admitted,
+        | CAST(count(*) - sum(adm) AS BIGINT) AS n_throttled
+        |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q240_dbscan_lite" ->
       """WITH RECURSIVE p AS (

@@ -153,6 +153,50 @@ class MetricsQSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q242 attrition funnel equals brute-force gate replay") {
+    val markers = graft.ops.TextOps.langMarkers
+    def predLang(tk: Array[String]): String = {
+      val scores = markers.map { case (l, ws) => l -> tk.count(ws.contains) }
+      scores.find { case (_, s) => scores.forall(s >= _._2) }.get._1
+    }
+    def fp(text: String): String =
+      md5hex(text.toLowerCase.trim.replaceAll("\\s+", " "))
+    val feats = docs.map { case (id, text, _) =>
+      val tk = toks(text)
+      val g1 = qualityBp(text) >= 3000 && tk.length >= 5
+      (id, g1, g1 && predLang(tk) == "en", fp(text))
+    }
+    val keep = feats.filter(_._3).groupBy(_._4)
+      .map { case (f, v) => f -> v.map(_._1).min }
+    val n0 = feats.size.toLong
+    val n1 = feats.count(_._2).toLong
+    val n2 = feats.count(_._3).toLong
+    val n3 = feats.count(f => f._3 && keep(f._4) == f._1).toLong
+    val ns = Seq(n0, n1, n2, n3)
+    val expected = Seq("all", "quality_gate", "langid_en", "exact_dedup")
+      .zipWithIndex.map { case (g, i) =>
+        (i.toLong, g, ns(i), ns(i) * 10000 / n0,
+          if (i == 0) 0L else ns(i - 1) - ns(i))
+      }
+    val got = run("q242_curation_attrition").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("q243 admission counts equal brute-force per-hour quotas") {
+    val expected = events.groupBy(_._2).toSeq.map { case (uid, evs) =>
+      val admitted = evs.groupBy(e => e._4 / 3600000000L).map { case (_, h) =>
+        math.min(h.size, 5).toLong
+      }.sum
+      (uid, evs.size.toLong, admitted, evs.size - admitted)
+    }.sortBy(_._1)
+    val got = run("q243_rate_limit_admission").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
   test("q240 DBSCAN roles and clusters equal brute-force union-find") {
     val pts = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
