@@ -472,7 +472,11 @@ object MetricsQ {
         .join(core.withColumnRenamed("v", "a_id"), "a_id")
         .join(core.withColumnRenamed("v", "b_id"), "b_id")
         .select("a_id", "b_id")
-      val lab = graft.ops.DedupOps.connectedComponents(coreEdges)
+      // star variant, not plain label propagation: a spatial proximity
+      // graph has long chains (corridors of adjacent points), and
+      // min-label propagation pays one round per chain hop while
+      // large-star/small-star contracts chains in O(log n) rounds
+      val lab = graft.ops.DedupOps.connectedComponentsStar(coreEdges)
       // isolated core points (no core neighbor) root their own cluster
       val coreLab = core.withColumnRenamed("v", "node")
         .join(lab, Seq("node"), "left")
