@@ -389,6 +389,55 @@ object MetricsQ {
         .limit(10)
     }),
 
+    // A/B experiment readout: users split into two arms by the same
+    // md5-nibble device as q229 (per-row projection, no windows — the
+    // assignment that scales and replays), then per-arm exposure and
+    // purchase conversion with the rate delta in bp. The contingency
+    // shape feeds q104's chi² machinery when significance is needed;
+    // this is the report every experimentation pipeline logs per day.
+    "q244_ab_readout" -> ((s, dir) => {
+      val nib1 = "instr('0123456789abcdef', substring(" +
+        "md5(concat('exp:', cast(user_id as string))), 1, 1)) - 1"
+      val arm = pmod(expr(nib1), lit(2)).cast("long")
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("arm", arm)
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+        .withColumn("rate_bp",
+          ldiv(col("n_conv") * lit(10000L), col("n_users")))
+      val wAll = Window.orderBy("arm")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      arms
+        .withColumn("delta_bp_vs_arm0",
+          col("rate_bp") - first("rate_bp").over(wAll))
+        .orderBy("arm")
+    }),
+
+    // Lexical drift between corpus halves: the top-20 words whose
+    // document frequency moved most between the even and odd doc_id
+    // halves (the vocabulary counterpart of q120's event-mix TVD and
+    // q201's embedding drift). Per-(word, half) df partials map-side
+    // combine; the |Δdf| ranking is vocab-sized with a full
+    // deterministic tiebreak.
+    "q245_vocab_drift" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(2L)).as("half"), col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+        .groupBy("w", "half").agg(count(lit(1)).as("df"))
+      df.groupBy("w")
+        .agg(sum(when(col("half") === 0, col("df")).otherwise(0L))
+          .as("df_even"),
+          sum(when(col("half") === 1, col("df")).otherwise(0L))
+            .as("df_odd"))
+        .withColumn("abs_delta", abs(col("df_even") - col("df_odd")))
+        .orderBy(desc("abs_delta"), desc("df_even"), asc("w"))
+        .limit(20)
+    }),
+
     // Curation attrition funnel: how many docs survive each gate of the
     // q87 pipeline (quality → langid → exact dedup), as the long-format
     // report a curation run logs per snapshot. One feature scan computes
@@ -945,6 +994,47 @@ object MetricsQ {
         |JOIN s a ON a.i = p.i
         |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
         |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+
+    "q244_ab_readout" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS converted
+        | FROM events GROUP BY user_id),
+        |a AS (
+        | SELECT CAST((instr('0123456789abcdef',
+        |    substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+        |   AS BIGINT) AS arm, converted
+        | FROM u),
+        |g AS (
+        | SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(converted) AS BIGINT) AS n_conv,
+        |  CAST(sum(converted) * 10000 // count(*) AS BIGINT) AS rate_bp
+        | FROM a GROUP BY arm)
+        |SELECT arm, n_users, n_conv, rate_bp,
+        | CAST(rate_bp - first_value(rate_bp) OVER (ORDER BY arm
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  AS BIGINT) AS delta_bp_vs_arm0
+        |FROM g ORDER BY arm""".stripMargin,
+
+    "q245_vocab_drift" ->
+      """WITH w AS (
+        | SELECT doc_id % 2 AS half, doc_id,
+        |  unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        | FROM documents),
+        |df AS (
+        | SELECT w, half, count(*) AS df FROM w GROUP BY w, half),
+        |pv AS (
+        | SELECT w,
+        |  CAST(sum(CASE WHEN half = 0 THEN df ELSE 0 END) AS BIGINT)
+        |    AS df_even,
+        |  CAST(sum(CASE WHEN half = 1 THEN df ELSE 0 END) AS BIGINT)
+        |    AS df_odd
+        | FROM df GROUP BY w)
+        |SELECT w, df_even, df_odd,
+        | CAST(abs(df_even - df_odd) AS BIGINT) AS abs_delta
+        |FROM pv
+        |ORDER BY abs_delta DESC, df_even DESC, w LIMIT 20""".stripMargin,
 
     "q242_curation_attrition" -> {
       val langSelects = TextOps.langMarkers.map { case (l, ws) =>

@@ -153,6 +153,41 @@ class MetricsQSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q244 A/B readout equals brute-force md5 arm assignment") {
+    val hex = "0123456789abcdef"
+    val byUser = events.groupBy(_._2).toSeq.map { case (uid, evs) =>
+      val arm = (hex.indexOf(md5hex(s"exp:$uid")(0)) % 2).toLong
+      (arm, if (evs.exists(_._3 == "purchase")) 1L else 0L)
+    }
+    val arms = byUser.groupBy(_._1).toSeq.map { case (arm, v) =>
+      val n = v.size.toLong
+      val c = v.map(_._2).sum
+      (arm, n, c, c * 10000 / n)
+    }.sortBy(_._1)
+    val r0 = arms.head._4
+    val expected = arms.map { case (a, n, c, r) => (a, n, c, r, r - r0) }
+    val got = run("q244_ab_readout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("q245 vocab drift equals brute-force half df counts") {
+    val dfCounts = docs.flatMap { case (id, text, _) =>
+      toks(text).distinct.map(w => (w, id % 2))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val words = dfCounts.keys.map(_._1).toSeq.distinct
+    val expected = words.map { w =>
+      val e = dfCounts.getOrElse((w, 0L), 0L)
+      val o = dfCounts.getOrElse((w, 1L), 0L)
+      (w, e, o, (e - o).abs)
+    }.sortBy { case (w, e, _, d) => (-d, -e, w) }.take(20)
+    val got = run("q245_vocab_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
   test("q242 attrition funnel equals brute-force gate replay") {
     val markers = graft.ops.TextOps.langMarkers
     def predLang(tk: Array[String]): String = {
