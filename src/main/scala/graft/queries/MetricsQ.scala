@@ -41,11 +41,16 @@ object MetricsQ {
     * locates each key's rank-k bucket → only those buckets' rows are
     * ranked. No window ever partitions by the bare group key over raw
     * rows (a 100 TB group would serialize into one task); every raw-row
-    * window is (key, bucket)-scoped. `cents` must be non-negative
-    * (integral DIV truncates toward zero, which would fold buckets -1
-    * and 0 together across the origin). */
-  private def lowerMedianPerGroup(v: DataFrame, key: String,
+    * window is (key, bucket)-scoped. Input needs (key, cents) columns;
+    * bucketing happens HERE so callers can't drift from the width, and
+    * uses true floor division (ldiv truncates toward zero, which would
+    * fold buckets -1 and 0 together across the origin and break the
+    * bucket-order ≡ value-order invariant on negative values). */
+  private def lowerMedianPerGroup(vIn: DataFrame, key: String,
       bucketW: Long): DataFrame = {
+    val w = lit(bucketW)
+    val v = vIn.withColumn("bk",
+      ldiv(col("cents") - pmod(col("cents"), w), w))
     val hist = v.groupBy(key, "bk").agg(count(lit(1)).as("cnt"))
     val nk = hist.groupBy(key).agg(sum("cnt").as("n"),
       ldiv(sum("cnt") + 1, lit(2L)).as("k"))
@@ -166,13 +171,11 @@ object MetricsQ {
         .select(col("event_type"),
           (col("value").cast(DecimalType(20, 2)) * 100)
             .cast("long").as("cents"))
-        .withColumn("bk", ldiv(col("cents"), lit(W)))
       val med = lowerMedianPerGroup(v, "event_type", W)
         .withColumnRenamed("kth", "median_cents")
       val dev = v.join(broadcast(med), "event_type")
         .select(col("event_type"),
           abs(col("cents") - col("median_cents")).as("cents"))
-        .withColumn("bk", ldiv(col("cents"), lit(W)))
       val mad = lowerMedianPerGroup(dev, "event_type", W)
         .withColumnRenamed("kth", "mad_cents")
       val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -425,7 +428,7 @@ object MetricsQ {
     // deterministic tiebreak.
     "q245_vocab_drift" -> ((s, dir) => {
       val df = t(s, dir, "documents")
-        .select(pmod(col("doc_id"), lit(2L)).as("half"), col("doc_id"),
+        .select(pmod(col("doc_id"), lit(2L)).as("half"),
           explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
         .groupBy("w", "half").agg(count(lit(1)).as("df"))
       df.groupBy("w")
@@ -446,6 +449,10 @@ object MetricsQ {
     // 4 whatever the corpus, so the share/drop windows are constant-size.
     "q242_curation_attrition" -> ((s, dir) => {
       val tk = col("toks")
+      // the feature scan (tokenize, md5 fingerprint, 25 marker counts,
+      // quality score) is the dominant cost and has TWO consumers (the
+      // first-wins rollup and the join back) — checkpoint it lazily so
+      // it runs once per action, not twice
       val d = t(s, dir, "documents")
         .withColumn("toks", TextOps.tokens(col("text")))
         .select(col("doc_id"),
@@ -457,6 +464,7 @@ object MetricsQ {
           (col("q_bp") >= 3000 && col("n_tokens") >= 5).cast("long"))
         .withColumn("g2",
           (col("g1") === 1 && col("pred_lang") === "en").cast("long"))
+        .localCheckpoint(false)
       val firstWins = d.filter(col("g2") === 1)
         .groupBy("fp").agg(min("doc_id").as("keep_id"))
       val flagged = d.join(broadcast(firstWins), Seq("fp"), "left")
@@ -469,11 +477,14 @@ object MetricsQ {
         "stack(4, 0L, 'all', n0, 1L, 'quality_gate', n1, " +
           "2L, 'langid_en', n2, 3L, 'exact_dedup', n3) " +
           "AS (stage, gate, n_docs)"))
+      // total = stage 0's count, read off the 4-row frame itself — no
+      // second aggregate pass, no crossJoin
       val wPrev = Window.orderBy("stage")
+      val wAll = Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       stages
-        .crossJoin(broadcast(one.select(col("n0").as("total"))))
         .withColumn("share_bp", ldiv(col("n_docs") * lit(10000L),
-          col("total")))
+          first("n_docs").over(wAll)))
         .withColumn("dropped_from_prev",
           coalesce(lag("n_docs", 1).over(wPrev) - col("n_docs"), lit(0L)))
         .select("stage", "gate", "n_docs", "share_bp", "dropped_from_prev")
@@ -511,8 +522,12 @@ object MetricsQ {
     // neighbor join (candidate edges, constant 9× fan-out) with the
     // dedup CC machinery; the CC runs on the edge set, never the corpus.
     "q240_dbscan_lite" -> ((s, dir) => {
+      // the spatial join is the costliest stage and feeds FOUR
+      // consumers (CC seed, degree count, border attach, role join) —
+      // checkpoint it once (lazily: construction stays job-free, the
+      // first action materializes, the rest reuse)
       val edges = gridPairs(t(s, dir, "embeddings"), 25L)
-        .select("a_id", "b_id")
+        .select("a_id", "b_id").localCheckpoint(false)
       val sym = edges.select(col("a_id").as("v"), col("b_id").as("w"))
         .union(edges.select(col("b_id").as("v"), col("a_id").as("w")))
       val core = sym.groupBy("v").agg(count(lit(1)).as("deg"))
@@ -560,7 +575,8 @@ object MetricsQ {
         .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: shared by 3 consumers, no
+      // construction-time job (an EXPLAIN-only caller stays free)
       val nOrders = basket.agg(count(lit(1)).cast(dec).as("n"))
       val items = basket
         .select(explode(col("parts")).as("pk"))
