@@ -99,7 +99,67 @@ object MetricsQ {
       .select(col("a_id"), col("b_id"), col("dinf"))
   }
 
+  /** Multi-quantile generalization of the grouped selection: ALL the
+    * requested order statistics (name, num, den) — k = ⌈num·n/den⌉ per
+    * key — from ONE corpus pass. The histogram, its cumulative and the
+    * per-(key, bucket) rank are computed once; each quantile only adds
+    * a row to the broadcast target table. Same invariant as
+    * lowerMedianPerGroup: no window ever partitions by the bare key
+    * over raw rows. The rank is computed on the base BEFORE the target
+    * join (a target bucket can serve several quantiles — ranking after
+    * the join would count the duplicated rows). */
+  private def quantilesPerGroup(vIn: DataFrame, key: String, bucketW: Long,
+      qs: Seq[(String, Long, Long)]): DataFrame = {
+    val w = lit(bucketW)
+    val wB = Window.partitionBy(key, "bk").orderBy("cents")
+    val v = vIn
+      .withColumn("bk", ldiv(col("cents") - pmod(col("cents"), w), w))
+      .withColumn("rn", row_number().over(wB))
+      .localCheckpoint(false)
+    val hist = v.groupBy(key, "bk").agg(count(lit(1)).as("cnt"))
+    val nk = hist.groupBy(key).agg(sum("cnt").as("n"))
+    val wH = Window.partitionBy(key).orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = hist
+      .withColumn("below", coalesce(sum("cnt").over(wH), lit(0L)))
+      .join(broadcast(nk), Seq(key))
+    val targets = qs.map { case (label, num, den) =>
+      below
+        .withColumn("k", ldiv(col("n") * num + (den - 1), lit(den)))
+        .filter(col("below") < col("k") &&
+          col("k") <= col("below") + col("cnt"))
+        .select(col(key), col("bk"),
+          (col("k") - col("below")).as("local_k"), lit(label).as("q"))
+    }.reduce(_ unionByName _)
+    v.join(broadcast(targets), Seq(key, "bk"))
+      .filter(col("rn") === col("local_k"))
+      .groupBy(key)
+      .agg(qs.map { case (label, _, _) =>
+        min(when(col("q") === label, col("cents"))).as(label)
+      }.head, qs.tail.map { case (label, _, _) =>
+        min(when(col("q") === label, col("cents"))).as(label)
+      }: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Equi-depth quartile profile per group (feature-binning edges +
+    // IQR outlier fences): exact ⌈p·n⌉ order statistics of event value
+    // in cents via ONE histogram-selection pass for all three quartiles
+    // — the multi-k form of q236's machinery, and the scalable
+    // replacement for percentile_approx when the result feeds an exact
+    // gate. IQR rides along for the classic 1.5·IQR fence.
+    "q246_equidepth_quartiles" -> ((s, dir) => {
+      val v = t(s, dir, "events")
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(20, 2)) * 100)
+            .cast("long").as("cents"))
+      quantilesPerGroup(v, "event_type", 1000L,
+        Seq(("p25_cents", 1L, 4L), ("p50_cents", 1L, 2L),
+          ("p75_cents", 3L, 4L)))
+        .withColumn("iqr_cents", col("p75_cents") - col("p25_cents"))
+        .orderBy("event_type")
+    }),
+
     // Ordered funnel conversion (view → click → purchase, each step
     // STRICTLY after the previous): the product-analytics staple, and a
     // window-chaining exercise — the "first view so far", "first valid
@@ -809,6 +869,28 @@ object MetricsQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "q246_equidepth_quartiles" ->
+      """WITH v AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |r AS (
+        | SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM v)
+        |SELECT event_type,
+        | CAST(min(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS BIGINT)
+        |   AS p25_cents,
+        | CAST(min(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+        |   AS p50_cents,
+        | CAST(min(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END)
+        |   AS BIGINT) AS p75_cents,
+        | CAST(min(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END)
+        |  - min(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS BIGINT)
+        |   AS iqr_cents
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q234_funnel_conversion" ->
       """WITH e AS (
         | SELECT user_id, event_type AS et, ts, event_id FROM events),

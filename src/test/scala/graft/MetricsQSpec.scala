@@ -441,6 +441,21 @@ class MetricsQSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q246 quartiles equal brute-force ceil(p*n) order statistics") {
+    val expected = events.groupBy(_._3).toSeq.map { case (et, evs) =>
+      val sorted = evs.map(_._5).sorted
+      val n = sorted.length.toLong
+      def kth(num: Long, den: Long) =
+        sorted(((num * n + den - 1) / den - 1).toInt)
+      val (a, b, c) = (kth(1, 4), kth(1, 2), kth(3, 4))
+      (et, a, b, c, c - a)
+    }.sortBy(_._1)
+    val got = run("q246_equidepth_quartiles").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
   test("q236 per-type median and MAD equal brute-force order statistics") {
     def lowerMedian(xs: Seq[Long]): Long = {
       val k = (xs.length + 1) / 2
