@@ -452,6 +452,76 @@ object MetricsQ {
         .limit(10)
     }),
 
+    // Markov next-event predictor accuracy: train per-prev-type argmax
+    // transitions on the first TIME half, score top-1 accuracy on the
+    // second — the temporal-split eval that tells you whether q107's
+    // transition matrix has predictive value or just describes the
+    // past. The midpoint split is a broadcast scalar; consecutive pairs
+    // come from ONE user-partitioned lag window; the predictor table is
+    // (event-type)²-sized, so scoring is a broadcast join. Ties break
+    // alphabetically — fully integral, hash-exact.
+    "q247_markov_accuracy" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("et"),
+          unix_micros(col("ts")).as("tu"), col("event_id"))
+      val mid = e.agg((ldiv(min("tu") + max("tu"), lit(2L))).as("mid"))
+      val wU = Window.partitionBy("user_id").orderBy("tu", "event_id")
+      val pairs = e
+        .withColumn("prev_et", lag("et", 1).over(wU))
+        .withColumn("prev_tu", lag("tu", 1).over(wU))
+        .filter(col("prev_et").isNotNull)
+        .crossJoin(broadcast(mid))
+      val train = pairs.filter(col("tu") < col("mid") &&
+          col("prev_tu") < col("mid"))
+        .groupBy(col("prev_et"), col("et")).agg(count(lit(1)).as("c"))
+      val wP = Window.partitionBy("prev_et").orderBy(desc("c"), asc("et"))
+      val pred = train.withColumn("rk", row_number().over(wP))
+        .filter(col("rk") === 1)
+        .select(col("prev_et"), col("et").as("pred_et"))
+      pairs.filter(col("tu") >= col("mid") && col("prev_tu") >= col("mid"))
+        .join(broadcast(pred), Seq("prev_et"), "left")
+        .groupBy("prev_et")
+        .agg(count(lit(1)).as("n_test"),
+          // coalesce: a prev type unseen in training has a null
+          // prediction — that's a miss, not a skipped row
+          sum(coalesce((col("et") === col("pred_et")).cast("long"),
+            lit(0L))).as("n_correct"))
+        .select(col("prev_et"), col("n_test"), col("n_correct"),
+          ldiv(col("n_correct") * lit(10000L), col("n_test")).as("acc_bp"))
+        .orderBy("prev_et")
+    }),
+
+    // Semi-supervised label spreading over the near-dup graph: each doc
+    // with near-dup neighbors takes the majority of its NEIGHBORS'
+    // labeled langs (alphabetical tiebreak) and the report scores that
+    // against its own label, per lang — the audit that says whether
+    // near-dup structure carries label signal (it should: near-dups are
+    // usually same-language). Reuses the session-shared exact-Jaccard
+    // edge set; every aggregate is edge-set- or lang-sized.
+    "q248_label_spread" -> ((s, dir) => {
+      val edges = ScaleQ.dedupEdges(s, dir).select("a_id", "b_id")
+      val sym = edges.select(col("a_id").as("v"), col("b_id").as("w"))
+        .union(edges.select(col("b_id").as("v"), col("a_id").as("w")))
+      val langs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val votes = sym
+        .join(langs.withColumnRenamed("doc_id", "w")
+          .withColumnRenamed("lang", "nbr_lang"), "w")
+        .groupBy(col("v"), col("nbr_lang")).agg(count(lit(1)).as("c"))
+      val wV = Window.partitionBy("v").orderBy(desc("c"), asc("nbr_lang"))
+      val predicted = votes.withColumn("rk", row_number().over(wV))
+        .filter(col("rk") === 1)
+        .select(col("v").as("doc_id"), col("nbr_lang").as("pred_lang"))
+      predicted.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("pred_lang") === col("lang")).cast("long"))
+            .as("n_agree"))
+        .select(col("lang"), col("n_docs"), col("n_agree"),
+          ldiv(col("n_agree") * lit(10000L), col("n_docs")).as("agree_bp"))
+        .orderBy("lang")
+    }),
+
     // A/B experiment readout: users split into two arms by the same
     // md5-nibble device as q229 (per-row projection, no windows — the
     // assignment that scales and replays), then per-arm exposure and
@@ -1092,6 +1162,69 @@ object MetricsQ {
         |JOIN s a ON a.i = p.i
         |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
         |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+
+    "q247_markov_accuracy" ->
+      """WITH e AS (
+        | SELECT user_id, event_type AS et, epoch_us(ts) AS tu, event_id
+        | FROM events),
+        |m AS (SELECT (min(tu) + max(tu)) // 2 AS mid FROM e),
+        |p AS (
+        | SELECT user_id, et, tu,
+        |  lag(et) OVER w AS prev_et, lag(tu) OVER w AS prev_tu
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |pp AS (SELECT p.*, m.mid FROM p, m WHERE prev_et IS NOT NULL),
+        |tr AS (
+        | SELECT prev_et, et, count(*) AS c FROM pp
+        | WHERE tu < mid AND prev_tu < mid GROUP BY prev_et, et),
+        |pr AS (
+        | SELECT prev_et, et AS pred_et FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY prev_et
+        |    ORDER BY c DESC, et) AS rk FROM tr) WHERE rk = 1),
+        |te AS (
+        | SELECT pp.prev_et, pp.et, pr.pred_et FROM pp
+        | LEFT JOIN pr USING (prev_et)
+        | WHERE tu >= mid AND prev_tu >= mid)
+        |SELECT prev_et, CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(CASE WHEN et = pred_et THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_correct,
+        | CAST(sum(CASE WHEN et = pred_et THEN 1 ELSE 0 END) * 10000
+        |   // count(*) AS BIGINT) AS acc_bp
+        |FROM te GROUP BY prev_et ORDER BY prev_et""".stripMargin,
+
+    "q248_label_spread" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+        | FROM s),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.shs, b.shs)) AS inter,
+        |  len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS un
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (
+        | SELECT a_id, b_id FROM p
+        | WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5),
+        |sym AS (
+        | SELECT a_id AS v, b_id AS w FROM e
+        | UNION ALL SELECT b_id, a_id FROM e),
+        |vo AS (
+        | SELECT sym.v, d.lang AS nbr_lang, count(*) AS c
+        | FROM sym JOIN documents d ON d.doc_id = sym.w
+        | GROUP BY sym.v, d.lang),
+        |pr AS (
+        | SELECT v AS doc_id, nbr_lang AS pred_lang FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY v
+        |    ORDER BY c DESC, nbr_lang) AS rk FROM vo) WHERE rk = 1)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN pr.pred_lang = d.lang THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_agree,
+        | CAST(sum(CASE WHEN pr.pred_lang = d.lang THEN 1 ELSE 0 END)
+        |   * 10000 // count(*) AS BIGINT) AS agree_bp
+        |FROM pr JOIN documents d USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q244_ab_readout" ->
       """WITH u AS (

@@ -153,6 +153,66 @@ class MetricsQSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q247 Markov accuracy equals brute-force temporal-split replay") {
+    val tus = events.map(_._4)
+    val mid = (tus.min + tus.max) / 2
+    val pairs = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+      evs.sortBy(e => (e._4, e._1)).sliding(2).collect {
+        case Seq(a, b) => (a._3, b._3, a._4, b._4)
+      }
+    }
+    val train = pairs.filter(p => p._3 < mid && p._4 < mid)
+      .groupBy(p => (p._1, p._2)).map { case (k, v) => k -> v.size.toLong }
+    val pred = train.keys.map(_._1).toSeq.distinct.map { prev =>
+      prev -> train.filter(_._1._1 == prev).toSeq
+        .sortBy { case ((_, nxt), c) => (-c, nxt) }.head._1._2
+    }.toMap
+    val test = pairs.filter(p => p._3 >= mid && p._4 >= mid)
+    val expected = test.groupBy(_._1).toSeq.map { case (prev, v) =>
+      val n = v.size.toLong
+      val ok = v.count(p => pred.get(prev).contains(p._2)).toLong
+      (prev, n, ok, ok * 10000 / n)
+    }.sortBy(_._1)
+    val got = run("q247_markov_accuracy").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("q248 label spreading equals brute-force neighbor majority") {
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    def shingles(text: String): Set[String] = {
+      val tk = toks(text)
+      (0 to tk.length - 3).map(i =>
+        s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").toSet
+    }
+    val sh = docs.map(d => (d._1, shingles(d._2)))
+    val edges = for {
+      (a, sa) <- sh; (b, sb) <- sh
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      un = sa.size + sb.size - inter
+      if BigDecimal(inter.toDouble / un)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.5")
+    } yield (a, b)
+    val nbrs = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val expected = nbrs.toSeq.map { case (v, ws) =>
+      val votes = ws.map(byId).groupBy(identity)
+        .map { case (l, vs) => (l, vs.size) }.toSeq
+        .sortBy { case (l, c) => (-c, l) }
+      (byId(v), votes.head._1 == byId(v))
+    }.groupBy(_._1).toSeq.map { case (lang, v) =>
+      val n = v.size.toLong
+      val ok = v.count(_._2).toLong
+      (lang, n, ok, ok * 10000 / n)
+    }.sortBy(_._1)
+    val got = run("q248_label_spread").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
   test("q244 A/B readout equals brute-force md5 arm assignment") {
     val hex = "0123456789abcdef"
     val byUser = events.groupBy(_._2).toSeq.map { case (uid, evs) =>
