@@ -246,6 +246,68 @@ object MetricsQ {
         .orderBy("event_type")
     }),
 
+    // Per-group OLS trend over daily rollups: slope of daily event
+    // value against the day index per event type, from five exact
+    // DECIMAL moments (q95's discipline, grouped) over the (type, day)
+    // rollup — the corpus pass is one partial-aggregated rollup, the
+    // regression runs on day-count-sized groups. Slope reported in ppm
+    // (cents/day ·10⁶) via integral DIV — no float accumulation
+    // anywhere, so the trend direction can gate pipelines.
+    "q249_pertype_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("x"),
+          (col("value").cast(DecimalType(20, 2)) * 100)
+            .cast("long").as("cents"))
+        .groupBy("event_type", "x")
+        .agg(sum("cents").as("y"))
+      val m = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      m.select(col("event_type"), col("n").as("n_days"),
+          ldiv((col("n") * col("sxy") - col("sx") * col("sy"))
+            * lit(1000000L),
+            col("n") * col("sxx") - col("sx") * col("sx"))
+            .as("slope_ppm"))
+        .orderBy("event_type")
+    }),
+
+    // Robust outlier fence from the MAD (the q236 pair's purpose): a
+    // value is an outlier when |x − median| exceeds 3σ under the normal
+    // MAD calibration (σ ≈ 1.4826·MAD) — cross-multiplied to the exact
+    // integer test |x−med|·10⁴ > MAD·44478, so the fence is
+    // engine-independent. Two selection rounds + one scoring scan; the
+    // stddev-based fence this replaces breaks the moment a corrupt
+    // batch drags the mean.
+    "q250_mad_outliers" -> ((s, dir) => {
+      val W = 1000L
+      val v = t(s, dir, "events")
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(20, 2)) * 100)
+            .cast("long").as("cents"))
+      val med = lowerMedianPerGroup(v, "event_type", W)
+        .withColumnRenamed("kth", "med")
+      val dev = v.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("cents"),
+          abs(col("cents") - col("med")).as("adev"))
+      val mad = lowerMedianPerGroup(
+        dev.select(col("event_type"), col("adev").as("cents")),
+        "event_type", W).withColumnRenamed("kth", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("adev") * lit(10000L) > col("mad") * lit(44478L))
+            .cast("long")).as("n_outliers"))
+        .select(col("event_type"), col("n"), col("n_outliers"),
+          ldiv(col("n_outliers") * lit(10000L), col("n"))
+            .as("outlier_bp"))
+        .orderBy("event_type")
+    }),
+
     // 2-D grid-blocked neighbor join (the spatial-join shape): all
     // embedding pairs within L∞ ≤ 25 on the first two quantized dims.
     // Each point lands in ONE ~R-wide grid cell; the probe side
@@ -1162,6 +1224,52 @@ object MetricsQ {
         |JOIN s a ON a.i = p.i
         |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
         |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+
+    "q249_pertype_trend" ->
+      """WITH daily AS (
+        | SELECT event_type,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |  sum(CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT)) AS y
+        | FROM events GROUP BY 1, 2),
+        |m AS (
+        | SELECT event_type, count(*) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx
+        | FROM daily GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        | CAST((n * sxy - sx * sy) * 1000000
+        |   // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q250_mad_outliers" ->
+      """WITH v AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |m AS (
+        | SELECT event_type, cents AS med FROM (
+        |  SELECT event_type, cents,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |   count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v) WHERE rn = (n + 1) // 2),
+        |d AS (
+        | SELECT v.event_type, v.cents, abs(v.cents - m.med) AS adev
+        | FROM v JOIN m USING (event_type)),
+        |md AS (
+        | SELECT event_type, adev AS mad FROM (
+        |  SELECT event_type, adev,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+        |   count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d) WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN d.adev * 10000 > md.mad * 44478
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | CAST(sum(CASE WHEN d.adev * 10000 > md.mad * 44478
+        |   THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+        |   AS outlier_bp
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q247_markov_accuracy" ->
       """WITH e AS (

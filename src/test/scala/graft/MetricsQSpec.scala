@@ -153,6 +153,41 @@ class MetricsQSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q249 per-type trend equals brute-force DECIMAL moments") {
+    val daily = events.groupBy(e => (e._3, e._4 / 86400000000L)).toSeq
+      .map { case ((et, day), evs) => (et, BigInt(day), BigInt(evs.map(_._5).sum)) }
+    val expected = daily.groupBy(_._1).toSeq.map { case (et, pts) =>
+      val n = BigInt(pts.size)
+      val sx = pts.map(_._2).sum
+      val sy = pts.map(_._3).sum
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val sxx = pts.map(p => p._2 * p._2).sum
+      val num = (n * sxy - sx * sy) * 1000000
+      val den = n * sxx - sx * sx
+      (et, pts.size.toLong, (num / den).toLong)
+    }.sortBy(_._1)
+    val got = run("q249_pertype_trend").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("q250 MAD outlier fence equals brute-force recompute") {
+    def lowerMedian(xs: Seq[Long]): Long =
+      xs.sorted.apply((xs.length + 1) / 2 - 1)
+    val expected = events.groupBy(_._3).toSeq.map { case (et, evs) =>
+      val cents = evs.map(_._5)
+      val med = lowerMedian(cents)
+      val adev = cents.map(c => (c - med).abs)
+      val mad = lowerMedian(adev)
+      val out = adev.count(d => d * 10000 > mad * 44478).toLong
+      (et, cents.length.toLong, out, out * 10000 / cents.length)
+    }.sortBy(_._1)
+    val got = run("q250_mad_outliers").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
   test("q247 Markov accuracy equals brute-force temporal-split replay") {
     val tus = events.map(_._4)
     val mid = (tus.min + tus.max) / 2
