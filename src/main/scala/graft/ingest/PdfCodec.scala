@@ -55,32 +55,36 @@ object PdfCodec {
       val end = raw.indexOf("endstream", e)
       require(end >= e, "PDF stream without endstream")
       val seg = raw.substring(s, e).getBytes("ISO-8859-1")
-      val known = Seq("/FlateDecode", "/ASCIIHexDecode", "/RunLengthDecode",
-        "/LZWDecode").filter(dict.contains)
-      // contains-based dispatch can't express a filter CHAIN — refuse
-      // on the count of ALL filter names after /Filter (a known+UNKNOWN
-      // chain like [/RunLengthDecode /ASCII85Decode] must not slip
-      // through a known-only count and decode one link into garbage)
+      // ORDERED filter list (single name or array) — PDF applies the
+      // list left-to-right on decode, so a chain like
+      // [/ASCII85Decode /FlateDecode] means un-85 THEN inflate. Chains
+      // are supported when EVERY link is known; one unknown link
+      // refuses the whole stream (decoding the known prefix of a chain
+      // would emit garbage, not text).
+      val supported = Set("/FlateDecode", "/ASCIIHexDecode",
+        "/ASCII85Decode", "/RunLengthDecode", "/LZWDecode")
       val allFilters = "/Filter\\s*(\\[[^\\]]*\\]|/\\w+)".r
         .findFirstMatchIn(dict).map(m =>
           "/[A-Za-z0-9]+".r.findAllIn(m.group(1)).toList)
         .getOrElse(Nil)
-      require(allFilters.size <= 1,
-        s"unsupported PDF filter chain in $dict")
-      if (dict.contains("/Filter") && known.isEmpty)
-        throw new IllegalArgumentException(
-          s"unsupported PDF filter in $dict — only " +
-            "/FlateDecode, /ASCIIHexDecode, /RunLengthDecode, /LZWDecode")
+      val unknown = allFilters.filterNot(supported)
+      require(unknown.isEmpty,
+        s"unsupported PDF filter(s) ${unknown.mkString(", ")} in $dict — " +
+          s"only ${supported.mkString(", ")}")
+      // predictor-transformed Flate/LZW (xref/image streams) would
+      // inflate to predictor deltas, not content — refuse loudly
+      require(!dict.contains("/Predictor"),
+        s"unsupported /Predictor DecodeParms in $dict")
       // EarlyChange=0 override (default 1) on LZW streams
       val early = "/EarlyChange\\s+(\\d+)".r.findFirstMatchIn(dict)
         .map(_.group(1).toInt).getOrElse(1)
-      val content = known.headOption match {
-        case Some("/FlateDecode") => inflate(seg)
-        case Some("/ASCIIHexDecode") => asciiHexDecode(seg)
-        case Some("/RunLengthDecode") => runLengthDecode(seg)
-        case Some("/LZWDecode") => lzwDecode(seg, early)
-        case _ => seg
-      }
+      val content = allFilters.foldLeft(seg) { (bytes, f) => f match {
+        case "/FlateDecode" => inflate(bytes)
+        case "/ASCIIHexDecode" => asciiHexDecode(bytes)
+        case "/ASCII85Decode" => ascii85Decode(bytes)
+        case "/RunLengthDecode" => runLengthDecode(bytes)
+        case "/LZWDecode" => lzwDecode(bytes, early)
+      }}
       lines ++= showOps(new String(content, "ISO-8859-1"))
       found = true
       from = end + "endstream".length
@@ -165,6 +169,78 @@ object PdfCodec {
       i += 1
     }
     if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (PDF 32000-1 §7.4.3): 5 chars '!'..'u' → 4 bytes
+    * base-85 big-endian; 'z' is a whole zero group; a final partial
+    * group of n chars (2..4) pads with 'u' and emits n−1 bytes;
+    * whitespace ignored; "~>" is EOD. */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 4 / 5)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(chars: Int): Unit = {
+      var k = chars
+      while (k < 5) { grp(k) = 84; k += 1 } // pad with 'u'
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + grp(j); j += 1 }
+      require(v <= 0xFFFFFFFFL, "ASCII85 group overflows 32 bits")
+      var e = 0
+      while (e < chars - 1) {
+        out.write(((v >>> (8 * (3 - e))) & 0xff).toInt)
+        e += 1
+      }
+      n = 0
+    }
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true // "~>" EOD
+      else if (c == 'z') {
+        require(n == 0, "'z' inside an ASCII85 group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!c.isWhitespace) {
+        require(c >= '!' && c <= 'u', s"bad ASCII85 character '$c'")
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) flush(5)
+      }
+      i += 1
+    }
+    if (n > 0) {
+      require(n >= 2, "dangling single ASCII85 character")
+      flush(n)
+    }
+    out.toByteArray
+  }
+
+  /** ASCII85Encode — the fixture/roundtrip side of ascii85Decode. */
+  private[graft] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i < data.length) {
+      val rem = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 8) | (if (j < rem) data(i + j) & 0xff else 0)
+        j += 1
+      }
+      if (rem == 4 && v == 0L) out.write('z')
+      else {
+        val cs = new Array[Int](5)
+        var k = 4
+        var vv = v
+        while (k >= 0) { cs(k) = (vv % 85).toInt; vv /= 85; k -= 1 }
+        var e = 0
+        while (e < rem + 1) { out.write(cs(e) + '!'); e += 1 }
+      }
+      i += 4
+    }
+    out.write('~'); out.write('>')
     out.toByteArray
   }
 
@@ -370,17 +446,29 @@ object PdfCodec {
         d.end()
         out.toByteArray
       case "ahx" => asciiHexEncode(content)
+      case "a85" => ascii85Encode(content)
       case "rle" => runLengthEncode(content)
       case "lzw" => lzwEncode(content)
+      case "a85+flate" => // chain: inflate happens LAST on decode
+        val d = new Deflater()
+        d.setInput(content); d.finish()
+        val out = new ByteArrayOutputStream(content.length)
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        ascii85Encode(out.toByteArray)
       case "raw" => content
       case other => throw new IllegalArgumentException(
-        s"unknown filterName $other — flate | raw | ahx | rle | lzw")
+        s"unknown filterName $other — flate | raw | ahx | a85 | rle | " +
+          "lzw | a85+flate")
     }
     val filter = filterName match {
       case "flate" => " /Filter /FlateDecode"
       case "ahx" => " /Filter /ASCIIHexDecode"
+      case "a85" => " /Filter /ASCII85Decode"
       case "rle" => " /Filter /RunLengthDecode"
       case "lzw" => " /Filter /LZWDecode"
+      case "a85+flate" => " /Filter [/ASCII85Decode /FlateDecode]"
       case _ => ""
     }
     val out = new ByteArrayOutputStream()

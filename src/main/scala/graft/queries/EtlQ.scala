@@ -294,12 +294,14 @@ object EtlQ {
           .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val f = (id % 5) match {
+          val f = (id % 7) match {
             case 0 => "flate"
             case 1 => "raw"
             case 2 => "ahx"
             case 3 => "rle"
-            case _ => "lzw"
+            case 4 => "lzw"
+            case 5 => "a85"
+            case _ => "a85+flate" // the 2-link chain: un-85 then inflate
           }
           val lines = Seq(s"Name: Event $id", text)
           val got = graft.ingest.PdfCodec.decode(
@@ -488,8 +490,9 @@ object EtlQ {
 
     "q207_pdf_filters" ->
       """SELECT doc_id,
-        | CASE doc_id % 5 WHEN 0 THEN 'flate' WHEN 1 THEN 'raw'
-        |      WHEN 2 THEN 'ahx' WHEN 3 THEN 'rle' ELSE 'lzw'
+        | CASE doc_id % 7 WHEN 0 THEN 'flate' WHEN 1 THEN 'raw'
+        |      WHEN 2 THEN 'ahx' WHEN 3 THEN 'rle' WHEN 4 THEN 'lzw'
+        |      WHEN 5 THEN 'a85' ELSE 'a85+flate'
         | END AS filter,
         | CAST(2 AS BIGINT) AS n_lines,
         | md5('Name: Event ' || CAST(doc_id AS VARCHAR) || chr(10) ||

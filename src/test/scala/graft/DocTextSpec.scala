@@ -264,11 +264,41 @@ class DocTextSpec extends SparkSpec {
     // truncated LZW (no EOD) is loud, not garbage
     intercept[IllegalArgumentException](
       PdfCodec.lzwDecode(Array(0x40.toByte, 0x20.toByte)))
-    // a filter CHAIN is refused rather than half-decoded
+    // a chain with ANY unknown link is refused rather than half-decoded
     val chain = ("%PDF-1.4\n1 0 obj << /Length 3 " +
-      "/Filter [/ASCIIHexDecode /FlateDecode] >> " +
+      "/Filter [/RunLengthDecode /JBIG2Decode] >> " +
       "stream\nabc\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
     intercept[IllegalArgumentException](PdfCodec.decode(chain))
+    // predictor-transformed streams would inflate to deltas, not text
+    val pred = ("%PDF-1.4\n1 0 obj << /Length 3 /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 4 >> >> " +
+      "stream\nabc\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException](PdfCodec.decode(pred))
+  }
+
+  test("pdf ASCII85 + known-filter chains roundtrip") {
+    import graft.ingest.PdfCodec
+    // primitive roundtrip across byte values, incl. the zero group and
+    // a partial final group
+    val payloads = Seq(
+      Array.tabulate(256)(_.toByte),
+      Array[Byte](0, 0, 0, 0, 1, 2, 3), // 'z' group + partial
+      "ascii text with spaces".getBytes("ISO-8859-1"),
+      Array[Byte](7))
+    payloads.foreach { p =>
+      assert(PdfCodec.ascii85Decode(PdfCodec.ascii85Encode(p)).toSeq ==
+        p.toSeq)
+    }
+    // whitespace inside the 85-stream is ignored per spec
+    val enc = PdfCodec.ascii85Encode("hello world".getBytes("ISO-8859-1"))
+    val spaced = enc.flatMap(b => Array(b, '\n'.toByte))
+    assert(new String(PdfCodec.ascii85Decode(spaced), "ISO-8859-1") ==
+      "hello world")
+    // whole-PDF roundtrips: single a85 and the 2-link a85+flate chain
+    val lines = Seq("A85 line (one)", "chain \\ two")
+    assert(PdfCodec.decode(PdfCodec.encodeWith(lines, "a85")) == lines)
+    assert(PdfCodec.decode(PdfCodec.encodeWith(lines, "a85+flate")) ==
+      lines)
   }
 
   test("xlsx codec: roundtrip, both string encodings, numeric cells") {
