@@ -21,6 +21,11 @@ object MetricsQ {
 
   private val dec = DecimalType(38, 0)
 
+  /** md5 hex of a literal, folded at plan-build time (ring points). */
+  private def md5hexLit(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   /** The q87 quality-score column (exact integer basis points). */
   private def qbp: Column = TextOps.qualityBp(TextOps.tokens(col("text")))
 
@@ -512,6 +517,63 @@ object MetricsQ {
             .cast(dec).as("cov_num"))
         .orderBy(abs(col("cov_num")).desc, col("dim_i"), col("dim_j"))
         .limit(10)
+    }),
+
+    // Dedup survivorship by QUALITY (the real curation choice): inside
+    // each near-dup cluster keep the highest-quality doc, not the
+    // smallest id (q86's canonical pick) — tiebreak min doc_id so the
+    // choice is total. Reuses the session-shared exact-Jaccard edge set
+    // and the CC machinery; the quality join touches cluster members
+    // only, and the argmax is one (max_by-style) struct-min per cluster.
+    "q251_dedup_best_quality" -> ((s, dir) => {
+      val labels = graft.ops.DedupOps
+        .connectedComponents(ScaleQ.dedupEdges(s, dir))
+        .withColumnRenamed("node", "doc_id")
+      val q = t(s, dir, "documents")
+        .select(col("doc_id"), qbp.as("q_bp"))
+      labels.join(q, "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q_bp"), (-col("doc_id")).as("neg_id")))
+            .as("best"))
+        .select(col("cluster"), col("n_members"),
+          (-col("best.neg_id")).as("keep_id"),
+          col("best.q_bp").as("keep_q_bp"))
+        .orderBy("cluster")
+    }),
+
+    // Consistent-hash shard assignment (ring with virtual nodes): docs
+    // map to the first of 32 ring points (4 shards × 8 vnodes, points =
+    // md5 hex of "shard:vnode") clockwise from md5(doc), wrapping to
+    // the ring minimum — the device that keeps shard assignment ~stable
+    // when shards join or leave (only the arc between two points
+    // moves). String-keyed md5 end to end (the q179 rule), ring
+    // broadcast, one scan; output is the per-shard balance report plus
+    // a stability probe: how many docs WOULD move if shard 3 left.
+    "q252_consistent_hash_shards" -> ((s, dir) => {
+      val ring = (for (sh <- 0 until 4; v <- 0 until 8)
+        yield (sh.toLong, md5hexLit(s"$sh:$v"))).toSeq
+      def owner(pos: Column, points: Seq[(Long, String)]): Column = {
+        // first point clockwise (≥ pos), else wrap to the ring minimum
+        val ge = points.map { case (sh, p) =>
+          when(lit(p) >= pos, struct(lit(p).as("p"), lit(sh).as("sh")))
+        }
+        val wrap = points.map { case (sh, p) =>
+          struct(lit(p).as("p"), lit(sh).as("sh"))
+        }
+        coalesce(least(ge: _*), least(wrap: _*)).getField("sh")
+      }
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), md5(concat(lit("doc:"),
+          col("doc_id").cast("string"))).as("pos"))
+        .withColumn("shard", owner(col("pos"), ring))
+        .withColumn("shard_without_3",
+          owner(col("pos"), ring.filterNot(_._1 == 3)))
+      d.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("shard") =!= col("shard_without_3")).cast("long"))
+            .as("n_move_if_3_leaves"))
+        .orderBy("shard")
     }),
 
     // Markov next-event predictor accuracy: train per-prev-type argmax
@@ -1224,6 +1286,46 @@ object MetricsQ {
         |JOIN s a ON a.i = p.i
         |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
         |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+
+    "q251_dedup_best_quality" ->
+      (ScaleQ.dedupLabSql + ",\n" +
+        s"""q AS (SELECT doc_id, $qbpSql AS q_bp FROM documents)
+           |SELECT cluster, n_members, node AS keep_id, q_bp AS keep_q_bp
+           |FROM (
+           | SELECT lab.cluster, lab.node, q.q_bp,
+           |  CAST(count(*) OVER (PARTITION BY lab.cluster) AS BIGINT)
+           |    AS n_members,
+           |  row_number() OVER (PARTITION BY lab.cluster
+           |    ORDER BY q.q_bp DESC, lab.node) AS rk
+           | FROM lab JOIN q ON q.doc_id = lab.node)
+           |WHERE rk = 1 ORDER BY cluster""".stripMargin),
+
+    "q252_consistent_hash_shards" ->
+      """WITH ring AS (
+        | SELECT s.sh,
+        |  md5(CAST(s.sh AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)) AS p
+        | FROM (SELECT unnest(range(0, 4)) AS sh) s,
+        |      (SELECT unnest(range(0, 8)) AS v) v),
+        |d AS (
+        | SELECT doc_id, md5('doc:' || CAST(doc_id AS VARCHAR)) AS pos
+        | FROM documents),
+        |own AS (
+        | SELECT d.doc_id,
+        |  coalesce(
+        |   (SELECT r.sh FROM ring r WHERE r.p >= d.pos
+        |    ORDER BY r.p, r.sh LIMIT 1),
+        |   (SELECT r.sh FROM ring r ORDER BY r.p, r.sh LIMIT 1)) AS shard,
+        |  coalesce(
+        |   (SELECT r.sh FROM ring r WHERE r.sh <> 3 AND r.p >= d.pos
+        |    ORDER BY r.p, r.sh LIMIT 1),
+        |   (SELECT r.sh FROM ring r WHERE r.sh <> 3
+        |    ORDER BY r.p, r.sh LIMIT 1)) AS shard_wo3
+        | FROM d)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN shard <> shard_wo3 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_move_if_3_leaves
+        |FROM own GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q249_pertype_trend" ->
       """WITH daily AS (

@@ -153,6 +153,67 @@ class MetricsQSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q251 best-quality survivor equals brute-force cluster argmax") {
+    // reuse q248's brute edge builder: same threshold, same shingles
+    def shingles(text: String): Set[String] = {
+      val tk = toks(text)
+      (0 to tk.length - 3).map(i =>
+        s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").toSet
+    }
+    val sh = docs.map(d => (d._1, shingles(d._2)))
+    val edges = for {
+      (a, sa) <- sh; (b, sb) <- sh
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      un = sa.size + sb.size - inter
+      if BigDecimal(inter.toDouble / un)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.5")
+    } yield (a, b)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+    def find(v: Long): Long =
+      if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val qOf = docs.map(d => d._1 -> qualityBp(d._2)).toMap
+    val expected = nodes.groupBy(v => nodes.filter(w => find(w) == find(v)).min)
+      .toSeq.map { case (cluster, members) =>
+        val keep = members.minBy(m => (-qOf(m), m))
+        (cluster, members.size.toLong, keep, qOf(keep))
+      }.sortBy(_._1)
+    val got = run("q251_dedup_best_quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("q252 consistent-hash ring replays and bounds churn to one arc") {
+    val ring = for (sh <- 0L until 4L; v <- 0 until 8)
+      yield (sh, md5hex(s"$sh:$v"))
+    def owner(pos: String, pts: Seq[(Long, String)]): Long = {
+      val ge = pts.filter(_._2 >= pos)
+      val pick = if (ge.nonEmpty) ge else pts
+      pick.minBy(p => (p._2, p._1))._1
+    }
+    val assigns = docs.map { case (id, _, _) =>
+      val pos = md5hex(s"doc:$id")
+      (owner(pos, ring), owner(pos, ring.filterNot(_._1 == 3L)))
+    }
+    val expected = assigns.groupBy(_._1).toSeq.map { case (shard, v) =>
+      (shard, v.size.toLong, v.count(a => a._1 != a._2).toLong)
+    }.sortBy(_._1)
+    val got = run("q252_consistent_hash_shards").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // consistent-hashing contract: only docs owned by the leaving shard
+    // can move
+    got.foreach { case (shard, _, moved) =>
+      if (shard != 3L) assert(moved === 0L, s"shard $shard churned")
+    }
+  }
+
   test("q249 per-type trend equals brute-force DECIMAL moments") {
     val daily = events.groupBy(e => (e._3, e._4 / 86400000000L)).toSeq
       .map { case ((et, day), evs) => (et, BigInt(day), BigInt(evs.map(_._5).sum)) }
