@@ -519,6 +519,39 @@ object MetricsQ {
         .limit(10)
     }),
 
+    // Oracle-exact SimHash (the replayable contrast to rows-only q18,
+    // as q227 is to q17): 16 fingerprint bits from count-weighted ±1
+    // votes of md5-nibble bits per token — string-keyed md5, integral
+    // votes, ties (vote ≤ 0) resolve to 0, so the whole sketch replays
+    // in DuckDB. Shape: corpus → (doc, token) count rollup → 16
+    // conditional sums per doc → fp-keyed collision groups (the
+    // near-dup candidate report). The vote table is vocab-sized before
+    // the per-doc rollup; no pair join anywhere.
+    "q253_simhash_exact" -> ((s, dir) => {
+      val tokCnt = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+        .withColumn("h", md5(col("tk")))
+      // nibble value of hex char j (0-based) of the token's md5
+      def nib(j: Int): Column =
+        expr(s"instr('0123456789abcdef', substring(h, ${j + 1}, 1))") - 1
+      val bitSums = (0 until 16).map { k =>
+        val bit = when(nib(k / 4).bitwiseAND(lit(1 << (k % 4))) > 0,
+          lit(1L)).otherwise(lit(0L))
+        sum(col("c") * (bit * 2 - 1)).as(s"v$k")
+      }
+      val fp = (0 until 16).map(k =>
+        when(col(s"v$k") > 0, lit(1L << k)).otherwise(0L)).reduce(_ + _)
+      val sigs = tokCnt.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), fp.as("fp"))
+      sigs.join(sigs.groupBy("fp").agg(count(lit(1)).as("n_same_fp")),
+          "fp")
+        .select(col("doc_id"), col("fp"), col("n_same_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup survivorship by QUALITY (the real curation choice): inside
     // each near-dup cluster keep the highest-quality doc, not the
     // smallest id (q86's canonical pick) — tiebreak min doc_id so the
@@ -1286,6 +1319,30 @@ object MetricsQ {
         |JOIN s a ON a.i = p.i
         |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
         |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+
+    "q253_simhash_exact" -> {
+      val votes = (0 until 16).map { k =>
+        val mask = 1 << (k % 4)
+        s"""sum(c * (CASE WHEN ((instr('0123456789abcdef',
+           |   substr(h, ${k / 4 + 1}, 1)) - 1) & $mask) > 0
+           |  THEN 1 ELSE -1 END)) AS v$k""".stripMargin
+      }.mkString(",\n  ")
+      val fpSum = (0 until 16).map(k =>
+        s"(CASE WHEN v$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+      s"""WITH tc AS (
+         | SELECT doc_id, tk, count(*) AS c, md5(tk) AS h FROM (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+         |  FROM documents) GROUP BY doc_id, tk),
+         |v AS (
+         | SELECT doc_id,
+         |  $votes
+         | FROM tc GROUP BY doc_id),
+         |f AS (
+         | SELECT doc_id, CAST($fpSum AS BIGINT) AS fp FROM v)
+         |SELECT doc_id, fp,
+         | CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same_fp
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     "q251_dedup_best_quality" ->
       (ScaleQ.dedupLabSql + ",\n" +

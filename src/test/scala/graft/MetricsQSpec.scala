@@ -153,6 +153,29 @@ class MetricsQSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q253 exact SimHash bits recompute from md5 nibbles") {
+    val hex = "0123456789abcdef"
+    val expected0 = docs.map { case (id, text, _) =>
+      val counts = toks(text).groupBy(identity)
+        .map { case (tk, v) => tk -> v.size.toLong }
+      var fp = 0L
+      for (k <- 0 until 16) {
+        val vote = counts.map { case (tk, c) =>
+          val nibv = hex.indexOf(md5hex(tk)(k / 4))
+          if ((nibv & (1 << (k % 4))) > 0) c else -c
+        }.sum
+        if (vote > 0) fp |= (1L << k)
+      }
+      (id, fp)
+    }
+    val groupN = expected0.groupBy(_._2).map { case (f, v) => f -> v.size.toLong }
+    val expected = expected0.map { case (id, fp) => (id, fp, groupN(fp)) }
+      .sortBy(_._1)
+    val got = run("q253_simhash_exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
   test("q251 best-quality survivor equals brute-force cluster argmax") {
     // reuse q248's brute edge builder: same threshold, same shingles
     def shingles(text: String): Set[String] = {
