@@ -519,6 +519,36 @@ object MetricsQ {
         .limit(10)
     }),
 
+    // Exact Gini coefficient of revenue concentration per region — the
+    // inequality twin of q198's Pareto head: G = (2·Σi·xᵢ − (n+1)·Σx)
+    // / (n·Σx) over customers sorted by revenue, in exact integer cents
+    // with a DECIMAL numerator and one integral DIV to bp. The fact
+    // pass collapses to per-customer revenue FIRST (q198's shape), so
+    // the rank windows run over customer rows, never line items;
+    // deterministic (rev, custkey) rank order.
+    "q254_region_gini" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("c_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(20, 2))) * 100)
+          .cast("long").as("cents"))
+      val w = Window.partitionBy("r_name").orderBy("cents", "c_custkey")
+      rev.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents").cast(dec)).as("sx"),
+          sum(col("i").cast(dec) * col("cents")).as("six"))
+        .select(col("r_name"), col("n_customers"),
+          ldiv((lit(2) * col("six") - (col("n_customers") + 1)
+            * col("sx")) * lit(10000L),
+            col("n_customers").cast(dec) * col("sx")).as("gini_bp"))
+        .orderBy("r_name")
+    }),
+
     // Oracle-exact SimHash (the replayable contrast to rows-only q18,
     // as q227 is to q17): 16 fingerprint bits from count-weighted ±1
     // votes of md5-nibble bits per token — string-keyed md5, integral
@@ -1319,6 +1349,28 @@ object MetricsQ {
         |JOIN s a ON a.i = p.i
         |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
         |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+
+    "q254_region_gini" ->
+      """WITH rev AS (
+        | SELECT r.r_name, c.c_custkey,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,2))) * 100
+        |    AS BIGINT) AS cents
+        | FROM orders o
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY r.r_name, c.c_custkey),
+        |rk AS (
+        | SELECT r_name, cents,
+        |  CAST(row_number() OVER (PARTITION BY r_name
+        |    ORDER BY cents, c_custkey) AS BIGINT) AS i
+        | FROM rev)
+        |SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST((2 * sum(CAST(i AS HUGEINT) * cents)
+        |   - (count(*) + 1) * sum(CAST(cents AS HUGEINT))) * 10000
+        |  // (CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT)))
+        |  AS BIGINT) AS gini_bp
+        |FROM rk GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q253_simhash_exact" -> {
       val votes = (0 until 16).map { k =>

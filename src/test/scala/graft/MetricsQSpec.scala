@@ -153,6 +153,45 @@ class MetricsQSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q254 per-region Gini equals brute-force sorted-rank formula") {
+    val sf001 = sf
+    def num(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (num(r, 0),
+        // mirror the query's double → DECIMAL(20,2) cast (HALF_UP)
+        BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(100)).toLongExact))
+    val cust = spark.read.parquet(s"$sf001/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => (num(r, 0), num(r, 1))).toMap
+    val nation = spark.read.parquet(s"$sf001/nation.parquet")
+      .select("n_nationkey", "n_regionkey").collect()
+      .map(r => (num(r, 0), num(r, 1))).toMap
+    val region = spark.read.parquet(s"$sf001/region.parquet")
+      .select("r_regionkey", "r_name").collect()
+      .map(r => (num(r, 0), r.getString(1))).toMap
+    val perCust = orders.groupBy(_._1).map { case (ck, os) =>
+      (region(nation(cust(ck))), ck, os.map(_._2).sum)
+    }
+    val expected = perCust.groupBy(_._1).toSeq.map { case (rn, v) =>
+      val sorted = v.toSeq.sortBy(t => (t._3, t._2))
+      val n = BigInt(sorted.size)
+      val sx = sorted.map(t => BigInt(t._3)).sum
+      val six = sorted.zipWithIndex
+        .map { case (t, i) => BigInt(i + 1) * t._3 }.sum
+      (rn, sorted.size.toLong,
+        ((BigInt(2) * six - (n + 1) * sx) * 10000 / (n * sx)).toLong)
+    }.sortBy(_._1)
+    val got = run("q254_region_gini").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // Gini lives in [0, 1): bp bounds as a sanity rail
+    got.foreach { case (_, _, g) => assert(g >= 0 && g < 10000) }
+  }
+
   test("q253 exact SimHash bits recompute from md5 nibbles") {
     val hex = "0123456789abcdef"
     val expected0 = docs.map { case (id, text, _) =>
