@@ -8,11 +8,14 @@ import java.util.zip.{Deflater, Inflater}
   * (pdf_spider.py:42-50) extracts TEXT from text-addressable PDFs and
   * feeds the line state machine; this codec does the same for every
   * text-bearing on-disk shape: Flate-compressed, raw, ASCIIHexDecode,
-  * RunLengthDecode and LZWDecode (EarlyChange honored) content streams
-  * with `Tj`/`TJ` text-showing operators, using only the JDK. Declared
-  * out of scope, loudly: image-only PDFs (would need OCR), encrypted
-  * files, filter CHAINS, and the image-codec filters (DCT/JPX/CCITT) —
-  * `decode` on those throws rather than returning garbage.
+  * ASCII85Decode, RunLengthDecode and LZWDecode (EarlyChange honored)
+  * content streams — including known-filter chains and /DecodeParms
+  * predictors (TIFF 2 and PNG 10-15) — with `Tj`/`TJ` text-showing
+  * operators, using only the JDK. Declared out of scope, loudly:
+  * image-only PDFs (would need OCR), encrypted files, unparsable
+  * /Filter values (indirect refs), and the image-codec filters
+  * (DCT/JPX/CCITT) — `decode` on those throws rather than returning
+  * garbage.
   *
   * Scale: decode is per-row executor work over a binary column, same
   * envelope as DocxCodec.
@@ -31,9 +34,24 @@ object PdfCodec {
     var from = 0
     var found = false
     while ({ val i = raw.indexOf("stream", from); i >= 0 && {
-      // dict immediately before this stream keyword
+      // dict immediately before this stream keyword — balanced-scan
+      // backward for the matching "<<" so nested sub-dicts
+      // (/DecodeParms << ... >>) stay INSIDE the extracted dict
       val dictEnd = raw.lastIndexOf(">>", i)
-      val dictStart = raw.lastIndexOf("<<", if (dictEnd < 0) i else dictEnd)
+      val dictStart = if (dictEnd < 0) -1 else {
+        var depth = 1
+        var q = dictEnd - 1
+        var st = -1
+        while (q >= 1 && st < 0) {
+          if (raw.charAt(q) == '>' && raw.charAt(q - 1) == '>') {
+            depth += 1; q -= 2
+          } else if (raw.charAt(q) == '<' && raw.charAt(q - 1) == '<') {
+            depth -= 1
+            if (depth == 0) st = q - 1 else q -= 2
+          } else q -= 1
+        }
+        st
+      }
       val dict = if (dictStart >= 0 && dictEnd > dictStart)
         raw.substring(dictStart, dictEnd) else ""
       // data starts after the EOL following 'stream'
@@ -71,20 +89,44 @@ object PdfCodec {
       require(unknown.isEmpty,
         s"unsupported PDF filter(s) ${unknown.mkString(", ")} in $dict — " +
           s"only ${supported.mkString(", ")}")
-      // predictor-transformed Flate/LZW (xref/image streams) would
-      // inflate to predictor deltas, not content — refuse loudly
-      require(!dict.contains("/Predictor"),
-        s"unsupported /Predictor DecodeParms in $dict")
+      // a /Filter whose value the regex can't read (e.g. an indirect
+      // reference `/Filter 5 0 R`, legal PDF) must refuse loudly —
+      // otherwise the stream silently decodes as raw garbage
+      require(allFilters.nonEmpty || !dict.contains("/Filter"),
+        s"unparsable /Filter value in $dict — only inline names/arrays")
       // EarlyChange=0 override (default 1) on LZW streams
       val early = "/EarlyChange\\s+(\\d+)".r.findFirstMatchIn(dict)
         .map(_.group(1).toInt).getOrElse(1)
-      val content = allFilters.foldLeft(seg) { (bytes, f) => f match {
+      def parm(name: String, dflt: Int): Int =
+        (name + "\\s+(\\d+)").r.findFirstMatchIn(dict)
+          .map(_.group(1).toInt).getOrElse(dflt)
+      val predictor = parm("/Predictor", 1)
+      val content0 = allFilters.foldLeft(seg) { (bytes, f) => f match {
         case "/FlateDecode" => inflate(bytes)
         case "/ASCIIHexDecode" => asciiHexDecode(bytes)
         case "/ASCII85Decode" => ascii85Decode(bytes)
         case "/RunLengthDecode" => runLengthDecode(bytes)
         case "/LZWDecode" => lzwDecode(bytes, early)
       }}
+      // /Predictor un-filtering (PDF 32000-1 §7.4.4.4): 2 = TIFF
+      // horizontal differencing, 10-15 = PNG filters (the per-row
+      // filter byte decides, so all PNG values decode identically);
+      // applied AFTER the Flate/LZW stage it parameterizes
+      val content = if (predictor <= 1) content0 else {
+        require(allFilters.lastOption.exists(f =>
+          f == "/FlateDecode" || f == "/LZWDecode"),
+          s"/Predictor $predictor without a trailing Flate/LZW in $dict")
+        val cols = parm("/Columns", 1)
+        val colors = parm("/Colors", 1)
+        val bpc = parm("/BitsPerComponent", 8)
+        predictor match {
+          case 2 => tiffUnpredict(content0, cols, colors, bpc)
+          case p if p >= 10 && p <= 15 =>
+            pngUnpredict(content0, cols, colors, bpc)
+          case p => throw new IllegalArgumentException(
+            s"bad /Predictor $p — 1, 2 or 10..15")
+        }
+      }
       lines ++= showOps(new String(content, "ISO-8859-1"))
       found = true
       from = end + "endstream".length
@@ -133,6 +175,139 @@ object PdfCodec {
       case _ => i += 1
     }
     out.result()
+  }
+
+  /** PNG predictor un-filtering (RFC 2083 §6; PDF /Predictor 10-15):
+    * each stored row is one filter-type byte (0 None, 1 Sub, 2 Up,
+    * 3 Average, 4 Paeth) followed by ceil(columns·colors·bpc/8)
+    * filtered bytes; the row above the first is all zeros. */
+  private[graft] def pngUnpredict(data: Array[Byte], columns: Int,
+      colors: Int, bpc: Int): Array[Byte] = {
+    val rowLen = (columns * colors * bpc + 7) / 8
+    val bpp = math.max(1, colors * bpc / 8)
+    require(rowLen > 0, s"bad PNG predictor geometry cols=$columns")
+    require(data.length % (rowLen + 1) == 0,
+      s"PNG-predicted data (${data.length} B) is not whole " +
+        s"${rowLen + 1}-byte rows")
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    val prior = new Array[Byte](rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val rawB = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = prior(i) & 0xff
+        val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => rawB
+          case 1 => rawB + left
+          case 2 => rawB + up
+          case 3 => rawB + ((left + up) >> 1)
+          case 4 => rawB + paeth(left, up, ul)
+          case other => throw new IllegalArgumentException(
+            s"bad PNG row filter $other at row $r")
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(out, dst, prior, 0, rowLen)
+      r += 1
+    }
+    out
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Mirror PNG-predictor encoder (fixture side): colors=1, bpc=8;
+    * `rowFilter(r)` picks the 0..4 filter type per row so one fixture
+    * exercises None/Sub/Up/Average/Paeth together. */
+  private[graft] def pngPredictEncode(data: Array[Byte], columns: Int,
+      rowFilter: Int => Int): Array[Byte] = {
+    require(data.length % columns == 0,
+      s"pngPredictEncode needs whole rows (${data.length} % $columns)")
+    val nRows = data.length / columns
+    val out = new Array[Byte](nRows * (columns + 1))
+    val zero = new Array[Byte](columns)
+    var r = 0
+    while (r < nRows) {
+      val ft = rowFilter(r)
+      out(r * (columns + 1)) = ft.toByte
+      val prior = if (r == 0) zero else data
+      val priorOff = (r - 1) * columns
+      var i = 0
+      while (i < columns) {
+        val cur = data(r * columns + i) & 0xff
+        val left = if (i >= 1) data(r * columns + i - 1) & 0xff else 0
+        val up = if (r == 0) 0 else prior(priorOff + i) & 0xff
+        val ul = if (r == 0 || i < 1) 0 else prior(priorOff + i - 1) & 0xff
+        val predv = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 => paeth(left, up, ul)
+        }
+        out(r * (columns + 1) + 1 + i) = ((cur - predv) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** TIFF Predictor 2 (horizontal differencing) un-filter: each byte
+    * adds the byte `colors` to its left within the row. Only the
+    * 8-bit-per-component case is supported; sub-byte depths refuse. */
+  private[graft] def tiffUnpredict(data: Array[Byte], columns: Int,
+      colors: Int, bpc: Int): Array[Byte] = {
+    require(bpc == 8,
+      s"TIFF predictor with /BitsPerComponent $bpc unsupported (only 8)")
+    val rowLen = columns * colors
+    require(rowLen > 0 && data.length % rowLen == 0,
+      s"TIFF-predicted data (${data.length} B) is not whole " +
+        s"$rowLen-byte rows")
+    val out = data.clone()
+    var r = 0
+    while (r < out.length) {
+      var i = colors
+      while (i < rowLen) {
+        out(r + i) = (((out(r + i) & 0xff) + (out(r + i - colors) & 0xff))
+          & 0xff).toByte
+        i += 1
+      }
+      r += rowLen
+    }
+    out
+  }
+
+  /** Mirror TIFF-predictor encoder (fixture side): colors=1, bpc=8. */
+  private[graft] def tiffPredictEncode(data: Array[Byte], columns: Int)
+      : Array[Byte] = {
+    require(data.length % columns == 0,
+      s"tiffPredictEncode needs whole rows (${data.length} % $columns)")
+    val out = data.clone()
+    var r = 0
+    while (r < out.length) {
+      var i = columns - 1
+      while (i >= 1) {
+        out(r + i) = (((data(r + i) & 0xff) - (data(r + i - 1) & 0xff))
+          & 0xff).toByte
+        i -= 1
+      }
+      r += columns
+    }
+    out
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -436,31 +611,39 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
+    def deflated(b: Array[Byte]): Array[Byte] = {
+      val d = new Deflater()
+      d.setInput(b); d.finish()
+      val out = new ByteArrayOutputStream(b.length)
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      out.toByteArray
+    }
+    // predictor fixtures tile the content into predCols-byte rows;
+    // trailing space padding lands AFTER the final ET so the decoded
+    // text is unchanged (showOps only emits on Tj)
+    val predCols = 24
+    def rowPadded: Array[Byte] = {
+      val pad = (predCols - content.length % predCols) % predCols
+      content ++ Array.fill(pad)(' '.toByte)
+    }
     val data = filterName match {
-      case "flate" =>
-        val d = new Deflater()
-        d.setInput(content); d.finish()
-        val out = new ByteArrayOutputStream(content.length)
-        val tmp = new Array[Byte](8192)
-        while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-        d.end()
-        out.toByteArray
+      case "flate" => deflated(content)
       case "ahx" => asciiHexEncode(content)
       case "a85" => ascii85Encode(content)
       case "rle" => runLengthEncode(content)
       case "lzw" => lzwEncode(content)
       case "a85+flate" => // chain: inflate happens LAST on decode
-        val d = new Deflater()
-        d.setInput(content); d.finish()
-        val out = new ByteArrayOutputStream(content.length)
-        val tmp = new Array[Byte](8192)
-        while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-        d.end()
-        ascii85Encode(out.toByteArray)
+        ascii85Encode(deflated(content))
+      case "flate+predpng" => // row filter cycles None/Sub/Up/Avg/Paeth
+        deflated(pngPredictEncode(rowPadded, predCols, r => r % 5))
+      case "flate+pred2" => // TIFF horizontal differencing
+        deflated(tiffPredictEncode(rowPadded, predCols))
       case "raw" => content
       case other => throw new IllegalArgumentException(
         s"unknown filterName $other — flate | raw | ahx | a85 | rle | " +
-          "lzw | a85+flate")
+          "lzw | a85+flate | flate+predpng | flate+pred2")
     }
     val filter = filterName match {
       case "flate" => " /Filter /FlateDecode"
@@ -469,6 +652,10 @@ object PdfCodec {
       case "rle" => " /Filter /RunLengthDecode"
       case "lzw" => " /Filter /LZWDecode"
       case "a85+flate" => " /Filter [/ASCII85Decode /FlateDecode]"
+      case "flate+predpng" => " /Filter /FlateDecode /DecodeParms " +
+        s"<< /Predictor 15 /Columns $predCols >>"
+      case "flate+pred2" => " /Filter /FlateDecode /DecodeParms " +
+        s"<< /Predictor 2 /Columns $predCols >>"
       case _ => ""
     }
     val out = new ByteArrayOutputStream()

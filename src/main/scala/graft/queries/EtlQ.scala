@@ -283,25 +283,28 @@ object EtlQ {
     }),
 
     // Every PDF stream filter under one driver hash: the same record
-    // rides through flate / raw / ASCIIHex / RunLength / LZW by id%5
-    // (q176 keeps its original two-path shape per the r5 pin; this is
-    // the r6 filter-perimeter gate). The filter name rides in the
-    // output, so a misrouted or silently-wrong codec can't hide behind
-    // a lucky decode. Per-row executor work, no shuffle.
+    // rides through flate / raw / ASCIIHex / RunLength / LZW / ASCII85
+    // / an a85+flate chain / PNG-predictor flate / TIFF-predictor
+    // flate by id%9 (q176 keeps its original two-path shape per the r5
+    // pin; this is the filter-perimeter gate). The filter name rides
+    // in the output, so a misrouted or silently-wrong codec can't hide
+    // behind a lucky decode. Per-row executor work, no shuffle.
     "q207_pdf_filters" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
           .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val f = (id % 7) match {
+          val f = (id % 9) match {
             case 0 => "flate"
             case 1 => "raw"
             case 2 => "ahx"
             case 3 => "rle"
             case 4 => "lzw"
             case 5 => "a85"
-            case _ => "a85+flate" // the 2-link chain: un-85 then inflate
+            case 6 => "a85+flate" // the 2-link chain: un-85 then inflate
+            case 7 => "flate+predpng" // PNG /Predictor 15, rows cycle 0-4
+            case _ => "flate+pred2" // TIFF horizontal differencing
           }
           val lines = Seq(s"Name: Event $id", text)
           val got = graft.ingest.PdfCodec.decode(
@@ -490,9 +493,10 @@ object EtlQ {
 
     "q207_pdf_filters" ->
       """SELECT doc_id,
-        | CASE doc_id % 7 WHEN 0 THEN 'flate' WHEN 1 THEN 'raw'
+        | CASE doc_id % 9 WHEN 0 THEN 'flate' WHEN 1 THEN 'raw'
         |      WHEN 2 THEN 'ahx' WHEN 3 THEN 'rle' WHEN 4 THEN 'lzw'
-        |      WHEN 5 THEN 'a85' ELSE 'a85+flate'
+        |      WHEN 5 THEN 'a85' WHEN 6 THEN 'a85+flate'
+        |      WHEN 7 THEN 'flate+predpng' ELSE 'flate+pred2'
         | END AS filter,
         | CAST(2 AS BIGINT) AS n_lines,
         | md5('Name: Event ' || CAST(doc_id AS VARCHAR) || chr(10) ||

@@ -1334,13 +1334,13 @@ object MetricsQ {
         | SELECT list_transform(embedding,
         |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
         | FROM embeddings),
-        |nn AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n FROM b),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM b),
         |s AS (
-        | SELECT i, CAST(sum(q[i]) AS DECIMAL(38,0)) AS si
+        | SELECT i, CAST(sum(CAST(q[i] AS HUGEINT)) AS HUGEINT) AS si
         | FROM b, range(1, 65) t(i) GROUP BY i),
         |p AS (
-        | SELECT i, j, CAST(sum(CAST(q[i] AS DECIMAL(38,0)) * q[j])
-        |   AS DECIMAL(38,0)) AS sp
+        | SELECT i, j, CAST(sum(CAST(q[i] AS HUGEINT) * q[j])
+        |   AS HUGEINT) AS sp
         | FROM b, range(1, 65) t(i), range(1, 65) u(j)
         | WHERE j > i GROUP BY i, j)
         |SELECT CAST(p.i AS BIGINT) AS dim_i, CAST(p.j AS BIGINT) AS dim_j,

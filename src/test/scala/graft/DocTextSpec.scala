@@ -269,11 +269,52 @@ class DocTextSpec extends SparkSpec {
       "/Filter [/RunLengthDecode /JBIG2Decode] >> " +
       "stream\nabc\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
     intercept[IllegalArgumentException](PdfCodec.decode(chain))
-    // predictor-transformed streams would inflate to deltas, not text
-    val pred = ("%PDF-1.4\n1 0 obj << /Length 3 /Filter /FlateDecode " +
-      "/DecodeParms << /Predictor 12 /Columns 4 >> >> " +
+    // an indirect-reference /Filter (legal PDF, unparsable here) is
+    // refused loudly, never silently decoded as raw
+    val indirect = ("%PDF-1.4\n1 0 obj << /Length 3 /Filter 5 0 R >> " +
       "stream\nabc\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
-    intercept[IllegalArgumentException](PdfCodec.decode(pred))
+    intercept[IllegalArgumentException](PdfCodec.decode(indirect))
+    // a /Predictor on a non-Flate/LZW filter has no stage to apply to
+    val predAhx = ("%PDF-1.4\n1 0 obj << /Length 5 " +
+      "/Filter /ASCIIHexDecode /DecodeParms << /Predictor 12 >> >> " +
+      "stream\n6162>\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException](PdfCodec.decode(predAhx))
+  }
+
+  test("pdf /Predictor: PNG and TIFF un-filtering roundtrips") {
+    import graft.ingest.PdfCodec
+    // primitive roundtrips: every PNG row filter (rows cycle 0..4) on
+    // data with vertical AND horizontal structure, plus edge geometry
+    var x = 999
+    val noisy = Array.fill[Byte](24 * 7) {
+      x = x * 1103515245 + 12345; ((x >>> 16) & 0xff).toByte
+    }
+    val ramp = Array.tabulate[Byte](24 * 5)(i => (i % 251).toByte)
+    for (d <- Seq(noisy, ramp); cols <- Seq(1, 3, 24)) {
+      assert(PdfCodec.pngUnpredict(
+        PdfCodec.pngPredictEncode(d, cols, r => r % 5), cols, 1, 8)
+        .toSeq == d.toSeq, s"png cols=$cols")
+      assert(PdfCodec.tiffUnpredict(
+        PdfCodec.tiffPredictEncode(d, cols), cols, 1, 8)
+        .toSeq == d.toSeq, s"tiff cols=$cols")
+    }
+    // whole-PDF roundtrips through the nested /DecodeParms dict (the
+    // balanced-dict scan) and the post-Flate predictor stage
+    val lines = Seq("Predicted (line) one", "and \\ two", "tail")
+    assert(PdfCodec.decode(PdfCodec.encodeWith(lines, "flate+predpng"))
+      == lines)
+    assert(PdfCodec.decode(PdfCodec.encodeWith(lines, "flate+pred2"))
+      == lines)
+    // hostile: bad predictor value and ragged row geometry are loud
+    intercept[IllegalArgumentException](
+      PdfCodec.pngUnpredict(Array[Byte](0, 1, 2), 4, 1, 8))
+    intercept[IllegalArgumentException](
+      PdfCodec.tiffUnpredict(Array[Byte](0, 1, 2), 4, 1, 8))
+    intercept[IllegalArgumentException]( // sub-byte TIFF depth refused
+      PdfCodec.tiffUnpredict(Array[Byte](0, 1), 4, 4, 4))
+    // PNG row-filter byte outside 0..4 is refused
+    intercept[IllegalArgumentException](
+      PdfCodec.pngUnpredict(Array[Byte](9, 1, 2), 2, 1, 8))
   }
 
   test("pdf ASCII85 + known-filter chains roundtrip") {
