@@ -129,26 +129,21 @@ object WebQ {
     // embedding) fuse as Σ 1/(60+rank) WITHOUT comparing their
     // incommensurable scores; only ranks cross the boundary. Scores are
     // exact integers — ldiv(10⁷, 60+rank) on both engines — so the
-    // fused ordering has a defined cross-engine answer. The two global
-    // row_number windows rank a CANDIDATE POOL: in production each
-    // retriever feeds its top-k (the rank cutoff caps the window at
-    // k·n_queries rows), and here the whole 500-doc corpus stands in
-    // for that pool, so the single-partition window is pool-sized, not
-    // corpus-sized, at 100 TB.
+    // fused ordering has a defined cross-engine answer. Neither
+    // ranking runs a corpus-sized single-partition window: both rank
+    // through `histRank`, the q228 histogram-offset idiom (bucket
+    // offsets from a bounded score histogram + a bucket-partitioned
+    // per-row window), so every stage stays distributed at 100 TB.
     "q212_rrf_hybrid" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val lex = bm25Scored(s, dir)
-        .withColumn("lex_rank", row_number()
-          .over(Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
+      val lex = histRank(bm25Scored(s, dir), "bm25", "doc_id", "lex_rank")
         .select("doc_id", "lex_rank")
       val e = t(s, dir, "embeddings")
       val probe = e.filter(col("vec_id") === 7)
         .select(col("embedding").as("qv"))
-      val sem = e.crossJoin(broadcast(probe))
+      val scored = e.crossJoin(broadcast(probe))
         .withColumn("cos_sim",
           round(graft.ops.SimilarityOps.cosine(col("embedding"), col("qv")), 6))
-        .withColumn("sem_rank", row_number()
-          .over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("long"))
+      val sem = histRank(scored, "cos_sim", "vec_id", "sem_rank")
         .select(col("vec_id"), col("sem_rank"))
       lex.join(sem, col("doc_id") === col("vec_id"))
         .withColumn("rrf",
@@ -271,6 +266,32 @@ object WebQ {
     * q212 (the lexical leg of RRF). Corpus stats (N, Σdl, df per term)
     * are one tiny aggregate broadcast back; the scored pass is a single
     * scan at any corpus size. */
+  /** Exact global rank by (`score` desc, `id` asc) WITHOUT a
+    * corpus-sized single-partition window — the q228 histogram-offset
+    * idiom generalized to continuous scores. floor(score·1000) buckets
+    * preserve the cross-bucket sort order (x ↦ floor(1000x) is
+    * monotone in IEEE doubles), the bucket histogram's cumulative
+    * offsets are a window over a bounded score-range-sized frame, and
+    * the only per-row window partitions by bucket. rank = bucket
+    * offset + in-bucket row_number, identical to the global
+    * row_number it replaces. */
+  private def histRank(df: DataFrame, score: String, id: String,
+      rankName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__bk", floor(col(score) * 1000).cast("long"))
+    val hist = b.groupBy("__bk").agg(count(lit(1)).as("__c"))
+    val wOff = Window.orderBy(desc("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hist
+      .withColumn("__off", coalesce(sum("__c").over(wOff), lit(0L)))
+      .select("__bk", "__off")
+    val wIn = Window.partitionBy("__bk").orderBy(desc(score), asc(id))
+    b.join(broadcast(off), "__bk")
+      .withColumn(rankName,
+        (col("__off") + row_number().over(wIn)).cast("long"))
+      .drop("__bk", "__off")
+  }
+
   private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.CountInSetExpr.countInSet
     val base = t(s, dir, "documents")

@@ -325,6 +325,33 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("no global window runs over un-aggregated corpus rows") {
+    // the no-CartesianProduct assert's sibling: a Window with an EMPTY
+    // partition spec funnels its whole input through one task, so it
+    // is only admissible over a frame already collapsed to bounded
+    // cardinality. Heuristic: the window's subtree must contain an
+    // Aggregate (histogram/rollup) or a Limit below it — a global
+    // window directly over scan-shaped rows is the 100 TB killer
+    // (exactly the shape q212 used to plan, now ranked via the q228
+    // histogram-offset idiom instead).
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val opt = fn(spark, dir).queryExecution.optimizedPlan
+      val bad = opt.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst {
+            case a: Aggregate => a
+            case l: GlobalLimit => l
+            case l: LocalLimit => l
+          }.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition windows over un-aggregated input in: $offenders")
+  }
+
   test("AQE re-plans a sort-merge join to broadcast from runtime stats") {
     // the 100 TB knob the engine leans on: when static planning can't
     // prove a side is small (threshold disabled), AQE's runtime stats
