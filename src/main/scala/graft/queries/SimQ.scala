@@ -57,15 +57,24 @@ object SimQ {
     // path for embedding near-dup at corpus sizes where q40's exact
     // broadcast cross-join is impossible; AnnContainmentSpec asserts its
     // candidate recall against q40's exact pairs.
-    // Band params tuned to this corpus's pair-similarity range (max
-    // pairwise cos ≈ 0.51, so the S-curve threshold must sit near 0.55):
-    // 32 bands × 6 planes. Production near-dup thresholds (cos ≥ 0.8)
-    // would use the default (8, 16) — fewer, more selective buckets.
-    "q74_ann_self_join" -> ((s, dir) =>
-      SimilarityOps.annSelfJoin(t(s, dir, "embeddings"),
-          "vec_id", "embedding", 64, k = 5, planesPerBand = 6, bands = 32)
+    // DENSITY-FLAT banding (the r7 probe fix): planesPerBand derives
+    // from the measured corpus count via autoPlanes (2^planes ≈ n/128),
+    // floored at 6 — this corpus's pair-similarity range (max pairwise
+    // cos ≈ 0.51) needs the S-curve threshold near 0.55, and at sf0.01
+    // the derivation lands on exactly the old 6×32 tuning, so the
+    // pinned recall spec (AnnContainmentSpec, observed 0.949) is
+    // unchanged there. At ×10 the planes grow with log(n), holding
+    // bucket density — and pair work per row — flat instead of ∝ n
+    // (the old fixed banding measured exponent 1.24). The count is one
+    // pruned single-column job.
+    "q74_ann_self_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val n = e.select(col("vec_id")).count()
+      SimilarityOps.annSelfJoin(e, "vec_id", "embedding", 64, k = 5,
+          planesPerBand = SimilarityOps.autoPlanes(n, 6), bands = 32)
         .filter(col("cos_sim") >= 0.4)
-        .orderBy("a_id", "b_id")),
+        .orderBy("a_id", "b_id")
+    }),
 
     // Exact kNN classification: each query vector takes the majority
     // label of its 5 nearest neighbors (cosine; self excluded), ties on

@@ -13,9 +13,14 @@ import graft.ops.SimilarityOps
   *     twins) the default (8 planes × 16 bands) scheme misses a pair
   *     with probability < 1e-20: every planted pair MUST be found;
   *  2. recall — this corpus's true pairs sit at cos 0.4–0.51 (no planted
-  *     near-dups in embeddings), where the registered (6 × 32) banding
-  *     has expected recall ≈ 0.87; observed 0.949 on this fixed,
-  *     deterministic data — asserted with margin at 0.75.
+  *     near-dups in embeddings), where a (6 × 32) banding has expected
+  *     recall ≈ 0.87; observed 0.949 on this fixed, deterministic
+  *     data — asserted with margin at 0.75. Since r8 the registered
+  *     q74 derives planesPerBand from the corpus count (autoPlanes,
+  *     density-flat at scale — measured ×10 exponent 0.78, was 1.24
+  *     fixed); at this spec's 500-vector corpus the derivation lands
+  *     on exactly 6, so the pinned banding below IS the registered
+  *     one (asserted in the recall test).
   */
 class AnnContainmentSpec extends SparkSpec {
 
@@ -74,6 +79,10 @@ class AnnContainmentSpec extends SparkSpec {
 
   test("registered banding covers the exact pairs at the q74 threshold") {
     val e = Tables.t(spark, dir, "embeddings")
+    // the registered q74 derives planes from the corpus count; at this
+    // corpus the derivation must land on the pinned 6 so the recall
+    // measured below is the registered query's recall
+    assert(SimilarityOps.autoPlanes(e.count(), 6) == 6)
     val exact = undirected(
       SimilarityOps.exactCosinePairs(e, "vec_id", "embedding", 0.4))
     val ann = undirected(
