@@ -49,6 +49,26 @@ class ImageCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(pix.map(_ & 0xff).toSeq == (40 until 48))
   }
 
+  test("jpeg decodes: exact geometry, tolerance-banded pixels (lossy)") {
+    // JPEG is the one common compressed format ImageIO ships a codec
+    // for; its IDCT output is JDK-version-stable but not spec-
+    // guaranteed, so it is driven HERE (geometry exact, pixels within
+    // a band) and never placed under a driver hash — q203/q231 keep
+    // their lossless formats. A smooth horizontal ramp keeps the DCT
+    // error small and the assertion meaningful.
+    val w = 32; val h = 16
+    val pix = Array.tabulate[Byte](w * h)(i => ((i % w) * 8).toByte)
+    val enc = ImageCodec.encodeGray(w, h, pix, "jpg")
+    assert((enc(0) & 0xff) == 0xFF && (enc(1) & 0xff) == 0xD8, "SOI magic")
+    val (dw, dh, out) = ImageCodec.decodeGray(enc)
+    assert((dw, dh) == (w, h))
+    val errs = out.zip(pix).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }
+    assert(errs.max <= 12, s"max pixel error ${errs.max}")
+    assert(errs.sum.toDouble / errs.length <= 3.0,
+      f"mean pixel error ${errs.sum.toDouble / errs.length}%.2f")
+  }
+
   test("undecodable bytes and bad dimensions fail loudly") {
     intercept[IllegalArgumentException](
       ImageCodec.decodeGray("not an image".getBytes))
