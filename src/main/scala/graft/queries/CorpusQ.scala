@@ -615,6 +615,32 @@ object CorpusQ {
             ldiv(col("n_tri") * lit(30000L), col("wedges")))
             .as("closure_bp"))
     }),
+
+    // Unicode accent folding — the text-normalization pass multilingual
+    // corpora run before tokenization. Accented text is SYNTHESIZED by
+    // vowel→accented-vowel translation (deterministic, 1:1 code
+    // points), then folded back with the engine's normalizer; the
+    // oracle folds with DuckDB's independent strip_accents, so any
+    // drift in the fold table breaks both md5 columns. The fold is the
+    // builtin codegen `translate` (code-point table, no UDF) — a
+    // per-row projection that runs inside the scan at any corpus size.
+    // n_accents counts the injected code points (length is preserved
+    // 1:1, so it equals the vowel count).
+    "q264_accent_fold" -> ((s, dir) => {
+      val accented = translate(col("text"), "aeiou", "áéíóú")
+      val folded = translate(col("accented"),
+        "áéíóú", "aeiou")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), accented.as("accented"))
+        .select(col("doc_id"),
+          (length(col("text"))
+            - length(translate(col("text"), "aeiou", ""))).cast("long")
+            .as("n_accents"),
+          md5(col("accented").cast("binary")).as("accented_md5"),
+          md5(folded.cast("binary")).as("folded_md5"),
+          (folded === col("text")).as("fold_roundtrips"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1016,5 +1042,18 @@ object CorpusQ {
         |JOIN embeddings a ON a.vec_id = d.doc_id
         |JOIN embeddings b ON b.vec_id = d.doc_id + 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q264_accent_fold" ->
+      """WITH a AS (
+        | SELECT doc_id, text,
+        |  translate(text, 'aeiou', 'áéíóú') AS accented
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(length(text) - length(translate(text, 'aeiou', ''))
+        |   AS BIGINT) AS n_accents,
+        | md5(accented) AS accented_md5,
+        | md5(strip_accents(accented)) AS folded_md5,
+        | strip_accents(accented) = text AS fold_roundtrips
+        |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

@@ -966,6 +966,109 @@ object CurateQ {
             - lit(2L) * col("true_en")).as("err_times2"))
         .orderBy("source")
     }),
+
+    // Safety-blocklist gate: per-source hit audit for a broadcast term
+    // list — the first filter every training-corpus run applies. The
+    // per-doc hit count is the codegen'd CountInSetExpr over the shared
+    // tokenizer (NO explode, no join: the list lives in the instruction
+    // stream), so the whole gate is one scan folding into a source-
+    // sized rollup. Flag rate in exact basis points.
+    "q260_blocklist_hits" -> ((s, dir) => {
+      import graft.functions.CountInSetExpr.countInSet
+      t(s, dir, "documents")
+        .select(col("source"),
+          countInSet(toks(col("text")),
+            Seq("slow", "hash", "scan", "merge")).as("hits"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("hits")).as("total_hits"))
+        .select(col("source"), col("n_docs"), col("n_flagged"),
+          col("total_hits"),
+          ldiv(col("n_flagged") * lit(10000L), col("n_docs"))
+            .as("flagged_bp"))
+        .orderBy("source")
+    }),
+
+    // Chat-transcript schema gate — the SFT-data validator: each doc
+    // carries a synthesized two-turn JSON chat with id-injected
+    // malformations (role key dropped / empty content / broken
+    // user→assistant alternation), and the engine must find them by
+    // PARSING (from_json + array predicates, all codegen) while the
+    // oracle knows the truth from the id arithmetic — the codec-gate
+    // discipline applied to conversation structure. Violation
+    // precedence mirrors injection precedence. One scan, 4-row rollup.
+    "q261_chat_schema_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val msgSchema = ArrayType(StructType(Seq(
+        StructField("role", StringType),
+        StructField("content", StringType))))
+      val id = col("doc_id")
+      val userObj = concat(lit("{\"role\":\"user\",\"content\":\"m"),
+        id, lit("\"}"))
+      val asstObj = when(id % 4 === 1,
+          concat(lit("{\"role\":\"user\",\"content\":\"r"), id, lit("\"}")))
+        .when(id % 4 === 2, concat(lit("{\"content\":\"r"), id, lit("\"}")))
+        .when(id % 4 === 3, lit("{\"role\":\"assistant\",\"content\":\"\"}"))
+        .otherwise(concat(
+          lit("{\"role\":\"assistant\",\"content\":\"r"), id, lit("\"}")))
+      val msgs = from_json(
+        concat(lit("["), userObj, lit(","), asstObj, lit("]")), msgSchema)
+      val roles = transform(msgs, m => m.getField("role"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), msgs.as("msgs"), roles.as("roles"))
+        .select(col("doc_id"),
+          when(exists(col("msgs"), m => m.getField("role").isNull),
+              "missing_role")
+            .when(exists(col("msgs"), m => m.getField("content") === ""),
+              "empty_content")
+            .when(not(col("roles") ===
+              array(lit("user"), lit("assistant"))), "bad_alternation")
+            .otherwise("ok").as("violation"))
+        .groupBy("violation")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy("violation")
+    }),
+
+    // Krippendorff's alpha (ordinal/interval metric, two coders) — the
+    // agreement statistic annotation pipelines report when kappa's
+    // nominal metric wastes the rating scale. Ratings are md5-nibble
+    // synthesized (string-keyed, replayable on both engines, q229
+    // idiom) with id-injected disagreement. EXACT integer form:
+    // α = 1 − D_o/D_e with D_o = Σ o_ck·δ²/N and
+    // D_e = Σ n_c·n_k·δ²/(N(N−1)), δ² = (c−k)², so
+    // α_bp = 10000 − (2Σ(a1−a2)²·(N−1)·10000) DIV (Σ n_c·n_k·(c−k)²).
+    // Shape: one scan → 5-value histogram; the δ² cross is a broadcast
+    // over ≤25 cells. Nothing corpus-sized shuffles.
+    "q262_krippendorff_alpha" -> ((s, dir) => {
+      def nib(salt: String, pos: Int) =
+        expr(s"instr('0123456789abcdef', substring(" +
+          s"md5(concat('$salt', cast(doc_id as string))), $pos, 1)) - 1")
+          .cast("long")
+      val a1 = pmod(nib("r1:", 1), lit(5L))
+      val a2 = when(col("doc_id") % 3 === 0,
+          pmod(a1 + 1L + pmod(nib("r2:", 1), lit(3L)), lit(5L)))
+        .otherwise(a1)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), a1.as("a1"), a2.as("a2"))
+        .localCheckpoint(false)
+      val doRow = d.agg(count(lit(1)).as("n_units"),
+        (lit(2L) * sum((col("a1") - col("a2")) * (col("a1") - col("a2"))))
+          .as("do_num"))
+      val hist = d.select(col("a1").as("v"))
+        .unionAll(d.select(col("a2").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("nc"))
+      val deRow = hist.crossJoin(
+          broadcast(hist.select(col("v").as("k"), col("nc").as("nk"))))
+        .agg(sum(col("nc") * col("nk") * (col("v") - col("k"))
+          * (col("v") - col("k"))).as("de_num"))
+      doRow.crossJoin(broadcast(deRow))
+        .select(col("n_units"), col("do_num"), col("de_num"),
+          (lit(10000L) - ldiv(
+            col("do_num") * (lit(2L) * col("n_units") - 1L) * 10000L,
+            col("de_num"))).as("alpha_bp"))
+    }),
   )
 
   /** q171's target mixture (basis points, sums to 10000) — one source of
@@ -1559,5 +1662,57 @@ object CurateQ {
         | 4 * noisy_en - n_docs AS est_times2,
         | 4 * noisy_en - n_docs - 2 * true_en AS err_times2
         |FROM g ORDER BY source""".stripMargin,
+
+    "q260_blocklist_hits" ->
+      """WITH h AS (
+        | SELECT source,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x IN ('slow', 'hash', 'scan', 'merge'))) AS BIGINT) AS hits
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_flagged,
+        | CAST(sum(hits) AS BIGINT) AS total_hits,
+        | CAST(CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS HUGEINT)
+        |   * 10000 // count(*) AS BIGINT) AS flagged_bp
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    // truth from the id arithmetic; the engine must rediscover it by
+    // parsing the JSON it was handed
+    "q261_chat_schema_gate" ->
+      """SELECT CASE doc_id % 4 WHEN 2 THEN 'missing_role'
+        |  WHEN 3 THEN 'empty_content' WHEN 1 THEN 'bad_alternation'
+        |  ELSE 'ok' END AS violation,
+        | count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM documents GROUP BY 1 ORDER BY violation""".stripMargin,
+
+    "q262_krippendorff_alpha" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  (instr('0123456789abcdef', substr(
+        |    md5('r1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5 AS a1,
+        |  (instr('0123456789abcdef', substr(
+        |    md5('r2:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 3 AS b
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, CAST(a1 AS BIGINT) AS a1,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (a1 + 1 + b) % 5
+        |       ELSE a1 END AS BIGINT) AS a2
+        | FROM d),
+        |o AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(2 * sum((a1 - a2) * (a1 - a2)) AS BIGINT) AS do_num
+        | FROM r),
+        |h AS (
+        | SELECT v, CAST(count(*) AS BIGINT) AS nc FROM (
+        |  SELECT a1 AS v FROM r UNION ALL SELECT a2 FROM r) GROUP BY v),
+        |e AS (
+        | SELECT CAST(sum(a.nc * b.nk * (a.v - b.k) * (a.v - b.k))
+        |   AS BIGINT) AS de_num
+        | FROM h a, (SELECT v AS k, nc AS nk FROM h) b)
+        |SELECT o.n_units, o.do_num, e.de_num,
+        | 10000 - CAST(CAST(o.do_num AS HUGEINT)
+        |   * (2 * o.n_units - 1) * 10000 // e.de_num AS BIGINT) AS alpha_bp
+        |FROM o, e""".stripMargin,
   )
 }

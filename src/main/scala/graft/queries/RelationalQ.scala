@@ -636,6 +636,78 @@ object RelationalQ {
           sum(when(high, 0L).otherwise(1L)).as("low_lines"))
         .orderBy("l_returnflag")
     }),
+
+    // Forecast-revenue-change probe (TPC-H Q6 shape): one tight
+    // filter-aggregate whose THREE predicates (shipdate year, discount
+    // band, quantity cap) must all reach the parquet scan as pushed
+    // filters — the canonical "does the scan do the work" query. At
+    // 100 TB this is a partition-pruned scan + partial sums, zero
+    // shuffle beyond the scalar merge. Exact DECIMAL sum.
+    "q255_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(30, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // National market share (TPC-H Q8 shape): of all revenue supplied
+    // into AMERICA-region customers per order year, the share supplied
+    // by NATION_3, in exact integer basis points. Fact pass is one
+    // orderkey join + a suppkey broadcast lookup; both rollups are
+    // year-sized. Share arithmetic stays integral: DECIMAL(30,6)
+    // revenue sums scale to micro-units (DECIMAL(38,0)), then one
+    // IntegralDivide — no double division for engines to disagree on.
+    "q256_market_share" -> ((s, dir) => {
+      val dec38 = DecimalType(38, 0)
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val amNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "AMERICA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("am_nationkey"))
+      val orders = t(s, dir, "orders")
+        .join(broadcast(cust.join(broadcast(amNations),
+            col("c_nationkey") === col("am_nationkey"))
+          .select("c_custkey")), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(30, 6)).as("rev"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg((sum(col("rev")) * 1000000).cast(dec38).as("tot_micro"),
+          (sum(when(col("s_nationkey") === 3, col("rev"))
+            .otherwise(lit(0).cast(DecimalType(30, 6)))) * 1000000)
+            .cast(dec38).as("nat_micro"))
+        .select(col("o_year").cast("long").as("o_year"),
+          ldiv(col("nat_micro") * 10000, col("tot_micro")).as("share_bp"),
+          col("tot_micro").cast("long").as("market_micro"))
+        .orderBy("o_year")
+    }),
+
+    // Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    // join so zero-order customers are COUNTED (the distribution's
+    // head), non-urgent orders only, then the double aggregate —
+    // per-customer counts, then the count-of-counts histogram. Both
+    // aggregates are partial; the outer join shuffles on custkey once.
+    "q257_custdist" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      t(s, dir, "customer").select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -980,5 +1052,51 @@ object RelationalQ {
         |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q255_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+        |   AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q256_market_share" ->
+      """WITH am_cust AS (
+        | SELECT c.c_custkey FROM customer c
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | WHERE r.r_name = 'AMERICA'),
+        |f AS (
+        | SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(30,6)) AS rev,
+        |  s.s_nationkey
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN am_cust c ON o.o_custkey = c.c_custkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |y AS (
+        | SELECT o_year,
+        |  CAST(sum(rev) * 1000000 AS HUGEINT) AS tot_micro,
+        |  CAST(coalesce(sum(CASE WHEN s_nationkey = 3 THEN rev END), 0)
+        |    * 1000000 AS HUGEINT) AS nat_micro
+        | FROM f GROUP BY o_year)
+        |SELECT o_year,
+        | CAST(nat_micro * 10000 // tot_micro AS BIGINT) AS share_bp,
+        | CAST(tot_micro AS BIGINT) AS market_micro
+        |FROM y ORDER BY o_year""".stripMargin,
+
+    "q257_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        | FROM customer c
+        | LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |   WHERE o_orderpriority <> '1-URGENT') o
+        |  ON c.c_custkey = o.o_custkey
+        | GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
   )
 }

@@ -528,6 +528,51 @@ object SimQ {
           round(avg(col("x").cast("double")), 6).as("avg_component"))
         .orderBy("label")
     }),
+
+    // Int8 scalar-quantization error audit — the pre-flight check for
+    // shipping an embedding index at 1/4 the bytes. Both the reference
+    // lattice (floor(x·10⁶)) and the int8 lattice (floor(x·127)) are
+    // exact integers on both engines (the q230 floor-lattice idiom),
+    // so the per-component error numerator |127·l − 10⁶·q| — the
+    // reconstruction error in 127·10⁻⁶ units — is hash-exact, no
+    // float epsilon anywhere. Shape: per-row explode folding straight
+    // into a label-sized rollup with map-side combine; nothing
+    // corpus-sized crosses a shuffle.
+    "q258_int8_quant_error" -> ((s, dir) => {
+      val x = col("x").cast("double")
+      val l = floor(x * 1000000).cast("long")
+      val q = floor(x * 127).cast("long")
+      t(s, dir, "embeddings")
+        .select(col("label"), explode(col("embedding")).as("x"))
+        .select(col("label").cast("long").as("label"),
+          abs(lit(127) * l - lit(1000000) * q).as("err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_components"),
+          sum(col("err")).as("sum_err"),
+          max(col("err")).as("max_err"))
+        .withColumn("mean_err", ldiv(col("sum_err"), col("n_components")))
+        .orderBy("label")
+    }),
+
+    // Matryoshka-style dimension-truncation audit: how much of each
+    // label's embedding ENERGY (Σ component², on the exact
+    // floor(x·1000) lattice) the first 16 of 64 dims retain — the
+    // go/no-go readout for serving truncated vectors. All-integer
+    // arithmetic → exact bp via IntegralDivide. Same explode→rollup
+    // shape as q258; the dim predicate folds into the partial agg.
+    "q259_matryoshka_energy" -> ((s, dir) => {
+      val q = floor(col("x").cast("double") * 1000).cast("long")
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label").cast("long").as("label"),
+          (q * q).as("e"), col("pos"))
+        .groupBy("label")
+        .agg(sum(when(col("pos") < 16, col("e")).otherwise(0L)).as("e16"),
+          sum(col("e")).as("e64"))
+        .select(col("label"), col("e16"), col("e64"),
+          ldiv(col("e16") * 10000, col("e64")).as("retained_bp"))
+        .orderBy("label")
+    }),
   )
 
   /** Shared PQ lattice + one-Lloyd-round training (q185's codebook,
@@ -962,5 +1007,33 @@ object SimQ {
         | UNION ALL SELECT CAST(4 AS BIGINT), vec_id,
         |  CAST(rel AS BIGINT), CAST(score AS BIGINT) FROM s4)
         |ORDER BY sel_rank""".stripMargin,
+
+    "q258_int8_quant_error" ->
+      """WITH c AS (
+        | SELECT CAST(label AS BIGINT) AS label,
+        |  abs(127 * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |    - 1000000 * CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT))
+        |    AS err
+        | FROM (SELECT label, unnest(embedding) AS x FROM embeddings))
+        |SELECT label, count(*) AS n_components,
+        | CAST(sum(err) AS BIGINT) AS sum_err,
+        | CAST(max(err) AS BIGINT) AS max_err,
+        | CAST(CAST(sum(err) AS HUGEINT) // count(*) AS BIGINT) AS mean_err
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    "q259_matryoshka_energy" ->
+      """WITH c AS (
+        | SELECT CAST(label AS BIGINT) AS label, i,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings, range(1, 65) t(i)),
+        |g AS (
+        | SELECT label,
+        |  CAST(sum(CASE WHEN i <= 16 THEN q * q ELSE 0 END) AS BIGINT)
+        |    AS e16,
+        |  CAST(sum(q * q) AS BIGINT) AS e64
+        | FROM c GROUP BY label)
+        |SELECT label, e16, e64,
+        | CAST(CAST(e16 AS HUGEINT) * 10000 // e64 AS BIGINT) AS retained_bp
+        |FROM g ORDER BY label""".stripMargin,
   )
 }

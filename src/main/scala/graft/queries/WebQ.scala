@@ -154,6 +154,39 @@ object WebQ {
         .limit(20)
     }),
 
+    // Per-host crawl politeness budget — the frontier scheduler's
+    // planning report: requests per canonical host, serial crawl time
+    // at the polite 1-req/2s budget, batch count at 10 urls/fetch
+    // round, and each host's share of the frontier in exact bp. The
+    // host must be recovered by PARSING the synthesized dirty URLs
+    // (UrlHostExpr, codegen) while the oracle reconstructs it from the
+    // id arithmetic — the codec-gate discipline on the URL surface.
+    // One scan → host-sized rollup; the frontier total is a broadcast
+    // scalar.
+    "q263_host_politeness" -> ((s, dir) => {
+      import graft.functions.UrlCanon.urlHost
+      val k = col("doc_id") % 5
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Example"), k,
+            lit(".COM:443/e/"), col("doc_id"), lit("?utm_source=x")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://Site"), k, lit(".org:80/p//"), col("doc_id")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("example"), k, lit(".com/q?id="), col("doc_id")))
+        .otherwise(
+          concat(lit("https://cdn.example"), k, lit(".com/i#f")))
+      val perHost = t(s, dir, "documents")
+        .select(urlHost(url).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n_requests"))
+      val total = perHost.agg(sum("n_requests").as("n_total"))
+      perHost.crossJoin(broadcast(total))
+        .select(col("host"), col("n_requests"),
+          (lit(2L) * col("n_requests")).as("crawl_seconds"),
+          ldiv(col("n_requests") + 9L, lit(10L)).as("n_batches"),
+          ldiv(col("n_requests") * 10000L, col("n_total")).as("share_bp"))
+        .orderBy("host")
+    }),
+
     // Tokenizer fertility audit — chars-per-token by (source, lang), the
     // standard tokenizer-efficiency signal (a language whose bp blows up
     // is being shredded into fragments and will eat context budget).
@@ -532,5 +565,25 @@ object WebQ {
         | JOIN sz sa ON sa.source = sh.src_a
         | JOIN sz sb ON sb.source = sh.src_b
         |ORDER BY containment_bp DESC, src_a, src_b LIMIT 50""".stripMargin,
+
+    // host truth from the id arithmetic; the engine must parse it out
+    // of the dirty URL surface
+    "q263_host_politeness" ->
+      """WITH h AS (
+        | SELECT CASE doc_id % 4
+        |  WHEN 0 THEN 'www.example' || (doc_id % 5) || '.com'
+        |  WHEN 1 THEN 'site' || (doc_id % 5) || '.org'
+        |  WHEN 2 THEN 'example' || (doc_id % 5) || '.com'
+        |  ELSE 'cdn.example' || (doc_id % 5) || '.com'
+        | END AS host
+        | FROM documents),
+        |g AS (SELECT host, count(*) AS n_requests FROM h GROUP BY host),
+        |tt AS (SELECT sum(n_requests) AS n_total FROM g)
+        |SELECT g.host, CAST(g.n_requests AS BIGINT) AS n_requests,
+        | CAST(2 * g.n_requests AS BIGINT) AS crawl_seconds,
+        | CAST((g.n_requests + 9) // 10 AS BIGINT) AS n_batches,
+        | CAST(CAST(g.n_requests AS HUGEINT) * 10000 // tt.n_total
+        |   AS BIGINT) AS share_bp
+        |FROM g, tt ORDER BY g.host""".stripMargin,
   )
 }

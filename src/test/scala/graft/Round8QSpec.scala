@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions q255-q264: every check recomputes the result from
+  * raw rows in plain Scala (column extraction only on the Spark side),
+  * so a query bug and a test bug can't cancel out. */
+class Round8QSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def epoch(iso: String): Long =
+    java.time.Instant.parse(iso + "T00:00:00Z").getEpochSecond
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("q255 forecast revenue equals brute filtered decimal sum") {
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select($"l_shipdate".cast("long"), $"l_discount", $"l_quantity",
+        $"l_extendedprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val hit = rows.filter { case (sd, disc, qty, _) =>
+      sd >= epoch("1996-01-01") && sd < epoch("1997-01-01") &&
+        disc >= 0.05 && disc <= 0.07 && qty < 24
+    }
+    val expRev = hit.map { case (_, d, _, p) =>
+      BigDecimal(p * d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val Array(row) = run("q255_forecast_revenue").collect()
+    assert(row.getDouble(0) === expRev.toDouble)
+    assert(row.getLong(1) === hit.length.toLong)
+  }
+
+  test("q256 market share equals brute per-year integral bp") {
+    val region = spark.read.parquet(s"$sf/region.parquet")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .collect().map(r => (r.getInt(0), (r.getString(1), r.getInt(2)))).toMap
+    val amCust = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_nationkey").collect()
+      .filter(r => region(nation(r.getInt(1))._2) == "AMERICA")
+      .map(_.getLong(0)).toSet
+    val orderYear = Tables.t(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        $"o_orderdate".cast("date").cast("string"))
+      .collect()
+      .filter(r => amCust(r.getLong(1)))
+      .map(r => r.getLong(0) -> r.getString(2).take(4).toLong).toMap
+    val supNation = spark.read.parquet(s"$sf/supplier.parquet")
+      .select($"s_suppkey", $"s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val by = scala.collection.mutable.Map[Long, (BigDecimal, BigDecimal)]()
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .collect()
+      .foreach { r =>
+        orderYear.get(r.getLong(0)).foreach { y =>
+          val rev = BigDecimal(r.getDouble(2) * (1 - r.getDouble(3)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          val (tot, nat) = by.getOrElse(y, (BigDecimal(0), BigDecimal(0)))
+          val isNat = supNation(r.getLong(1)) == 3
+          by(y) = (tot + rev, if (isNat) nat + rev else nat)
+        }
+      }
+    val got = run("q256_market_share").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == by.keySet)
+    by.foreach { case (y, (tot, nat)) =>
+      val totMicro = (tot * 1000000).toBigInt
+      val natMicro = (nat * 1000000).toBigInt
+      assert(got(y)._1 == (natMicro * 10000 / totMicro).toLong, s"year $y")
+      assert(got(y)._2 == totMicro.toLong, s"year $y")
+    }
+  }
+
+  test("q257 custdist counts zero-order customers") {
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey").collect().map(_.getLong(0))
+    val perCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_orderpriority").collect()
+      .filter(_.getString(1) != "1-URGENT")
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.length.toLong }
+    val dist = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = run("q257_custdist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toMap == dist)
+    // sorted by custdist desc, c_count desc
+    assert(got.sortBy { case (c, n) => (-n, -c) }.toSeq == got.toSeq)
+    // LEFT JOIN accounting: every customer lands in exactly one bucket
+    // (at this SF every customer happens to have orders; the zero
+    // bucket appearing iff the brute says so is covered by the map
+    // equality above)
+    assert(got.map(_._2).sum == custs.length.toLong)
+  }
+
+  private lazy val embs: Seq[(Long, Int, Array[Float])] =
+    spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).toArray)).toSeq
+
+  test("q258 int8 quantization error equals brute lattice arithmetic") {
+    val exp = embs.flatMap { case (_, label, v) =>
+      v.map { x =>
+        val l = math.floor(x.toDouble * 1000000).toLong
+        val q = math.floor(x.toDouble * 127).toLong
+        (label.toLong, math.abs(127 * l - 1000000 * q))
+      }
+    }.groupBy(_._1).map { case (lab, es) =>
+      lab -> (es.length.toLong, es.map(_._2).sum, es.map(_._2).max)
+    }
+    val got = run("q258_int8_quant_error").collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (n, s, m) = exp(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == s && r.getLong(3) == m,
+        s"label ${r.getLong(0)}")
+      assert(r.getLong(4) == s / n)
+    }
+  }
+
+  test("q259 matryoshka energy retention equals brute lattice sums") {
+    val exp = embs.groupBy(_._2).map { case (lab, vs) =>
+      var e16 = 0L; var e64 = 0L
+      vs.foreach { case (_, _, v) =>
+        v.zipWithIndex.foreach { case (x, i) =>
+          val q = math.floor(x.toDouble * 1000).toLong
+          e64 += q * q
+          if (i < 16) e16 += q * q
+        }
+      }
+      lab.toLong -> (e16, e64)
+    }
+    val got = run("q259_matryoshka_energy").collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (e16, e64) = exp(r.getLong(0))
+      assert(r.getLong(1) == e16 && r.getLong(2) == e64, s"label ${r.getLong(0)}")
+      assert(r.getLong(3) == e16 * 10000 / e64)
+      assert(r.getLong(3) <= 10000)
+    }
+  }
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("q260 blocklist hits equal brute token counting") {
+    val block = Set("slow", "hash", "scan", "merge")
+    val exp = docs.groupBy(_._3).map { case (src, ds) =>
+      val hits = ds.map(_._2.toLowerCase.split(" ", -1).count(block))
+      src -> (ds.length.toLong, hits.count(_ > 0).toLong,
+        hits.map(_.toLong).sum)
+    }
+    val got = run("q260_blocklist_hits").collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (n, f, h) = exp(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == f && r.getLong(3) == h,
+        s"source ${r.getString(0)}")
+      assert(r.getLong(4) == f * 10000 / n)
+    }
+    assert(exp.values.exists(_._2 > 0), "blocklist must actually hit")
+  }
+
+  test("q261 chat gate classifies every injected malformation") {
+    val exp = docs.groupBy { case (id, _, _) =>
+      (id % 4) match {
+        case 2 => "missing_role"
+        case 3 => "empty_content"
+        case 1 => "bad_alternation"
+        case _ => "ok"
+      }
+    }.map { case (v, ds) => v -> (ds.length.toLong, ds.map(_._1).sum) }
+    val got = run("q261_chat_schema_gate").collect()
+    assert(got.length == 4, "all four classes must appear")
+    got.foreach { r =>
+      val (n, ck) = exp(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == ck, r.getString(0))
+    }
+  }
+
+  test("q262 alpha equals brute Krippendorff over md5 ratings") {
+    val rated = docs.map { case (id, _, _) =>
+      val a1 = ("0123456789abcdef".indexOf(md5hex(s"r1:$id").charAt(0))) % 5
+      val b = ("0123456789abcdef".indexOf(md5hex(s"r2:$id").charAt(0))) % 3
+      val a2 = if (id % 3 == 0) (a1 + 1 + b) % 5 else a1
+      (a1.toLong, a2.toLong)
+    }
+    val n = rated.length.toLong
+    val doNum = 2 * rated.map { case (x, y) => (x - y) * (x - y) }.sum
+    val hist = (rated.map(_._1) ++ rated.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ks = hist.keys.toSeq
+    val deNum = (for (c <- ks; k <- ks)
+      yield hist(c) * hist(k) * (c - k) * (c - k)).sum
+    val alphaBp = 10000 -
+      (BigInt(doNum) * (2 * n - 1) * 10000 / BigInt(deNum)).toLong
+    val Array(row) = run("q262_krippendorff_alpha").collect()
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == doNum)
+    assert(row.getLong(2) == deNum)
+    assert(row.getLong(3) == alphaBp)
+    assert(doNum > 0, "injected disagreement must be present")
+  }
+
+  test("q263 politeness budget equals brute host truth") {
+    val exp = docs.map { case (id, _, _) =>
+      val k = id % 5
+      (id % 4) match {
+        case 0 => s"www.example$k.com"
+        case 1 => s"site$k.org"
+        case 2 => s"example$k.com"
+        case _ => s"cdn.example$k.com"
+      }
+    }.groupBy(identity).map { case (h, v) => h -> v.length.toLong }
+    val total = exp.values.sum
+    val got = run("q263_host_politeness").collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val n = exp(r.getString(0))
+      assert(r.getLong(1) == n, r.getString(0))
+      assert(r.getLong(2) == 2 * n)
+      assert(r.getLong(3) == (n + 9) / 10)
+      assert(r.getLong(4) == n * 10000 / total)
+    }
+  }
+
+  test("q264 accent fold roundtrips and counts injected code points") {
+    val accent = Map('a' -> 'á', 'e' -> 'é', 'i' -> 'í', 'o' -> 'ó',
+      'u' -> 'ú')
+    val got = run("q264_accent_fold").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSeq
+    assert(got.length == docs.length)
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    got.foreach { case (id, nAcc, accMd5, foldMd5, ok) =>
+      val text = byId(id)
+      val accented = text.map(c => accent.getOrElse(c, c))
+      assert(nAcc == text.count(accent.contains), s"doc $id")
+      assert(accMd5 == md5hex(accented), s"doc $id")
+      assert(foldMd5 == md5hex(text), s"doc $id")
+      assert(ok, s"doc $id roundtrip")
+    }
+    assert(got.exists(_._2 > 0), "accents must actually be injected")
+  }
+}
