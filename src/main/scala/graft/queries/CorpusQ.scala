@@ -641,6 +641,59 @@ object CorpusQ {
           (folded === col("text")).as("fold_roundtrips"))
         .orderBy("doc_id")
     }),
+
+    // Gini–Simpson lexical diversity per source: 1 − Σpᵢ² over the
+    // token distribution — the entropy-family corpus-health signal
+    // that stays EXACT in integers (Σcᵢ²·10⁴ cross-multiplied against
+    // n², no logs, no doubles). A source whose diversity collapses is
+    // template spam. Shape: token explode → vocab-keyed rollup with
+    // map-side combine → source-sized fold; Σcᵢ² rides in DECIMAL
+    // (vocab counts square past 2⁶³ on big corpora).
+    "q266_token_simpson" -> ((s, dir) => {
+      val dec38 = DecimalType(38, 0)
+      t(s, dir, "documents")
+        .select(col("source"), explode(toks).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_tokens"),
+          sum((col("c") * col("c")).cast(dec38)).as("sum_c2"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          (lit(10000L) - ldiv(col("sum_c2") * lit(10000L),
+            col("n_tokens").cast(dec38) * col("n_tokens")))
+            .as("simpson_bp"))
+        .orderBy("source")
+    }),
+
+    // Source-pair vocabulary overlap — the corpus-composition audit
+    // that catches two "independent" sources drawing from the same
+    // template (near-identical vocabularies). Exact Jaccard in bp over
+    // DISTINCT (source, token) postings: the pair space is
+    // sources²/2, reached through a token-keyed posting join whose
+    // per-token fan-out is bounded by the source count — never by the
+    // corpus. Top-50 by overlap with a fully deterministic tiebreak.
+    "q267_source_vocab_overlap" -> ((s, dir) => {
+      val v = t(s, dir, "documents")
+        .select(col("source"),
+          explode(array_distinct(toks)).as("w"))
+        .distinct()
+      val sizes = v.groupBy("source").agg(count(lit(1)).as("nv"))
+      val inter = v.select(col("source").as("src_a"), col("w"))
+        .join(v.select(col("source").as("src_b"), col("w")), "w")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("nv").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("nv").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          col("n_a"), col("n_b"),
+          ldiv(col("inter") * lit(10000L),
+            col("n_a") + col("n_b") - col("inter")).as("jaccard_bp"))
+        .orderBy(desc("jaccard_bp"), asc("src_a"), asc("src_b"))
+        .limit(50)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1055,5 +1108,36 @@ object CorpusQ {
         | md5(strip_accents(accented)) AS folded_md5,
         | strip_accents(accented) = text AS fold_roundtrips
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q266_token_simpson" ->
+      """WITH c AS (
+        | SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents) GROUP BY source, w)
+        |SELECT source, count(*) AS n_types,
+        | CAST(sum(c) AS BIGINT) AS n_tokens,
+        | 10000 - CAST(sum(CAST(c AS HUGEINT) * c) * 10000
+        |   // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS simpson_bp
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q267_source_vocab_overlap" ->
+      """WITH v AS (
+        | SELECT DISTINCT source, w FROM (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+        |  FROM v GROUP BY source),
+        |iv AS (
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS inter
+        | FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        | GROUP BY a.source, b.source)
+        |SELECT iv.src_a, iv.src_b, iv.inter, sa.nv AS n_a, sb.nv AS n_b,
+        | CAST(iv.inter * 10000 // (sa.nv + sb.nv - iv.inter) AS BIGINT)
+        |   AS jaccard_bp
+        |FROM iv
+        | JOIN sz sa ON sa.source = iv.src_a
+        | JOIN sz sb ON sb.source = iv.src_b
+        |ORDER BY jaccard_bp DESC, src_a, src_b LIMIT 50""".stripMargin,
   )
 }

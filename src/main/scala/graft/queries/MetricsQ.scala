@@ -1123,6 +1123,67 @@ object MetricsQ {
         }.toDF("doc_id", "n_frames", "n_cuts", "total_diff", "max_diff")
         .orderBy("doc_id")
     }),
+
+    // Spearman rank correlation between document length and quality —
+    // the curation readout that says whether a length gate double-
+    // counts a quality gate. Ranks (deterministic (value, doc_id)
+    // tie-break) come from the q228 histogram-offset idiom for BOTH
+    // variables — bucket offsets over the bounded value histograms,
+    // bucket-partitioned row_numbers — never a corpus-sized global
+    // window; ρ = 1 − 6Σd²/(n(n²−1)) stays integral (DECIMAL
+    // numerator, one IntegralDivide to bp).
+    "q268_length_quality_spearman" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), qbp.as("q_bp"))
+        .localCheckpoint(false)
+      def rankBy(v: String, rn: String): DataFrame = {
+        val hist = d.groupBy(v).agg(count(lit(1)).as("c"))
+        val wOff = Window.orderBy(asc(v))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = hist
+          .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+          .select(col(v), col("off"))
+        val wIn = Window.partitionBy(v).orderBy("doc_id")
+        d.join(broadcast(off), v)
+          .withColumn(rn, (col("off") + row_number().over(wIn))
+            .cast("long"))
+          .select(col("doc_id"), col(rn))
+      }
+      val dd = col("rx") - col("ry")
+      rankBy("n_chars", "rx").join(rankBy("q_bp", "ry"), "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(dd * dd).as("sum_d2"))
+        .select(col("n_docs"), col("sum_d2"),
+          (lit(10000L) - ldiv(
+            (lit(6L) * col("sum_d2")).cast(dec) * 10000L,
+            col("n_docs").cast(dec)
+              * (col("n_docs") * col("n_docs") - 1L))).as("rho_bp"))
+    }),
+
+    // Four-gate curation funnel: cumulative survivors per source after
+    // the length gate, the language gate, the quality gate (q87's
+    // exact-bp score) and the blocklist budget (q260's codegen
+    // CountInSet) — the per-batch report a corpus run logs before
+    // training sees a token. All four gates are per-row projections
+    // inside one scan; the output is a source-sized rollup of five
+    // conditional sums (each gate folds into the partial aggregate).
+    "q270_curation_funnel" -> ((s, dir) => {
+      import graft.functions.CountInSetExpr.countInSet
+      val tk = TextOps.tokens(col("text"))
+      val g1 = col("n_chars") >= 150
+      val g2 = g1 && col("lang") =!= "zh"
+      val g3 = g2 && qbp >= 5000
+      val g4 = g3 && countInSet(tk,
+        Seq("slow", "hash", "scan", "merge")) <= 4
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(g1, 1L).otherwise(0L)).as("pass_length"),
+          sum(when(g2, 1L).otherwise(0L)).as("pass_lang"),
+          sum(when(g3, 1L).otherwise(0L)).as("pass_quality"),
+          sum(when(g4, 1L).otherwise(0L)).as("pass_blocklist"))
+        .orderBy("source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1828,5 +1889,48 @@ object MetricsQ {
         | CAST(coalesce(max(diff), 0) AS BIGINT) AS max_diff
         |FROM df GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q268_length_quality_spearman" ->
+      s"""WITH d AS (
+         | SELECT doc_id, n_chars, $qbpSql AS q_bp FROM documents),
+         |r AS (
+         | SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+         |    AS rx,
+         |  CAST(row_number() OVER (ORDER BY q_bp, doc_id) AS BIGINT)
+         |    AS ry
+         | FROM d)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+         | 10000 - CAST(
+         |   CAST(6 AS HUGEINT) * sum((rx - ry) * (rx - ry)) * 10000
+         |   // (CAST(count(*) AS HUGEINT)
+         |      * (count(*) * count(*) - 1)) AS BIGINT) AS rho_bp
+         |FROM r""".stripMargin,
+
+    "q270_curation_funnel" ->
+      s"""WITH d AS (
+         | SELECT source, n_chars, lang, $qbpSql AS q_bp,
+         |  len(list_filter(string_split(lower(text), ' '),
+         |    x -> x IN ('slow', 'hash', 'scan', 'merge'))) AS hits
+         | FROM documents),
+         |g AS (
+         | SELECT source,
+         |  n_chars >= 150 AS g1,
+         |  n_chars >= 150 AND lang <> 'zh' AS g2,
+         |  n_chars >= 150 AND lang <> 'zh' AND q_bp >= 5000 AS g3,
+         |  n_chars >= 150 AND lang <> 'zh' AND q_bp >= 5000
+         |    AND hits <= 4 AS g4
+         | FROM d)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS pass_length,
+         | CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS pass_lang,
+         | CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS pass_quality,
+         | CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS pass_blocklist
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
   )
 }

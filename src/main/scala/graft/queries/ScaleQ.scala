@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -502,6 +502,55 @@ object ScaleQ {
         .select(col("o_orderkey"), col("price_c"), col("d").as("o_date"))
         .orderBy(desc("price_c"), asc("o_orderkey"))
     }),
+
+    // Replayable Bloom-filter false-positive audit — the sizing report
+    // a membership gate publishes before a 100 TB anti-join trusts it.
+    // A 65536-bit, k=3 filter is BUILT from the distinct 3-shingle set
+    // (the key space contamination/dedup gates actually filter on;
+    // the flat 31-word vocabulary would leave the filter empty) with
+    // string-keyed md5 bucket hashes (4 hex nibbles = 16 bits — the
+    // q179 no-hex-cast rule), then PROBED with a disjoint-by-
+    // construction negative set (every shingle '#p'-suffixed, so the
+    // probe corpus has the member set's size and character
+    // distribution at any SF); observed FPR lands next to the (|S|/m)³
+    // theory value, both in exact bp. Unlike Spark's built-in
+    // bloom_filter_agg (whose bit layout is private), every bit here
+    // replays on any engine — the q253 hash-checkable-sketch rule.
+    // Shape: shingle-space rollups; the bit set is ≤65536 rows,
+    // broadcast to the probe join.
+    "q269_bloom_fpr" -> ((s, dir) => {
+      val shingles = t(s, dir, "documents")
+        .select(explode(graft.functions.ShinglesExpr
+          .shingles(toks(col("text")), 3)).as("w"))
+        .distinct()
+        .localCheckpoint(false)
+      def bucket(j: Int): Column = {
+        def nib(p: Int) = expr("instr('0123456789abcdef', substring(" +
+          s"md5(concat('$j:', w)), $p, 1)) - 1").cast("long")
+        nib(1) * 4096L + nib(2) * 256L + nib(3) * 16L + nib(4)
+      }
+      def withBuckets(d: DataFrame): DataFrame = d.select(col("w"),
+        explode(array((0 until 3).map(bucket): _*)).as("b"))
+      val members = shingles
+      val probes = shingles.select(concat(col("w"), lit("#p")).as("w"))
+      val bits = withBuckets(members).select("b").distinct()
+        .localCheckpoint(false)
+      val fp = withBuckets(probes)
+        .join(bits, "b")
+        .groupBy("w").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === 3)
+        .agg(count(lit(1)).as("n_fp"))
+      members.agg(count(lit(1)).as("n_members"))
+        .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+        .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+        .crossJoin(broadcast(fp))
+        .select(col("n_members"), col("n_probes"), col("bits_set"),
+          col("n_fp"),
+          ldiv(col("n_fp") * 10000L, col("n_probes")).as("fpr_bp"),
+          ldiv((col("bits_set") * col("bits_set") * col("bits_set"))
+              .cast(DecimalType(38, 0)) * 10000L,
+            lit(65536L * 65536L * 65536L)).as("theory_bp"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -796,5 +845,46 @@ object ScaleQ {
         | ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 2 HOUR
         |GROUP BY p.event_id
         |ORDER BY n_clicks DESC, p.event_id LIMIT 25""".stripMargin,
+
+    "q269_bloom_fpr" -> {
+      // single-line on purpose: interpolating a multi-line fragment into
+      // the outer stripMargin string would let line-leading '||' lose a
+      // pipe to margin stripping
+      def nib(src: String, p: Int) = "(instr('0123456789abcdef', " +
+        s"substr(md5(CAST(j AS VARCHAR) || ':' || $src), $p, 1)) - 1)"
+      def b(src: String) = s"${nib(src, 1)} * 4096 + " +
+        s"${nib(src, 2)} * 256 + ${nib(src, 3)} * 16 + ${nib(src, 4)}"
+      s"""WITH tk AS (
+         | SELECT string_split(lower(text), ' ') AS tk FROM documents),
+         |mem AS (
+         | SELECT DISTINCT unnest(list_transform(range(1, len(tk) - 1),
+         |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS w
+         | FROM tk),
+         |prb AS (SELECT w || '#p' AS w FROM mem),
+         |js AS (SELECT unnest([0, 1, 2]) AS j),
+         |mb AS (
+         | SELECT DISTINCT ${b("mem.w")} AS b
+         | FROM mem, js),
+         |pb AS (
+         | SELECT prb.w, ${b("prb.w")} AS b
+         | FROM prb, js),
+         |hits AS (
+         | SELECT pb.w, count(*) AS h FROM pb JOIN mb ON pb.b = mb.b
+         | GROUP BY pb.w),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_fp
+         |  FROM hits WHERE h = 3),
+         |sc AS (
+         | SELECT (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM prb) AS n_probes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM mb) AS bits_set,
+         |  (SELECT n_fp FROM f) AS n_fp)
+         |SELECT n_members, n_probes, bits_set, n_fp,
+         | CAST(CAST(n_fp AS HUGEINT) * 10000 // n_probes AS BIGINT)
+         |   AS fpr_bp,
+         | CAST(CAST(bits_set AS HUGEINT) * bits_set * bits_set * 10000
+         |   // (CAST(65536 AS HUGEINT) * 65536 * 65536) AS BIGINT)
+         |   AS theory_bp
+         |FROM sc""".stripMargin
+    },
   )
 }

@@ -671,6 +671,29 @@ object TrendQ {
             col("n_days").cast(dec) * col("tsum")).as("idx_bp"))
         .orderBy("event_type", "dow")
     }),
+
+    // Time-decayed popularity: each event contributes 1024 >> age_weeks
+    // (halving per week, floored at 10 weeks) relative to the corpus's
+    // own max timestamp — EXACT integer halving instead of exp(−λt),
+    // so the decayed score has a defined cross-engine value (the q124
+    // no-rounded-doubles rule applied to decay curves). Reference
+    // instant is a broadcast scalar; the scan folds straight into an
+    // event_type-sized rollup.
+    "q265_decayed_popularity" -> ((s, dir) => {
+      val ref = t(s, dir, "events")
+        .agg(max(col("ts").cast("long")).as("ref"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("ts").cast("long").as("ep"))
+        .crossJoin(broadcast(ref))
+        .withColumn("age_weeks", ldiv(col("ref") - col("ep"), lit(604800L)))
+        .withColumn("w", expr(
+          "cast(shiftright(1024, cast(least(age_weeks, 10) as int)) as bigint)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w")).as("decay_score"),
+          max(col("age_weeks")).as("max_age_weeks"))
+        .orderBy(desc("decay_score"), asc("event_type"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1102,5 +1125,18 @@ object TrendQ {
         |  AS idx_bp
         |FROM wd JOIN tot ON wd.event_type = tot.event_type
         |ORDER BY wd.event_type, wd.dow""".stripMargin,
+
+    "q265_decayed_popularity" ->
+      """WITH m AS (
+        | SELECT max(CAST(epoch(ts) AS BIGINT)) AS ref FROM events),
+        |w AS (
+        | SELECT event_type,
+        |  (m.ref - CAST(epoch(ts) AS BIGINT)) // 604800 AS age_weeks
+        | FROM events, m)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(1024 >> least(age_weeks, 10)) AS BIGINT) AS decay_score,
+        | CAST(max(age_weeks) AS BIGINT) AS max_age_weeks
+        |FROM w GROUP BY event_type
+        |ORDER BY decay_score DESC, event_type""".stripMargin,
   )
 }

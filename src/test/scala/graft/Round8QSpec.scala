@@ -235,6 +235,163 @@ class Round8QSpec extends SparkSpec {
     }
   }
 
+  test("q265 decayed popularity equals brute integer halving") {
+    val evs = Tables.t(spark, sf, "events")
+      .select($"event_type", $"ts".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ref = evs.map(_._2).max
+    val exp = evs.groupBy(_._1).map { case (et, es) =>
+      val ages = es.map(e => (ref - e._2) / 604800)
+      et -> (es.length.toLong,
+        ages.map(a => 1024L >> math.min(a, 10L).toInt).sum, ages.max)
+    }
+    val got = run("q265_decayed_popularity").collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (n, sc, ma) = exp(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == sc && r.getLong(3) == ma,
+        r.getString(0))
+    }
+    // decay actually bites: not every event at full weight
+    assert(exp.values.exists { case (n, sc, _) => sc < 1024 * n })
+  }
+
+  test("q266 Simpson diversity equals brute token histogram") {
+    val exp = docs.groupBy(_._3).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2.toLowerCase.split(" ", -1))
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      src -> (counts.size.toLong, n,
+        10000 - (BigInt(counts.map(c => c * c).sum) * 10000 /
+          (BigInt(n) * n)).toLong)
+    }
+    val got = run("q266_token_simpson").collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (ty, n, sbp) = exp(r.getString(0))
+      assert(r.getLong(1) == ty && r.getLong(2) == n &&
+        r.getLong(3) == sbp, r.getString(0))
+      assert(r.getLong(3) > 0 && r.getLong(3) < 10000)
+    }
+  }
+
+  test("q267 vocab overlap equals brute set Jaccard") {
+    val vocab = docs.groupBy(_._3).map { case (src, ds) =>
+      src -> ds.flatMap(_._2.toLowerCase.split(" ", -1)).toSet
+    }
+    val srcs = vocab.keys.toSeq.sorted
+    val exp = (for {
+      a <- srcs; b <- srcs if a < b
+      inter = (vocab(a) & vocab(b)).size.toLong if inter > 0
+    } yield {
+      val na = vocab(a).size.toLong
+      val nb = vocab(b).size.toLong
+      (a, b) -> (inter, na, nb, inter * 10000 / (na + nb - inter))
+    }).toMap
+    val got = run("q267_source_vocab_overlap").collect()
+    assert(got.length == math.min(50, exp.size))
+    got.foreach { r =>
+      val (i, na, nb, j) = exp((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == i && r.getLong(3) == na && r.getLong(4) == nb
+        && r.getLong(5) == j, s"${r.getString(0)}/${r.getString(1)}")
+    }
+    // top-50 really are the highest-jaccard pairs
+    val minGot = got.map(_.getLong(5)).min
+    val excluded = exp.keySet --
+      got.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(excluded.forall(k => exp(k)._4 <= minGot))
+  }
+
+  test("q268 Spearman equals brute ranked correlation") {
+    val metas = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars", $"text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val stop = Set("the", "a", "an", "of", "to", "and", "in", "is",
+      "on", "for")
+    def qbp(text: String): Long = {
+      val tk = text.toLowerCase.split(" ", -1)
+      val n = tk.length.toLong
+      val content = n - tk.count(stop)
+      if (n <= 100) content * 100 else content * 10000 / n
+    }
+    val rx = metas.sortBy(m => (m._2, m._1)).zipWithIndex
+      .map { case (m, i) => m._1 -> (i + 1L) }.toMap
+    val ry = metas.map(m => (m._1, qbp(m._3)))
+      .sortBy { case (id, q) => (q, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val n = metas.length.toLong
+    val sumD2 = metas.map(m => {
+      val d = rx(m._1) - ry(m._1); d * d
+    }).sum
+    val rho = 10000 -
+      (BigInt(6) * sumD2 * 10000 / (BigInt(n) * (n * n - 1))).toLong
+    val Array(row) = run("q268_length_quality_spearman").collect()
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == sumD2)
+    assert(row.getLong(2) == rho)
+  }
+
+  test("q269 bloom audit equals brute bit-set replay") {
+    def md5bucket(j: Int, w: String): Long = {
+      val h = md5hex(s"$j:$w")
+      def nib(p: Int) = "0123456789abcdef".indexOf(h.charAt(p)).toLong
+      nib(0) * 4096 + nib(1) * 256 + nib(2) * 16 + nib(3)
+    }
+    val shingles = docs.flatMap { case (_, text, _) =>
+      val tk = text.toLowerCase.split(" ", -1)
+      (0 until math.max(0, tk.length - 2))
+        .map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}")
+    }.toSet
+    val bits = (for (w <- shingles; j <- 0 until 3)
+      yield md5bucket(j, w)).toSet
+    val fps = shingles.map(_ + "#p")
+      .count(p => (0 until 3).forall(j => bits(md5bucket(j, p))))
+    val Array(row) = run("q269_bloom_fpr").collect()
+    assert(row.getLong(0) == shingles.size.toLong)
+    assert(row.getLong(1) == shingles.size.toLong)
+    assert(row.getLong(2) == bits.size.toLong)
+    assert(row.getLong(3) == fps.toLong)
+    assert(row.getLong(4) == fps.toLong * 10000 / shingles.size)
+    val b = BigInt(bits.size)
+    assert(row.getLong(5) == (b * b * b * 10000 /
+      (BigInt(65536) * 65536 * 65536)).toLong)
+  }
+
+  test("q270 funnel gates are cumulative and match brute counts") {
+    val metasL = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"source", $"lang", $"n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val stop = Set("the", "a", "an", "of", "to", "and", "in", "is",
+      "on", "for")
+    val block = Set("slow", "hash", "scan", "merge")
+    def qbp(text: String): Long = {
+      val tk = text.toLowerCase.split(" ", -1)
+      val n = tk.length.toLong
+      val content = n - tk.count(stop)
+      if (n <= 100) content * 100 else content * 10000 / n
+    }
+    val exp = metasL.groupBy(_._3).map { case (src, ds) =>
+      val g1 = ds.filter(_._5 >= 150)
+      val g2 = g1.filter(_._4 != "zh")
+      val g3 = g2.filter(d => qbp(d._2) >= 5000)
+      val g4 = g3.filter(
+        _._2.toLowerCase.split(" ", -1).count(block) <= 4)
+      src -> (ds.length.toLong, g1.length.toLong, g2.length.toLong,
+        g3.length.toLong, g4.length.toLong)
+    }
+    val got = run("q270_curation_funnel").collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (n, a, b, c, d) = exp(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == a && r.getLong(3) == b
+        && r.getLong(4) == c && r.getLong(5) == d, r.getString(0))
+      // monotone funnel
+      assert(n >= a && a >= b && b >= c && c >= d)
+    }
+  }
+
   test("q264 accent fold roundtrips and counts injected code points") {
     val accent = Map('a' -> 'á', 'e' -> 'é', 'i' -> 'í', 'o' -> 'ó',
       'u' -> 'ú')
