@@ -694,6 +694,36 @@ object TrendQ {
           max(col("age_weeks")).as("max_age_weeks"))
         .orderBy(desc("decay_score"), asc("event_type"))
     }),
+
+    // Event-path signature mining: each user's full (ts, event_id)-
+    // ordered event-type sequence collapses to one md5 signature; the
+    // report is the top-25 most common journeys — the pattern-mining
+    // readout behind funnel design. Per-user collect is bounded by a
+    // user's own history (never corpus-sized), order is pinned by
+    // array_sort over (µs, event_id) structs — no window at all — and
+    // the signature rollup is path-cardinality-sized with map-side
+    // combine. Ties in n_users break on the signature itself.
+    "q272_path_signatures" -> ((s, dir) => {
+      val paths = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("us"),
+            col("event_id").as("eid"),
+            col("event_type").as("et")))).as("evs"))
+        .select(col("user_id"),
+          concat_ws(">",
+            transform(col("evs"), e => e.getField("et"))).as("path"),
+          size(col("evs")).cast("long").as("path_len"))
+      paths
+        .select(md5(col("path").cast("binary")).as("path_md5"),
+          col("path_len"), col("user_id"))
+        .groupBy("path_md5")
+        .agg(count(lit(1)).as("n_users"),
+          min(col("path_len")).as("path_len"),
+          min(col("user_id")).as("min_user_id"))
+        .orderBy(desc("n_users"), asc("path_md5"))
+        .limit(25)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1138,5 +1168,18 @@ object TrendQ {
         | CAST(max(age_weeks) AS BIGINT) AS max_age_weeks
         |FROM w GROUP BY event_type
         |ORDER BY decay_score DESC, event_type""".stripMargin,
+
+    "q272_path_signatures" ->
+      """WITH p AS (
+        | SELECT user_id,
+        |  md5(string_agg(event_type, '>' ORDER BY ts, event_id))
+        |    AS path_md5,
+        |  CAST(count(*) AS BIGINT) AS path_len
+        | FROM events GROUP BY user_id)
+        |SELECT path_md5, count(*) AS n_users,
+        | CAST(min(path_len) AS BIGINT) AS path_len,
+        | CAST(min(user_id) AS BIGINT) AS min_user_id
+        |FROM p GROUP BY path_md5
+        |ORDER BY n_users DESC, path_md5 LIMIT 25""".stripMargin,
   )
 }

@@ -392,6 +392,59 @@ class Round8QSpec extends SparkSpec {
     }
   }
 
+  test("q271 pareto front equals brute quadratic dominance") {
+    val rev = Tables.t(spark, sf, "orders")
+      .select($"o_custkey", $"o_totalprice").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> (rs.map(r => BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum * 100).toLong
+      }
+    val pts = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_acctbal").collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 100).toLong,
+        rev.getOrElse(r.getLong(0), 0L)))
+    val front = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y)
+      }
+    }
+    val got = run("q271_pareto_front").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == front.toSet)
+    // sorted by balance desc, custkey; front is an anti-chain (y
+    // strictly decreases as x strictly increases across distinct x)
+    assert(got.sortBy(p => (-p._2, p._1)).toSeq == got.toSeq)
+    val byX = front.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.head._3)
+    assert(byX == byX.sorted.reverse)
+    assert(front.length > 1, "front should not be a single point")
+  }
+
+  test("q272 path signatures equal brute per-user ordered journeys") {
+    val evs = Tables.t(spark, sf, "events")
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val perUser = evs.groupBy(_._1).map { case (u, es) =>
+      val path = es.sortBy(e => (e._2, e._3)).map(_._4).mkString(">")
+      (u, md5hex(path), es.length.toLong)
+    }
+    val exp = perUser.groupBy(_._2).map { case (sig, us) =>
+      sig -> (us.size.toLong, us.map(_._3).min, us.map(_._1).min)
+    }
+    val got = run("q272_path_signatures").collect()
+    assert(got.length == math.min(25, exp.size))
+    got.foreach { r =>
+      val (n, len, mu) = exp(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == len &&
+        r.getLong(3) == mu, r.getString(0))
+    }
+    // deterministic top-25: everything excluded has n_users <= min kept
+    val minKept = got.map(_.getLong(1)).min
+    val kept = got.map(_.getString(0)).toSet
+    assert(exp.filterNot(e => kept(e._1)).forall(_._2._1 <= minKept))
+  }
+
   test("q264 accent fold roundtrips and counts injected code points") {
     val accent = Map('a' -> 'á', 'e' -> 'é', 'i' -> 'í', 'o' -> 'ó',
       'u' -> 'ú')
