@@ -329,6 +329,29 @@ object AdvancedQ {
         .saltedCountSum(t(s, dir, "events"), "event_type", "value", 2,
           saltBuckets = 16)
         .orderBy("event_type")),
+
+    // Join-cardinality estimator audit — the planner sanity check run
+    // BEFORE trusting a self-join: actual pair count Σc(k)² vs the
+    // uniform System-R estimate N²/ndv, both derived from the key
+    // histogram alone (the whole point at 100 TB: the audit never
+    // executes the join it sizes). skew_bp > 10000 quantifies how far
+    // key skew pushes reality past the uniform assumption. All
+    // integral; Σc² rides in DECIMAL.
+    "q274_join_cardinality" -> ((s, dir) => {
+      val dec38 = DecimalType(38, 0)
+      t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("ndv_users"),
+          sum((col("c") * col("c")).cast(dec38)).as("ap"))
+        .withColumn("uniform_est",
+          ldiv(col("n_events").cast(dec38) * col("n_events"),
+            col("ndv_users")))
+        .select(col("n_events"), col("ndv_users"),
+          col("ap").cast("long").as("actual_pairs"),
+          col("uniform_est"),
+          ldiv(col("ap") * 10000L, col("uniform_est")).as("skew_bp"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -528,6 +551,23 @@ object AdvancedQ {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q274_join_cardinality" ->
+      """WITH h AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY user_id),
+        |s AS (
+        | SELECT CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS ndv_users,
+        |  CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS actual_pairs
+        | FROM h)
+        |SELECT n_events, ndv_users, actual_pairs,
+        | CAST(CAST(n_events AS HUGEINT) * n_events // ndv_users
+        |   AS BIGINT) AS uniform_est,
+        | CAST(CAST(actual_pairs AS HUGEINT) * 10000
+        |   // (CAST(n_events AS HUGEINT) * n_events // ndv_users)
+        |   AS BIGINT) AS skew_bp
+        |FROM s""".stripMargin,
   )
 
   /** q47's registered plan: weighted mean as a codegen'd decimal

@@ -694,6 +694,46 @@ object CorpusQ {
         .orderBy(desc("jaccard_bp"), asc("src_a"), asc("src_b"))
         .limit(50)
     }),
+
+    // Collocation mining by lift — the PMI family with the log dropped
+    // so the statistic stays EXACT: lift(a,b) = P(ab)/(P(a)·P(b)) =
+    // c_ab·N_u² / (N_b·c_a·c_b), reported in ppm via one
+    // IntegralDivide over DECIMAL products (c_ab·N_u²·10⁶ wraps BIGINT
+    // far below bench SF). Bigram INSTANCES (not per-doc distinct)
+    // come from a codegen transform over the token array; unigram and
+    // bigram tables are vocab-sized with map-side combine; the scalar
+    // totals broadcast. Min-support 20 kills noise ties.
+    "q273_collocations" -> ((s, dir) => {
+      val dec38 = DecimalType(38, 0)
+      val base = t(s, dir, "documents")
+        .select(toks.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .localCheckpoint(false)
+      val bigrams = base.select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("bg"))
+      val cab = bigrams.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      val uni = base.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nu = uni.agg(sum(col("c")).as("n_uni"))
+      val nb = cab.agg(sum(col("c_ab")).as("n_big"))
+      cab.filter(col("c_ab") >= 20)
+        .withColumn("w_a", split(col("bg"), " ").getItem(0))
+        .withColumn("w_b", split(col("bg"), " ").getItem(1))
+        .join(broadcast(uni.select(col("w").as("w_a"),
+          col("c").as("c_a"))), "w_a")
+        .join(broadcast(uni.select(col("w").as("w_b"),
+          col("c").as("c_b"))), "w_b")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
+          ldiv(col("c_ab").cast(dec38) * col("n_uni") * col("n_uni")
+              * 1000000L,
+            col("n_big").cast(dec38) * col("c_a") * col("c_b"))
+            .as("lift_ppm"))
+        .orderBy(desc("lift_ppm"), asc("bg"))
+        .limit(20)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1139,5 +1179,29 @@ object CorpusQ {
         | JOIN sz sa ON sa.source = iv.src_a
         | JOIN sz sb ON sb.source = iv.src_b
         |ORDER BY jaccard_bp DESC, src_a, src_b LIMIT 50""".stripMargin,
+
+    "q273_collocations" ->
+      """WITH tk AS (
+        | SELECT string_split(lower(text), ' ') AS tk FROM documents
+        | WHERE len(string_split(lower(text), ' ')) >= 2),
+        |bgi AS (
+        | SELECT unnest(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1])) AS bg
+        | FROM tk),
+        |cab AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM bgi GROUP BY bg),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+        |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+        |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM cab)
+        |SELECT cab.bg, cab.c_ab, a.c AS c_a, b.c AS c_b,
+        | CAST(CAST(cab.c_ab AS HUGEINT) * nu.n_uni * nu.n_uni * 1000000
+        |   // (CAST(nb.n_big AS HUGEINT) * a.c * b.c) AS BIGINT)
+        |   AS lift_ppm
+        |FROM cab
+        | JOIN uni a ON a.w = string_split(cab.bg, ' ')[1]
+        | JOIN uni b ON b.w = string_split(cab.bg, ' ')[2], nu, nb
+        |WHERE cab.c_ab >= 20
+        |ORDER BY lift_ppm DESC, bg LIMIT 20""".stripMargin,
   )
 }

@@ -1167,6 +1167,36 @@ object MetricsQ {
     // training sees a token. All four gates are per-row projections
     // inside one scan; the output is a source-sized rollup of five
     // conditional sums (each gate folds into the partial aggregate).
+    // Inter-quantile (p10..p90) robust mean per event type — the
+    // trimmed-mean readout dashboards use when raw means are
+    // outlier-poisoned. Fences are EXACT ⌈p·n⌉ order statistics from
+    // one quantilesPerGroup histogram-selection pass (no group-wide
+    // sort, no percentile_approx); the trimmed mean itself is one
+    // conditional-sum scoring scan against the broadcast fence table,
+    // reported exactly in cents·10⁴ via IntegralDivide.
+    "q275_interquantile_mean" -> ((s, dir) => {
+      val v = t(s, dir, "events")
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(20, 2)) * 100)
+            .cast("long").as("cents"))
+        .localCheckpoint(false)
+      val fences = quantilesPerGroup(v, "event_type", 1000L,
+        Seq(("p10_cents", 1L, 10L), ("p90_cents", 9L, 10L)))
+      val in = col("cents").between(col("p10_cents"), col("p90_cents"))
+      v.join(broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(in, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(in, col("cents")).otherwise(0L)).as("sum_kept"),
+          min(col("p10_cents")).as("p10_cents"),
+          min(col("p90_cents")).as("p90_cents"))
+        .select(col("event_type"), col("n_events"), col("n_kept"),
+          col("p10_cents"), col("p90_cents"),
+          ldiv(col("sum_kept") * 10000L, col("n_kept"))
+            .as("trimmed_mean_e4"))
+        .orderBy("event_type")
+    }),
+
     "q270_curation_funnel" -> ((s, dir) => {
       import graft.functions.CountInSetExpr.countInSet
       val tk = TextOps.tokens(col("text"))
@@ -1932,5 +1962,36 @@ object MetricsQ {
          | CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT)
          |   AS pass_blocklist
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "q275_interquantile_mean" ->
+      """WITH v AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY event_type),
+        |r AS (
+        | SELECT event_type, cents,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cents) AS BIGINT) AS rn
+        | FROM v),
+        |f AS (
+        | SELECT r.event_type,
+        |  min(CASE WHEN rn = (n.n * 1 + 9) // 10 THEN cents END) AS p10,
+        |  min(CASE WHEN rn = (n.n * 9 + 9) // 10 THEN cents END) AS p90
+        | FROM r JOIN n ON r.event_type = n.event_type
+        | GROUP BY r.event_type)
+        |SELECT v.event_type, count(*) AS n_events,
+        | CAST(sum(CASE WHEN v.cents BETWEEN f.p10 AND f.p90
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(f.p10 AS BIGINT) AS p10_cents,
+        | CAST(f.p90 AS BIGINT) AS p90_cents,
+        | CAST(CAST(sum(CASE WHEN v.cents BETWEEN f.p10 AND f.p90
+        |     THEN v.cents ELSE 0 END) AS HUGEINT) * 10000
+        |  // sum(CASE WHEN v.cents BETWEEN f.p10 AND f.p90
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_mean_e4
+        |FROM v JOIN f ON v.event_type = f.event_type
+        |GROUP BY v.event_type, f.p10, f.p90
+        |ORDER BY v.event_type""".stripMargin,
   )
 }

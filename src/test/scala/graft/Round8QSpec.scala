@@ -445,6 +445,80 @@ class Round8QSpec extends SparkSpec {
     assert(exp.filterNot(e => kept(e._1)).forall(_._2._1 <= minKept))
   }
 
+  test("q273 collocation lift equals brute bigram counting") {
+    val tks = docs.map(_._2.toLowerCase.split(" ", -1)).filter(_.length >= 2)
+    val bigrams = tks.flatMap(tk =>
+      (0 until tk.length - 1).map(i => s"${tk(i)} ${tk(i + 1)}"))
+    val cab = bigrams.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val uni = tks.flatten.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val nUni = uni.values.sum
+    val nBig = bigrams.length.toLong
+    val exp = cab.filter(_._2 >= 20).map { case (bg, c) =>
+      val Array(a, b) = bg.split(" ")
+      bg -> (c, uni(a), uni(b),
+        (BigInt(c) * nUni * nUni * 1000000 /
+          (BigInt(nBig) * uni(a) * uni(b))).toLong)
+    }
+    val got = run("q273_collocations").collect()
+    assert(got.length == math.min(20, exp.size))
+    got.foreach { r =>
+      val (c, ca, cb, l) = exp(r.getString(0))
+      assert(r.getLong(1) == c && r.getLong(2) == ca &&
+        r.getLong(3) == cb && r.getLong(4) == l, r.getString(0))
+    }
+    // top-20 really are the highest lifts
+    val minKept = got.map(_.getLong(4)).min
+    val kept = got.map(_.getString(0)).toSet
+    assert(exp.filterNot(e => kept(e._1)).forall(_._2._4 <= minKept))
+    // lift actually separates: some collocation above independence
+    assert(got.head.getLong(4) > 1000000)
+  }
+
+  test("q274 join cardinality audit equals brute histogram math") {
+    val evs = Tables.t(spark, sf, "events")
+      .select($"user_id").collect().map(_.getLong(0))
+    val h = evs.groupBy(identity).map(_._2.length.toLong)
+    val n = evs.length.toLong
+    val ndv = h.size.toLong
+    val actual = h.map(c => c * c).sum
+    val est = n * n / ndv
+    val Array(row) = run("q274_join_cardinality").collect()
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == ndv)
+    assert(row.getLong(2) == actual)
+    assert(row.getLong(3) == est)
+    assert(row.getLong(4) == (BigInt(actual) * 10000 / est).toLong)
+  }
+
+  test("q275 inter-quantile mean equals brute order statistics") {
+    val evs = Tables.t(spark, sf, "events")
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val exp = evs.groupBy(_._1).map { case (et, es) =>
+      val sorted = es.map(_._2).sorted
+      val n = sorted.length.toLong
+      def kth(num: Long, den: Long): Long =
+        sorted(((n * num + den - 1) / den - 1).toInt)
+      val (p10, p90) = (kth(1, 10), kth(9, 10))
+      val kept = sorted.filter(c => c >= p10 && c <= p90)
+      et -> (n, kept.length.toLong, p10, p90,
+        kept.sum * 10000 / kept.length)
+    }
+    val got = run("q275_interquantile_mean").collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (n, k, p10, p90, m) = exp(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == k &&
+        r.getLong(3) == p10 && r.getLong(4) == p90 &&
+        r.getLong(5) == m, r.getString(0))
+      assert(k < n, "trim must drop something")
+    }
+  }
+
   test("q264 accent fold roundtrips and counts injected code points") {
     val accent = Map('a' -> 'á', 'e' -> 'é', 'i' -> 'í', 'o' -> 'ó',
       'u' -> 'ú')
