@@ -724,6 +724,63 @@ object TrendQ {
         .orderBy(desc("n_users"), asc("path_md5"))
         .limit(25)
     }),
+
+    // SCD type-2 interval build — the lakehouse dimension-history
+    // pattern: each user's event-type stream collapses to validity
+    // intervals [valid_from, valid_to) that change only when the type
+    // changes; the current segment stays open (NULL valid_to). Both
+    // windows partition by user (bounded by one user's history at any
+    // corpus size); change detection is lag ≠ current, interval close
+    // is lead over the CHANGE ROWS only. The output is a transform
+    // (data-sized, like a silver table), not a report.
+    "q276_scd2_intervals" -> ((s, dir) => {
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wU))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val wC = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      changes
+        .withColumn("seg_no", row_number().over(wC).cast("long"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(wC))
+        .select(col("user_id"), col("seg_no"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "seg_no")
+    }),
+
+    // Cohort lifetime-value curve: users cohort on their first-seen
+    // day, revenue accumulates by week offset since that day — the
+    // longitudinal spend readout behind retention economics (q235's
+    // distinct-actives triangle with money instead of presence).
+    // First-seen rollup + join-back co-partition on user_id; the
+    // cumulative runs over the (cohort, week)-sized rollup, never raw
+    // rows; exact cents end to end.
+    "q277_cohort_ltv" -> ((s, dir) => {
+      val first = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      val wk = ldiv(datediff(to_date(col("ts")), col("cohort_day"))
+        .cast("long"), lit(7L))
+      val weekly = t(s, dir, "events")
+        .join(first, "user_id")
+        .select(col("cohort_day"), wk.as("week_offset"),
+          col("user_id"),
+          (col("value").cast(DecimalType(20, 2)) * 100)
+            .cast("long").as("cents"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("rev_cents"))
+      val wCum = Window.partitionBy("cohort_day").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      weekly
+        .withColumn("cum_rev_cents", sum("rev_cents").over(wCum))
+        .select(col("cohort_day").cast("string").as("cohort_day"),
+          col("week_offset"), col("n_users"), col("rev_cents"),
+          col("cum_rev_cents"))
+        .orderBy("cohort_day", "week_offset")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1181,5 +1238,45 @@ object TrendQ {
         | CAST(min(user_id) AS BIGINT) AS min_user_id
         |FROM p GROUP BY path_md5
         |ORDER BY n_users DESC, path_md5 LIMIT 25""".stripMargin,
+
+    "q276_scd2_intervals" ->
+      """WITH c AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type
+        | FROM events),
+        |ch AS (
+        | SELECT user_id, ts, event_id, event_type FROM c
+        | WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        | CAST(row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS BIGINT) AS seg_no,
+        | event_type, ts AS valid_from,
+        | lead(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, seg_no""".stripMargin,
+
+    "q277_cohort_ltv" ->
+      """WITH f AS (
+        | SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        | FROM events GROUP BY user_id),
+        |w AS (
+        | SELECT f.cohort_day,
+        |  CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+        |    AS BIGINT) AS week_offset,
+        |  e.user_id,
+        |  CAST(CAST(e.value AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+        | FROM events e JOIN f ON e.user_id = f.user_id),
+        |g AS (
+        | SELECT cohort_day, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents
+        | FROM w GROUP BY cohort_day, week_offset)
+        |SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, week_offset,
+        | n_users, rev_cents,
+        | CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
+        |   ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |   AS cum_rev_cents
+        |FROM g ORDER BY cohort_day, week_offset""".stripMargin,
   )
 }

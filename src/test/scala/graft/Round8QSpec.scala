@@ -519,6 +519,66 @@ class Round8QSpec extends SparkSpec {
     }
   }
 
+  test("q276 SCD2 intervals equal brute segment replay") {
+    val evs = Tables.t(spark, sf, "events")
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val exp = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      val changes = ordered.zipWithIndex.filter { case (e, i) =>
+        i == 0 || ordered(i - 1)._4 != e._4
+      }.map(_._1)
+      changes.zipWithIndex.map { case (e, i) =>
+        val to = if (i + 1 < changes.length) Some(changes(i + 1)._2)
+                 else None
+        (u, i + 1L, e._4, e._2, to)
+      }.toSeq
+    }.toSet
+    val got = run("q276_scd2_intervals")
+      .select($"user_id", $"seg_no", $"event_type",
+        unix_micros($"valid_from"),
+        unix_micros($"valid_to"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(got == exp)
+    // every user ends with exactly one open segment
+    val opens = got.toSeq.filter(_._5.isEmpty).groupBy(_._1)
+    assert(opens.values.forall(_.length == 1))
+    assert(got.exists(_._2 > 1), "type changes must produce segments")
+  }
+
+  test("q277 cohort LTV equals brute week-offset accumulation") {
+    val evs = Tables.t(spark, sf, "events")
+      .select($"user_id", $"ts".cast("date").cast("string"), $"value")
+      .collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val cohort = evs.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).min
+    }
+    val weekly = evs.groupBy { case (u, d, _) =>
+      (cohort(u), java.time.temporal.ChronoUnit.DAYS
+        .between(cohort(u), d) / 7)
+    }.map { case ((cd, w), es) =>
+      (cd.toString, w) -> (es.map(_._1).distinct.length.toLong,
+        es.map(_._3).sum)
+    }
+    val got = run("q277_cohort_ltv").collect()
+    assert(got.length == weekly.size)
+    val cum = scala.collection.mutable.Map[String, Long]()
+    got.sortBy(r => (r.getString(0), r.getLong(1))).foreach { r =>
+      val (nu, rev) = weekly((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == nu && r.getLong(3) == rev,
+        s"${r.getString(0)} w${r.getLong(1)}")
+      val c = cum.getOrElse(r.getString(0), 0L) + rev
+      cum(r.getString(0)) = c
+      assert(r.getLong(4) == c)
+    }
+  }
+
   test("q264 accent fold roundtrips and counts injected code points") {
     val accent = Map('a' -> 'á', 'e' -> 'é', 'i' -> 'í', 'o' -> 'ó',
       'u' -> 'ú')
