@@ -655,9 +655,12 @@ object RelationalQ {
 
     // National market share (TPC-H Q8 shape): of all revenue supplied
     // into AMERICA-region customers per order year, the share supplied
-    // by NATION_3, in exact integer basis points. Fact pass is one
-    // orderkey join + a suppkey broadcast lookup; both rollups are
-    // year-sized. Share arithmetic stays integral: DECIMAL(30,6)
+    // by NATION_3, in exact integer basis points. The region-filtered
+    // customer set is ~1/|regions| of ALL customers — far too big to
+    // pin a broadcast on at 100 TB, so the orders⟕customers semi side
+    // joins by shuffle (AQE still converts it to broadcast at small
+    // SF); only the genuinely tiny dims (region, nation, supplier)
+    // carry hints. Share arithmetic stays integral: DECIMAL(30,6)
     // revenue sums scale to micro-units (DECIMAL(38,0)), then one
     // IntegralDivide — no double division for engines to disagree on.
     "q256_market_share" -> ((s, dir) => {
@@ -669,17 +672,18 @@ object RelationalQ {
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey").as("am_nationkey"))
       val orders = t(s, dir, "orders")
-        .join(broadcast(cust.join(broadcast(amNations),
+        .join(cust.join(broadcast(amNations),
             col("c_nationkey") === col("am_nationkey"))
-          .select("c_custkey")), col("o_custkey") === col("c_custkey"))
+          .select("c_custkey"), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      // supplier scales with SF too — no broadcast pin; AQE decides
       val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast(DecimalType(30, 6)).as("rev"))
         .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .groupBy("o_year")
         .agg((sum(col("rev")) * 1000000).cast(dec38).as("tot_micro"),
           (sum(when(col("s_nationkey") === 3, col("rev"))
