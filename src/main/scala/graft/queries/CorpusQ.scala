@@ -718,13 +718,14 @@ object CorpusQ {
         .groupBy("w").agg(count(lit(1)).as("c"))
       val nu = uni.agg(sum(col("c")).as("n_uni"))
       val nb = cab.agg(sum(col("c_ab")).as("n_big"))
+      // both sides of the count joins are vocab-sized; no broadcast
+      // pin — a real corpus's vocabulary (tens of millions of types)
+      // outgrows a broadcast, and AQE still converts when small
       cab.filter(col("c_ab") >= 20)
         .withColumn("w_a", split(col("bg"), " ").getItem(0))
         .withColumn("w_b", split(col("bg"), " ").getItem(1))
-        .join(broadcast(uni.select(col("w").as("w_a"),
-          col("c").as("c_a"))), "w_a")
-        .join(broadcast(uni.select(col("w").as("w_b"),
-          col("c").as("c_b"))), "w_b")
+        .join(uni.select(col("w").as("w_a"), col("c").as("c_a")), "w_a")
+        .join(uni.select(col("w").as("w_b"), col("c").as("c_b")), "w_b")
         .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
         .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
           ldiv(col("c_ab").cast(dec38) * col("n_uni") * col("n_uni")
