@@ -665,35 +665,9 @@ object CorpusQ {
         .orderBy("source")
     }),
 
-    // Source-pair vocabulary overlap — the corpus-composition audit
-    // that catches two "independent" sources drawing from the same
-    // template (near-identical vocabularies). Exact Jaccard in bp over
-    // DISTINCT (source, token) postings: the pair space is
-    // sources²/2, reached through a token-keyed posting join whose
-    // per-token fan-out is bounded by the source count — never by the
-    // corpus. Top-50 by overlap with a fully deterministic tiebreak.
-    "q267_source_vocab_overlap" -> ((s, dir) => {
-      val v = t(s, dir, "documents")
-        .select(col("source"),
-          explode(array_distinct(toks)).as("w"))
-        .distinct()
-      val sizes = v.groupBy("source").agg(count(lit(1)).as("nv"))
-      val inter = v.select(col("source").as("src_a"), col("w"))
-        .join(v.select(col("source").as("src_b"), col("w")), "w")
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(sizes.select(col("source").as("src_a"),
-          col("nv").as("n_a"))), "src_a")
-        .join(broadcast(sizes.select(col("source").as("src_b"),
-          col("nv").as("n_b"))), "src_b")
-        .select(col("src_a"), col("src_b"), col("inter"),
-          col("n_a"), col("n_b"),
-          ldiv(col("inter") * lit(10000L),
-            col("n_a") + col("n_b") - col("inter")).as("jaccard_bp"))
-        .orderBy(desc("jaccard_bp"), asc("src_a"), asc("src_b"))
-        .limit(50)
-    }),
+    // (source-pair vocabulary Jaccard is covered by
+    // q135_source_vocab_jaccard — kept single-registered to avoid a
+    // duplicate operator entry.)
 
     // Collocation mining by lift — the PMI family with the log dropped
     // so the statistic stays EXACT: lift(a,b) = P(ab)/(P(a)·P(b)) =
@@ -1160,26 +1134,6 @@ object CorpusQ {
         | 10000 - CAST(sum(CAST(c AS HUGEINT) * c) * 10000
         |   // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS simpson_bp
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
-
-    "q267_source_vocab_overlap" ->
-      """WITH v AS (
-        | SELECT DISTINCT source, w FROM (
-        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
-        |  FROM documents)),
-        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
-        |  FROM v GROUP BY source),
-        |iv AS (
-        | SELECT a.source AS src_a, b.source AS src_b,
-        |  CAST(count(*) AS BIGINT) AS inter
-        | FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
-        | GROUP BY a.source, b.source)
-        |SELECT iv.src_a, iv.src_b, iv.inter, sa.nv AS n_a, sb.nv AS n_b,
-        | CAST(iv.inter * 10000 // (sa.nv + sb.nv - iv.inter) AS BIGINT)
-        |   AS jaccard_bp
-        |FROM iv
-        | JOIN sz sa ON sa.source = iv.src_a
-        | JOIN sz sb ON sb.source = iv.src_b
-        |ORDER BY jaccard_bp DESC, src_a, src_b LIMIT 50""".stripMargin,
 
     "q273_collocations" ->
       """WITH tk AS (

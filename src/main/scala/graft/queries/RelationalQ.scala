@@ -695,23 +695,8 @@ object RelationalQ {
         .orderBy("o_year")
     }),
 
-    // Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
-    // join so zero-order customers are COUNTED (the distribution's
-    // head), non-urgent orders only, then the double aggregate —
-    // per-customer counts, then the count-of-counts histogram. Both
-    // aggregates are partial; the outer join shuffles on custkey once.
-    "q257_custdist" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderpriority") =!= "1-URGENT")
-        .select("o_orderkey", "o_custkey")
-      t(s, dir, "customer").select("c_custkey")
-        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy("c_count")
-        .agg(count(lit(1)).as("custdist"))
-        .orderBy(desc("custdist"), desc("c_count"))
-    }),
+    // (TPC-H Q13 is covered by q142_custdist — kept single-registered
+    // to avoid a duplicate operator entry.)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1093,14 +1078,5 @@ object RelationalQ {
         | CAST(tot_micro AS BIGINT) AS market_micro
         |FROM y ORDER BY o_year""".stripMargin,
 
-    "q257_custdist" ->
-      """SELECT c_count, count(*) AS custdist FROM (
-        | SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
-        | FROM customer c
-        | LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
-        |   WHERE o_orderpriority <> '1-URGENT') o
-        |  ON c.c_custkey = o.o_custkey
-        | GROUP BY c.c_custkey)
-        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
   )
 }

@@ -81,27 +81,6 @@ class Round8QSpec extends SparkSpec {
     }
   }
 
-  test("q257 custdist counts zero-order customers") {
-    val custs = spark.read.parquet(s"$sf/customer.parquet")
-      .select($"c_custkey").collect().map(_.getLong(0))
-    val perCust = spark.read.parquet(s"$sf/orders.parquet")
-      .select($"o_custkey", $"o_orderpriority").collect()
-      .filter(_.getString(1) != "1-URGENT")
-      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.length.toLong }
-    val dist = custs.map(c => perCust.getOrElse(c, 0L))
-      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
-    val got = run("q257_custdist").collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-    assert(got.toMap == dist)
-    // sorted by custdist desc, c_count desc
-    assert(got.sortBy { case (c, n) => (-n, -c) }.toSeq == got.toSeq)
-    // LEFT JOIN accounting: every customer lands in exactly one bucket
-    // (at this SF every customer happens to have orders; the zero
-    // bucket appearing iff the brute says so is covered by the map
-    // equality above)
-    assert(got.map(_._2).sum == custs.length.toLong)
-  }
-
   private lazy val embs: Seq[(Long, Int, Array[Float])] =
     spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => (r.getLong(0), r.getInt(2),
@@ -273,33 +252,6 @@ class Round8QSpec extends SparkSpec {
         r.getLong(3) == sbp, r.getString(0))
       assert(r.getLong(3) > 0 && r.getLong(3) < 10000)
     }
-  }
-
-  test("q267 vocab overlap equals brute set Jaccard") {
-    val vocab = docs.groupBy(_._3).map { case (src, ds) =>
-      src -> ds.flatMap(_._2.toLowerCase.split(" ", -1)).toSet
-    }
-    val srcs = vocab.keys.toSeq.sorted
-    val exp = (for {
-      a <- srcs; b <- srcs if a < b
-      inter = (vocab(a) & vocab(b)).size.toLong if inter > 0
-    } yield {
-      val na = vocab(a).size.toLong
-      val nb = vocab(b).size.toLong
-      (a, b) -> (inter, na, nb, inter * 10000 / (na + nb - inter))
-    }).toMap
-    val got = run("q267_source_vocab_overlap").collect()
-    assert(got.length == math.min(50, exp.size))
-    got.foreach { r =>
-      val (i, na, nb, j) = exp((r.getString(0), r.getString(1)))
-      assert(r.getLong(2) == i && r.getLong(3) == na && r.getLong(4) == nb
-        && r.getLong(5) == j, s"${r.getString(0)}/${r.getString(1)}")
-    }
-    // top-50 really are the highest-jaccard pairs
-    val minGot = got.map(_.getLong(5)).min
-    val excluded = exp.keySet --
-      got.map(r => (r.getString(0), r.getString(1))).toSet
-    assert(excluded.forall(k => exp(k)._4 <= minGot))
   }
 
   test("q268 Spearman equals brute ranked correlation") {
