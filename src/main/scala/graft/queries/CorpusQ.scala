@@ -642,29 +642,6 @@ object CorpusQ {
         .orderBy("doc_id")
     }),
 
-    // Gini–Simpson lexical diversity per source: 1 − Σpᵢ² over the
-    // token distribution — the entropy-family corpus-health signal
-    // that stays EXACT in integers (Σcᵢ²·10⁴ cross-multiplied against
-    // n², no logs, no doubles). A source whose diversity collapses is
-    // template spam. Shape: token explode → vocab-keyed rollup with
-    // map-side combine → source-sized fold; Σcᵢ² rides in DECIMAL
-    // (vocab counts square past 2⁶³ on big corpora).
-    "q266_token_simpson" -> ((s, dir) => {
-      val dec38 = DecimalType(38, 0)
-      t(s, dir, "documents")
-        .select(col("source"), explode(toks).as("w"))
-        .groupBy("source", "w").agg(count(lit(1)).as("c"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_types"),
-          sum(col("c")).as("n_tokens"),
-          sum((col("c") * col("c")).cast(dec38)).as("sum_c2"))
-        .select(col("source"), col("n_types"), col("n_tokens"),
-          (lit(10000L) - ldiv(col("sum_c2") * lit(10000L),
-            col("n_tokens").cast(dec38) * col("n_tokens")))
-            .as("simpson_bp"))
-        .orderBy("source")
-    }),
-
     // (source-pair vocabulary Jaccard is covered by
     // q135_source_vocab_jaccard — kept single-registered to avoid a
     // duplicate operator entry.)
@@ -1124,16 +1101,6 @@ object CorpusQ {
         | strip_accents(accented) = text AS fold_roundtrips
         |FROM a ORDER BY doc_id""".stripMargin,
 
-    "q266_token_simpson" ->
-      """WITH c AS (
-        | SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
-        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
-        |  FROM documents) GROUP BY source, w)
-        |SELECT source, count(*) AS n_types,
-        | CAST(sum(c) AS BIGINT) AS n_tokens,
-        | 10000 - CAST(sum(CAST(c AS HUGEINT) * c) * 10000
-        |   // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS simpson_bp
-        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "q273_collocations" ->
       """WITH tk AS (

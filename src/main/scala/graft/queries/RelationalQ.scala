@@ -653,48 +653,6 @@ object RelationalQ {
             .cast(DecimalType(30, 6))).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))),
 
-    // National market share (TPC-H Q8 shape): of all revenue supplied
-    // into AMERICA-region customers per order year, the share supplied
-    // by NATION_3, in exact integer basis points. The region-filtered
-    // customer set is ~1/|regions| of ALL customers — far too big to
-    // pin a broadcast on at 100 TB, so the orders⟕customers semi side
-    // joins by shuffle (AQE still converts it to broadcast at small
-    // SF); only the genuinely tiny dims (region, nation, supplier)
-    // carry hints. Share arithmetic stays integral: DECIMAL(30,6)
-    // revenue sums scale to micro-units (DECIMAL(38,0)), then one
-    // IntegralDivide — no double division for engines to disagree on.
-    "q256_market_share" -> ((s, dir) => {
-      val dec38 = DecimalType(38, 0)
-      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      val amNations = t(s, dir, "nation")
-        .join(broadcast(t(s, dir, "region")
-          .filter(col("r_name") === "AMERICA").select("r_regionkey")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey").as("am_nationkey"))
-      val orders = t(s, dir, "orders")
-        .join(cust.join(broadcast(amNations),
-            col("c_nationkey") === col("am_nationkey"))
-          .select("c_custkey"), col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
-      // supplier scales with SF too — no broadcast pin; AQE decides
-      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(30, 6)).as("rev"))
-        .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .groupBy("o_year")
-        .agg((sum(col("rev")) * 1000000).cast(dec38).as("tot_micro"),
-          (sum(when(col("s_nationkey") === 3, col("rev"))
-            .otherwise(lit(0).cast(DecimalType(30, 6)))) * 1000000)
-            .cast(dec38).as("nat_micro"))
-        .select(col("o_year").cast("long").as("o_year"),
-          ldiv(col("nat_micro") * 10000, col("tot_micro")).as("share_bp"),
-          col("tot_micro").cast("long").as("market_micro"))
-        .orderBy("o_year")
-    }),
-
     // (TPC-H Q13 is covered by q142_custdist — kept single-registered
     // to avoid a duplicate operator entry.)
   )
@@ -1052,31 +1010,6 @@ object RelationalQ {
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
 
-    "q256_market_share" ->
-      """WITH am_cust AS (
-        | SELECT c.c_custkey FROM customer c
-        | JOIN nation n ON c.c_nationkey = n.n_nationkey
-        | JOIN region r ON n.n_regionkey = r.r_regionkey
-        | WHERE r.r_name = 'AMERICA'),
-        |f AS (
-        | SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(l.l_extendedprice * (1 - l.l_discount)
-        |    AS DECIMAL(30,6)) AS rev,
-        |  s.s_nationkey
-        | FROM lineitem l
-        | JOIN orders o ON l.l_orderkey = o.o_orderkey
-        | JOIN am_cust c ON o.o_custkey = c.c_custkey
-        | JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-        |y AS (
-        | SELECT o_year,
-        |  CAST(sum(rev) * 1000000 AS HUGEINT) AS tot_micro,
-        |  CAST(coalesce(sum(CASE WHEN s_nationkey = 3 THEN rev END), 0)
-        |    * 1000000 AS HUGEINT) AS nat_micro
-        | FROM f GROUP BY o_year)
-        |SELECT o_year,
-        | CAST(nat_micro * 10000 // tot_micro AS BIGINT) AS share_bp,
-        | CAST(tot_micro AS BIGINT) AS market_micro
-        |FROM y ORDER BY o_year""".stripMargin,
 
   )
 }

@@ -552,50 +552,6 @@ object ScaleQ {
             lit(65536L * 65536L * 65536L)).as("theory_bp"))
     }),
 
-    // 2-D skyline (Pareto front): customers no other customer beats on
-    // BOTH balance and lifetime revenue — the multi-criteria "best"
-    // operator relational engines lack. Exact and distributed WITHOUT
-    // the quadratic dominance join the textbook NOT EXISTS implies:
-    // monotone balance buckets → per-bucket max revenue → suffix max
-    // over the bounded bucket histogram kills everything dominated
-    // from a higher bucket; the only per-row window is the in-bucket
-    // sweep over DISTINCT (bucket, x, y) points. Dominance arithmetic
-    // in exact cents; duplicates of a surviving (x, y) point all
-    // survive (no strict part), which the id join-back preserves.
-    "q271_pareto_front" -> ((s, dir) => {
-      val rev = t(s, dir, "orders")
-        .groupBy(col("o_custkey"))
-        .agg((sum(col("o_totalprice").cast(DecimalType(20, 2))) * 100)
-          .cast("long").as("y"))
-      val pts = t(s, dir, "customer")
-        .select(col("c_custkey"),
-          floor(col("c_acctbal") * 100).cast("long").as("x"))
-        .join(rev, col("c_custkey") === col("o_custkey"), "left_outer")
-        .select(col("c_custkey"), col("x"),
-          coalesce(col("y"), lit(0L)).as("y"))
-        .withColumn("bk", ldiv(col("x"), lit(50000L)))
-        .localCheckpoint(false)
-      val hist = pts.groupBy("bk").agg(max(col("y")).as("my"))
-      val wAbove = Window.orderBy(desc("bk"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val above = hist
-        .withColumn("y_above", max("my").over(wAbove))
-        .select("bk", "y_above")
-      val dpts = pts.select("bk", "x", "y").distinct()
-      val wSweep = Window.partitionBy("bk")
-        .orderBy(desc("x"), desc("y"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val sky = dpts
-        .withColumn("rmax", max("y").over(wSweep))
-        .join(broadcast(above), "bk")
-        .filter((col("y_above").isNull || col("y") > col("y_above")) &&
-          (col("rmax").isNull || col("y") > col("rmax")))
-        .select("x", "y")
-      pts.join(sky, Seq("x", "y"))
-        .select(col("c_custkey"), col("x").as("bal_cents"),
-          col("y").as("rev_cents"))
-        .orderBy(desc("bal_cents"), asc("c_custkey"))
-    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -932,24 +888,5 @@ object ScaleQ {
          |FROM sc""".stripMargin
     },
 
-    // the textbook quadratic dominance form IS the oracle — the engine
-    // side must reach the same front without it
-    "q271_pareto_front" ->
-      """WITH pts AS (
-        | SELECT c.c_custkey,
-        |  CAST(floor(c.c_acctbal * 100) AS BIGINT) AS x,
-        |  CAST(coalesce(r.y, 0) AS BIGINT) AS y
-        | FROM customer c LEFT JOIN (
-        |  SELECT o_custkey,
-        |   CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100 AS BIGINT)
-        |     AS y
-        |  FROM orders GROUP BY o_custkey) r
-        | ON c.c_custkey = r.o_custkey)
-        |SELECT p.c_custkey, p.x AS bal_cents, p.y AS rev_cents
-        |FROM pts p
-        |WHERE NOT EXISTS (
-        | SELECT 1 FROM pts q
-        | WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
-        |ORDER BY bal_cents DESC, c_custkey""".stripMargin,
   )
 }

@@ -725,31 +725,6 @@ object TrendQ {
         .limit(25)
     }),
 
-    // SCD type-2 interval build — the lakehouse dimension-history
-    // pattern: each user's event-type stream collapses to validity
-    // intervals [valid_from, valid_to) that change only when the type
-    // changes; the current segment stays open (NULL valid_to). Both
-    // windows partition by user (bounded by one user's history at any
-    // corpus size); change detection is lag ≠ current, interval close
-    // is lead over the CHANGE ROWS only. The output is a transform
-    // (data-sized, like a silver table), not a report.
-    "q276_scd2_intervals" -> ((s, dir) => {
-      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val changes = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(wU))
-        .filter(col("prev_type").isNull ||
-          col("prev_type") =!= col("event_type"))
-      val wC = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      changes
-        .withColumn("seg_no", row_number().over(wC).cast("long"))
-        .withColumn("valid_to", lead(col("ts"), 1).over(wC))
-        .select(col("user_id"), col("seg_no"), col("event_type"),
-          col("ts").as("valid_from"), col("valid_to"))
-        .orderBy("user_id", "seg_no")
-    }),
-
     // Cohort lifetime-value curve: users cohort on their first-seen
     // day, revenue accumulates by week offset since that day — the
     // longitudinal spend readout behind retention economics (q235's
@@ -1239,22 +1214,6 @@ object TrendQ {
         |FROM p GROUP BY path_md5
         |ORDER BY n_users DESC, path_md5 LIMIT 25""".stripMargin,
 
-    "q276_scd2_intervals" ->
-      """WITH c AS (
-        | SELECT user_id, ts, event_id, event_type,
-        |  lag(event_type) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id) AS prev_type
-        | FROM events),
-        |ch AS (
-        | SELECT user_id, ts, event_id, event_type FROM c
-        | WHERE prev_type IS NULL OR prev_type <> event_type)
-        |SELECT user_id,
-        | CAST(row_number() OVER (PARTITION BY user_id
-        |   ORDER BY ts, event_id) AS BIGINT) AS seg_no,
-        | event_type, ts AS valid_from,
-        | lead(ts) OVER (PARTITION BY user_id
-        |   ORDER BY ts, event_id) AS valid_to
-        |FROM ch ORDER BY user_id, seg_no""".stripMargin,
 
     "q277_cohort_ltv" ->
       """WITH f AS (

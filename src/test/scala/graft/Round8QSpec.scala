@@ -39,48 +39,6 @@ class Round8QSpec extends SparkSpec {
     assert(row.getLong(1) === hit.length.toLong)
   }
 
-  test("q256 market share equals brute per-year integral bp") {
-    val region = spark.read.parquet(s"$sf/region.parquet")
-      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
-    val nation = spark.read.parquet(s"$sf/nation.parquet")
-      .collect().map(r => (r.getInt(0), (r.getString(1), r.getInt(2)))).toMap
-    val amCust = spark.read.parquet(s"$sf/customer.parquet")
-      .select($"c_custkey", $"c_nationkey").collect()
-      .filter(r => region(nation(r.getInt(1))._2) == "AMERICA")
-      .map(_.getLong(0)).toSet
-    val orderYear = Tables.t(spark, sf, "orders")
-      .select($"o_orderkey", $"o_custkey",
-        $"o_orderdate".cast("date").cast("string"))
-      .collect()
-      .filter(r => amCust(r.getLong(1)))
-      .map(r => r.getLong(0) -> r.getString(2).take(4).toLong).toMap
-    val supNation = spark.read.parquet(s"$sf/supplier.parquet")
-      .select($"s_suppkey", $"s_nationkey").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val by = scala.collection.mutable.Map[Long, (BigDecimal, BigDecimal)]()
-    spark.read.parquet(s"$sf/lineitem.parquet")
-      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
-      .collect()
-      .foreach { r =>
-        orderYear.get(r.getLong(0)).foreach { y =>
-          val rev = BigDecimal(r.getDouble(2) * (1 - r.getDouble(3)))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-          val (tot, nat) = by.getOrElse(y, (BigDecimal(0), BigDecimal(0)))
-          val isNat = supNation(r.getLong(1)) == 3
-          by(y) = (tot + rev, if (isNat) nat + rev else nat)
-        }
-      }
-    val got = run("q256_market_share").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(got.keySet == by.keySet)
-    by.foreach { case (y, (tot, nat)) =>
-      val totMicro = (tot * 1000000).toBigInt
-      val natMicro = (nat * 1000000).toBigInt
-      assert(got(y)._1 == (natMicro * 10000 / totMicro).toLong, s"year $y")
-      assert(got(y)._2 == totMicro.toLong, s"year $y")
-    }
-  }
-
   private lazy val embs: Seq[(Long, Int, Array[Float])] =
     spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => (r.getLong(0), r.getInt(2),
@@ -235,25 +193,6 @@ class Round8QSpec extends SparkSpec {
     assert(exp.values.exists { case (n, sc, _) => sc < 1024 * n })
   }
 
-  test("q266 Simpson diversity equals brute token histogram") {
-    val exp = docs.groupBy(_._3).map { case (src, ds) =>
-      val counts = ds.flatMap(_._2.toLowerCase.split(" ", -1))
-        .groupBy(identity).map(_._2.length.toLong)
-      val n = counts.sum
-      src -> (counts.size.toLong, n,
-        10000 - (BigInt(counts.map(c => c * c).sum) * 10000 /
-          (BigInt(n) * n)).toLong)
-    }
-    val got = run("q266_token_simpson").collect()
-    assert(got.length == exp.size)
-    got.foreach { r =>
-      val (ty, n, sbp) = exp(r.getString(0))
-      assert(r.getLong(1) == ty && r.getLong(2) == n &&
-        r.getLong(3) == sbp, r.getString(0))
-      assert(r.getLong(3) > 0 && r.getLong(3) < 10000)
-    }
-  }
-
   test("q268 Spearman equals brute ranked correlation") {
     val metas = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"n_chars", $"text").collect()
@@ -342,34 +281,6 @@ class Round8QSpec extends SparkSpec {
       // monotone funnel
       assert(n >= a && a >= b && b >= c && c >= d)
     }
-  }
-
-  test("q271 pareto front equals brute quadratic dominance") {
-    val rev = Tables.t(spark, sf, "orders")
-      .select($"o_custkey", $"o_totalprice").collect()
-      .groupBy(_.getLong(0)).map { case (k, rs) =>
-        k -> (rs.map(r => BigDecimal(r.getDouble(1))
-          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum * 100).toLong
-      }
-    val pts = spark.read.parquet(s"$sf/customer.parquet")
-      .select($"c_custkey", $"c_acctbal").collect()
-      .map(r => (r.getLong(0),
-        math.floor(r.getDouble(1) * 100).toLong,
-        rev.getOrElse(r.getLong(0), 0L)))
-    val front = pts.filter { case (_, x, y) =>
-      !pts.exists { case (_, qx, qy) =>
-        qx >= x && qy >= y && (qx > x || qy > y)
-      }
-    }
-    val got = run("q271_pareto_front").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSet == front.toSet)
-    // sorted by balance desc, custkey; front is an anti-chain (y
-    // strictly decreases as x strictly increases across distinct x)
-    assert(got.sortBy(p => (-p._2, p._1)).toSeq == got.toSeq)
-    val byX = front.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.head._3)
-    assert(byX == byX.sorted.reverse)
-    assert(front.length > 1, "front should not be a single point")
   }
 
   test("q272 path signatures equal brute per-user ordered journeys") {
@@ -469,36 +380,6 @@ class Round8QSpec extends SparkSpec {
         r.getLong(5) == m, r.getString(0))
       assert(k < n, "trim must drop something")
     }
-  }
-
-  test("q276 SCD2 intervals equal brute segment replay") {
-    val evs = Tables.t(spark, sf, "events")
-      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-    val exp = evs.groupBy(_._1).flatMap { case (u, es) =>
-      val ordered = es.sortBy(e => (e._2, e._3))
-      val changes = ordered.zipWithIndex.filter { case (e, i) =>
-        i == 0 || ordered(i - 1)._4 != e._4
-      }.map(_._1)
-      changes.zipWithIndex.map { case (e, i) =>
-        val to = if (i + 1 < changes.length) Some(changes(i + 1)._2)
-                 else None
-        (u, i + 1L, e._4, e._2, to)
-      }.toSeq
-    }.toSet
-    val got = run("q276_scd2_intervals")
-      .select($"user_id", $"seg_no", $"event_type",
-        unix_micros($"valid_from"),
-        unix_micros($"valid_to"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
-        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
-    assert(got == exp)
-    // every user ends with exactly one open segment
-    val opens = got.toSeq.filter(_._5.isEmpty).groupBy(_._1)
-    assert(opens.values.forall(_.length == 1))
-    assert(got.exists(_._2 > 1), "type changes must produce segments")
   }
 
   test("q277 cohort LTV equals brute week-offset accumulation") {
