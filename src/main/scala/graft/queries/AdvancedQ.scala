@@ -330,7 +330,9 @@ object AdvancedQ {
           saltBuckets = 16)
         .orderBy("event_type")),
 
-    // Join-cardinality estimator audit — the planner sanity check run
+    // Join-cardinality estimator audit (q116 profiles each key's
+    // frequency DISTRIBUTION; this audits the optimizer's UNIFORM
+    // ESTIMATE against the exact self-join size) — the planner sanity check run
     // BEFORE trusting a self-join: actual pair count Σc(k)² vs the
     // uniform System-R estimate N²/ndv, both derived from the key
     // histogram alone (the whole point at 100 TB: the audit never

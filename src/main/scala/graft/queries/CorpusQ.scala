@@ -616,7 +616,9 @@ object CorpusQ {
             .as("closure_bp"))
     }),
 
-    // Unicode accent folding — the text-normalization pass multilingual
+    // Unicode accent folding (q82 normalizes to NFC — composed é stays
+    // é; this STRIPS diacritics é→e, the fold search indexes apply on
+    // top of NFC) — the text-normalization pass multilingual
     // corpora run before tokenization. Accented text is SYNTHESIZED by
     // vowel→accented-vowel translation (deterministic, 1:1 code
     // points), then folded back with the engine's normalizer; the

@@ -1160,7 +1160,11 @@ object MetricsQ {
               * (col("n_docs") * col("n_docs") - 1L))).as("rho_bp"))
     }),
 
-    // Four-gate curation funnel: cumulative survivors per source after
+    // Four-gate curation funnel (complements q242: that one is the
+    // corpus-level stage report whose third gate is the DEDUP
+    // interaction; this is the PER-SOURCE scan-only funnel with the
+    // q260 blocklist budget as its last gate — no shuffle-heavy stage
+    // at all): cumulative survivors per source after
     // the length gate, the language gate, the quality gate (q87's
     // exact-bp score) and the blocklist budget (q260's codegen
     // CountInSet) — the per-batch report a corpus run logs before
@@ -1168,8 +1172,10 @@ object MetricsQ {
     // inside one scan; the output is a source-sized rollup of five
     // conditional sums (each gate folds into the partial aggregate).
     // Inter-quantile (p10..p90) robust mean per event type — the
-    // trimmed-mean readout dashboards use when raw means are
-    // outlier-poisoned. Fences are EXACT ⌈p·n⌉ order statistics from
+    // SCALE-SHAPED contrast to q194 (which trims a count per side via
+    // event_type-partitioned rank windows over raw rows; this trims by
+    // quantile-VALUE fences from histogram selection, so no window
+    // ever sees a full group). Fences are EXACT ⌈p·n⌉ order statistics from
     // one quantilesPerGroup histogram-selection pass (no group-wide
     // sort, no percentile_approx); the trimmed mean itself is one
     // conditional-sum scoring scan against the broadcast fence table,

@@ -695,7 +695,9 @@ object TrendQ {
         .orderBy(desc("decay_score"), asc("event_type"))
     }),
 
-    // Event-path signature mining: each user's full (ts, event_id)-
+    // Event-path signature mining (q110 lists each user's first-5
+    // path; this MINES the frequency of full journeys across users —
+    // pattern discovery, not per-user listing): each user's full (ts, event_id)-
     // ordered event-type sequence collapses to one md5 signature; the
     // report is the top-25 most common journeys — the pattern-mining
     // readout behind funnel design. Per-user collect is bounded by a
@@ -725,7 +727,9 @@ object TrendQ {
         .limit(25)
     }),
 
-    // Cohort lifetime-value curve: users cohort on their first-seen
+    // Cohort lifetime-value curve (q85/q235 count PRESENCE per cohort
+    // week; this accumulates MONEY — the spend curve behind retention
+    // economics): users cohort on their first-seen
     // day, revenue accumulates by week offset since that day — the
     // longitudinal spend readout behind retention economics (q235's
     // distinct-actives triangle with money instead of presence).
