@@ -640,10 +640,12 @@ object PdfCodec {
         deflated(pngPredictEncode(rowPadded, predCols, r => r % 5))
       case "flate+pred2" => // TIFF horizontal differencing
         deflated(tiffPredictEncode(rowPadded, predCols))
+      case "lzw+predpng" => // predictor parameterizes LZW too (§7.4.4.4)
+        lzwEncode(pngPredictEncode(rowPadded, predCols, r => r % 5))
       case "raw" => content
       case other => throw new IllegalArgumentException(
         s"unknown filterName $other — flate | raw | ahx | a85 | rle | " +
-          "lzw | a85+flate | flate+predpng | flate+pred2")
+          "lzw | a85+flate | flate+predpng | flate+pred2 | lzw+predpng")
     }
     val filter = filterName match {
       case "flate" => " /Filter /FlateDecode"
@@ -656,6 +658,8 @@ object PdfCodec {
         s"<< /Predictor 15 /Columns $predCols >>"
       case "flate+pred2" => " /Filter /FlateDecode /DecodeParms " +
         s"<< /Predictor 2 /Columns $predCols >>"
+      case "lzw+predpng" => " /Filter /LZWDecode /DecodeParms " +
+        s"<< /Predictor 10 /Columns $predCols >>"
       case _ => ""
     }
     val out = new ByteArrayOutputStream()

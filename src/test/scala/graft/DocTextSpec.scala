@@ -305,6 +305,9 @@ class DocTextSpec extends SparkSpec {
       == lines)
     assert(PdfCodec.decode(PdfCodec.encodeWith(lines, "flate+pred2"))
       == lines)
+    // the predictor stage applies after LZW exactly as after Flate
+    assert(PdfCodec.decode(PdfCodec.encodeWith(lines, "lzw+predpng"))
+      == lines)
     // hostile: bad predictor value and ragged row geometry are loud
     intercept[IllegalArgumentException](
       PdfCodec.pngUnpredict(Array[Byte](0, 1, 2), 4, 1, 8))
