@@ -1171,6 +1171,49 @@ object MetricsQ {
     // training sees a token. All four gates are per-row projections
     // inside one scan; the output is a source-sized rollup of five
     // conditional sums (each gate folds into the partial aggregate).
+    // LSH candidate-recall audit — the q238-for-MinHash: how much of
+    // the TRUE near-dup pair set (exact 3-shingle Jaccard ≥ 0.5, the
+    // session-shared q56 edge set) the banded signature scheme
+    // (8 md5-min sigs → 2 bands × 4 rows) actually surfaces, plus the
+    // candidate precision — the two numbers that justify a banding
+    // before a 100 TB dedup run trusts it. Every signature is
+    // string-keyed md5 (q227 machinery), so unlike the rows-only q17
+    // the audit itself is hash-exact. Shape: sig rollup + two
+    // band-key self-joins (bucket-bounded) + a pair-set join; the
+    // exact side reuses the checkpointed edge set. Oracle is
+    // quadratic (exact pairs) → sf0.1 skip-list family.
+    "q278_lsh_recall" -> ((s, dir) => {
+      val exact = ScaleQ.dedupEdges(s, dir).select("a_id", "b_id")
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.functions.ShinglesExpr
+          .shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      val sigAggs = (0 until 8).map(r =>
+        min(md5(concat(lit(s"$r:"), col("sh")))).as(s"s$r"))
+      val keyed = sh.groupBy("doc_id")
+        .agg(sigAggs.head, sigAggs.tail: _*)
+        .select(col("doc_id"),
+          concat(col("s0"), col("s1"), col("s2"), col("s3")).as("k0"),
+          concat(col("s4"), col("s5"), col("s6"), col("s7")).as("k1"))
+        .localCheckpoint(false)
+      val cand = (0 until 2).map { b =>
+        keyed.select(col("doc_id").as("a_id"), col(s"k$b").as("kk"))
+          .join(keyed.select(col("doc_id").as("b_id"), col(s"k$b").as("kk")),
+            "kk")
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id")
+      }.reduce(_ unionAll _).distinct().localCheckpoint(false)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(cand.join(exact, Seq("a_id", "b_id"))
+          .agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_exact"), col("n_cand"), col("n_hit"),
+          when(col("n_exact") > 0,
+            ldiv(col("n_hit") * 10000L, col("n_exact"))).as("recall_bp"),
+          when(col("n_cand") > 0,
+            ldiv(col("n_hit") * 10000L, col("n_cand")))
+            .as("precision_bp"))
+    }),
+
     // Inter-quantile (p10..p90) robust mean per event type — the
     // SCALE-SHAPED contrast to q194 (which trims a count per side via
     // event_type-partitioned rank windows over raw rows; this trims by
@@ -1968,6 +2011,52 @@ object MetricsQ {
          | CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT)
          |   AS pass_blocklist
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "q278_lsh_recall" -> {
+      val mins = (0 until 8)
+        .map(r => s"min(md5('$r:' || sh)) AS s$r").mkString(", ")
+      s"""WITH s AS (
+         | SELECT doc_id, string_split(lower(text), ' ') AS toks
+         | FROM documents),
+         |shl AS (
+         | SELECT doc_id, list_distinct(list_transform(
+         |   range(1, len(toks) - 1),
+         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+         | FROM s),
+         |p AS (
+         | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         | FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+         | WHERE round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |   / (len(a.shs) + len(b.shs)
+         |      - len(list_intersect(a.shs, b.shs))), 4) >= 0.5),
+         |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+         |sg AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |k AS (
+         | SELECT doc_id, s0 || s1 || s2 || s3 AS k0,
+         |  s4 || s5 || s6 || s7 AS k1
+         | FROM sg),
+         |c AS (
+         | SELECT DISTINCT a_id, b_id FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM k a JOIN k b ON a.k0 = b.k0 AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id
+         |  FROM k a JOIN k b ON a.k1 = b.k1 AND a.doc_id < b.doc_id)),
+         |t AS (
+         | SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cand,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM c JOIN p ON c.a_id = p.a_id AND c.b_id = p.b_id)
+         |   AS n_hit)
+         |SELECT n_exact, n_cand, n_hit,
+         | CASE WHEN n_exact > 0
+         |  THEN CAST(CAST(n_hit AS HUGEINT) * 10000 // n_exact AS BIGINT)
+         | END AS recall_bp,
+         | CASE WHEN n_cand > 0
+         |  THEN CAST(CAST(n_hit AS HUGEINT) * 10000 // n_cand AS BIGINT)
+         | END AS precision_bp
+         |FROM t""".stripMargin
+    },
 
     "q275_interquantile_mean" ->
       """WITH v AS (

@@ -223,4 +223,26 @@ class PropertySpec extends SparkSpec {
         assert(n == ss.length, src)
       }
   }
+
+  test("PDF predictor encode/decode are inverse on random rasters") {
+    import graft.ingest.PdfCodec
+    val bytesGen = for {
+      cols <- Gen.choose(1, 40)
+      rows <- Gen.choose(1, 30)
+      data <- Gen.containerOfN[Array, Byte](cols * rows,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (cols, data)
+    samples(bytesGen, 120).foreach { case (cols, data) =>
+      // every PNG row-filter mix must invert, including all-one-type
+      for (pick <- Seq[Int => Int](_ % 5, _ => 0, _ => 1, _ => 2,
+          _ => 3, _ => 4)) {
+        val enc = PdfCodec.pngPredictEncode(data, cols, pick)
+        assert(PdfCodec.pngUnpredict(enc, cols, 1, 8).toSeq == data.toSeq,
+          s"png cols=$cols")
+      }
+      val tenc = PdfCodec.tiffPredictEncode(data, cols)
+      assert(PdfCodec.tiffUnpredict(tenc, cols, 1, 8).toSeq == data.toSeq,
+        s"tiff cols=$cols")
+    }
+  }
 }

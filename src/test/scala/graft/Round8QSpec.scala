@@ -412,6 +412,39 @@ class Round8QSpec extends SparkSpec {
     }
   }
 
+  test("q278 LSH recall audit equals brute signature replay") {
+    val shs = docs.map { case (id, text, _) =>
+      val tk = text.toLowerCase.split(" ", -1)
+      id -> (0 until math.max(0, tk.length - 2))
+        .map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").toSet
+    }.filter(_._2.nonEmpty)
+    val exact = (for {
+      (a, sa) <- shs; (b, sb) <- shs if a < b
+      inter = (sa & sb).size
+      j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      if j >= BigDecimal("0.5")
+    } yield (a, b)).toSet
+    val keys = shs.map { case (id, ss) =>
+      val sigs = (0 until 8).map(r => ss.map(sh => md5hex(s"$r:$sh")).min)
+      id -> (sigs.take(4).mkString, sigs.drop(4).mkString)
+    }.toMap
+    val cand = (for {
+      a <- keys.keys; b <- keys.keys if a < b
+      if keys(a)._1 == keys(b)._1 || keys(a)._2 == keys(b)._2
+    } yield (a, b)).toSet
+    val hit = (cand & exact).size.toLong
+    val Array(row) = run("q278_lsh_recall").collect()
+    assert(row.getLong(0) == exact.size.toLong)
+    assert(row.getLong(1) == cand.size.toLong)
+    assert(row.getLong(2) == hit)
+    assert(exact.nonEmpty, "true pair set must be non-empty")
+    if (exact.nonEmpty)
+      assert(row.getLong(3) == hit * 10000 / exact.size)
+    if (cand.nonEmpty)
+      assert(row.getLong(4) == hit * 10000 / cand.size)
+  }
+
   test("q264 accent fold roundtrips and counts injected code points") {
     val accent = Map('a' -> 'á', 'e' -> 'é', 'i' -> 'í', 'o' -> 'ó',
       'u' -> 'ú')
