@@ -1171,6 +1171,57 @@ object MetricsQ {
     // training sees a token. All four gates are per-row projections
     // inside one scan; the output is a source-sized rollup of five
     // conditional sums (each gate folds into the partial aggregate).
+    // RFM (recency / frequency / monetary) segmentation — the classic
+    // customer-value grid: each user scores 1..5 per dimension by
+    // which exact quintile fence their metric clears, segments are the
+    // (r, f, m) cells. Fences are exact ⌈q·n/5⌉ order statistics from
+    // quantilesPerGroup (one histogram-selection pass per metric over
+    // the USER-level rollup — at 100 TB that's billions of rows, so no
+    // global window is admissible and ntile() is exactly the wrong
+    // tool); scores are fence comparisons in one scoring pass.
+    // Recency inverts (recent = high score). All exact integers.
+    "q279_rfm_segments" -> ((s, dir) => {
+      val byUser = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(col("ts").cast("long")).as("last_ep"),
+          count(lit(1)).as("freq"),
+          sum((col("value").cast(DecimalType(20, 2)) * 100)
+            .cast("long")).as("cents"))
+      val ref = t(s, dir, "events")
+        .agg(max(col("ts").cast("long")).as("ref"))
+      val u = byUser.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          ldiv(col("ref") - col("last_ep"), lit(86400L)).as("rec_days"),
+          col("freq"), col("cents"))
+        // NB: the group column must not be named "k" — quantilesPerGroup
+        // uses "k" internally for the quantile rank
+        .withColumn("grp", lit("all"))
+        .localCheckpoint(false)
+      val qs = Seq(("p20", 1L, 5L), ("p40", 2L, 5L), ("p60", 3L, 5L),
+        ("p80", 4L, 5L))
+      def fences(metric: String, bucketW: Long) =
+        quantilesPerGroup(u.select(col("grp"),
+          col(metric).as("cents")), "grp", bucketW, qs)
+          .select(qs.map { case (l, _, _) =>
+            col(l).as(s"${metric}_$l") }: _*)
+      def score(metric: String): Column =
+        qs.map { case (l, _, _) =>
+          when(col(metric) > col(s"${metric}_$l"), 1L).otherwise(0L)
+        }.reduce(_ + _) + 1L
+      u.crossJoin(broadcast(fences("rec_days", 7L)))
+        .crossJoin(broadcast(fences("freq", 8L)))
+        .crossJoin(broadcast(fences("cents", 100000L)))
+        .select(col("user_id"),
+          (lit(6L) - score("rec_days")).as("r_score"),
+          score("freq").as("f_score"),
+          score("cents").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"),
+          min(col("user_id")).as("min_user_id"))
+        .orderBy(desc("n_users"), asc("r_score"), asc("f_score"),
+          asc("m_score"))
+    }),
+
     // LSH candidate-recall audit — the q238-for-MinHash: how much of
     // the TRUE near-dup pair set (exact 3-shingle Jaccard ≥ 0.5, the
     // session-shared q56 edge set) the banded signature scheme
@@ -2011,6 +2062,46 @@ object MetricsQ {
          | CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT)
          |   AS pass_blocklist
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "q279_rfm_segments" -> {
+      def fence(metric: String) = {
+        val cases = Seq(1, 2, 3, 4).map(q =>
+          s"min(CASE WHEN rn = (nn.n * $q + 4) // 5 THEN v END) AS p$q")
+          .mkString(", ")
+        s"SELECT $cases FROM (SELECT $metric AS v, " +
+          s"row_number() OVER (ORDER BY $metric) AS rn FROM u), nn"
+      }
+      def sc(metric: String, tbl: String) = Seq(1, 2, 3, 4).map(q =>
+        s"(CASE WHEN u.$metric > $tbl.p$q THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (
+         | SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ep,
+         |  CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+         | FROM events),
+         |rf AS (SELECT max(ep) AS ref FROM e),
+         |u AS (
+         | SELECT user_id, (rf.ref - max(e.ep)) // 86400 AS rec_days,
+         |  CAST(count(*) AS BIGINT) AS freq,
+         |  CAST(sum(e.cents) AS BIGINT) AS cents
+         | FROM e, rf GROUP BY user_id, rf.ref),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+         |fr AS (${fence("rec_days")}),
+         |ff AS (${fence("freq")}),
+         |fm AS (${fence("cents")}),
+         |s AS (
+         | SELECT u.user_id,
+         |  6 - (1 + ${sc("rec_days", "fr")}) AS r_score,
+         |  1 + ${sc("freq", "ff")} AS f_score,
+         |  1 + ${sc("cents", "fm")} AS m_score
+         | FROM u, fr, ff, fm)
+         |SELECT CAST(r_score AS BIGINT) AS r_score,
+         | CAST(f_score AS BIGINT) AS f_score,
+         | CAST(m_score AS BIGINT) AS m_score,
+         | count(*) AS n_users,
+         | CAST(min(user_id) AS BIGINT) AS min_user_id
+         |FROM s GROUP BY r_score, f_score, m_score
+         |ORDER BY n_users DESC, r_score, f_score, m_score""".stripMargin
+    },
 
     "q278_lsh_recall" -> {
       val mins = (0 until 8)

@@ -445,6 +445,42 @@ class Round8QSpec extends SparkSpec {
       assert(row.getLong(4) == hit * 10000 / cand.size)
   }
 
+  test("q279 RFM segments equal brute quintile scoring") {
+    val evs = Tables.t(spark, sf, "events")
+      .select($"user_id", $"ts".cast("long"), $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val ref = evs.map(_._2).max
+    val users = evs.groupBy(_._1).map { case (u, es) =>
+      (u, (ref - es.map(_._2).max) / 86400, es.length.toLong,
+        es.map(_._3).sum)
+    }.toSeq
+    val n = users.length.toLong
+    def fences(vals: Seq[Long]): Seq[Long] = {
+      val sorted = vals.sorted
+      (1 to 4).map(q => sorted(((n * q + 4) / 5 - 1).toInt))
+    }
+    val (fr, ff, fm) = (fences(users.map(_._2)), fences(users.map(_._3)),
+      fences(users.map(_._4)))
+    def sc(v: Long, f: Seq[Long]): Long = 1 + f.count(v > _)
+    val exp = users.map { case (u, r, fq, m) =>
+      (u, 6 - sc(r, fr), sc(fq, ff), sc(m, fm))
+    }.groupBy(t => (t._2, t._3, t._4)).map { case (k, us) =>
+      k -> (us.length.toLong, us.map(_._1).min)
+    }
+    val got = run("q279_rfm_segments").collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (nu, mu) = exp((r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(r.getLong(3) == nu && r.getLong(4) == mu,
+        s"${r.getLong(0)}/${r.getLong(1)}/${r.getLong(2)}")
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 5)
+    }
+    // quintile scoring must actually spread users across scores
+    assert(exp.size > 5)
+  }
+
   test("q264 accent fold roundtrips and counts injected code points") {
     val accent = Map('a' -> 'á', 'e' -> 'é', 'i' -> 'í', 'o' -> 'ó',
       'u' -> 'ú')
