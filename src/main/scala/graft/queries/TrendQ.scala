@@ -727,6 +727,37 @@ object TrendQ {
         .limit(25)
     }),
 
+    // Benford first-digit audit — the fraud/synthetic-data screen:
+    // observed first-significant-digit shares of order totals against
+    // Benford's log10(1+1/d) expectation. The expected shares are
+    // e4-rounded CONSTANTS (summing to exactly 10000) shared by query
+    // and oracle, so the whole audit is exact integers: digit via
+    // string head of the positive cents value (identical cast rules
+    // both engines), shares and deviations in bp via IntegralDivide.
+    // One scan → 9-row rollup with map-side combine.
+    "q280_benford_audit" -> ((s, dir) => {
+      val benford = Seq(1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L,
+        5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+      val expCol = benford.tail.foldLeft(
+        when(col("digit") === 1, lit(3010L))) { case (acc, (d, e)) =>
+        acc.when(col("digit") === d, lit(e))
+      }
+      val cents = (col("o_totalprice").cast(DecimalType(20, 2)) * 100)
+        .cast("long")
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(substring(cents.cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .select(col("digit"), col("n"),
+          ldiv(col("n") * 10000L, col("total")).as("share_bp"),
+          expCol.as("benford_bp"),
+          abs(ldiv(col("n") * 10000L, col("total")) - expCol)
+            .as("delta_bp"))
+        .orderBy("digit")
+    }),
+
     // Cohort lifetime-value curve (q85/q235 count PRESENCE per cohort
     // week; this accumulates MONEY — the spend curve behind retention
     // economics): users cohort on their first-seen
@@ -1218,6 +1249,24 @@ object TrendQ {
         |FROM p GROUP BY path_md5
         |ORDER BY n_users DESC, path_md5 LIMIT 25""".stripMargin,
 
+
+    "q280_benford_audit" ->
+      """WITH d AS (
+        | SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(20,2))
+        |     * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        | FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+        |b AS (SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249),
+        |  (4, 969), (5, 792), (6, 669), (7, 580), (8, 512), (9, 458))
+        |  AS v(digit, benford_bp))
+        |SELECT g.digit, g.n,
+        | CAST(g.n * 10000 // t.total AS BIGINT) AS share_bp,
+        | CAST(b.benford_bp AS BIGINT) AS benford_bp,
+        | CAST(abs(g.n * 10000 // t.total - b.benford_bp) AS BIGINT)
+        |   AS delta_bp
+        |FROM g JOIN b ON b.digit = g.digit, t
+        |ORDER BY g.digit""".stripMargin,
 
     "q277_cohort_ltv" ->
       """WITH f AS (

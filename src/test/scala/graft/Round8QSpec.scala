@@ -481,6 +481,33 @@ class Round8QSpec extends SparkSpec {
     assert(exp.size > 5)
   }
 
+  test("q280 Benford audit equals brute digit counting") {
+    val benford = Map(1L -> 3010L, 2L -> 1761L, 3L -> 1249L, 4L -> 969L,
+      5L -> 792L, 6L -> 669L, 7L -> 580L, 8L -> 512L, 9L -> 458L)
+    assert(benford.values.sum == 10000L)
+    val digits = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_totalprice").collect()
+      .map(r => (BigDecimal(r.getDouble(0)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
+      .filter(_ > 0)
+      .map(_.toString.head.asDigit.toLong)
+    val counts = digits.groupBy(identity).map { case (d, v) =>
+      d -> v.length.toLong }
+    val total = digits.length.toLong
+    val got = run("q280_benford_audit").collect()
+    assert(got.length == counts.size)
+    got.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) == counts(d), s"digit $d")
+      assert(r.getLong(2) == counts(d) * 10000 / total)
+      assert(r.getLong(3) == benford(d))
+      assert(r.getLong(4) ==
+        math.abs(counts(d) * 10000 / total - benford(d)))
+    }
+    // the audit discriminates: synthetic totals are NOT Benford
+    assert(got.map(_.getLong(4)).max > 100)
+  }
+
   test("q264 accent fold roundtrips and counts injected code points") {
     val accent = Map('a' -> 'á', 'e' -> 'é', 'i' -> 'í', 'o' -> 'ó',
       'u' -> 'ú')
