@@ -216,8 +216,16 @@ object CorpusQ {
       // DedupOps.connectedComponents)
       val edges = e0.union(e0.select(col("dst").as("src"),
         col("src").as("dst")))
+        // co-partition the edge list on src ONCE — the deg join and all
+        // three rank iterations then reuse this partitioning, so only
+        // node-sized frames ever shuffle and the registered form is the
+        // one that holds on a billion-node graph (r9: the former
+        // broadcast(deg)/broadcast(ranks) hints were the node-sized
+        // declared boundary; this is the scale-out form the old in-code
+        // note described, now the registered one — see SCALING.md)
+        .repartition(s.sparkContext.defaultParallelism, col("src"))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val edgesDeg = edges.join(broadcast(deg), "src")
+      val edgesDeg = edges.join(deg, "src")
         .select(col("src"), col("dst"), col("deg")).localCheckpoint()
       // one driver-side scalar (node count) — the only collect in the op
       val n = deg.count()
@@ -226,16 +234,14 @@ object CorpusQ {
       var ranks = deg.select(col("src").as("node"))
         .withColumn("r", lit(1.0 / n))
       for (_ <- 1 to 3) {
-        // the rank table is node-sized (≪ edges), so it BROADCASTS and
-        // the cached edge list is never shuffled — each round is one
-        // edge scan + a partial-aggregated contribution sum whose
-        // shuffle carries node-sized partials only. (On a billion-node
-        // graph, swap the broadcast for ranks bucketed/co-partitioned
-        // with the edge list on src — the loop body is otherwise
-        // unchanged.) Checkpoint per round so round k+1 doesn't replay
-        // round k's plan.
+        // the checkpointed edge list carries HashPartitioning(src), so
+        // each round shuffles only the node-sized rank table to meet it
+        // (AQE still converts ranks to a runtime broadcast when it is
+        // genuinely small) — the edge list is never re-shuffled and the
+        // same loop body holds on a billion-node graph. Checkpoint per
+        // round so round k+1 doesn't replay round k's plan.
         ranks = edgesDeg
-          .join(broadcast(ranks), edgesDeg("src") === ranks("node"))
+          .join(ranks, edgesDeg("src") === ranks("node"))
           .select(col("dst"),
             (col("r") / col("deg")).cast(DecimalType(38, 18)).as("c"))
           .groupBy("dst")
@@ -447,12 +453,14 @@ object CorpusQ {
 
     // Incremental near-dup dedup: the crawl-time shape — a NEW batch
     // (last tenth of doc ids) checked against the EXISTING corpus, not
-    // against itself. The new batch is small relative to the corpus, so
-    // its size-carrying postings BROADCAST and the corpus side streams
-    // map-only through the candidate join (the asymmetric twin of q16's
-    // self-join); exact Jaccard verifies candidates as usual. Emits, per
-    // new doc, how many established docs it duplicates and the best
-    // match.
+    // against itself — the asymmetric twin of q16's self-join. Both
+    // posting sides are corpus-scaled (the batch is a FRACTION of the
+    // corpus, not schema-bounded), so the candidate join is a plain
+    // tok-keyed shuffle join — AQE broadcasts a genuinely small batch
+    // at runtime, and the shuffle form holds when the batch is 10 TB
+    // (r9 broadcast sweep, lesson-2 rule). Exact Jaccard verifies
+    // candidates as usual. Emits, per new doc, how many established
+    // docs it duplicates and the best match.
     "q118_incremental_dedup" -> ((s, dir) => {
       val docs = graft.ops.Partitioning.ensureParallel(
         t(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -467,7 +475,7 @@ object CorpusQ {
         .select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("tok"))
       val newP = posts.filter(col("doc_id") >= col("thr"))
         .select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("tok"))
-      oldP.join(broadcast(newP), "tok")
+      oldP.join(newP, "tok")
         .groupBy("a_id", "b_id", "a_sz", "b_sz")
         .agg(count(lit(1)).as("inter"))
         .withColumn("j", round(col("inter").cast("double")
@@ -622,8 +630,12 @@ object CorpusQ {
     // corpora run before tokenization. Accented text is SYNTHESIZED by
     // vowel→accented-vowel translation (deterministic, 1:1 code
     // points), then folded back with the engine's normalizer; the
-    // oracle folds with DuckDB's independent strip_accents, so any
-    // drift in the fold table breaks both md5 columns. The fold is the
+    // oracle folds with the SAME 5-char translate table (not DuckDB's
+    // strip_accents, which strips ALL diacritics — with it, a corpus
+    // that ever carried its own ü/ñ/è would silently diverge; r8
+    // ADVICE), so any drift in the fold table breaks both md5 columns
+    // while native accented corpus text passes through both sides
+    // identically. The fold is the
     // builtin codegen `translate` (code-point table, no UDF) — a
     // per-row projection that runs inside the scan at any corpus size.
     // n_accents counts the injected code points (length is preserved
@@ -1099,8 +1111,8 @@ object CorpusQ {
         | CAST(length(text) - length(translate(text, 'aeiou', ''))
         |   AS BIGINT) AS n_accents,
         | md5(accented) AS accented_md5,
-        | md5(strip_accents(accented)) AS folded_md5,
-        | strip_accents(accented) = text AS fold_roundtrips
+        | md5(translate(accented, 'áéíóú', 'aeiou')) AS folded_md5,
+        | translate(accented, 'áéíóú', 'aeiou') = text AS fold_roundtrips
         |FROM a ORDER BY doc_id""".stripMargin,
 
 

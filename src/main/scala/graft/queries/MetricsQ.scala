@@ -489,7 +489,11 @@ object MetricsQ {
     // d·(d−1)/2-cell table (2016 rows for d=64 at any corpus size),
     // dim sums are 64 rows, n is a broadcast scalar — shuffles never
     // grow with the corpus. Products ride in DECIMAL (q183 rule:
-    // Σxᵢxⱼ·n wraps BIGINT near 10¹⁹).
+    // Σxᵢxⱼ·n wraps BIGINT near 10¹⁹). The OUTPUT column is final-cast
+    // to STRING on both sides: DuckDB surfaces DECIMAL(38,0) results as
+    // float64 ("…0.0") through its result API, so a decimal output
+    // schema hash-fails on formatting alone (r8 verdict root cause);
+    // string digits are exact at any magnitude.
     "q230_embedding_covariance" -> ((s, dir) => {
       val quant = transform(col("embedding"),
         v => floor(v.cast("double") * 1000).cast("long"))
@@ -514,9 +518,11 @@ object MetricsQ {
         .select((col("i") + 1).cast("long").as("dim_i"),
           (col("j") + 1).cast("long").as("dim_j"),
           (col("n") * col("sp") - col("si") * col("sj"))
-            .cast(dec).as("cov_num"))
-        .orderBy(abs(col("cov_num")).desc, col("dim_i"), col("dim_j"))
+            .cast(dec).as("cov_raw"))
+        .orderBy(abs(col("cov_raw")).desc, col("dim_i"), col("dim_j"))
         .limit(10)
+        .select(col("dim_i"), col("dim_j"),
+          col("cov_raw").cast("string").as("cov_num"))
     }),
 
     // Exact Gini coefficient of revenue concentration per region — the
@@ -784,7 +790,10 @@ object MetricsQ {
         .localCheckpoint(false)
       val firstWins = d.filter(col("g2") === 1)
         .groupBy("fp").agg(min("doc_id").as("keep_id"))
-      val flagged = d.join(broadcast(firstWins), Seq("fp"), "left")
+      // firstWins is the fp-keyed survivor set — linear in the corpus,
+      // so no broadcast hint: a plain fp-keyed shuffle join holds at
+      // 100× and AQE converts genuinely small survivor sets at runtime
+      val flagged = d.join(firstWins, Seq("fp"), "left")
         .withColumn("g3",
           (col("g2") === 1 && col("doc_id") === col("keep_id"))
             .cast("long"))
@@ -906,11 +915,13 @@ object MetricsQ {
         .agg(count(lit(1)).as("support"))
         .orderBy(desc("support"), asc("p1"), asc("p2"))
         .limit(20)
+      // items is part-key-sized (SF-linear) — no hint on it; the 20-row
+      // top side is the one AQE broadcasts at runtime (r9 sweep)
       top
-        .join(broadcast(items.withColumnRenamed("pk", "p1")
-          .withColumnRenamed("n_item", "n_a")), "p1")
-        .join(broadcast(items.withColumnRenamed("pk", "p2")
-          .withColumnRenamed("n_item", "n_b")), "p2")
+        .join(items.withColumnRenamed("pk", "p1")
+          .withColumnRenamed("n_item", "n_a"), "p1")
+        .join(items.withColumnRenamed("pk", "p2")
+          .withColumnRenamed("n_item", "n_b"), "p2")
         .crossJoin(broadcast(nOrders))
         .select(col("p1"), col("p2"), col("support"),
           ldiv(col("support") * lit(10000L), col("n_a")).as("conf_a2b_bp"),
@@ -1535,11 +1546,12 @@ object MetricsQ {
         | FROM b, range(1, 65) t(i), range(1, 65) u(j)
         | WHERE j > i GROUP BY i, j)
         |SELECT CAST(p.i AS BIGINT) AS dim_i, CAST(p.j AS BIGINT) AS dim_j,
-        | CAST(nn.n * p.sp - a.si * c.sj AS DECIMAL(38,0)) AS cov_num
+        | CAST(nn.n * p.sp - a.si * c.sj AS VARCHAR) AS cov_num
         |FROM p
         |JOIN s a ON a.i = p.i
         |JOIN (SELECT i AS j, si AS sj FROM s) c ON c.j = p.j, nn
-        |ORDER BY abs(cov_num) DESC, dim_i, dim_j LIMIT 10""".stripMargin,
+        |ORDER BY abs(nn.n * p.sp - a.si * c.sj) DESC, dim_i, dim_j
+        |LIMIT 10""".stripMargin,
 
     "q254_region_gini" ->
       """WITH rev AS (

@@ -272,7 +272,9 @@ object RelationalQ {
           .cast(DecimalType(30, 6)).as("rev"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(custAsia, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        // supN is supplier-sized (SF-linear) — no pinned hint; AQE
+        // broadcasts it at runtime while it fits (r9 sweep, lesson-2)
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
         .groupBy("o_year")
         .agg(sum(when(col("s_nation") === "NATION_2", col("rev"))
             .otherwise(lit(0).cast(DecimalType(30, 6)))).as("numd"),
@@ -389,7 +391,8 @@ object RelationalQ {
             .cast(DecimalType(30, 6)).as("volume"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(cus, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        // sup is supplier-sized (SF-linear) — plain join, AQE-converted
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .filter((col("supp_nation") === "NATION_1" &&
             col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" &&
@@ -416,14 +419,16 @@ object RelationalQ {
       val o = t(s, dir, "orders").select(col("o_orderkey"),
         year(col("o_orderdate")).cast("long").as("o_year"))
       val lp = t(s, dir, "lineitem")
-        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        // p is a filtered slice of the SF-linear part table — no pinned
+        // hint (AQE broadcasts it at runtime while it fits)
+        .join(p, col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           ((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast(DecimalType(30, 6)) -
             (lit(0.5) * col("p_retailprice") * col("l_quantity"))
               .cast(DecimalType(30, 6))).as("amount"))
       lp.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .groupBy("nation", "o_year")
         .agg(sum(col("amount")).cast("double").as("sum_profit"))
         .orderBy(asc("nation"), desc("o_year"))
@@ -469,7 +474,8 @@ object RelationalQ {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+        // part is SF-linear — plain join (AQE-converted while small)
+        .join(t(s, dir, "part").select("p_partkey", "p_type"),
           col("p_partkey") === col("l_partkey"))
         .select((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(30, 6)).as("rev"), col("p_type"))

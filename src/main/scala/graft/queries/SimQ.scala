@@ -9,6 +9,18 @@ import graft.ops.SimilarityOps
 /** Similarity search over the `embeddings` table (ARRAY<FLOAT> dim 64). */
 object SimQ {
 
+  /** Corpus row count per data dir, memoized so building q74's plan is
+    * action-free after the first call — PlanSpec/DeterminismSpec/Explain
+    * sweep every registry repeatedly, and an eager per-construction
+    * count job made merely constructing the plan run a scan (r8 ADVICE).
+    * The testdata under a dir is immutable for the process lifetime, so
+    * dir is a sufficient key. */
+  private val corpusCount =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+  private def embeddingCount(s: SparkSession, dir: String): Long =
+    corpusCount.getOrElseUpdate(dir,
+      t(s, dir, "embeddings").select(col("vec_id")).count())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-25 against vec_id=1's embedding: the exact
     // baseline (single scan + TakeOrderedAndProject, no shuffle).
@@ -66,10 +78,11 @@ object SimQ {
     // unchanged there. At ×10 the planes grow with log(n), holding
     // bucket density — and pair work per row — flat instead of ∝ n
     // (the old fixed banding measured exponent 1.24). The count is one
-    // pruned single-column job.
+    // pruned single-column job, memoized per dir (embeddingCount) so
+    // repeated plan construction stays action-free.
     "q74_ann_self_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val n = e.select(col("vec_id")).count()
+      val n = embeddingCount(s, dir)
       SimilarityOps.annSelfJoin(e, "vec_id", "embedding", 64, k = 5,
           planesPerBand = SimilarityOps.autoPlanes(n, 6), bands = 32)
         .filter(col("cos_sim") >= 0.4)

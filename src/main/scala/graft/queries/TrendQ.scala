@@ -15,13 +15,15 @@ object TrendQ {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Month-over-month revenue growth per region: the classic KPI trend
-    // query. Dimensions (customer→nation→region) broadcast; the fact
-    // table aggregates once per (region, month) with DECIMAL-exact sums;
-    // the lag window partitions by region (parallel, never global). The
-    // growth ratio divides the deterministic unrounded doubles.
+    // query. SCHEMA-bounded dims (nation/region) broadcast; customer is
+    // linear in SF so it joins plain — AQE converts it to broadcast at
+    // runtime when it is genuinely small, and a shuffle join holds at
+    // 100× where a pinned hint would OOM. The fact table aggregates once
+    // per (region, month) with DECIMAL-exact sums; the lag window
+    // partitions by region (parallel, never global).
     "q106_mom_growth" -> ((s, dir) => {
       val rev = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
@@ -352,10 +354,12 @@ object TrendQ {
     // Ratio-to-parent: each nation's share of its region's revenue —
     // the hierarchy-percentage OLAP pattern. One fact aggregate at the
     // leaf level; the parent total is a window over the (tiny) nation
-    // rollup, not a second scan of the fact table.
+    // rollup, not a second scan of the fact table. Customer is SF-linear
+    // so it joins plain (AQE broadcasts small cases at runtime); only
+    // schema-bounded nation/region keep the hint.
     "q129_share_of_region" -> ((s, dir) => {
       val byNation = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))

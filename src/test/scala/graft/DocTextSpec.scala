@@ -281,6 +281,39 @@ class DocTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](PdfCodec.decode(predAhx))
   }
 
+  test("pdf decode: embedded DCT image XObject is skipped, text kept") {
+    import graft.ingest.PdfCodec
+    // the overwhelmingly common real-PDF shape: Flate text page + JPEG
+    // image XObject — text extracts, the undecodable image is skipped
+    // whole (r8 verdict missing item #1); the fake JPEG payload carries
+    // "(trap) Tj" and ">>" bait that must never surface
+    val lines = Seq("Image-bearing page", "text (survives) intact")
+    assert(PdfCodec.decode(PdfCodec.encodeWithDctImage(lines)) == lines)
+    // image-ONLY PDFs (every stream an image) still refuse loudly
+    val imgOnly = ("%PDF-1.4\n1 0 obj << /Subtype /Image /Length 3 " +
+      "/Filter /DCTDecode >> stream\nabc\nendstream endobj\n%%EOF")
+      .getBytes("ISO-8859-1")
+    val e1 = intercept[IllegalArgumentException](PdfCodec.decode(imgOnly))
+    assert(e1.getMessage.contains("no content stream"))
+    // a DCT CONTENT stream (no /Subtype /Image) keeps the loud throw —
+    // pinned above in "hostile inputs fail loudly"
+  }
+
+  test("pdf decode: string-bearing stream dict can't miscount depth") {
+    import graft.ingest.PdfCodec
+    // r8 ADVICE: a dict like << /T (a>>b) >> used to break the
+    // balanced scan; the forward scanner skips literal and hex strings
+    val inner = "BT (ok) Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj << /T (a>>b (nested\\)) <BEEF>) " +
+      s"/Length ${inner.length} >> stream\n" + inner +
+      "\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfCodec.decode(pdf) == Seq("ok"))
+    // the dict extractor itself, on a hostile window
+    assert(PdfCodec.lastDictBefore(
+      "x << /A (p>>q) /B <<: /C 1 >> >> y", 0, 33)
+      == "<< /A (p>>q) /B <<: /C 1 >> >>")
+  }
+
   test("pdf /Predictor: PNG and TIFF un-filtering roundtrips") {
     import graft.ingest.PdfCodec
     // primitive roundtrips: every PNG row filter (rows cycle 0..4) on

@@ -55,4 +55,35 @@ class QueriesSpec extends SparkSpec {
       assert(cols.nonEmpty, s"$name has no columns")
     }
   }
+
+  test("no registered output schema carries a DECIMAL or FLOAT column") {
+    // Output-schema portability gate (r8 verdict #3): DuckDB's result
+    // API surfaces wide DECIMALs as float64 ("710702988.0"), so a
+    // value-stringifying hash compare fails on FORMATTING alone while
+    // rows/schema still match — exactly how q230 stayed red for two
+    // rounds. FloatType is equally hazardous (float32→string renders
+    // differently across engines). The hashable output surface is:
+    // integral types, DOUBLE (identical-IEEE cases only), STRING,
+    // BOOLEAN, TIMESTAMP/DATE, and arrays/structs thereof. DECIMAL
+    // remains the right INTERNAL carrier for exact sums — final-cast
+    // it to BIGINT or STRING before the last select (the q230 fix).
+    import org.apache.spark.sql.types._
+    def offenders(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(s"$path: $dt")
+      case FloatType => Seq(s"$path: float")
+      case ArrayType(et, _) => offenders(et, s"$path[]")
+      case MapType(k, v, _) =>
+        offenders(k, s"$path.key") ++ offenders(v, s"$path.value")
+      case StructType(fs) =>
+        fs.toSeq.flatMap(f => offenders(f.dataType, s"$path.${f.name}"))
+      case _ => Nil
+    }
+    val bad = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, dir).schema.flatMap(f =>
+        offenders(f.dataType, s"$name.${f.name}"))
+    }
+    assert(bad.isEmpty,
+      s"non-portable output column types (DECIMAL/FLOAT):\n" +
+        bad.mkString("\n"))
+  }
 }
