@@ -149,7 +149,7 @@ class MetricsQSpec extends SparkSpec {
     }).sortBy { case (i, j, c) => (-c.abs, i, j) }.take(10)
     val got = run("q230_embedding_covariance").collect()
       .map(r => (r.getLong(0), r.getLong(1),
-        BigInt(r.getDecimal(2).toBigInteger))).toSeq
+        BigInt(r.getString(2)))).toSeq
     assert(got === expected)
   }
 
