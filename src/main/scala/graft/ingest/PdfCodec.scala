@@ -137,8 +137,12 @@ object PdfCodec {
   }
 
   /** Last complete top-level `<< ... >>` dict in `raw[lo, hi)`, with
-    * PDF literal strings `(...)` (\-escape aware) and hex strings
-    * `<...>` skipped so their contents can't perturb the depth count.
+    * PDF literal strings `(...)` (\-escape aware), hex strings `<...>`
+    * and comments `%`→EOL skipped so their contents can't perturb the
+    * depth count. The comment skip matters for the standard binary
+    * marker line after the header (`%` + 4 high bytes, PDF 32000-1
+    * §7.5.2): a marker byte that happens to be `(` would otherwise
+    * enter string-skip mode and swallow the first object's dict.
     * Returns "" when no balanced dict exists in the window. */
   private[graft] def lastDictBefore(raw: String, lo: Int, hi: Int)
       : String = {
@@ -149,7 +153,13 @@ object PdfCodec {
     var lastEnd = -1
     while (i < hi) {
       val c = raw.charAt(i)
-      if (c == '(') {
+      if (c == '%' && depth == 0) {
+        // comments cannot occur inside the dicts this scanner extracts
+        // (stream dicts in real PDFs don't carry them; the loud-refusal
+        // contract covers the exotic case), so only top-level `%` skips
+        while (i < hi && raw.charAt(i) != '\n' && raw.charAt(i) != '\r')
+          i += 1
+      } else if (c == '(') {
         var d = 1
         i += 1
         while (i < hi && d > 0) {

@@ -314,6 +314,23 @@ class DocTextSpec extends SparkSpec {
       == "<< /A (p>>q) /B <<: /C 1 >> >>")
   }
 
+  test("pdf decode: binary marker comment with '(' can't swallow a dict") {
+    import graft.ingest.PdfCodec
+    // the standard post-header binary marker is `%` + 4 bytes >127, but
+    // nothing stops a generator emitting a byte that reads as '(' or
+    // '<<' — without comment skipping, '(' enters string-skip mode and
+    // consumes the first object's dict whole (silent-garbage path)
+    val inner = "BT (ok) Tj ET"
+    val pdf = ("%PDF-1.4\n%â(«<<Ó\n1 0 obj << /Length " +
+      s"${inner.length} >> stream\n" + inner +
+      "\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfCodec.decode(pdf) == Seq("ok"))
+    // comment skipping is top-level only: '%' inside a literal string
+    // inside a dict stays string content, and the dict still parses
+    assert(PdfCodec.lastDictBefore("%(\n<< /T (100%) >>", 0, 18)
+      == "<< /T (100%) >>")
+  }
+
   test("pdf /Predictor: PNG and TIFF un-filtering roundtrips") {
     import graft.ingest.PdfCodec
     // primitive roundtrips: every PNG row filter (rows cycle 0..4) on
