@@ -303,10 +303,12 @@ object DedupOps {
       val newE = canon(ss).localCheckpoint()
       val newCount = newE.count()
       // a changed count settles it without the set comparison; only an
-      // equal-count round (usually the final one) pays the except check
+      // equal-count round (usually the final one) pays the except check —
+      // and one direction suffices: both sides are canon'd DISTINCT sets,
+      // so equal cardinality + newE ⊆ e implies newE = e
       val changed =
         if (newCount != eCount) 1L
-        else newE.except(e).limit(1).count() + e.except(newE).limit(1).count()
+        else newE.except(e).limit(1).count()
       e = newE
       eCount = newCount
       converged = changed == 0
