@@ -331,6 +331,56 @@ class DocTextSpec extends SparkSpec {
       == "<< /T (100%) >>")
   }
 
+  test("pdf dict scanner: seeded fuzz over hostile windows") {
+    import graft.ingest.PdfCodec
+    // 300 generated windows: random top-level garbage (comments with
+    // structural bytes, balanced strings, hex strings, decoy dicts),
+    // then one final well-formed dict whose string/hex/nested content
+    // is itself random — the scanner must return that dict verbatim
+    val rnd = new scala.util.Random(9127)
+    def litString(depth: Int): String = {
+      val body = (0 until rnd.nextInt(8)).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => ">>"
+          case 1 => "<<"
+          case 2 => "%"
+          case 3 => "\\)" // escaped delimiters stay inside the string
+          case 4 => if (depth < 2) litString(depth + 1) else "x"
+          case 5 => "ab"
+        }
+      }.mkString
+      s"($body)"
+    }
+    def hexString(): String =
+      "<" + (0 until rnd.nextInt(6)).map(_ => "A0").mkString + ">"
+    def dict(depth: Int): String = {
+      val entries = (0 until 1 + rnd.nextInt(3)).map { i =>
+        val v = rnd.nextInt(4) match {
+          case 0 => litString(0)
+          case 1 => hexString()
+          case 2 if depth < 2 => dict(depth + 1)
+          case _ => (rnd.nextInt(999) + 1).toString
+        }
+        s"/K$i $v"
+      }.mkString(" ")
+      s"<< $entries >>"
+    }
+    for (trial <- 0 until 300) {
+      val garbage = (0 until rnd.nextInt(4)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => "%" + "x(<<>".charAt(rnd.nextInt(5)) + "junk\n"
+          case 1 => litString(0) + " "
+          case 2 => hexString() + " "
+          case 3 => dict(0) + " " // decoy: a complete earlier dict
+        }
+      }.mkString
+      val want = dict(0)
+      val window = garbage + s"$trial 0 obj " + want + " "
+      assert(PdfCodec.lastDictBefore(window, 0, window.length) == want,
+        s"trial $trial: window <$window>")
+    }
+  }
+
   test("pdf /Predictor: PNG and TIFF un-filtering roundtrips") {
     import graft.ingest.PdfCodec
     // primitive roundtrips: every PNG row filter (rows cycle 0..4) on
