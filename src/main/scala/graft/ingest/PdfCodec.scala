@@ -23,10 +23,35 @@ import java.util.zip.{Deflater, Inflater}
   * CONTENT streams — `decode` on those throws rather than returning
   * garbage.
   *
+  * Indirect `/Length N G R` references — the dominant stream-length
+  * encoding in real-world PDFs (writers emit the stream before they
+  * know its length) — ARE resolved: the codec scans for a top-level
+  * `N G obj <int> endobj` and VALIDATES the candidate by requiring
+  * the `endstream` keyword (modulo one EOL) exactly at the bound it
+  * implies, so a decoy `N G obj` byte pattern inside some other
+  * stream's body cannot misbound this one. The modern-PDF boundary:
+  * this is LINEAR TOP-LEVEL object resolution only — PDF 1.5+ files
+  * whose length integer lives inside a compressed object stream
+  * (/Type /ObjStm, reached via an xref stream) cannot be resolved by
+  * a linear scan and throw loudly; content streams themselves are
+  * never inside an ObjStm (PDF 32000-1 §7.5.7), so this boundary
+  * costs length-resolution only, never the text bytes.
+  *
   * Scale: decode is per-row executor work over a binary column, same
   * envelope as DocxCodec.
   */
 object PdfCodec {
+
+  // per-stream dict probes, hoisted so executor-side decode of a
+  // many-stream PDF doesn't recompile them per stream (r9 ADVICE)
+  private val SubtypeImage = "/Subtype\\s*/Image".r
+  // indirect form FIRST: "/Length 12 0 R" must never bind as literal
+  // 12 — the trailing (?![0-9A-Za-z]) keeps `R` a whole token
+  private val IndirectLen = "/Length\\s+(\\d+)\\s+(\\d+)\\s+R(?![0-9A-Za-z])".r
+  private val LiteralLen = "/Length\\s+(\\d+)".r
+  private val FilterVal = "/Filter\\s*(\\[[^\\]]*\\]|/\\w+)".r
+  private val NameTok = "/[A-Za-z0-9]+".r
+  private val EarlyChangeVal = "/EarlyChange\\s+(\\d+)".r
 
   /** Extract text lines from a PDF binary: every content stream is
     * scanned in document order; each `Tj`/`TJ` show operation emits the
@@ -53,15 +78,37 @@ object PdfCodec {
       if (s < raw.length && raw.charAt(s) == '\n') s += 1
       // bound the data by /Length when present — compressed bytes may
       // legitimately END in 0x0A/0x0D (or even contain "endstream"),
-      // so EOL-trimming heuristics corrupt ~1/128 of streams
-      val e = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict) match {
-        case Some(m) => s + m.group(1).toInt
-        case None =>
-          var e0 = raw.indexOf("endstream", i)
-          require(e0 > i, "PDF stream without endstream")
-          if (e0 > s && raw.charAt(e0 - 1) == '\n') e0 -= 1
-          if (e0 > s && raw.charAt(e0 - 1) == '\r') e0 -= 1
-          e0
+      // so EOL-trimming heuristics corrupt ~1/128 of streams. The
+      // indirect form is probed FIRST: "/Length 12 0 R" bound as
+      // literal 12 silently truncates the stream (r9 verdict #1).
+      val e = IndirectLen.findFirstMatchIn(dict) match {
+        case Some(m) =>
+          resolveIndirectLength(raw, m.group(1), m.group(2), s) match {
+            case Some(len) => s + len
+            case None => throw new IllegalArgumentException(
+              s"unresolvable indirect /Length ${m.group(1)} " +
+                s"${m.group(2)} R in $dict — no top-level " +
+                s"`${m.group(1)} ${m.group(2)} obj <int> endobj` " +
+                "validates against this stream's endstream (xref/" +
+                "object-stream indirection is out of scope); refusing " +
+                "to guess the stream bound")
+          }
+        case None => LiteralLen.findFirstMatchIn(dict) match {
+          case Some(m) => s + m.group(1).toInt
+          case None =>
+            // an endstream scan over binary image data is
+            // untrustworthy (a JPEG payload may contain the keyword
+            // and desync the scanner) — image streams must carry a
+            // resolvable numeric /Length or refuse loudly (r9 ADVICE)
+            require(SubtypeImage.findFirstIn(dict).isEmpty,
+              s"image stream without numeric /Length in $dict — " +
+                "refusing the endstream heuristic over binary image data")
+            var e0 = raw.indexOf("endstream", i)
+            require(e0 > i, "PDF stream without endstream")
+            if (e0 > s && raw.charAt(e0 - 1) == '\n') e0 -= 1
+            if (e0 > s && raw.charAt(e0 - 1) == '\r') e0 -= 1
+            e0
+        }
       }
       val end = raw.indexOf("endstream", e)
       require(end >= e, "PDF stream without endstream")
@@ -70,7 +117,7 @@ object PdfCodec {
       // scanner over decoded pixels would emit garbage), instead of
       // refusing the document; the loud unknown-filter throw below
       // stays for content streams
-      if ("/Subtype\\s*/Image".r.findFirstIn(dict).isEmpty) {
+      if (SubtypeImage.findFirstIn(dict).isEmpty) {
       val seg = raw.substring(s, e).getBytes("ISO-8859-1")
       // ORDERED filter list (single name or array) — PDF applies the
       // list left-to-right on decode, so a chain like
@@ -80,9 +127,8 @@ object PdfCodec {
       // would emit garbage, not text).
       val supported = Set("/FlateDecode", "/ASCIIHexDecode",
         "/ASCII85Decode", "/RunLengthDecode", "/LZWDecode")
-      val allFilters = "/Filter\\s*(\\[[^\\]]*\\]|/\\w+)".r
-        .findFirstMatchIn(dict).map(m =>
-          "/[A-Za-z0-9]+".r.findAllIn(m.group(1)).toList)
+      val allFilters = FilterVal.findFirstMatchIn(dict)
+        .map(m => NameTok.findAllIn(m.group(1)).toList)
         .getOrElse(Nil)
       val unknown = allFilters.filterNot(supported)
       require(unknown.isEmpty,
@@ -94,7 +140,7 @@ object PdfCodec {
       require(allFilters.nonEmpty || !dict.contains("/Filter"),
         s"unparsable /Filter value in $dict — only inline names/arrays")
       // EarlyChange=0 override (default 1) on LZW streams
-      val early = "/EarlyChange\\s+(\\d+)".r.findFirstMatchIn(dict)
+      val early = EarlyChangeVal.findFirstMatchIn(dict)
         .map(_.group(1).toInt).getOrElse(1)
       def parm(name: String, dflt: Int): Int =
         (name + "\\s+(\\d+)").r.findFirstMatchIn(dict)
@@ -134,6 +180,36 @@ object PdfCodec {
     }}) ()
     require(found, "no content stream found in PDF")
     lines.result()
+  }
+
+  /** Resolve an indirect `/Length num gen R` against the document's
+    * top-level integer objects: every `num gen obj <int> endobj`
+    * occurrence is a candidate, and a candidate is accepted only if
+    * the `endstream` keyword sits exactly at the bound it implies
+    * (data starts at `s`; one EOL — CR, LF or CRLF — may precede the
+    * keyword per PDF 32000-1 §7.3.8.1). The validation is what makes
+    * a linear scan safe: the same byte pattern occurring INSIDE some
+    * other stream's compressed body fails the endstream check and is
+    * skipped, so decoys can't misbound the stream. Returns None when
+    * no candidate validates (e.g. the integer object lives inside a
+    * compressed /ObjStm — modern-PDF indirection this codec declares
+    * out, loudly). */
+  private[graft] def resolveIndirectLength(raw: String, num: String,
+      gen: String, s: Int): Option[Int] = {
+    val p = java.util.regex.Pattern.compile(
+      "(?<![0-9])" + num + "\\s+" + gen + "\\s+obj\\s+(\\d+)\\s*endobj")
+    val m = p.matcher(raw)
+    while (m.find()) {
+      val len = m.group(1).toInt
+      val after = s.toLong + len
+      if (after <= raw.length) {
+        var a = after.toInt
+        if (a < raw.length && raw.charAt(a) == '\r') a += 1
+        if (a < raw.length && raw.charAt(a) == '\n') a += 1
+        if (raw.startsWith("endstream", a)) return Some(len)
+      }
+    }
+    None
   }
 
   /** Last complete top-level `<< ... >>` dict in `raw[lo, hi)`, with
@@ -713,6 +789,66 @@ object PdfCodec {
     val offs = offsets.result()
     w("xref\n0 6\n0000000000 65535 f \n" +
       offs.map(o => f"$o%010d 00000 n \n").mkString)
+    w(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Fixture: a PDF whose content stream's /Length is an INDIRECT
+    * reference `5 0 R` resolved by a separate top-level integer object
+    * — the dominant real-world stream-length encoding (writers emit
+    * the stream before they know its length; r9 verdict #1).
+    * `decoys` injects hostile `5 0 obj <wrong> endobj` byte patterns
+    * (inside top-level comments) BEFORE the stream, so the resolver's
+    * validate-then-accept path is exercised, not just its happy path;
+    * `lenObjFirst` writes the length object BEFORE the stream object
+    * (both orders are legal PDF). */
+  def encodeWithIndirectLength(lines: Seq[String],
+      compress: Boolean = true, decoys: Seq[Int] = Nil,
+      lenObjFirst: Boolean = false): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val content = ("BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
+      .getBytes("ISO-8859-1")
+    val data = if (!compress) content else {
+      val d = new Deflater()
+      d.setInput(content); d.finish()
+      val cOut = new ByteArrayOutputStream(content.length)
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      cOut.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offs = new Array[Int](6) // ids 0..5; 0 unused
+    w("%PDF-1.4\n")
+    decoys.foreach(v => w(s"% decoy 5 0 obj $v endobj\n"))
+    offs(1) = out.size()
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offs(2) = out.size()
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    offs(3) = out.size()
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/MediaBox [0 0 612 792] >> endobj\n")
+    def lenObj(): Unit = {
+      offs(5) = out.size()
+      w(s"5 0 obj ${data.length} endobj\n")
+    }
+    if (lenObjFirst) lenObj()
+    offs(4) = out.size()
+    w("4 0 obj << /Length 5 0 R" +
+      (if (compress) " /Filter /FlateDecode" else "") + " >> stream\n")
+    out.write(data)
+    w("\nendstream endobj\n")
+    if (!lenObjFirst) lenObj()
+    val xref = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n" +
+      (1 to 5).map(i => f"${offs(i)}%010d 00000 n \n").mkString)
     w(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
     out.toByteArray
   }

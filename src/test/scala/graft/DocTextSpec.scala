@@ -564,6 +564,109 @@ class DocTextSpec extends SparkSpec {
       DocParse.parseAny("{\"a\":1}".getBytes))
   }
 
+  test("pdf decode: indirect /Length N 0 R resolves via integer object") {
+    import graft.ingest.PdfCodec
+    // the dominant real-world stream-length encoding (r9 verdict #1):
+    // "/Length 5 0 R" must never bind the stream at 5 bytes — the
+    // object NUMBER — but at the value of object `5 0`
+    val lines = Seq("Indirect (length) page", "line \\ two", "")
+    for (compress <- Seq(true, false); first <- Seq(true, false))
+      assert(PdfCodec.decode(PdfCodec.encodeWithIndirectLength(
+        lines, compress, lenObjFirst = first)) == lines,
+        s"compress=$compress lenObjFirst=$first")
+    // decoy `5 0 obj <wrong> endobj` byte patterns before the stream:
+    // each fails the endstream validation, the real object wins
+    assert(PdfCodec.decode(PdfCodec.encodeWithIndirectLength(
+      lines, compress = true, decoys = Seq(2, 999999, 0))) == lines)
+    // raw (unfiltered) content under an indirect length — the exact
+    // silent-truncation shape the r9 verdict reproduced
+    assert(PdfCodec.decode(PdfCodec.encodeWithIndirectLength(
+      lines, compress = false, decoys = Seq(3))) == lines)
+    // unresolvable: the integer object is absent (e.g. it lives in a
+    // compressed /ObjStm) — loud refusal, never the object number
+    val orphan = ("%PDF-1.4\n1 0 obj << /Length 9 0 R >> stream\n" +
+      "BT (never) Tj ET\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
+    val e1 = intercept[IllegalArgumentException](PdfCodec.decode(orphan))
+    assert(e1.getMessage.contains("unresolvable indirect /Length"))
+    // a decoy whose value happens to exist but doesn't validate is
+    // still unresolvable — refusal, not a 2-byte stream
+    val badVal = ("%PDF-1.4\n9 0 obj 2 endobj\n" +
+      "1 0 obj << /Length 9 0 R >> stream\n" +
+      "BT (never) Tj ET\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
+    val e2 = intercept[IllegalArgumentException](PdfCodec.decode(badVal))
+    assert(e2.getMessage.contains("unresolvable indirect /Length"))
+  }
+
+  test("pdf decode: image streams under indirect or missing /Length") {
+    import graft.ingest.PdfCodec
+    // image XObject with a RESOLVABLE indirect length is skipped whole
+    // — its "(trap) Tj" bait never surfaces; text comes from the
+    // literal-length content stream after it
+    val img = "ÿØ(trap) Tj >> junkÿÙ"
+    val ok = ("%PDF-1.4\n" +
+      s"1 0 obj << /Subtype /Image /Length 7 0 R /Filter /DCTDecode >> " +
+      s"stream\n$img\nendstream endobj\n" +
+      s"7 0 obj ${img.length} endobj\n" +
+      "2 0 obj << /Length 13 >> stream\nBT (ok) Tj ET\nendstream endobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    assert(PdfCodec.decode(ok) == Seq("ok"))
+    // image with an UNRESOLVABLE indirect length: loud (binary data may
+    // contain 'endstream' — the scan heuristic is untrustworthy there)
+    val unres = ("%PDF-1.4\n" +
+      s"1 0 obj << /Subtype /Image /Length 8 0 R /Filter /DCTDecode >> " +
+      s"stream\n$img\nendstream endobj\n" +
+      "2 0 obj << /Length 13 >> stream\nBT (ok) Tj ET\nendstream endobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    val e1 = intercept[IllegalArgumentException](PdfCodec.decode(unres))
+    assert(e1.getMessage.contains("unresolvable indirect /Length"))
+    // image with NO /Length at all: loud for the same reason (r9
+    // ADVICE) — never the endstream heuristic over binary image data
+    val noLen = ("%PDF-1.4\n" +
+      s"1 0 obj << /Subtype /Image /Filter /DCTDecode >> " +
+      s"stream\nabc\nendstream endobj\n" +
+      "2 0 obj << /Length 13 >> stream\nBT (ok) Tj ET\nendstream endobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    val e2 = intercept[IllegalArgumentException](PdfCodec.decode(noLen))
+    assert(e2.getMessage.contains("image stream without numeric /Length"))
+  }
+
+  test("pdf indirect /Length: seeded fuzz with decoy integer objects") {
+    import graft.ingest.PdfCodec
+    // 200 generated PDFs: random text, random filter (flate|raw),
+    // random length-object placement, 0..3 decoy values — decode must
+    // return the text exactly (validation rejects every decoy) or the
+    // generator avoids the two values that would legitimately
+    // validate (len and len+1, which bound the same stream modulo the
+    // EOL byte — accepting those is correct behavior, not a defect)
+    val rnd = new scala.util.Random(40961)
+    for (trial <- 0 until 200) {
+      val lines = (0 to rnd.nextInt(4)).map(i =>
+        s"t$trial line $i " + ("(x\\) " * rnd.nextInt(3)))
+      val compress = rnd.nextBoolean()
+      val first = rnd.nextBoolean()
+      // decoys: wrong lengths, incl. overshooting the whole document
+      val decoys = (0 until rnd.nextInt(4)).map(_ =>
+        rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(8)           // undershoot
+          case 1 => 100000 + rnd.nextInt(9)  // overshoot raw.length
+          case _ => 40 + rnd.nextInt(9)      // mid-stream
+        })
+      val pdf = PdfCodec.encodeWithIndirectLength(lines, compress,
+        decoys, lenObjFirst = first)
+      // skip the rare trial where a decoy collides with a valid bound
+      val dataLenOk = {
+        val raw = new String(pdf, "ISO-8859-1")
+        // decoys are emitted first, so the REAL object is the last match
+        val len = "5 0 obj (\\d+) endobj".r.findAllMatchIn(raw)
+          .toList.last.group(1).toInt
+        !decoys.exists(v => v == len || v == len + 1)
+      }
+      if (dataLenOk)
+        assert(PdfCodec.decode(pdf) == lines,
+          s"trial $trial compress=$compress first=$first decoys=$decoys")
+    }
+  }
+
   test("parseDocxFrame: executor-side decode over a binary column") {
     import spark.implicits._
     import graft.ingest.{DocParse, DocxCodec}
