@@ -142,6 +142,146 @@ object SimilarityOps {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // md5-replayable integer-lattice ANN (r10): the same probe shapes as
+  // annTopK / ivfTopK, but every number is an integer derived from the
+  // floor(x·1000) lattice (q182/q211/q230 convention) and every
+  // "random" constant from standard md5 — so the results replay
+  // bit-exactly in ANSI SQL and the driver hash-checks them like any
+  // exact query (the q253 hash-checkable-sketch rule applied to ANN).
+  // ------------------------------------------------------------------
+
+  /** Quantize a float embedding onto the integer lattice floor(v·1000):
+    * float→double widening and the double multiply are IEEE-exact on
+    * every engine, so the lattice vector — and every integer derived
+    * from it — is engine-independent. */
+  def latticeVec(vec: Column): Column =
+    transform(vec, v => floor(v.cast("double") * 1000).cast("long"))
+
+  /** md5-derived hyperplane sign (±1): the parity of the first hex
+    * digit of md5("plane:p:d"). Both engines compute the same standard
+    * md5, so the hyperplane family is shared without shipping
+    * constants; within one plane the 64 digit parities are independent
+    * coin flips, which is all sign-random-projection needs. */
+  private[graft] def md5PlaneSign(p: Int, d: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$d".getBytes("UTF-8"))
+    if ((((h(0) >> 4) & 0xf) & 1) == 1) 1L else -1L
+  }
+
+  /** LSH signature on the lattice: bit p = [Σ_d sign(p,d)·q[d] ≥ 0].
+    * The per-plane dot is a codegen'd integer loop against a literal
+    * ±1 array (LongDotExpr), so the signature projection stays inside
+    * whole-stage codegen on the corpus scan. */
+  def latticeSig(latVec: Column, dim: Int, nPlanes: Int): Column = {
+    import graft.functions.LongDotExpr.longDot
+    (0 until nPlanes).map { p =>
+      val sgn = array((0 until dim).map(d => lit(md5PlaneSign(p, d))): _*)
+      when(longDot(latVec, sgn) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Signed lattice cosine ×1e8: sign(num) · ⌊num²·10⁸ / (‖a‖²·‖b‖²)⌋,
+    * all integers — num ≤ 64·2¹⁰·2¹⁰ keeps num²·10⁸ inside
+    * DECIMAL(38,0) (and DuckDB HUGEINT), the IntegralDivide truncates
+    * identically on both engines (positive operands), and the final
+    * value ≤ 10⁸ final-casts to BIGINT (the no-DECIMAL output gate). */
+  def latticeCosE8(a: Column, b: Column): Column = {
+    import graft.functions.LongDotExpr.longDot
+    latticeScoreE8(longDot(a, b),
+      longDot(a, a).cast(Dec38) * longDot(b, b).cast(Dec38))
+  }
+
+  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** The score core with the norm product already in hand — callers
+    * that rank one vector against many (IVF assignment) hoist the
+    * row norm once and fold each centroid norm to a literal, instead
+    * of recomputing three 64-element dots per (row, cell). */
+  private def latticeScoreE8(num: Column, denDec: Column): Column = {
+    import graft.Tables.ldiv
+    (signum(num).cast("long") *
+      ldiv(num.cast(Dec38) * num.cast(Dec38) * lit(100000000L).cast(Dec38),
+        denDec).cast("long"))
+  }
+
+  /** md5-replayable ANN top-k (oracle-exact q25 form): identical probe
+    * shape to annTopK — single sigged corpus scan, broadcast 1+nPlanes
+    * probe buckets, TakeOrderedAndProject — so the 100 TB story is
+    * unchanged (bucket column = storage partition key, probes prune). */
+  def latticeAnnTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
+    val base = vectors.select(col(idCol), latticeVec(col(vecCol)).as("__q"))
+    val sigged = base.withColumn("__sig", latticeSig(col("__q"), dim, nPlanes))
+    val qSig = broadcast(base.filter(col(idCol) === queryId)
+      .select(col("__q").as("__qv"))
+      .withColumn("__qsig", latticeSig(col("__qv"), dim, nPlanes)))
+    val probeSigs = explode(array(
+      (Seq(col("__qsig")) ++ (0 until nPlanes).map(p =>
+        col("__qsig").bitwiseXOR(lit(1L << p)))): _*)).as("__probe")
+    val probes = qSig.select(col("__qv"), probeSigs)
+    sigged.join(probes, col("__sig") === col("__probe"))
+      .withColumn("lat_cos_e8", latticeCosE8(col("__q"), col("__qv")))
+      .select(col(idCol), col("lat_cos_e8"))
+      .orderBy(desc("lat_cos_e8"), asc(idCol))
+      .limit(k)
+  }
+
+  /** md5-replayable IVF top-k (oracle-exact q44 form): centroid SEEDS
+    * are the nCells vectors with the smallest md5("seed:"||id) (both
+    * engines sort the same lowercase-hex strings), cells rank by the
+    * integer lattice score with ties to the smaller centroid id, the
+    * query probes its nprobe best cells. Same scale shape as ivfTopK:
+    * the collected centroids are k tiny rows (strideCentroids
+    * precedent), assignment is one codegen'd projection, and at scale
+    * the cell id is the storage partition key. */
+  def latticeIvfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nCells: Int = 16, nprobe: Int = 2)
+      : DataFrame = {
+    import graft.functions.LongDotExpr.longDot
+    val base = vectors.select(col(idCol).cast("long").as(idCol),
+      latticeVec(col(vecCol)).as("__q"))
+    val cents: Seq[(Long, Array[Long])] = base
+      .orderBy(md5(concat(lit("seed:"), col(idCol).cast("string"))),
+        col(idCol))
+      .limit(nCells).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    // rank all cells for a vector: score DESC, centroid id ASC — the
+    // comparator mirrors the oracle's row_number() ORDER BY exactly.
+    // The row norm is computed ONCE per row (naDec) and each centroid
+    // norm folds to a literal, so assignment costs one 64-dot + one
+    // decimal divide per (row, cell), not three dots.
+    def rankedCells(v: Column, naDec: Column): Column = array_sort(
+      array(cents.map { case (cid, cv) =>
+        val nc = cv.map(x => x * x).sum
+        struct(latticeScoreE8(longDot(v, array(cv.map(lit(_)): _*)),
+          naDec * lit(nc).cast(Dec38)).as("s"),
+          lit(cid).as("cell"))
+      }: _*),
+      (l, r) => when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .otherwise(when(l.getField("cell") < r.getField("cell"), -1)
+          .otherwise(1)))
+    val assigned = base
+      .withColumn("__na", longDot(col("__q"), col("__q")).cast(Dec38))
+      .withColumn("cell",
+        element_at(rankedCells(col("__q"), col("__na")), 1)
+          .getField("cell"))
+      .drop("__na")
+    val qCells = broadcast(base.filter(col(idCol) === queryId)
+      .select(col("__q").as("__qv"))
+      .withColumn("__na", longDot(col("__qv"), col("__qv")).cast(Dec38))
+      .withColumn("probe", explode(slice(
+        rankedCells(col("__qv"), col("__na")), 1, nprobe)
+        .getField("cell")))
+      .select(col("__qv"), col("probe")))
+    assigned.join(qCells, col("cell") === col("probe"))
+      .withColumn("lat_cos_e8", latticeCosE8(col("__q"), col("__qv")))
+      .select(col(idCol), col("lat_cos_e8"))
+      .orderBy(desc("lat_cos_e8"), asc(idCol))
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine near-duplicates (a_id < b_id, sim ≥ minSim).
     * The broadcast side is the whole corpus — valid only when it fits in
     * executor memory (≤ a few hundred MB of vectors); annSelfJoin is the

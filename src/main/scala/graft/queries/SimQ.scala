@@ -13,10 +13,27 @@ object SimQ {
     * action-free after the first call — PlanSpec/DeterminismSpec/Explain
     * sweep every registry repeatedly, and an eager per-construction
     * count job made merely constructing the plan run a scan (r8 ADVICE).
-    * The testdata under a dir is immutable for the process lifetime, so
-    * dir is a sufficient key. */
+    *
+    * CONTRACT (r9 ADVICE): the key is the dir alone, so the data under
+    * a dir is assumed IMMUTABLE for the process lifetime — true for the
+    * driver's read-only testdata dirs, which are the only inputs the
+    * registry contract feeds these queries. A deployment that re-points
+    * a dir at a GROWING table (the q118 incremental-crawl scenario)
+    * would silently size q74's autoPlanes from a stale n and degrade
+    * ANN recall without an error; such a caller must either use a
+    * snapshot-versioned dir per batch (the lakehouse norm, and what
+    * q118's own batches do) or clear this map between batches via
+    * [[resetMemo]]. */
   private val corpusCount =
     new scala.collection.concurrent.TrieMap[String, Long]()
+  /** Drop the memoized counts — the invalidation hook for callers
+    * whose dirs are NOT immutable for the process lifetime (see
+    * contract above). Deliberately NOT registered in SessionCaches:
+    * that registry frees storage BLOCKS between Bench's warm and
+    * timed phases, and a scalar count is not a block — clearing it
+    * there would bill a warm-up artifact (a re-count job) to q74's
+    * timed run. */
+  def resetMemo(): Unit = corpusCount.clear()
   private def embeddingCount(s: SparkSession, dir: String): Long =
     corpusCount.getOrElseUpdate(dir,
       t(s, dir, "embeddings").select(col("vec_id")).count())
@@ -33,24 +50,27 @@ object SimQ {
         .select("vec_id", "label", "cos_sim")
     }),
 
-    // LSH-bucketed ANN variant (approximate; rows-only check) — the scale
-    // path: bucket by hyperplane signature, probe query bucket ± 1 bit.
-    "q25_ann_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 1).select(col("embedding"))
-      SimilarityOps.annTopK(e.select("vec_id", "embedding"), "vec_id",
-        "embedding", 64, q, "embedding", 25)
-    }),
+    // LSH-bucketed ANN — the scale path: bucket by hyperplane
+    // signature, probe query bucket ± 1 bit. ORACLE-EXACT as of r10
+    // (r9 verdict optional #5): md5-derived plane signs on the
+    // floor(x·1000) integer lattice, signed integer cosine ×1e8 —
+    // same probe/plan shape as the float annTopK (which keeps its own
+    // spec coverage in GeoSimSpec), but every number replays in
+    // DuckDB, shrinking the rows-only set 7 → 5.
+    "q25_ann_topk" -> ((s, dir) =>
+      SimilarityOps.latticeAnnTopK(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", 64, queryId = 1, k = 25)),
 
-    // IVF-bucketed ANN: deterministic stride centroids, probe the 2
-    // nearest cells (approximate; rows-only check).
-    "q44_ivf_ann" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val cents = SimilarityOps.strideCentroids(e, "vec_id", "embedding", 16)
-      val q = e.filter(col("vec_id") === 1).select(col("embedding"))
-      SimilarityOps.ivfTopK(e.select("vec_id", "embedding"), "vec_id",
-        "embedding", q, "embedding", 25, cents, nprobe = 2)
-    }),
+    // IVF-bucketed ANN: md5-seeded centroids (16 smallest
+    // md5("seed:"||id)), integer-lattice cell ranking, probe the 2
+    // nearest cells. ORACLE-EXACT as of r10 — same IVF shape as the
+    // float ivfTopK/strideCentroids (GeoSimSpec keeps those gated).
+    "q44_ivf_ann" -> ((s, dir) =>
+      SimilarityOps.latticeIvfTopK(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", queryId = 1, k = 25,
+        nCells = 16, nprobe = 2)),
 
     // Embedding-cosine near-dup front door: size-DISPATCHED — exact
     // pairwise while n²·dim compute stays seconds-scale (≤10k rows;
@@ -711,6 +731,93 @@ object SimQ {
         | round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos_sim
         |FROM ex GROUP BY vec_id
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 25""".stripMargin,
+
+    // md5-replayable lattice ANN (r10): identical integer algorithm —
+    // floor(x·1000) lattice, plane sign = parity of md5's first hex
+    // digit, signed ⌊num²·1e8/(na·nb)⌋ score (positive operands, so
+    // HUGEINT // ≡ Spark's IntegralDivide), ties to smaller vec_id
+    "q25_ann_topk" ->
+      """WITH q AS (
+        | SELECT vec_id, list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |pl AS (
+        | SELECT p, d, CASE WHEN (instr('0123456789abcdef',
+        |    substr(md5('plane:' || CAST(p AS VARCHAR) || ':'
+        |      || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+        |   THEN 1 ELSE -1 END AS sgn
+        | FROM range(0, 8) t1(p), range(0, 64) t2(d)),
+        |dp AS (
+        | SELECT q.vec_id, pl.p, sum(pl.sgn * q.qv[pl.d + 1]) AS dotp
+        | FROM q, pl GROUP BY q.vec_id, pl.p),
+        |sg AS (
+        | SELECT vec_id, CAST(sum(CASE WHEN dotp >= 0
+        |   THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+        | FROM dp GROUP BY vec_id),
+        |qs AS (SELECT sig FROM sg WHERE vec_id = 1),
+        |qv1 AS (SELECT qv FROM q WHERE vec_id = 1),
+        |probes AS (
+        | SELECT DISTINCT CASE WHEN f < 0 THEN qs.sig
+        |   ELSE xor(qs.sig, CAST(1 AS BIGINT) << f) END AS probe
+        | FROM qs, range(-1, 8) t(f)),
+        |cand AS (SELECT sg.vec_id FROM sg JOIN probes ON sg.sig = probes.probe),
+        |sc AS (
+        | SELECT c.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> q.qv[i] * q1.qv[i])) AS num,
+        |  list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])) AS na,
+        |  list_sum(list_transform(range(1, 65), i -> q1.qv[i] * q1.qv[i])) AS nb
+        | FROM cand c JOIN q ON q.vec_id = c.vec_id, qv1 q1)
+        |SELECT vec_id,
+        | CAST((CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END)
+        |   * ((CAST(num AS HUGEINT) * num * 100000000)
+        |      // (CAST(na AS HUGEINT) * nb)) AS BIGINT) AS lat_cos_e8
+        |FROM sc
+        |ORDER BY lat_cos_e8 DESC, vec_id LIMIT 25""".stripMargin,
+
+    // md5-seeded lattice IVF (r10): seeds = 16 smallest md5("seed:"||id),
+    // cells rank by the same signed integer score, ties to smaller cid
+    "q44_ivf_ann" ->
+      """WITH q AS (
+        | SELECT vec_id, list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |cents AS (
+        | SELECT vec_id AS cid, qv AS cv FROM q
+        | ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |sc AS (
+        | SELECT q.vec_id, c.cid,
+        |  list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) AS num,
+        |  list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])) AS na,
+        |  list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])) AS nc
+        | FROM q, cents c),
+        |scored AS (
+        | SELECT vec_id, cid,
+        |  (CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END)
+        |   * ((CAST(num AS HUGEINT) * num * 100000000)
+        |      // (CAST(na AS HUGEINT) * nc)) AS s
+        | FROM sc),
+        |assigned AS (
+        | SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cid) AS rn FROM scored) WHERE rn = 1),
+        |qprobe AS (
+        | SELECT cid AS probe FROM (
+        |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
+        |  FROM scored WHERE vec_id = 1) WHERE rn <= 2),
+        |cand AS (
+        | SELECT a.vec_id FROM assigned a JOIN qprobe p ON a.cell = p.probe),
+        |qv1 AS (SELECT qv FROM q WHERE vec_id = 1),
+        |fin AS (
+        | SELECT c.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> q.qv[i] * q1.qv[i])) AS num,
+        |  list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])) AS na,
+        |  list_sum(list_transform(range(1, 65), i -> q1.qv[i] * q1.qv[i])) AS nb
+        | FROM cand c JOIN q ON q.vec_id = c.vec_id, qv1 q1)
+        |SELECT vec_id,
+        | CAST((CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END)
+        |   * ((CAST(num AS HUGEINT) * num * 100000000)
+        |      // (CAST(na AS HUGEINT) * nb)) AS BIGINT) AS lat_cos_e8
+        |FROM fin ORDER BY lat_cos_e8 DESC, vec_id LIMIT 25""".stripMargin,
 
     "q40_embedding_dups" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

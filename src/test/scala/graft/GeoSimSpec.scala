@@ -106,4 +106,38 @@ class GeoSimSpec extends SparkSpec {
       assert(math.abs(bruteRank(r.getLong(0)) - r.getDouble(1)) < 1e-9)
     }
   }
+
+  test("lattice ANN (md5-replayable): self-hit exact, scores track cos") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // float cosine reference for every id
+    val q = e.filter($"vec_id" === 1).select($"embedding")
+    val cosOf = SimilarityOps.cosineTopK(e, "embedding", q, "embedding",
+        500).select("vec_id", "cos_sim")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (got <- Seq(
+        SimilarityOps.latticeAnnTopK(e, "vec_id", "embedding", 64,
+          queryId = 1, k = 10).collect(),
+        SimilarityOps.latticeIvfTopK(e, "vec_id", "embedding",
+          queryId = 1, k = 10).collect())) {
+      assert(got.nonEmpty)
+      // the query vector itself: signed ⌊cos²·1e8⌋ = exactly 1e8
+      assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 100000000L)
+      // every integer score approximates sign(cos)·cos²·1e8 — the
+      // quantization error bound for the floor(x·1000) lattice on
+      // unit-norm vectors is ≲ 64·2·(0.001/1) ≈ 1.3e-1... measured
+      // far tighter; 5e5 (0.5% of full scale) pins the relation
+      got.foreach { r =>
+        val c = cosOf(r.getLong(0))
+        val want = math.signum(c) * c * c * 1e8
+        assert(math.abs(r.getLong(1) - want) < 5e5,
+          s"id=${r.getLong(0)} lat=${r.getLong(1)} float=$want")
+      }
+    }
+    // md5 plane signs are balanced-ish (sanity: not all one sign)
+    val signs = (0 until 8).flatMap(p => (0 until 64).map(d =>
+      SimilarityOps.md5PlaneSign(p, d)))
+    assert(signs.count(_ == 1L) > 150 && signs.count(_ == -1L) > 150)
+  }
 }

@@ -30,12 +30,13 @@ class QueriesSpec extends SparkSpec {
     // semantics stay driver-verified; the sketch specs relate the two —
     // DedupOpsSpec for candidate recall, AnnContainmentSpec for ANN
     // containment of the exact pair set).
+    // q25/q44 left this set in r10: re-formulated on the md5 +
+    // floor(x·1000) integer lattice (latticeAnnTopK / latticeIvfTopK),
+    // they now carry exact DuckDB oracles like q227/q253/q218.
     val pairing = Map(
       "q17_minhash_lsh" -> "q16_jaccard_pairs", // same pairs, exact Jaccard
       "q18_simhash" -> "q16_jaccard_pairs",
       "q68_winnow_dups" -> "q16_jaccard_pairs",
-      "q25_ann_topk" -> "q19_cosine_topk", // exact brute-force top-k
-      "q44_ivf_ann" -> "q19_cosine_topk",
       "q74_ann_self_join" -> "q40_embedding_dups", // exact pair set
       "q35_approx_distinct" -> "q34_distinct_exact") // HLL vs exact count
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
