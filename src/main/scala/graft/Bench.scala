@@ -91,7 +91,7 @@ object Bench {
       val s = xs.sorted
       s(s.length / 2)
     }
-    val results = selected.map { case (name, fn) =>
+    val allRuns = selected.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count()
@@ -102,6 +102,9 @@ object Bench {
             None
         }
       }
+      name -> times
+    }
+    val results = allRuns.map { case (name, times) =>
       // ANY failed run marks the query failed in the artifact (-1.0):
       // a median over the surviving runs would make an intermittently
       // OOMing query look healthy to JSON-only round-over-round tooling
@@ -110,6 +113,37 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    // Full per-query artifact on disk (r9 verdict #2): the driver's
+    // BENCH tail truncates to ~2000 chars (~54 of 274 queries), so
+    // round-over-round adjudication needs the complete medians AND the
+    // raw per-run times (run-to-run spread is the variance evidence
+    // that separates plan regressions from machine drift — SCALING.md
+    // §BENCH). Committed per round as bench/r<N>_full.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench/latest_full.json")
+    if (outPath.nonEmpty) try {
+      val detail = allRuns.toSeq.sortBy(_._1).map { case (name, times) =>
+        val med = results(name)
+        s"""  "$name": {"median": $med, "runs": [${times.mkString(", ")}]}"""
+      }.mkString(",\n")
+      val json =
+        s"""{
+           |"sf": "$sfDir",
+           |"runs_per_query": $runs,
+           |"load1_at_start": $load1,
+           |"total_of_medians": $total,
+           |"n_queries": ${results.size},
+           |"queries": {
+           |$detail
+           |}
+           |}""".stripMargin
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, json)
+      System.err.println(s"[bench] full per-query artifact: $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     // Per-query detail first; the short total line LAST so the driver's
     // tail-capture always sees a complete, parseable total (BENCH_r02 lost
     // its headline number to a front-loaded total on one very long line).
