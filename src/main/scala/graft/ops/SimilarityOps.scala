@@ -188,21 +188,35 @@ object SimilarityOps {
     * value ≤ 10⁸ final-casts to BIGINT (the no-DECIMAL output gate). */
   def latticeCosE8(a: Column, b: Column): Column = {
     import graft.functions.LongDotExpr.longDot
-    latticeScoreE8(longDot(a, b),
-      longDot(a, a).cast(Dec38) * longDot(b, b).cast(Dec38))
+    latticeScoreE8(longDot(a, b), longDot(a, a) * longDot(b, b))
   }
 
-  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+  /** den must satisfy den·10⁴ < 2⁶³ for the all-long split division
+    * below — i.e. ‖a‖²·‖b‖² ≤ 9.2e14, comfortably true for unit-norm
+    * embeddings on the floor(x·1000) lattice (‖·‖² ≈ 10⁶ ⇒ den ≈ 10¹²)
+    * and enforced in-plan by a raise_error branch, never silently. */
+  private val MaxDen = Long.MaxValue / 10000L
 
   /** The score core with the norm product already in hand — callers
     * that rank one vector against many (IVF assignment) hoist the
     * row norm once and fold each centroid norm to a literal, instead
-    * of recomputing three 64-element dots per (row, cell). */
-  private def latticeScoreE8(num: Column, denDec: Column): Column = {
+    * of recomputing three 64-element dots per (row, cell).
+    *
+    * All-LONG arithmetic (r10 bench finding: the first, DECIMAL(38,0)
+    * form cost ~0.3 ms/row in q44's assignment projection): with
+    * n² ≤ den (Cauchy–Schwarz, exact on the integer lattice) and
+    * den·10⁴ < 2⁶³, split the ×10⁸ scaling into two exact ×10⁴ steps —
+    *   s = ⌊n²·10⁸/den⌋ = ⌊n²·10⁴/den⌋·10⁴ + ⌊(n²·10⁴ mod den)·10⁴/den⌋
+    * — every intermediate < 2⁶³, every op codegen'd long arithmetic,
+    * value identical to the oracle's HUGEINT ⌊n²·10⁸/den⌋. */
+  private def latticeScoreE8(num: Column, den: Column): Column = {
     import graft.Tables.ldiv
-    (signum(num).cast("long") *
-      ldiv(num.cast(Dec38) * num.cast(Dec38) * lit(100000000L).cast(Dec38),
-        denDec).cast("long"))
+    val n2t = num * num * 10000L
+    val mag = ldiv(n2t, den) * 10000L + ldiv((n2t % den) * 10000L, den)
+    signum(num).cast("long") * when(den <= MaxDen, mag)
+      .otherwise(raise_error(lit(
+        "latticeScoreE8: norm product exceeds the long-split bound " +
+          "(den > 2^63/1e4) — vectors are far off unit norm")).cast("long"))
   }
 
   /** md5-replayable ANN top-k (oracle-exact q25 form): identical probe
@@ -246,35 +260,38 @@ object SimilarityOps {
         col(idCol))
       .limit(nCells).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
-    // rank all cells for a vector: score DESC, centroid id ASC — the
-    // comparator mirrors the oracle's row_number() ORDER BY exactly.
-    // The row norm is computed ONCE per row (naDec) and each centroid
-    // norm folds to a literal, so assignment costs one 64-dot + one
-    // decimal divide per (row, cell), not three dots.
-    def rankedCells(v: Column, naDec: Column): Column = array_sort(
+    // score every cell for a vector as struct(s, -cell): struct
+    // ordering then ranks score DESC with ties to the SMALLER centroid
+    // id — exactly the oracle's row_number() ORDER BY s DESC, cid. The
+    // row norm is computed ONCE per row (na) and each centroid norm
+    // folds to a literal, so assignment costs one 64-dot + a few long
+    // ops per (row, cell); argmax is the native array_max (no
+    // interpreted comparator lambda — the r10 bench finding: the
+    // array_sort(λ) form evaluated interpreted at ~0.3 ms/row).
+    def cellScores(v: Column, na: Column): Column =
       array(cents.map { case (cid, cv) =>
         val nc = cv.map(x => x * x).sum
         struct(latticeScoreE8(longDot(v, array(cv.map(lit(_)): _*)),
-          naDec * lit(nc).cast(Dec38)).as("s"),
-          lit(cid).as("cell"))
-      }: _*),
-      (l, r) => when(l.getField("s") > r.getField("s"), -1)
-        .when(l.getField("s") < r.getField("s"), 1)
-        .otherwise(when(l.getField("cell") < r.getField("cell"), -1)
-          .otherwise(1)))
+          na * lit(nc)).as("s"),
+          lit(-cid).as("negcell"))
+      }: _*)
     val assigned = base
-      .withColumn("__na", longDot(col("__q"), col("__q")).cast(Dec38))
+      .withColumn("__na", longDot(col("__q"), col("__q")))
       .withColumn("cell",
-        element_at(rankedCells(col("__q"), col("__na")), 1)
-          .getField("cell"))
+        -array_max(cellScores(col("__q"), col("__na"))).getField("negcell"))
       .drop("__na")
+    // the query row ranks its nprobe best cells: a 1-row sort, so the
+    // lambda comparator's interpreted evaluation is irrelevant here
     val qCells = broadcast(base.filter(col(idCol) === queryId)
       .select(col("__q").as("__qv"))
-      .withColumn("__na", longDot(col("__qv"), col("__qv")).cast(Dec38))
-      .withColumn("probe", explode(slice(
-        rankedCells(col("__qv"), col("__na")), 1, nprobe)
-        .getField("cell")))
-      .select(col("__qv"), col("probe")))
+      .withColumn("__na", longDot(col("__qv"), col("__qv")))
+      .withColumn("__negprobe", explode(slice(array_sort(
+        cellScores(col("__qv"), col("__na")),
+        (l, r) => when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .otherwise(when(l.getField("negcell") > r.getField("negcell"),
+            -1).otherwise(1))), 1, nprobe).getField("negcell")))
+      .select(col("__qv"), (-col("__negprobe")).as("probe")))
     assigned.join(qCells, col("cell") === col("probe"))
       .withColumn("lat_cos_e8", latticeCosE8(col("__q"), col("__qv")))
       .select(col(idCol), col("lat_cos_e8"))
