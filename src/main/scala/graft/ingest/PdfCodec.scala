@@ -29,13 +29,15 @@ import java.util.zip.{Deflater, Inflater}
   * `N G obj <int> endobj` and VALIDATES the candidate by requiring
   * the `endstream` keyword (modulo one EOL) exactly at the bound it
   * implies, so a decoy `N G obj` byte pattern inside some other
-  * stream's body cannot misbound this one. The modern-PDF boundary:
-  * this is LINEAR TOP-LEVEL object resolution only — PDF 1.5+ files
-  * whose length integer lives inside a compressed object stream
-  * (/Type /ObjStm, reached via an xref stream) cannot be resolved by
-  * a linear scan and throw loudly; content streams themselves are
-  * never inside an ObjStm (PDF 32000-1 §7.5.7), so this boundary
-  * costs length-resolution only, never the text bytes.
+  * stream's body cannot misbound this one. When the top-level scan
+  * finds nothing, PDF 1.5+ OBJECT STREAMS are searched too: every
+  * /Type /ObjStm stream is decoded and its member table scanned for
+  * the integer (content streams are never inside an ObjStm — PDF
+  * 32000-1 §7.5.7 — so object streams only ever hold LENGTHS here,
+  * never text bytes). /Type /ObjStm and /Type /XRef streams are
+  * skipped by the text loop like images: serialized objects and
+  * binary xref rows are not page content. A length that resolves
+  * nowhere throws loudly — the stream is never bounded by a guess.
   *
   * Scale: decode is per-row executor work over a binary column, same
   * envelope as DocxCodec.
@@ -45,6 +47,12 @@ object PdfCodec {
   // per-stream dict probes, hoisted so executor-side decode of a
   // many-stream PDF doesn't recompile them per stream (r9 ADVICE)
   private val SubtypeImage = "/Subtype\\s*/Image".r
+  // object-container streams (PDF 1.5+): /ObjStm packs whole objects,
+  // /XRef is binary cross-reference data — neither is page CONTENT, so
+  // the text loop must skip them whole (inflating an ObjStm and
+  // text-scanning serialized objects, or an XRef's binary rows, is the
+  // same garbage path as scanning image pixels)
+  private val TypeContainer = "/Type\\s*/(ObjStm|XRef)".r
   // indirect form FIRST: "/Length 12 0 R" must never bind as literal
   // 12 — the trailing (?![0-9A-Za-z]) keeps `R` a whole token
   private val IndirectLen = "/Length\\s+(\\d+)\\s+(\\d+)\\s+R(?![0-9A-Za-z])".r
@@ -88,21 +96,22 @@ object PdfCodec {
             case None => throw new IllegalArgumentException(
               s"unresolvable indirect /Length ${m.group(1)} " +
                 s"${m.group(2)} R in $dict — no top-level " +
-                s"`${m.group(1)} ${m.group(2)} obj <int> endobj` " +
-                "validates against this stream's endstream (xref/" +
-                "object-stream indirection is out of scope); refusing " +
-                "to guess the stream bound")
+                s"`${m.group(1)} ${m.group(2)} obj <int> endobj` and no " +
+                "Flate /ObjStm member validates against this stream's " +
+                "endstream; refusing to guess the stream bound")
           }
         case None => LiteralLen.findFirstMatchIn(dict) match {
           case Some(m) => s + m.group(1).toInt
           case None =>
-            // an endstream scan over binary image data is
-            // untrustworthy (a JPEG payload may contain the keyword
-            // and desync the scanner) — image streams must carry a
-            // resolvable numeric /Length or refuse loudly (r9 ADVICE)
-            require(SubtypeImage.findFirstIn(dict).isEmpty,
-              s"image stream without numeric /Length in $dict — " +
-                "refusing the endstream heuristic over binary image data")
+            // an endstream scan over binary payloads is untrustworthy
+            // (a JPEG or binary-xref payload may contain the keyword
+            // and desync the scanner) — image and object-container
+            // streams must carry a resolvable numeric /Length or
+            // refuse loudly (r9 ADVICE)
+            require(SubtypeImage.findFirstIn(dict).isEmpty &&
+              TypeContainer.findFirstIn(dict).isEmpty,
+              s"image/container stream without numeric /Length in $dict " +
+                "— refusing the endstream heuristic over binary data")
             var e0 = raw.indexOf("endstream", i)
             require(e0 > i, "PDF stream without endstream")
             if (e0 > s && raw.charAt(e0 - 1) == '\n') e0 -= 1
@@ -112,74 +121,85 @@ object PdfCodec {
       }
       val end = raw.indexOf("endstream", e)
       require(end >= e, "PDF stream without endstream")
-      // image XObjects are NOT content: skip them whole (whatever the
-      // filter — DCT/JPX image data is not text and running the text
-      // scanner over decoded pixels would emit garbage), instead of
-      // refusing the document; the loud unknown-filter throw below
-      // stays for content streams
-      if (SubtypeImage.findFirstIn(dict).isEmpty) {
-      val seg = raw.substring(s, e).getBytes("ISO-8859-1")
-      // ORDERED filter list (single name or array) — PDF applies the
-      // list left-to-right on decode, so a chain like
-      // [/ASCII85Decode /FlateDecode] means un-85 THEN inflate. Chains
-      // are supported when EVERY link is known; one unknown link
-      // refuses the whole stream (decoding the known prefix of a chain
-      // would emit garbage, not text).
-      val supported = Set("/FlateDecode", "/ASCIIHexDecode",
-        "/ASCII85Decode", "/RunLengthDecode", "/LZWDecode")
-      val allFilters = FilterVal.findFirstMatchIn(dict)
-        .map(m => NameTok.findAllIn(m.group(1)).toList)
-        .getOrElse(Nil)
-      val unknown = allFilters.filterNot(supported)
-      require(unknown.isEmpty,
-        s"unsupported PDF filter(s) ${unknown.mkString(", ")} in $dict — " +
-          s"only ${supported.mkString(", ")}")
-      // a /Filter whose value the regex can't read (e.g. an indirect
-      // reference `/Filter 5 0 R`, legal PDF) must refuse loudly —
-      // otherwise the stream silently decodes as raw garbage
-      require(allFilters.nonEmpty || !dict.contains("/Filter"),
-        s"unparsable /Filter value in $dict — only inline names/arrays")
-      // EarlyChange=0 override (default 1) on LZW streams
-      val early = EarlyChangeVal.findFirstMatchIn(dict)
-        .map(_.group(1).toInt).getOrElse(1)
-      def parm(name: String, dflt: Int): Int =
-        (name + "\\s+(\\d+)").r.findFirstMatchIn(dict)
-          .map(_.group(1).toInt).getOrElse(dflt)
-      val predictor = parm("/Predictor", 1)
-      val content0 = allFilters.foldLeft(seg) { (bytes, f) => f match {
-        case "/FlateDecode" => inflate(bytes)
-        case "/ASCIIHexDecode" => asciiHexDecode(bytes)
-        case "/ASCII85Decode" => ascii85Decode(bytes)
-        case "/RunLengthDecode" => runLengthDecode(bytes)
-        case "/LZWDecode" => lzwDecode(bytes, early)
-      }}
-      // /Predictor un-filtering (PDF 32000-1 §7.4.4.4): 2 = TIFF
-      // horizontal differencing, 10-15 = PNG filters (the per-row
-      // filter byte decides, so all PNG values decode identically);
-      // applied AFTER the Flate/LZW stage it parameterizes
-      val content = if (predictor <= 1) content0 else {
-        require(allFilters.lastOption.exists(f =>
-          f == "/FlateDecode" || f == "/LZWDecode"),
-          s"/Predictor $predictor without a trailing Flate/LZW in $dict")
-        val cols = parm("/Columns", 1)
-        val colors = parm("/Colors", 1)
-        val bpc = parm("/BitsPerComponent", 8)
-        predictor match {
-          case 2 => tiffUnpredict(content0, cols, colors, bpc)
-          case p if p >= 10 && p <= 15 =>
-            pngUnpredict(content0, cols, colors, bpc)
-          case p => throw new IllegalArgumentException(
-            s"bad /Predictor $p — 1, 2 or 10..15")
-        }
-      }
-      lines ++= showOps(new String(content, "ISO-8859-1"))
-      found = true
+      // image XObjects and object-container streams (/ObjStm, /XRef)
+      // are NOT content: skip them whole (whatever the filter — image
+      // pixels, serialized objects and binary xref rows are not text,
+      // and running the text scanner over them would emit garbage),
+      // instead of refusing the document; the loud unknown-filter
+      // throw inside decodeFiltered stays for content streams
+      if (SubtypeImage.findFirstIn(dict).isEmpty &&
+          TypeContainer.findFirstIn(dict).isEmpty) {
+        val seg = raw.substring(s, e).getBytes("ISO-8859-1")
+        val content = decodeFiltered(dict, seg)
+        lines ++= showOps(new String(content, "ISO-8859-1"))
+        found = true
       }
       from = end + "endstream".length
       true
     }}) ()
     require(found, "no content stream found in PDF")
     lines.result()
+  }
+
+  /** Integer parameter from a dict (top-level or /DecodeParms). */
+  private def intParm(dict: String, name: String, dflt: Int): Int =
+    (java.util.regex.Pattern.quote(name) + "\\s+(\\d+)").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
+
+  /** Apply a stream dict's declared filter chain + predictor to its
+    * raw bytes. ORDERED filter list (single name or array) — PDF
+    * applies the list left-to-right on decode, so a chain like
+    * [/ASCII85Decode /FlateDecode] means un-85 THEN inflate. Chains
+    * are supported when EVERY link is known; one unknown link refuses
+    * the whole stream (decoding the known prefix of a chain would
+    * emit garbage, not text). Shared by the content-text loop and the
+    * /ObjStm member-resolution path. */
+  private[graft] def decodeFiltered(dict: String, seg: Array[Byte])
+      : Array[Byte] = {
+    val supported = Set("/FlateDecode", "/ASCIIHexDecode",
+      "/ASCII85Decode", "/RunLengthDecode", "/LZWDecode")
+    val allFilters = FilterVal.findFirstMatchIn(dict)
+      .map(m => NameTok.findAllIn(m.group(1)).toList)
+      .getOrElse(Nil)
+    val unknown = allFilters.filterNot(supported)
+    require(unknown.isEmpty,
+      s"unsupported PDF filter(s) ${unknown.mkString(", ")} in $dict — " +
+        s"only ${supported.mkString(", ")}")
+    // a /Filter whose value the regex can't read (e.g. an indirect
+    // reference `/Filter 5 0 R`, legal PDF) must refuse loudly —
+    // otherwise the stream silently decodes as raw garbage
+    require(allFilters.nonEmpty || !dict.contains("/Filter"),
+      s"unparsable /Filter value in $dict — only inline names/arrays")
+    // EarlyChange=0 override (default 1) on LZW streams
+    val early = EarlyChangeVal.findFirstMatchIn(dict)
+      .map(_.group(1).toInt).getOrElse(1)
+    val predictor = intParm(dict, "/Predictor", 1)
+    val content0 = allFilters.foldLeft(seg) { (bytes, f) => f match {
+      case "/FlateDecode" => inflate(bytes)
+      case "/ASCIIHexDecode" => asciiHexDecode(bytes)
+      case "/ASCII85Decode" => ascii85Decode(bytes)
+      case "/RunLengthDecode" => runLengthDecode(bytes)
+      case "/LZWDecode" => lzwDecode(bytes, early)
+    }}
+    // /Predictor un-filtering (PDF 32000-1 §7.4.4.4): 2 = TIFF
+    // horizontal differencing, 10-15 = PNG filters (the per-row
+    // filter byte decides, so all PNG values decode identically);
+    // applied AFTER the Flate/LZW stage it parameterizes
+    if (predictor <= 1) content0 else {
+      require(allFilters.lastOption.exists(f =>
+        f == "/FlateDecode" || f == "/LZWDecode"),
+        s"/Predictor $predictor without a trailing Flate/LZW in $dict")
+      val cols = intParm(dict, "/Columns", 1)
+      val colors = intParm(dict, "/Colors", 1)
+      val bpc = intParm(dict, "/BitsPerComponent", 8)
+      predictor match {
+        case 2 => tiffUnpredict(content0, cols, colors, bpc)
+        case p if p >= 10 && p <= 15 =>
+          pngUnpredict(content0, cols, colors, bpc)
+        case p => throw new IllegalArgumentException(
+          s"bad /Predictor $p — 1, 2 or 10..15")
+      }
+    }
   }
 
   /** Resolve an indirect `/Length num gen R` against the document's
@@ -201,14 +221,105 @@ object PdfCodec {
     val m = p.matcher(raw)
     while (m.find()) {
       val len = m.group(1).toInt
-      val after = s.toLong + len
-      if (after <= raw.length) {
-        var a = after.toInt
-        if (a < raw.length && raw.charAt(a) == '\r') a += 1
-        if (a < raw.length && raw.charAt(a) == '\n') a += 1
-        if (raw.startsWith("endstream", a)) return Some(len)
-      }
+      if (boundValidates(raw, s, len)) return Some(len)
     }
+    objStmLength(raw, num, gen, s)
+  }
+
+  /** Does `endstream` sit exactly at the bound `len` implies for data
+    * starting at `s` (one EOL — CR, LF or CRLF — may precede the
+    * keyword per PDF 32000-1 §7.3.8.1)? The acceptance test for every
+    * resolved-length candidate. */
+  private def boundValidates(raw: String, s: Int, len: Int): Boolean = {
+    val after = s.toLong + len
+    if (after > raw.length) return false
+    var a = after.toInt
+    if (a < raw.length && raw.charAt(a) == '\r') a += 1
+    if (a < raw.length && raw.charAt(a) == '\n') a += 1
+    raw.startsWith("endstream", a)
+  }
+
+  /** PDF 1.5+ fallback: the /Length integer object lives inside a
+    * compressed object stream (/Type /ObjStm) — the layout most modern
+    * writers emit. Every ObjStm in the document is decoded (its own
+    * /Length must be literal or top-level-resolvable — ObjStm-in-ObjStm
+    * is illegal, PDF 32000-1 §7.5.7) and its member table scanned: the
+    * decoded prefix up to /First is N (objnum, offset) integer pairs;
+    * member objects always have generation 0. A member that parses as
+    * a bare integer and passes the endstream validation wins. Content
+    * streams are never inside an ObjStm, so this path resolves LENGTHS
+    * only — the text bytes themselves are always reachable by the
+    * linear scan. */
+  private def objStmLength(raw: String, num: String, gen: String,
+      s: Int): Option[Int] = {
+    if (gen != "0") return None // ObjStm members are always gen 0
+    var from = 0
+    while ({ val i = raw.indexOf("stream", from); i >= 0 && {
+      val dict = lastDictBefore(raw, from, i)
+      var s2 = i + "stream".length
+      if (s2 < raw.length && raw.charAt(s2) == '\r') s2 += 1
+      if (s2 < raw.length && raw.charAt(s2) == '\n') s2 += 1
+      // bound this stream: indirect probed FIRST (the same
+      // object-number-as-length trap decode guards against) and
+      // resolved TOP-LEVEL only (never recursively through another
+      // ObjStm) — an unresolved indirect falls to the endstream scan,
+      // NEVER to the literal match (that would bind the object
+      // number); a dict with no indirect at all uses its literal
+      val e = (IndirectLen.findFirstMatchIn(dict) match {
+        case Some(m) =>
+          val p = java.util.regex.Pattern.compile("(?<![0-9])" +
+            m.group(1) + "\\s+" + m.group(2) + "\\s+obj\\s+(\\d+)\\s*endobj")
+          val mm = p.matcher(raw)
+          var found: Option[Int] = None
+          while (found.isEmpty && mm.find()) {
+            val len = mm.group(1).toInt
+            if (boundValidates(raw, s2, len)) found = Some(s2 + len)
+          }
+          found
+        case None => LiteralLen.findFirstMatchIn(dict)
+          .map(m => s2 + m.group(1).toInt)
+      })
+        .getOrElse {
+          val e0 = raw.indexOf("endstream", i)
+          if (e0 > i) e0 else raw.length
+        }
+      if ("/Type\\s*/ObjStm".r.findFirstIn(dict).isDefined &&
+          e <= raw.length) {
+        try {
+          val data = decodeFiltered(dict,
+            raw.substring(s2, e).getBytes("ISO-8859-1"))
+          val first = intParm(dict, "/First", -1)
+          val n = intParm(dict, "/N", -1)
+          if (first > 0 && first <= data.length && n > 0) {
+            val text = new String(data, "ISO-8859-1")
+            val toks = text.substring(0, first).trim.split("\\s+")
+            var k = 0
+            while (k + 1 < toks.length && k / 2 < n) {
+              if (toks(k) == num) {
+                val off = first + toks(k + 1).toInt
+                if (off >= 0 && off < text.length) {
+                  var j = off
+                  while (j < text.length && text.charAt(j).isWhitespace)
+                    j += 1
+                  val d0 = j
+                  while (j < text.length && text.charAt(j).isDigit) j += 1
+                  if (j > d0) {
+                    val len = text.substring(d0, j).toInt
+                    if (boundValidates(raw, s, len)) return Some(len)
+                  }
+                }
+              }
+              k += 2
+            }
+          }
+        } catch { case _: Exception => () } // hostile ObjStm: keep looking
+      }
+      from = (if (e > i) math.min(e.toLong, raw.length).toInt
+              else i + "stream".length)
+      from = { val nx = raw.indexOf("endstream", from)
+        if (nx >= 0) nx + "endstream".length else raw.length }
+      true
+    }}) ()
     None
   }
 
@@ -850,6 +961,64 @@ object PdfCodec {
     w("xref\n0 6\n0000000000 65535 f \n" +
       (1 to 5).map(i => f"${offs(i)}%010d 00000 n \n").mkString)
     w(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Fixture: a PDF 1.5-style file whose content stream's /Length is an
+    * indirect reference RESOLVED THROUGH AN OBJECT STREAM — the layout
+    * most modern writers emit (the length integer compressed inside a
+    * /Type /ObjStm member, unreachable by a plain top-level scan). The
+    * ObjStm carries TWO members: object 5 (the integer) and object 7, a
+    * decoy dict whose literal string is text-scanner bait — decode must
+    * resolve the length through the ObjStm yet never text-scan the
+    * ObjStm's own payload. `objStmIndirectLen` makes the ObjStm's OWN
+    * /Length indirect (top-level-resolvable), covering that path too. */
+  def encodeWithObjStmLength(lines: Seq[String],
+      objStmIndirectLen: Boolean = false): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    def deflated(b: Array[Byte]): Array[Byte] = {
+      val d = new Deflater()
+      d.setInput(b); d.finish()
+      val out = new ByteArrayOutputStream(b.length)
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      out.toByteArray
+    }
+    val content = ("BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
+      .getBytes("ISO-8859-1")
+    val cData = deflated(content)
+    // ObjStm payload: member 5 = the content length integer; member 7 =
+    // a decoy dict with hostile bait in a literal string
+    val m5 = cData.length.toString
+    val m7 = "<< /S ((trap) Tj endstream bait >>) >>"
+    val header = s"5 0 7 ${m5.length + 1} "
+    val first = header.length
+    val oData = deflated((header + m5 + " " + m7).getBytes("ISO-8859-1"))
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/MediaBox [0 0 612 792] >> endobj\n")
+    w(s"4 0 obj << /Length 5 0 R /Filter /FlateDecode >> stream\n")
+    out.write(cData)
+    w("\nendstream endobj\n")
+    val objStmLen =
+      if (objStmIndirectLen) "8 0 R" else oData.length.toString
+    w(s"6 0 obj << /Type /ObjStm /N 2 /First $first " +
+      s"/Length $objStmLen /Filter /FlateDecode >> stream\n")
+    out.write(oData)
+    w("\nendstream endobj\n")
+    if (objStmIndirectLen) w(s"8 0 obj ${oData.length} endobj\n")
+    w(s"trailer << /Size 9 /Root 1 0 R >>\n%%EOF\n")
     out.toByteArray
   }
 

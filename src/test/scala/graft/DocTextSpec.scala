@@ -627,7 +627,56 @@ class DocTextSpec extends SparkSpec {
       "2 0 obj << /Length 13 >> stream\nBT (ok) Tj ET\nendstream endobj\n" +
       "%%EOF").getBytes("ISO-8859-1")
     val e2 = intercept[IllegalArgumentException](PdfCodec.decode(noLen))
-    assert(e2.getMessage.contains("image stream without numeric /Length"))
+    assert(e2.getMessage.contains("without numeric /Length"))
+  }
+
+  test("pdf decode: /Length resolved through a compressed object stream") {
+    import graft.ingest.PdfCodec
+    // the modern-writer layout: the length integer lives inside a
+    // Flate /Type /ObjStm member, invisible to a top-level scan — and
+    // the ObjStm also carries a decoy member with "(trap) Tj" bait
+    // that must never surface (the text loop skips container streams)
+    val lines = Seq("ObjStm-resolved (length)", "line \\ two")
+    assert(PdfCodec.decode(PdfCodec.encodeWithObjStmLength(lines)) == lines)
+    // the ObjStm's OWN /Length indirect (top-level-resolvable)
+    assert(PdfCodec.decode(PdfCodec.encodeWithObjStmLength(lines,
+      objStmIndirectLen = true)) == lines)
+    // a gen != 0 reference never matches an ObjStm member (members are
+    // always gen 0) — unresolvable, loud
+    val gen1 = new String(PdfCodec.encodeWithObjStmLength(lines),
+      "ISO-8859-1").replace("/Length 5 0 R", "/Length 5 1 R")
+      .getBytes("ISO-8859-1")
+    val e1 = intercept[IllegalArgumentException](PdfCodec.decode(gen1))
+    assert(e1.getMessage.contains("unresolvable indirect /Length"))
+    // an ObjStm member that is NOT a bare integer (here: object 7, the
+    // decoy dict) fails the integer parse — unresolvable, loud
+    val notInt = new String(PdfCodec.encodeWithObjStmLength(lines),
+      "ISO-8859-1").replace("/Length 5 0 R", "/Length 7 0 R")
+      .getBytes("ISO-8859-1")
+    val e2 = intercept[IllegalArgumentException](PdfCodec.decode(notInt))
+    assert(e2.getMessage.contains("unresolvable indirect /Length"))
+  }
+
+  test("pdf decode: /Type /XRef binary streams are skipped like images") {
+    import graft.ingest.PdfCodec
+    // an xref stream's payload is binary rows — here laced with
+    // text-scanner bait that must never surface; and per the container
+    // rule it must carry a numeric /Length (no endstream heuristic)
+    val xrefPayload = " (bait) Tj >> endstream-ish ÿ"
+    val pdf = ("%PDF-1.5\n" +
+      s"1 0 obj << /Type /XRef /W [1 2 2] " +
+      s"/Length ${xrefPayload.length} >> stream\n" + xrefPayload +
+      "\nendstream endobj\n" +
+      "2 0 obj << /Length 13 >> stream\nBT (ok) Tj ET\nendstream endobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    assert(PdfCodec.decode(pdf) == Seq("ok"))
+    // container without a numeric /Length refuses loudly
+    val noLen = ("%PDF-1.5\n1 0 obj << /Type /XRef /W [1 2 2] >> " +
+      "stream\nabc\nendstream endobj\n" +
+      "2 0 obj << /Length 13 >> stream\nBT (ok) Tj ET\nendstream endobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException](PdfCodec.decode(noLen))
+    assert(e.getMessage.contains("without numeric /Length"))
   }
 
   test("pdf indirect /Length: seeded fuzz with decoy integer objects") {
@@ -664,6 +713,17 @@ class DocTextSpec extends SparkSpec {
       if (dataLenOk)
         assert(PdfCodec.decode(pdf) == lines,
           s"trial $trial compress=$compress first=$first decoys=$decoys")
+    }
+    // and 50 trials through the ObjStm resolution path (random text of
+    // random deflate length → random member offsets; both ObjStm-own-
+    // length encodings) — the bait member must never surface
+    for (trial <- 0 until 50) {
+      val lines = (0 to rnd.nextInt(4)).map(i =>
+        s"os$trial line $i " + ("y(z\\) " * rnd.nextInt(4)))
+      val indirect = rnd.nextBoolean()
+      assert(PdfCodec.decode(PdfCodec.encodeWithObjStmLength(lines,
+        objStmIndirectLen = indirect)) == lines,
+        s"objstm trial $trial indirect=$indirect")
     }
   }
 
