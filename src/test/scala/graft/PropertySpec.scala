@@ -245,4 +245,41 @@ class PropertySpec extends SparkSpec {
         s"tiff cols=$cols")
     }
   }
+
+  test("latticeCosE8 split division ≡ BigInteger floor(num²·1e8/den)") {
+    import graft.ops.SimilarityOps
+    // the all-long two-step ×1e4 split must equal the exact 128-bit
+    // quotient for ANY lattice vectors inside the den < 2^63/1e4 bound
+    // — including norms far from the unit-vector testdata (up to ~30×)
+    // and anti-parallel pairs (negative num, sign handling)
+    val vecGen = for {
+      scale <- Gen.choose(1, 15) // ‖·‖² up to ~2.3e7 ⇒ den ≤ ~5e14 < 2^63/1e4
+      flip <- Gen.oneOf(1, -1)
+      v <- Gen.containerOfN[Seq, Long](64,
+        Gen.choose(-40L * scale, 40L * scale))
+    } yield (v, v.map(x => -x * flip)) // second vector: ±parallel-ish
+    val pairs = samples(vecGen, 60) ++ samples(for {
+      a <- Gen.containerOfN[Seq, Long](64, Gen.choose(-500L, 500L))
+      b <- Gen.containerOfN[Seq, Long](64, Gen.choose(-500L, 500L))
+    } yield (a, b), 60)
+    val valid = pairs.filter { case (a, b) =>
+      val na = BigInt(a.map(x => BigInt(x) * x).sum.toString)
+      val nb = BigInt(b.map(x => BigInt(x) * x).sum.toString)
+      na > 0 && nb > 0 && na * nb <= BigInt(Long.MaxValue / 10000L)
+    }
+    assert(valid.size > 80) // the generators stay inside the bound
+    val got = valid.toDF("a", "b")
+      .select(SimilarityOps.latticeCosE8($"a", $"b")).collect()
+      .map(_.getLong(0))
+    valid.zip(got).foreach { case ((a, b), g) =>
+      val num = a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+      val den = a.map(x => BigInt(x) * x).sum * b.map(x => BigInt(x) * x).sum
+      val want = num.signum * ((num * num * 100000000) / den)
+      assert(BigInt(g) == want, s"got $g want $want (num=$num den=$den)")
+    }
+    // and the bound itself is loud, not silent garbage
+    val big = Seq.fill(64)(4000000L)
+    intercept[Exception](Seq((big, big)).toDF("a", "b")
+      .select(SimilarityOps.latticeCosE8($"a", $"b")).collect())
+  }
 }
