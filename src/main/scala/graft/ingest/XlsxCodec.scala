@@ -86,8 +86,14 @@ object XlsxCodec {
             if c.getNamespaceURI == MAIN && c.getLocalName == "c" =>
           val at = colIndex(c.getAttribute("r"))
           val idx = if (at >= 0) at else row.length
+          // refs must be monotonic within a row (ECMA-376 writes them in
+          // order) — an out-of-order or duplicate ref from a hostile or
+          // buggy writer previously TRUNCATED the cells written before
+          // it (silent data loss); refuse loudly instead
+          require(idx >= row.length,
+            s"xlsx cell ref ${c.getAttribute("r")} out of order — " +
+              "refusing to overwrite earlier cells in the row")
           while (row.length < idx) row += "" // sparse refs leave gaps
-          while (row.length > idx) row.remove(row.length - 1)
           row += cellText(c, shared)
         case _ =>
       }

@@ -495,6 +495,23 @@ class DocTextSpec extends SparkSpec {
            |<c r="E1"/></row></sheetData></worksheet>""".stripMargin)
     assert(XlsxCodec.decode(bytes).head.rows ==
       Seq(Seq("rich", "", "true", "=SUM cached", "")))
+    // out-of-order refs (C1 before A1) previously TRUNCATED the cells
+    // written before them — silent data loss; now a loud refusal
+    val disordered = zipOf(
+      "xl/workbook.xml" ->
+        s"""<workbook xmlns="$main" xmlns:r="$rel"><sheets>
+           |<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+          .stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        s"""<Relationships xmlns="$pkg"><Relationship Id="rId1"
+           | Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        s"""<worksheet xmlns="$main"><sheetData><row r="1">
+           |<c r="C1" t="str"><v>kept</v></c>
+           |<c r="A1" t="str"><v>late</v></c></row></sheetData></worksheet>"""
+          .stripMargin)
+    val e = intercept[IllegalArgumentException](XlsxCodec.decode(disordered))
+    assert(e.getMessage.contains("out of order"))
   }
 
   test("xlsx extraction: first sheet wins, else union across all sheets") {
