@@ -282,12 +282,16 @@ object EtlQ {
         .orderBy("doc_id")
     }),
 
-    // Every PDF stream filter under one driver hash: the same record
-    // rides through flate / raw / ASCIIHex / RunLength / LZW / ASCII85
-    // / an a85+flate chain / PNG-predictor flate / TIFF-predictor
-    // flate by id%9 (q176 keeps its original two-path shape per the r5
-    // pin; this is the filter-perimeter gate). The filter name rides
-    // in the output, so a misrouted or silently-wrong codec can't hide
+    // Every PDF stream filter AND length encoding under one driver
+    // hash: the same record rides through flate / raw / ASCIIHex /
+    // RunLength / LZW / ASCII85 / an a85+flate chain / PNG-predictor
+    // flate / TIFF-predictor flate, plus (r10) the three real-world
+    // LENGTH shapes — indirect `/Length N 0 R` with hostile decoys,
+    // raw-stream indirect with the length object written first, and
+    // the PDF 1.5+ /ObjStm-resolved form with a bait member — by
+    // id%12 (q176 keeps its original two-path shape per the r5 pin;
+    // this is the filter-perimeter gate). The mode name rides in the
+    // output, so a misrouted or silently-wrong codec can't hide
     // behind a lucky decode. Per-row executor work, no shuffle.
     "q207_pdf_filters" -> ((s, dir) => {
       import s.implicits._
@@ -295,7 +299,7 @@ object EtlQ {
           .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val f = (id % 9) match {
+          val f = (id % 12) match {
             case 0 => "flate"
             case 1 => "raw"
             case 2 => "ahx"
@@ -304,11 +308,23 @@ object EtlQ {
             case 5 => "a85"
             case 6 => "a85+flate" // the 2-link chain: un-85 then inflate
             case 7 => "flate+predpng" // PNG /Predictor 15, rows cycle 0-4
-            case _ => "flate+pred2" // TIFF horizontal differencing
+            case 8 => "flate+pred2" // TIFF horizontal differencing
+            case 9 => "indirect" // /Length N 0 R + failing decoys
+            case 10 => "indirect-raw" // unfiltered + length object first
+            case _ => "objstm" // length integer inside a /Type /ObjStm
           }
           val lines = Seq(s"Name: Event $id", text)
-          val got = graft.ingest.PdfCodec.decode(
-            graft.ingest.PdfCodec.encodeWith(lines, f))
+          import graft.ingest.PdfCodec
+          val pdf = f match {
+            case "indirect" => PdfCodec.encodeWithIndirectLength(lines,
+              compress = true, decoys = Seq(2, 999999999))
+            case "indirect-raw" => PdfCodec.encodeWithIndirectLength(
+              lines, compress = false, decoys = Seq(3), lenObjFirst = true)
+            case "objstm" => PdfCodec.encodeWithObjStmLength(lines,
+              objStmIndirectLen = id % 2 == 0)
+            case other => PdfCodec.encodeWith(lines, other)
+          }
+          val got = PdfCodec.decode(pdf)
           (id, f, got.size.toLong, got.mkString("\n"))
         }
         .toDF("doc_id", "filter", "n_lines", "joined")
@@ -493,10 +509,12 @@ object EtlQ {
 
     "q207_pdf_filters" ->
       """SELECT doc_id,
-        | CASE doc_id % 9 WHEN 0 THEN 'flate' WHEN 1 THEN 'raw'
+        | CASE doc_id % 12 WHEN 0 THEN 'flate' WHEN 1 THEN 'raw'
         |      WHEN 2 THEN 'ahx' WHEN 3 THEN 'rle' WHEN 4 THEN 'lzw'
         |      WHEN 5 THEN 'a85' WHEN 6 THEN 'a85+flate'
-        |      WHEN 7 THEN 'flate+predpng' ELSE 'flate+pred2'
+        |      WHEN 7 THEN 'flate+predpng' WHEN 8 THEN 'flate+pred2'
+        |      WHEN 9 THEN 'indirect' WHEN 10 THEN 'indirect-raw'
+        |      ELSE 'objstm'
         | END AS filter,
         | CAST(2 AS BIGINT) AS n_lines,
         | md5('Name: Event ' || CAST(doc_id AS VARCHAR) || chr(10) ||
