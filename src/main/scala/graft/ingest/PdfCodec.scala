@@ -60,6 +60,25 @@ object PdfCodec {
   private val FilterVal = "/Filter\\s*(\\[[^\\]]*\\]|/\\w+)".r
   private val NameTok = "/[A-Za-z0-9]+".r
   private val EarlyChangeVal = "/EarlyChange\\s+(\\d+)".r
+  // resolved-length object patterns, cached by (num, gen): a corpus of
+  // PDFs repeats a handful of object ids, and compiling the pattern
+  // per ROW is the same executor-side waste the hoisted probes above
+  // avoid (r9 ADVICE class). Bounded so hostile id diversity can't
+  // grow the map; misses just compile fresh.
+  private val LenRefPatterns = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.regex.Pattern]()
+  private def lenRefPattern(num: String, gen: String)
+      : java.util.regex.Pattern = {
+    val key = num + " " + gen
+    val cached = LenRefPatterns.get(key)
+    if (cached != null) cached
+    else {
+      val p = java.util.regex.Pattern.compile(
+        "(?<![0-9])" + num + "\\s+" + gen + "\\s+obj\\s+(\\d+)\\s*endobj")
+      if (LenRefPatterns.size < 256) LenRefPatterns.put(key, p)
+      p
+    }
+  }
 
   /** Extract text lines from a PDF binary: every content stream is
     * scanned in document order; each `Tj`/`TJ` show operation emits the
@@ -216,9 +235,7 @@ object PdfCodec {
     * out, loudly). */
   private[graft] def resolveIndirectLength(raw: String, num: String,
       gen: String, s: Int): Option[Int] = {
-    val p = java.util.regex.Pattern.compile(
-      "(?<![0-9])" + num + "\\s+" + gen + "\\s+obj\\s+(\\d+)\\s*endobj")
-    val m = p.matcher(raw)
+    val m = lenRefPattern(num, gen).matcher(raw)
     while (m.find()) {
       val len = m.group(1).toInt
       if (boundValidates(raw, s, len)) return Some(len)
@@ -267,9 +284,7 @@ object PdfCodec {
       // number); a dict with no indirect at all uses its literal
       val e = (IndirectLen.findFirstMatchIn(dict) match {
         case Some(m) =>
-          val p = java.util.regex.Pattern.compile("(?<![0-9])" +
-            m.group(1) + "\\s+" + m.group(2) + "\\s+obj\\s+(\\d+)\\s*endobj")
-          val mm = p.matcher(raw)
+          val mm = lenRefPattern(m.group(1), m.group(2)).matcher(raw)
           var found: Option[Int] = None
           while (found.isEmpty && mm.find()) {
             val len = mm.group(1).toInt
