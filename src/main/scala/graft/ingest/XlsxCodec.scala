@@ -61,7 +61,19 @@ object XlsxCodec {
           .map(i => textUnder(sis.item(i).asInstanceOf[Element]))
       }.getOrElse(IndexedSeq.empty)
 
-    val sheets = dom(wb).getElementsByTagNameNS(MAIN, "sheet")
+    val wbDom = dom(wb)
+    // date-styled numeric cells (the pd.read_excel surface the
+    // reference rides): style index -> is-date-format, from styles.xml
+    val dateStyle: IndexedSeq[Boolean] = parts.get("xl/styles.xml")
+      .map(dateStyles).getOrElse(IndexedSeq.empty)
+    val date1904 = {
+      val prs = wbDom.getElementsByTagNameNS(MAIN, "workbookPr")
+      prs.getLength > 0 && {
+        val v = prs.item(0).asInstanceOf[Element].getAttribute("date1904")
+        v == "1" || v == "true"
+      }
+    }
+    val sheets = wbDom.getElementsByTagNameNS(MAIN, "sheet")
     require(sheets.getLength > 0, "xlsx workbook declares no sheets")
     (0 until sheets.getLength).map { i =>
       val e = sheets.item(i).asInstanceOf[Element]
@@ -71,12 +83,71 @@ object XlsxCodec {
           s"xlsx sheet relationship $rid unresolved"))
       val ws = parts.getOrElse(path,
         throw new IllegalArgumentException(s"xlsx missing part $path"))
-      Sheet(e.getAttribute("name"), sheetRows(dom(ws), shared))
+      Sheet(e.getAttribute("name"),
+        sheetRows(dom(ws), shared, dateStyle, date1904))
     }
   }
 
+  /** Per-cellXf is-date-format flags from styles.xml: builtin date/time
+    * numFmtIds (ECMA-376 §18.8.30: 14-22 dates, 27-36 era dates, 45-47
+    * times, 50-58 era dates) plus custom formatCodes carrying a
+    * date/time token (y/m/d/h/s) outside quoted "..." and [...] spans —
+    * the same heuristic openpyxl applies, which is what pd.read_excel
+    * rides in the reference. */
+  private[graft] def dateStyles(styles: Array[Byte]): IndexedSeq[Boolean] = {
+    val doc = dom(styles)
+    val builtin = ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+    val custom: Map[Int, Boolean] = {
+      val ns = doc.getElementsByTagNameNS(MAIN, "numFmt")
+      (0 until ns.getLength).map(ns.item(_).asInstanceOf[Element])
+        .map { e =>
+          val code = e.getAttribute("formatCode")
+          // strip "..."-quoted literals, \-escaped chars and [...] spans
+          val bare = code.replaceAll("\"[^\"]*\"", "")
+            .replaceAll("\\\\.", "").replaceAll("\\[[^\\]]*\\]", "")
+          e.getAttribute("numFmtId").toInt ->
+            bare.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+        }.toMap
+    }
+    // cellXfs only (cellStyleXfs are templates, never referenced by s=)
+    val xfsParents = doc.getElementsByTagNameNS(MAIN, "cellXfs")
+    if (xfsParents.getLength == 0) return IndexedSeq.empty
+    val kids = xfsParents.item(0).getChildNodes
+    (0 until kids.getLength).iterator.map(kids.item).collect {
+      case e: Element
+          if e.getNamespaceURI == MAIN && e.getLocalName == "xf" =>
+        val id = Option(e.getAttribute("numFmtId")).filter(_.nonEmpty)
+          .map(_.toInt).getOrElse(0)
+        builtin(id) || custom.getOrElse(id, false)
+    }.toIndexedSeq
+  }
+
+  /** Excel serial date -> "yyyy-MM-dd HH:mm:ss" (pandas Timestamp
+    * rendering, the string the reference's record pipeline sees).
+    * Epochs per the ECMA/openpyxl rule: 1900 system uses 1899-12-31
+    * for serials < 60 and 1899-12-30 from 60 up (absorbing the
+    * phantom 1900-02-29 the way openpyxl does); 1904 system counts
+    * from 1904-01-01. Serials below 1 (time-only cells) refuse
+    * loudly — a bare time has no date to render. */
+  private[graft] def serialDate(serial: Double, date1904: Boolean)
+      : String = {
+    require(serial >= 1, s"xlsx date serial $serial < 1 (time-only or " +
+      "negative) — no date to render")
+    val days = math.floor(serial).toLong
+    val secs = math.round((serial - days) * 86400.0)
+    val (d, sec) = if (secs >= 86400) (days + 1, 0L) else (days, secs)
+    val epoch =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1)
+      else if (d >= 60) java.time.LocalDate.of(1899, 12, 30)
+      else java.time.LocalDate.of(1899, 12, 31)
+    val dt = epoch.plusDays(d).atStartOfDay.plusSeconds(sec)
+    dt.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
   private def sheetRows(doc: org.w3c.dom.Document,
-      shared: IndexedSeq[String]): Seq[Seq[String]] = {
+      shared: IndexedSeq[String], dateStyle: IndexedSeq[Boolean],
+      date1904: Boolean): Seq[Seq[String]] = {
     val rowNodes = doc.getElementsByTagNameNS(MAIN, "row")
     (0 until rowNodes.getLength).map { r =>
       val cells = rowNodes.item(r).asInstanceOf[Element].getChildNodes
@@ -94,14 +165,15 @@ object XlsxCodec {
             s"xlsx cell ref ${c.getAttribute("r")} out of order — " +
               "refusing to overwrite earlier cells in the row")
           while (row.length < idx) row += "" // sparse refs leave gaps
-          row += cellText(c, shared)
+          row += cellText(c, shared, dateStyle, date1904)
         case _ =>
       }
       row.toSeq
     }
   }
 
-  private def cellText(c: Element, shared: IndexedSeq[String]): String = {
+  private def cellText(c: Element, shared: IndexedSeq[String],
+      dateStyle: IndexedSeq[Boolean], date1904: Boolean): String = {
     def child(name: String): Option[Element] = {
       val kids = c.getChildNodes
       (0 until kids.getLength).iterator.map(kids.item).collectFirst {
@@ -119,8 +191,17 @@ object XlsxCodec {
       case "b" =>
         if (child("v").exists(_.getTextContent.trim == "1")) "true"
         else "false"
-      case _ => // "str", "n", or untyped numeric: raw cached text
+      case "str" => // formula-cached string: raw cached text
         child("v").map(_.getTextContent).getOrElse("")
+      case _ => // "n" or untyped numeric: raw <v> text (no float
+        // round-trip) — except DATE-STYLED cells, which render as the
+        // pandas Timestamp string pd.read_excel hands the reference
+        val v = child("v").map(_.getTextContent).getOrElse("")
+        val styled = Option(c.getAttribute("s")).filter(_.nonEmpty)
+          .flatMap(_.toIntOption).exists(dateStyle.lift(_).contains(true))
+        if (styled && v.nonEmpty)
+          serialDate(java.lang.Double.parseDouble(v.trim), date1904)
+        else v
     }
   }
 

@@ -514,6 +514,83 @@ class DocTextSpec extends SparkSpec {
     assert(e.getMessage.contains("out of order"))
   }
 
+  test("xlsx decode: date-styled numeric cells render as timestamps") {
+    import graft.ingest.XlsxCodec
+    // the pd.read_excel surface: a real workbook styles date cells via
+    // cellXfs numFmtId; the raw serial ("43831") is useless to the
+    // record pipeline where the reference sees "2020-01-01 00:00:00"
+    assert(XlsxCodec.serialDate(43831, date1904 = false)
+      == "2020-01-01 00:00:00")
+    assert(XlsxCodec.serialDate(43831.5, date1904 = false)
+      == "2020-01-01 12:00:00")
+    assert(XlsxCodec.serialDate(2, date1904 = false)
+      == "1900-01-02 00:00:00")
+    // the 1900-leap-bug boundary, openpyxl-parity: 59 and 60 both map
+    // to Feb 28; 61 is Mar 1 (the phantom Feb 29 is absorbed)
+    assert(XlsxCodec.serialDate(59, date1904 = false)
+      == "1900-02-28 00:00:00")
+    assert(XlsxCodec.serialDate(60, date1904 = false)
+      == "1900-02-28 00:00:00")
+    assert(XlsxCodec.serialDate(61, date1904 = false)
+      == "1900-03-01 00:00:00")
+    // 1904 system: epoch shifts, 1904 is a leap year
+    assert(XlsxCodec.serialDate(366, date1904 = true)
+      == "1905-01-01 00:00:00")
+    // time-only / negative serials refuse loudly
+    intercept[IllegalArgumentException](
+      XlsxCodec.serialDate(0.5, date1904 = false))
+    // whole-workbook: builtin date style (14), custom date style, a
+    // custom NON-date style, and an unstyled numeric in one row
+    val main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val pkg = "http://schemas.openxmlformats.org/package/2006/relationships"
+    def zipOf(entries: (String, String)*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(out)
+      for ((n, d) <- entries) {
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(d.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); out.toByteArray
+    }
+    def wb(extra: String, withStyles: Boolean): Array[Byte] = zipOf(
+      (Seq(
+        "xl/workbook.xml" ->
+          s"""<workbook xmlns="$main" xmlns:r="$rel">$extra<sheets>
+             |<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+            .stripMargin,
+        "xl/_rels/workbook.xml.rels" ->
+          s"""<Relationships xmlns="$pkg"><Relationship Id="rId1"
+             | Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin,
+        "xl/worksheets/sheet1.xml" ->
+          s"""<worksheet xmlns="$main"><sheetData><row r="1">
+             |<c r="A1" s="1"><v>43831</v></c>
+             |<c r="B1" s="2"><v>43831.5</v></c>
+             |<c r="C1" s="3"><v>43831</v></c>
+             |<c r="D1"><v>43831</v></c></row></sheetData></worksheet>"""
+            .stripMargin) ++
+      (if (withStyles) Seq("xl/styles.xml" ->
+        s"""<styleSheet xmlns="$main">
+           |<numFmts count="2">
+           |<numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd"/>
+           |<numFmt numFmtId="165" formatCode="0.00 &quot;days&quot;"/>
+           |</numFmts>
+           |<cellXfs count="4">
+           |<xf numFmtId="0"/><xf numFmtId="14"/>
+           |<xf numFmtId="164"/><xf numFmtId="165"/>
+           |</cellXfs></styleSheet>""".stripMargin) else Nil)): _*)
+    assert(XlsxCodec.decode(wb("", withStyles = true)).head.rows ==
+      Seq(Seq("2020-01-01 00:00:00", "2020-01-01 12:00:00",
+        "43831", "43831")))
+    // no styles.xml at all: raw serials (the pre-r10 behavior holds)
+    assert(XlsxCodec.decode(wb("", withStyles = false)).head.rows ==
+      Seq(Seq("43831", "43831.5", "43831", "43831")))
+    // 1904-system workbook: same styled cell, shifted epoch
+    val rows1904 = XlsxCodec.decode(
+      wb("""<workbookPr date1904="1"/>""", withStyles = true)).head.rows
+    assert(rows1904.head.head == "2024-01-02 00:00:00") // 1904 + 43831d
+  }
+
   test("xlsx extraction: first sheet wins, else union across all sheets") {
     import graft.ingest.{DocParse, XlsxCodec}
     val valid = Seq(Seq("Event", "Venue"), Seq("Gala Night", "City Hall"))
