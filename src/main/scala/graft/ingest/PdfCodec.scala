@@ -53,6 +53,7 @@ object PdfCodec {
   // text-scanning serialized objects, or an XRef's binary rows, is the
   // same garbage path as scanning image pixels)
   private val TypeContainer = "/Type\\s*/(ObjStm|XRef)".r
+  private val TypeObjStm = "/Type\\s*/ObjStm".r
   // indirect form FIRST: "/Length 12 0 R" must never bind as literal
   // 12 — the trailing (?![0-9A-Za-z]) keeps `R` a whole token
   private val IndirectLen = "/Length\\s+(\\d+)\\s+(\\d+)\\s+R(?![0-9A-Za-z])".r
@@ -160,10 +161,19 @@ object PdfCodec {
     lines.result()
   }
 
+  // integer-parameter probes, compiled once per distinct name (the
+  // dict vocabulary is tiny and fixed — same hoisting rule as above)
+  private val IntParmPatterns = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.util.matching.Regex]()
   /** Integer parameter from a dict (top-level or /DecodeParms). */
-  private def intParm(dict: String, name: String, dflt: Int): Int =
-    (java.util.regex.Pattern.quote(name) + "\\s+(\\d+)").r
-      .findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
+  private def intParm(dict: String, name: String, dflt: Int): Int = {
+    var r = IntParmPatterns.get(name)
+    if (r == null) {
+      r = (java.util.regex.Pattern.quote(name) + "\\s+(\\d+)").r
+      if (IntParmPatterns.size < 64) IntParmPatterns.put(name, r)
+    }
+    r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
+  }
 
   /** Apply a stream dict's declared filter chain + predictor to its
     * raw bytes. ORDERED filter list (single name or array) — PDF
@@ -298,7 +308,7 @@ object PdfCodec {
           val e0 = raw.indexOf("endstream", i)
           if (e0 > i) e0 else raw.length
         }
-      if ("/Type\\s*/ObjStm".r.findFirstIn(dict).isDefined &&
+      if (TypeObjStm.findFirstIn(dict).isDefined &&
           e <= raw.length) {
         try {
           val data = decodeFiltered(dict,

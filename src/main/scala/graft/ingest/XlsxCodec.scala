@@ -26,6 +26,11 @@ object XlsxCodec {
 
   final case class Sheet(name: String, rows: Seq[Seq[String]])
 
+  // encoder-side numeric-cell probe, hoisted: encode runs per ROW in
+  // the roundtrip gates (q177/q181), so a per-call compile is the same
+  // executor waste class as PdfCodec's hoisted dict probes
+  private val NumericCell = "-?\\d+(\\.\\d+)?".r
+
   private val MAIN =
     "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
   private val REL =
@@ -269,7 +274,7 @@ object XlsxCodec {
       case '"' => "&quot;"
       case c => c.toString
     }
-    val numeric = "-?\\d+(\\.\\d+)?".r
+    val numeric = NumericCell
     val sst = collection.mutable.LinkedHashMap.empty[String, Int]
     def sstIdx(s: String): Int = sst.getOrElseUpdate(s, sst.size)
 
