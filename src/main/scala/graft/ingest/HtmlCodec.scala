@@ -198,7 +198,24 @@ object HtmlCodec {
         }
   }
 
+  // parsed-selector memo: a config carries a handful of selector
+  // strings and extraction runs PER DOCUMENT ROW (q180/q202), so
+  // re-parsing — two regex compiles per selector part — is per-row
+  // executor waste (the r9-ADVICE class). Bounded; misses parse fresh.
+  private val SelectorCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Simple]]()
   private def parseSelector(sel: String): Seq[Simple] = {
+    val cached = SelectorCache.get(sel)
+    if (cached != null) return cached
+    val parsed = parseSelectorUncached(sel)
+    if (SelectorCache.size < 1024) SelectorCache.put(sel, parsed)
+    parsed
+  }
+
+  private val SelPart = "^([a-zA-Z0-9-]+)?((?:[.#][a-zA-Z0-9_-]+)*)$".r
+  private val SelQual = "[.#][a-zA-Z0-9_-]+".r
+
+  private def parseSelectorUncached(sel: String): Seq[Simple] = {
     require(!sel.startsWith("xpath:"),
       s"xpath: selector reached the CSS parser (dispatch bug): $sel")
     val s = sel.stripPrefix("css:").trim
@@ -210,10 +227,9 @@ object HtmlCodec {
       else {
         // a token may carry glued > combinators: a>b
         for ((part, k) <- tok.split(">").zipWithIndex if part.nonEmpty) {
-          val m = "^([a-zA-Z0-9-]+)?((?:[.#][a-zA-Z0-9_-]+)*)$".r
-            .findFirstMatchIn(part).getOrElse(
+          val m = SelPart.findFirstMatchIn(part).getOrElse(
               throw new IllegalArgumentException(s"bad selector part: $part"))
-          val quals = "[.#][a-zA-Z0-9_-]+".r
+          val quals = SelQual
             .findAllIn(Option(m.group(2)).getOrElse("")).toSeq
           out += Simple(Option(m.group(1)).map(_.toLowerCase),
             quals.filter(_.startsWith(".")).map(_.drop(1)),
