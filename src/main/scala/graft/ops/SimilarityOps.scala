@@ -182,10 +182,10 @@ object SimilarityOps {
   }
 
   /** Signed lattice cosine ×1e8: sign(num) · ⌊num²·10⁸ / (‖a‖²·‖b‖²)⌋,
-    * all integers — num ≤ 64·2¹⁰·2¹⁰ keeps num²·10⁸ inside
-    * DECIMAL(38,0) (and DuckDB HUGEINT), the IntegralDivide truncates
-    * identically on both engines (positive operands), and the final
-    * value ≤ 10⁸ final-casts to BIGINT (the no-DECIMAL output gate). */
+    * all LONG integers (split division, see latticeScoreE8) — the
+    * oracle computes the same value in HUGEINT, both truncate
+    * identically on the positive operands, and the result ≤ 10⁸ is a
+    * plain BIGINT (the no-DECIMAL output gate). */
   def latticeCosE8(a: Column, b: Column): Column = {
     import graft.functions.LongDotExpr.longDot
     latticeScoreE8(longDot(a, b), longDot(a, a) * longDot(b, b))

@@ -124,10 +124,10 @@ class GeoSimSpec extends SparkSpec {
       assert(got.nonEmpty)
       // the query vector itself: signed ⌊cos²·1e8⌋ = exactly 1e8
       assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 100000000L)
-      // every integer score approximates sign(cos)·cos²·1e8 — the
-      // quantization error bound for the floor(x·1000) lattice on
-      // unit-norm vectors is ≲ 64·2·(0.001/1) ≈ 1.3e-1... measured
-      // far tighter; 5e5 (0.5% of full scale) pins the relation
+      // every integer score approximates sign(cos)·cos²·1e8: the
+      // floor(x·1000) quantization perturbs each component by < 1e-3,
+      // so cos moves by O(dim·1e-3/‖v‖) ≈ a few 1e-3 on unit vectors;
+      // 5e5 (0.5% of full scale) pins the relation with slack
       got.foreach { r =>
         val c = cosOf(r.getLong(0))
         val want = math.signum(c) * c * c * 1e8
