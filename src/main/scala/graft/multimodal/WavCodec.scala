@@ -88,7 +88,13 @@ object WavCodec {
       }
     }
     require(rate > 0, "no fmt chunk")
+    // a hostile fmt chunk can declare 0 (or negative, as a short) channels
+    // — downstream per-channel math would divide by it or silently emit
+    // empty frames; refuse loudly like every other shape violation
+    require(channels > 0, s"bad channel count $channels")
     require(samples != null, "no data chunk")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not divisible by $channels channels")
     (rate, channels, samples)
   }
 }

@@ -55,5 +55,12 @@ class WavCodecSpec extends AnyFunSuite {
     // truncated data chunk: declared size beyond the buffer
     val trunc = ok.dropRight(2)
     assertThrows[IllegalArgumentException](WavCodec.decodePcm16(trunc))
+    // zero channels in the fmt chunk: per-channel math downstream would
+    // divide by it — refused, not silently decoded
+    val zeroCh = ok.clone(); zeroCh(22) = 0
+    assertThrows[IllegalArgumentException](WavCodec.decodePcm16(zeroCh))
+    // channel count that doesn't divide the sample count
+    val threeCh = ok.clone(); threeCh(22) = 3
+    assertThrows[IllegalArgumentException](WavCodec.decodePcm16(threeCh))
   }
 }
