@@ -91,6 +91,16 @@ object Bench {
       val s = xs.sorted
       s(s.length / 2)
     }
+    // JSON string escape for everything interpolated into the artifact
+    // and the stdout lines: sfDir comes from the environment, and a
+    // quote or backslash in it would otherwise emit invalid JSON that
+    // round-over-round tooling can't parse
+    def jesc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val allRuns = selected.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -110,7 +120,7 @@ object Bench {
       // OOMing query look healthy to JSON-only round-over-round tooling
       name -> (if (times.size < runs) -1.0 else median(times))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + jesc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     // Full per-query artifact on disk (r9 verdict #2): the driver's
@@ -124,11 +134,11 @@ object Bench {
     if (outPath.nonEmpty) try {
       val detail = allRuns.toSeq.sortBy(_._1).map { case (name, times) =>
         val med = results(name)
-        s"""  "$name": {"median": $med, "runs": [${times.mkString(", ")}]}"""
+        s"""  "${jesc(name)}": {"median": $med, "runs": [${times.mkString(", ")}]}"""
       }.mkString(",\n")
       val json =
         s"""{
-           |"sf": "$sfDir",
+           |"sf": "${jesc(sfDir)}",
            |"runs_per_query": $runs,
            |"load1_at_start": $load1,
            |"total_of_medians": $total,
@@ -147,8 +157,8 @@ object Bench {
     // Per-query detail first; the short total line LAST so the driver's
     // tail-capture always sees a complete, parseable total (BENCH_r02 lost
     // its headline number to a front-loaded total on one very long line).
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"load1_at_start":$load1}""")
+    println(s"""{"metric":"queries","queries":$qs,"sf":"${jesc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${jesc(sfDir)}","runs_per_query":$runs,"load1_at_start":$load1}""")
     spark.stop()
   }
 }

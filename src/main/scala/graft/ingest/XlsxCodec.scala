@@ -31,6 +31,12 @@ object XlsxCodec {
   // executor waste class as PdfCodec's hoisted dict probes
   private val NumericCell = "-?\\d+(\\.\\d+)?".r
 
+  // leading elapsed-duration marker in a custom formatCode ([h]:mm:ss,
+  // [mm]:ss — openpyxl's is_timedelta_format test is startswith on the
+  // same markers); hoisted: dateStyles runs once per workbook, which is
+  // once per ROW in the q177/q181 roundtrip gates
+  private val ElapsedMarker = "(?i)^\\s*\\[(h+|m+|s+)\\]".r
+
   private val MAIN =
     "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
   private val REL =
@@ -94,24 +100,33 @@ object XlsxCodec {
   }
 
   /** Per-cellXf is-date-format flags from styles.xml: builtin date/time
-    * numFmtIds (ECMA-376 §18.8.30: 14-22 dates, 27-36 era dates, 45-47
-    * times, 50-58 era dates) plus custom formatCodes carrying a
-    * date/time token (y/m/d/h/s) outside quoted "..." and [...] spans —
-    * the same heuristic openpyxl applies, which is what pd.read_excel
-    * rides in the reference. */
+    * numFmtIds (ECMA-376 §18.8.30: 14-22 dates, 27-36 era dates, 45+47
+    * times, 50-58 era dates — 46 `[h]:mm:ss` is an ELAPSED duration,
+    * openpyxl's timedelta, so it stays a raw serial) plus custom
+    * formatCodes carrying a date/time token (y/m/d/h/s) outside quoted
+    * "..." and [...] spans — the same heuristic openpyxl applies, which
+    * is what pd.read_excel rides in the reference. Custom codes whose
+    * LEADING token is an elapsed marker ([h]/[mm]/[ss]…, openpyxl's
+    * is_timedelta test) are durations, not datetimes: the bracket strip
+    * below would otherwise drop the marker and the leftover mm/ss
+    * tokens would misclassify the style as a date. */
   private[graft] def dateStyles(styles: Array[Byte]): IndexedSeq[Boolean] = {
     val doc = dom(styles)
-    val builtin = ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+    val builtin =
+      ((14 to 22) ++ (27 to 36) ++ Seq(45, 47) ++ (50 to 58)).toSet
     val custom: Map[Int, Boolean] = {
       val ns = doc.getElementsByTagNameNS(MAIN, "numFmt")
       (0 until ns.getLength).map(ns.item(_).asInstanceOf[Element])
         .map { e =>
           val code = e.getAttribute("formatCode")
-          // strip "..."-quoted literals, \-escaped chars and [...] spans
-          val bare = code.replaceAll("\"[^\"]*\"", "")
-            .replaceAll("\\\\.", "").replaceAll("\\[[^\\]]*\\]", "")
+          // strip "..."-quoted literals and \-escaped chars first, so a
+          // quoted "[h]" can't fake an elapsed marker
+          val noQuotes = code.replaceAll("\"[^\"]*\"", "")
+            .replaceAll("\\\\.", "")
+          val elapsed = ElapsedMarker.pattern.matcher(noQuotes).find()
+          val bare = noQuotes.replaceAll("\\[[^\\]]*\\]", "")
           e.getAttribute("numFmtId").toInt ->
-            bare.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+            (!elapsed && bare.exists(c => "ymdhsYMDHS".indexOf(c) >= 0))
         }.toMap
     }
     // cellXfs only (cellStyleXfs are templates, never referenced by s=)
@@ -132,14 +147,20 @@ object XlsxCodec {
     * Epochs per the ECMA/openpyxl rule: 1900 system uses 1899-12-31
     * for serials < 60 and 1899-12-30 from 60 up (absorbing the
     * phantom 1900-02-29 the way openpyxl does); 1904 system counts
-    * from 1904-01-01. Serials below 1 (time-only cells) refuse
-    * loudly — a bare time has no date to render. */
+    * from 1904-01-01. Serials in [0, 1) carry no date part — openpyxl
+    * hands pandas a datetime.time there, whose string form is
+    * "HH:mm:ss" — so they render as time-of-day. Only NEGATIVE serials
+    * refuse loudly (no date or time to render). */
   private[graft] def serialDate(serial: Double, date1904: Boolean)
       : String = {
-    require(serial >= 1, s"xlsx date serial $serial < 1 (time-only or " +
-      "negative) — no date to render")
+    require(serial >= 0,
+      s"xlsx date serial $serial is negative — no date or time to render")
     val days = math.floor(serial).toLong
     val secs = math.round((serial - days) * 86400.0)
+    if (days == 0) { // time-only cell: openpyxl's datetime.time surface
+      val s = if (secs >= 86400) 0L else secs // x.99999… wraps to midnight
+      return f"${s / 3600}%02d:${s % 3600 / 60}%02d:${s % 60}%02d"
+    }
     val (d, sec) = if (secs >= 86400) (days + 1, 0L) else (days, secs)
     val epoch =
       if (date1904) java.time.LocalDate.of(1904, 1, 1)
@@ -198,12 +219,16 @@ object XlsxCodec {
         else "false"
       case "str" => // formula-cached string: raw cached text
         child("v").map(_.getTextContent).getOrElse("")
-      case _ => // "n" or untyped numeric: raw <v> text (no float
-        // round-trip) — except DATE-STYLED cells, which render as the
-        // pandas Timestamp string pd.read_excel hands the reference
+      case t => // "n"/untyped numeric, "d" (ISO-8601 date text) or "e"
+        // (error literal like #DIV/0!): raw <v> text (no float
+        // round-trip) — except date-styled NUMERIC cells, which render
+        // as the pandas Timestamp string pd.read_excel hands the
+        // reference. t="d"/t="e" payloads are not serials, so the
+        // conversion is gated on the numeric types only.
         val v = child("v").map(_.getTextContent).getOrElse("")
-        val styled = Option(c.getAttribute("s")).filter(_.nonEmpty)
-          .flatMap(_.toIntOption).exists(dateStyle.lift(_).contains(true))
+        val styled = (t.isEmpty || t == "n") &&
+          Option(c.getAttribute("s")).filter(_.nonEmpty)
+            .flatMap(_.toIntOption).exists(dateStyle.lift(_).contains(true))
         if (styled && v.nonEmpty)
           serialDate(java.lang.Double.parseDouble(v.trim), date1904)
         else v

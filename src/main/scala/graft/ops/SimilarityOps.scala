@@ -213,7 +213,15 @@ object SimilarityOps {
     import graft.Tables.ldiv
     val n2t = num * num * 10000L
     val mag = ldiv(n2t, den) * 10000L + ldiv((n2t % den) * 10000L, den)
-    signum(num).cast("long") * when(den <= MaxDen, mag)
+    // den = 0 (an all-zero lattice vector) must refuse loudly on BOTH
+    // engines: the oracle's HUGEINT `//` raises division-by-zero, but
+    // Spark's non-ANSI IntegralDivide would return NULL — a silent
+    // engine divergence on degenerate data without this branch
+    signum(num).cast("long") *
+      when(den <= 0, raise_error(lit(
+        "latticeScoreE8: zero norm product — an all-zero embedding has " +
+          "no cosine; filter degenerate vectors upstream")).cast("long"))
+      .when(den <= MaxDen, mag)
       .otherwise(raise_error(lit(
         "latticeScoreE8: norm product exceeds the long-split bound " +
           "(den > 2^63/1e4) — vectors are far off unit norm")).cast("long"))

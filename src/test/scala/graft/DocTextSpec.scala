@@ -536,9 +536,17 @@ class DocTextSpec extends SparkSpec {
     // 1904 system: epoch shifts, 1904 is a leap year
     assert(XlsxCodec.serialDate(366, date1904 = true)
       == "1905-01-01 00:00:00")
-    // time-only / negative serials refuse loudly
+    // time-only serials (< 1) render as time-of-day — openpyxl hands
+    // pandas a datetime.time there, str() == "HH:mm:ss"; only NEGATIVE
+    // serials refuse loudly
+    assert(XlsxCodec.serialDate(0.5, date1904 = false) == "12:00:00")
+    assert(XlsxCodec.serialDate(0.0, date1904 = false) == "00:00:00")
+    assert(XlsxCodec.serialDate(0.75, date1904 = true) == "18:00:00")
+    // 0.999999999 rounds to the next midnight: wraps, never "24:00:00"
+    assert(XlsxCodec.serialDate(0.999999999, date1904 = false)
+      == "00:00:00")
     intercept[IllegalArgumentException](
-      XlsxCodec.serialDate(0.5, date1904 = false))
+      XlsxCodec.serialDate(-0.5, date1904 = false))
     // whole-workbook: builtin date style (14), custom date style, a
     // custom NON-date style, and an unstyled numeric in one row
     val main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
@@ -567,24 +575,41 @@ class DocTextSpec extends SparkSpec {
              |<c r="A1" s="1"><v>43831</v></c>
              |<c r="B1" s="2"><v>43831.5</v></c>
              |<c r="C1" s="3"><v>43831</v></c>
-             |<c r="D1"><v>43831</v></c></row></sheetData></worksheet>"""
+             |<c r="D1"><v>43831</v></c>
+             |<c r="E1" s="4"><v>0.5</v></c>
+             |<c r="F1" s="5"><v>1.5</v></c>
+             |<c r="G1" s="6"><v>0.25</v></c>
+             |<c r="H1" s="1" t="d"><v>2020-01-01T00:00:00</v></c>
+             |<c r="I1" s="1" t="e"><v>#DIV/0!</v></c>
+             |</row></sheetData></worksheet>"""
             .stripMargin) ++
       (if (withStyles) Seq("xl/styles.xml" ->
         s"""<styleSheet xmlns="$main">
-           |<numFmts count="2">
+           |<numFmts count="3">
            |<numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd"/>
            |<numFmt numFmtId="165" formatCode="0.00 &quot;days&quot;"/>
+           |<numFmt numFmtId="166" formatCode="[h]:mm:ss"/>
            |</numFmts>
-           |<cellXfs count="4">
+           |<cellXfs count="7">
            |<xf numFmtId="0"/><xf numFmtId="14"/>
            |<xf numFmtId="164"/><xf numFmtId="165"/>
+           |<xf numFmtId="18"/><xf numFmtId="46"/><xf numFmtId="166"/>
            |</cellXfs></styleSheet>""".stripMargin) else Nil)): _*)
+    // E1: builtin TIME style (18, h:mm AM/PM) on a serial < 1 renders
+    //     time-of-day, not a throw that fails the whole workbook;
+    // F1: builtin 46 [h]:mm:ss is ELAPSED (openpyxl timedelta) — raw;
+    // G1: custom elapsed [h]:mm:ss — the leading marker keeps the
+    //     style non-date despite the mm/ss tokens — raw;
+    // H1/I1: t="d" and t="e" payloads are not serials — raw text even
+    //     under a date style (previously NumberFormatException)
     assert(XlsxCodec.decode(wb("", withStyles = true)).head.rows ==
       Seq(Seq("2020-01-01 00:00:00", "2020-01-01 12:00:00",
-        "43831", "43831")))
+        "43831", "43831", "12:00:00", "1.5", "0.25",
+        "2020-01-01T00:00:00", "#DIV/0!")))
     // no styles.xml at all: raw serials (the pre-r10 behavior holds)
     assert(XlsxCodec.decode(wb("", withStyles = false)).head.rows ==
-      Seq(Seq("43831", "43831.5", "43831", "43831")))
+      Seq(Seq("43831", "43831.5", "43831", "43831", "0.5", "1.5",
+        "0.25", "2020-01-01T00:00:00", "#DIV/0!")))
     // 1904-system workbook: same styled cell, shifted epoch
     val rows1904 = XlsxCodec.decode(
       wb("""<workbookPr date1904="1"/>""", withStyles = true)).head.rows

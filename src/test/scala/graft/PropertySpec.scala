@@ -281,5 +281,15 @@ class PropertySpec extends SparkSpec {
     val big = Seq.fill(64)(4000000L)
     intercept[Exception](Seq((big, big)).toDF("a", "b")
       .select(SimilarityOps.latticeCosE8($"a", $"b")).collect())
+    // zero-norm (all-zero) vectors refuse loudly too: the oracle's
+    // HUGEINT // raises division-by-zero, and without the den > 0
+    // branch Spark's non-ANSI IntegralDivide would silently yield NULL
+    val zero = Seq.fill(64)(0L)
+    val ones = Seq.fill(64)(1L)
+    val ze = intercept[Exception](Seq((zero, ones)).toDF("a", "b")
+      .select(SimilarityOps.latticeCosE8($"a", $"b")).collect())
+    assert(Option(ze.getMessage).mkString.contains("zero norm") ||
+      Option(ze.getCause).exists(c =>
+        Option(c.getMessage).mkString.contains("zero norm")))
   }
 }
