@@ -129,8 +129,12 @@ object Bench {
     // raw per-run times (run-to-run spread is the variance evidence
     // that separates plan regressions from machine drift — SCALING.md
     // §BENCH). Committed per round as bench/r<N>_full.json.
+    // a SPARK_GRAFT_ONLY-restricted dev run must not clobber the round
+    // artifact with its subset (r11 incident): default to a scratch
+    // path unless the full registry ran or the caller chose explicitly
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench/latest_full.json")
+      if (only.isEmpty) "bench/latest_full.json"
+      else "/tmp/bench_subset.json")
     if (outPath.nonEmpty) try {
       val detail = allRuns.toSeq.sortBy(_._1).map { case (name, times) =>
         val med = results(name)

@@ -639,6 +639,48 @@ class DocTextSpec extends SparkSpec {
       graft.ingest.DocxCodec.encode(Seq("p"))))
   }
 
+  test("xlsx dateStyles: seeded fuzz over hostile format codes") {
+    import graft.ingest.XlsxCodec
+    val main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    // random codes assembled from the tokens real (and hostile) writers
+    // mix: quoted literals, escapes, bracket spans, elapsed markers,
+    // date tokens, digits — three distinct style-classification bugs
+    // shipped in one round (r10 ADVICE), so the surface gets the same
+    // seeded-fuzz treatment as the PDF dict scanner
+    val pool = Seq("yyyy", "mm", "dd", "hh", "ss", "0.00", "#,##0",
+      "\"at h o'clock\"", "\"[h]\"", "[Red]", "[>=100]", "[h]", "[mm]",
+      "[ss]", "\\y", "\\\\", "@", ":", "-", " ", "\"unclosed", "]")
+    val rnd = new scala.util.Random(11)
+    val codes = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(6)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString
+    } :+ "" :+ "\"" :+ "\\" :+ "[[]]" :+ "[h"
+    val styles =
+      s"""<styleSheet xmlns="$main"><numFmts count="${codes.size}">""" +
+        codes.zipWithIndex.map { case (c, i) =>
+          val esc = c.replace("&", "&amp;").replace("<", "&lt;")
+            .replace("\"", "&quot;")
+          s"""<numFmt numFmtId="${164 + i}" formatCode="$esc"/>"""
+        }.mkString +
+        s"""</numFmts><cellXfs count="${codes.size}">""" +
+        codes.indices.map(i => s"""<xf numFmtId="${164 + i}"/>""").mkString +
+        "</cellXfs></styleSheet>"
+    // totality: hostile codes never crash classification
+    val flags = XlsxCodec.dateStyles(styles.getBytes("UTF-8"))
+    assert(flags.size == codes.size)
+    codes.zip(flags).foreach { case (code, isDate) =>
+      val noQuotes = code.replaceAll("\"[^\"]*\"", "").replaceAll("\\\\.", "")
+      // invariant 1: a LEADING elapsed marker is a duration, never a date
+      if (noQuotes.matches("(?i)^\\s*\\[(h+|m+|s+)\\].*"))
+        assert(!isDate, s"elapsed code <$code> classified as date")
+      // invariant 2: date tokens only inside quotes/escapes/brackets
+      // never classify as date
+      if (!noQuotes.replaceAll("\\[[^\\]]*\\]", "")
+          .exists(c => "ymdhsYMDHS".indexOf(c) >= 0))
+        assert(!isDate, s"token-free code <$code> classified as date")
+    }
+  }
+
   test("sniff: magic bytes beat extensions; zip parts discriminate") {
     import graft.ingest.{DocParse, DocxCodec, PdfCodec, XlsxCodec}
     assert(DocParse.sniff(PdfCodec.encode(Seq("x"))) == "pdf")
