@@ -57,6 +57,10 @@ object ShingleFilterSimplify extends Rule[LogicalPlan] {
           Literal(0, IntegerType)) =>
         GreaterThanOrEqual(Size(wx.child, legacy), Literal(wx.k))
       case IsNotNull(wx: WinnowExpr) => IsNotNull(wx.child)
+      case GreaterThan(Size(wx: WinnowMd5Expr, legacy),
+          Literal(0, IntegerType)) =>
+        GreaterThanOrEqual(Size(wx.child, legacy), Literal(wx.k))
+      case IsNotNull(wx: WinnowMd5Expr) => IsNotNull(wx.child)
     }
 }
 
@@ -93,6 +97,10 @@ object GraftFunctions {
         new ExpressionInfo(classOf[WinnowExpr].getName, "winnow"),
         (args: Seq[Expression]) =>
           WinnowExpr(args.head, intArg(args(1), "k"), intArg(args(2), "w"))),
+      (FunctionIdentifier("winnow_md5"),
+        new ExpressionInfo(classOf[WinnowMd5Expr].getName, "winnow_md5"),
+        (args: Seq[Expression]) =>
+          WinnowMd5Expr(args.head, intArg(args(1), "k"), intArg(args(2), "w"))),
       (FunctionIdentifier("stem_tokens"),
         new ExpressionInfo(classOf[StemTokensExpr].getName, "stem_tokens"),
         (args: Seq[Expression]) => StemTokensExpr(args.head)))

@@ -77,6 +77,14 @@ object HashExprs {
   def hyperplane_sigs(vec: Column, dim: Int, planesPerBand: Int,
       bands: Int): Column =
     toCol(HyperplaneSigsExpr(toExpr(vec), dim, planesPerBand, bands))
+
+  /** All banded md5-sign lattice-LSH signatures of a LONG lattice vector
+    * in one JVM pass — the oracle-replayable sibling of hyperplane_sigs
+    * (signs from SimilarityOps.md5PlaneSign at global plane index
+    * band·planesPerBand + j, so DuckDB re-derives every sign). */
+  def lattice_sigs(latVec: Column, dim: Int, planesPerBand: Int,
+      bands: Int): Column =
+    toCol(LatticeSigsExpr(toExpr(latVec), dim, planesPerBand, bands))
 }
 
 /** MinHash signature: for hash family h_i(x) = (a_i·m(x) + b_i) mod p over
@@ -267,6 +275,67 @@ case class HyperplaneSigsExpr(child: Expression, dim: Int,
       : HyperplaneSigsExpr = copy(child = c)
 }
 
+/** Banded sign-random-projection signatures over an INTEGER lattice
+  * vector (ARRAY<BIGINT>, the floor(x·1000) convention) in one pass per
+  * row: for band b and in-band plane j, bit j of signature b is
+  * [Σ_d sign(b·ppb + j, d) · v[d] ≥ 0] with ±1 signs from
+  * [[graft.ops.SimilarityOps.md5PlaneSign]] — the md5 parity rule a SQL
+  * oracle re-derives exactly (q74's conversion to oracle-exact, r11;
+  * same single-source discipline as planeComp for the float twin).
+  * Bit-identical to `bands` declarative latticeSig calls at plane
+  * offsets b·ppb (asserted in AnnContainmentSpec). Wrong-length vectors
+  * yield null — malformed embeddings surface as missing, never
+  * mis-bucketed. */
+case class LatticeSigsExpr(child: Expression, dim: Int,
+    planesPerBand: Int, bands: Int)
+    extends UnaryExpression with EvalCallCodegen {
+  require(dim >= 1 && planesPerBand >= 1 && planesPerBand <= 64 && bands >= 1)
+  override protected def castEval(src: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val signs: Array[Long] = {
+    val total = bands * planesPerBand
+    val a = new Array[Long](total * dim)
+    var p = 0
+    while (p < total) {
+      var d = 0
+      while (d < dim) {
+        a(p * dim + d) = graft.ops.SimilarityOps.md5PlaneSign(p, d)
+        d += 1
+      }
+      p += 1
+    }
+    a
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var j = 0
+      while (j < planesPerBand) {
+        val base = (b * planesPerBand + j) * dim
+        var dot = 0L
+        var d = 0
+        while (d < dim) {
+          dot += arr.getLong(d) * signs(base + d)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1L << j)
+        j += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : LatticeSigsExpr = copy(child = c)
+}
+
 /** Word k-grams in one pass (the HOF sequence/transform/concat version is
   * interpreted per element): order-preserving, distinct when `distinct`
   * (shingles for MinHash/Jaccard), with multiplicity otherwise (n-gram
@@ -363,6 +432,226 @@ object WinnowExpr {
   import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
   def winnow(toks: Column, k: Int, w: Int): Column =
     toCol(WinnowExpr(toExpr(toks), k, w))
+}
+
+/** Winnowing with an md5 fingerprint family — the oracle-replayable
+  * twin of [[WinnowExpr]] (q68's conversion to oracle-exact, r11): the
+  * k-gram hash is md5 of the space-joined gram (the q227 shingle
+  * convention), kept as the lowercase-hex STRING so the window minimum
+  * is a plain lexicographic compare both engines order identically
+  * (lowercase hex ≡ the 128-bit value). Same selection rule — windows
+  * of `w` consecutive grams, each window's minimum, RIGHTMOST on ties,
+  * distinct — and the same ≥ w+k-1 shared-run guarantee (the guarantee
+  * is hash-family-independent; PropertySpec pins both). One md5 per
+  * k-gram per row; fingerprints are ~2/(w+1) of grams, so postings
+  * stay the sampled size that makes winnowing the corpus-scale
+  * fingerprint. */
+case class WinnowMd5Expr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with EvalCallCodegen {
+  require(k >= 1 && w >= 1)
+  override protected def castEval(src: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    val gh = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      md.reset()
+      val dig = md.digest(sb.toString.getBytes("UTF-8"))
+      val out = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        out(b * 2) = hex((dig(b) >> 4) & 0xf)
+        out(b * 2 + 1) = hex(dig(b) & 0xf)
+        b += 1
+      }
+      gh(i) = new String(out)
+      i += 1
+    }
+    val sel = new java.util.LinkedHashSet[String]()
+    val lastWin = math.max(nGrams - w, 0)
+    var s = 0
+    while (s <= lastWin) {
+      val end = math.min(s + w, nGrams)
+      var minIdx = s
+      var j = s + 1
+      while (j < end) {
+        if (gh(j).compareTo(gh(minIdx)) <= 0) minIdx = j // rightmost min
+        j += 1
+      }
+      sel.add(gh(minIdx))
+      s += 1
+    }
+    val res = new Array[AnyRef](sel.size)
+    val it = sel.iterator()
+    var r = 0
+    while (it.hasNext) {
+      res(r) = UTF8String.fromString(it.next()); r += 1
+    }
+    new GenericArrayData(res)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowMd5Expr =
+    copy(child = c)
+}
+
+object WinnowMd5Expr {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
+  def winnowMd5(toks: Column, k: Int, w: Int): Column =
+    toCol(WinnowMd5Expr(toExpr(toks), k, w))
+}
+
+/** All `numHashes` md5-seeded minima of a string-array column in one
+  * JVM pass — the oracle-replayable MinHash signature (q17's family,
+  * r11). ONE md5 per element supplies two 28-bit integers (hex nibbles
+  * 0-6 → x1, 7-13 → x2, little-endian in the nibble index); seed r's
+  * hash is the Carter–Wegman linear form (x1 + r·x2) mod (2³¹−1) —
+  * every value a SQL engine rebuilds from instr/substr on md5(element)
+  * plus integer arithmetic. The first cut hashed md5("r:"||element)
+  * per seed — 64 digests per element measured ×4.5 at sf0.1 even
+  * fused; the CW form is 64 integer ops per digest instead. All
+  * intermediates < 2⁴⁰, so BIGINT on both engines. Null for a null
+  * input; empty array → empty signature (callers filter empty sets). */
+case class MinHashMd5SigExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with EvalCallCodegen {
+  require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 512)
+  override protected def castEval(src: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  private val P = 2147483647L // 2^31 - 1
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val numHashes = bands * rowsPerBand
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val dig = md.digest(arr.getUTF8String(i).getBytes)
+      // nibble q (0-based hex-char index): even = high nibble
+      def nib(q: Int): Long =
+        (if ((q & 1) == 0) (dig(q / 2) >> 4) & 0xf else dig(q / 2) & 0xf)
+          .toLong
+      var x1 = 0L; var x2 = 0L
+      var q = 0
+      while (q < 7) {
+        x1 += nib(q) << (4 * q)
+        x2 += nib(7 + q) << (4 * q)
+        q += 1
+      }
+      var r = 0
+      while (r < numHashes) {
+        val h = (x1 + r * x2) % P
+        if (h < mins(r)) mins(r) = h
+        r += 1
+      }
+      i += 1
+    }
+    // band keys built here too: a declarative slice/transform/concat_ws
+    // over the min array evaluated interpreted per band (the r11 bench
+    // found it alongside the md5 cost)
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append('|')
+        sb.append(mins(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : MinHashMd5SigExpr = copy(child = c)
+}
+
+object MinHashMd5SigExpr {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
+  /** array[bands] of '|'-joined per-band row-min strings. */
+  def minhashMd5Bands(elems: Column, bands: Int, rowsPerBand: Int): Column =
+    toCol(MinHashMd5SigExpr(toExpr(elems), bands, rowsPerBand))
+}
+
+/** The 64-bit md5-nibble SimHash of a token array, returned as `chunks`
+  * pigeonhole chunk values (bitsPer = 64/chunks each) — the
+  * oracle-replayable fingerprint (q18's family, r11). Bit j of the
+  * fingerprint is the multiplicity-weighted majority (ties to 1) of
+  * bit j%4 of md5-hex nibble j/4 over the doc's tokens — exactly the
+  * vote table a SQL engine rebuilds from instr/substr on md5(tk). The
+  * declarative twin (64 conditional sums over a (doc, token) rollup)
+  * measured ×5.8 at sf0.1; here each token is one MessageDigest call
+  * and one 64-counter update loop. Chunked output keeps the sign bit
+  * untouched on both engines. */
+case class SimHashMd5ChunksExpr(child: Expression, chunks: Int)
+    extends UnaryExpression with EvalCallCodegen {
+  require(chunks >= 1 && 64 % chunks == 0, s"chunks=$chunks must divide 64")
+  override protected def castEval(src: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val dig = md.digest(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        val q = j / 4 // hex-char index; even = high nibble of byte q/2
+        val nib =
+          if ((q & 1) == 0) (dig(q / 2) >> 4) & 0xf else dig(q / 2) & 0xf
+        votes(j) += (if (((nib >> (j % 4)) & 1) == 1) 1L else -1L)
+        j += 1
+      }
+      i += 1
+    }
+    val bitsPer = 64 / chunks
+    val out = new Array[Long](chunks)
+    var c = 0
+    while (c < chunks) {
+      var fv = 0L
+      var b = 0
+      while (b < bitsPer) {
+        if (votes(c * bitsPer + b) >= 0) fv |= (1L << b)
+        b += 1
+      }
+      out(c) = fv
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : SimHashMd5ChunksExpr = copy(child = c)
+}
+
+object SimHashMd5ChunksExpr {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
+  def simhashMd5Chunks(toks: Column, chunks: Int): Column =
+    toCol(SimHashMd5ChunksExpr(toExpr(toks), chunks))
 }
 
 /** Exact integer dot product of two BIGINT arrays in one tight codegen'd

@@ -146,6 +146,48 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** MinHash-LSH near-dup pairs on the md5 hash family — the
+    * oracle-replayable twin of [[minhashLshPairs]] (q17's conversion to
+    * oracle-exact, r11; q227's seed-min family at the full
+    * bands×rowsPerBand scheme). Same plan shape as minhashLshPairs: one
+    * fused signature projection per doc (MinHashMd5SigExpr — all
+    * bands·rows seed-minima in one JVM pass; lexicographic min of
+    * lowercase md5 hex ≡ min of the 128-bit value, portable), band keys
+    * are the concatenated row-mins, candidates come from the
+    * (band, key) shuffle join, and only the verified candidate set ever
+    * rejoins the shingle payload — ids move through the bucket shuffle,
+    * not documents. Verification is the exact Jaccard, so the output is
+    * the md5-banding's candidate recall over the true pair set. */
+  def minhashMd5LshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = graft.functions.ShinglesExpr.shingles(
+      TextOps.tokens(col("__text")), shingleK)
+    val withSh = Partitioning.ensureParallel(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+    // fused one-pass signature + band keys (the declarative 64-min-agg
+    // twin cost ×6.7 at sf0.1, and the slice/transform/concat_ws band
+    // build another interpreted layer — r11 bench findings, same class
+    // as minhash_sig). Band key = '|'-joined row-mins (integers need a
+    // separator: "12|3" vs "1|23"); the oracle builds the same string.
+    val buckets = withSh.select(col("id"), posexplode(
+      graft.functions.MinHashMd5SigExpr.minhashMd5Bands(
+        col("sh"), bands, rowsPerBand)).as(Seq("band", "bh")))
+      .select(struct(col("band"), col("bh")).as("bk"), col("id"))
+    val a = buckets.select(col("bk"), col("id").as("a_id"))
+    val b = buckets.select(col("bk"), col("id").as("b_id"))
+    val candidates = a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    candidates
+      .join(withSh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(withSh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard", round(jaccard(col("a_sh"), col("b_sh")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin shape): same
     * result set as `jaccardPairs`, far fewer joined postings. Under any
     * global token order, two sets with J ≥ t must share a token within
@@ -362,6 +404,49 @@ object DedupOps {
       .select("a_id", "b_id", "a_h", "b_h").dropDuplicates("a_id", "b_id")
       .withColumn("hamming",
         bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** SimHash near-dup pairs on the md5 hash family — the
+    * oracle-replayable twin of [[simhashPairs]] (q18's conversion to
+    * oracle-exact, r11; the q253 16-bit vote sketch widened to the full
+    * 64-bit pair pipeline). Same plan shape as simhashPairs: one fused
+    * fingerprint projection per doc (SimHashMd5ChunksExpr — per-
+    * occurrence votes, exactly the count-weighted vote table the
+    * oracle rebuilds from a (doc, token) rollup), pigeonhole
+    * chunk-equality candidates, exact popcount verification. The
+    * 64-bit fingerprint lives as (maxHamming+1) chunk columns end to
+    * end — never packed into one BIGINT — so neither engine touches
+    * the sign bit and the oracle replays chunk-by-chunk. Bit j =
+    * [Σ_tok (2·bit_j(md5(tok))−1) ≥ 0] with bit_j read from md5's hex
+    * nibble j/4 (ties to 1, matching simhashPairs' majority rule). */
+  def simhashMd5Pairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    require(64 % chunks == 0, s"maxHamming+1 = $chunks must divide 64")
+    // fused one-pass fingerprint per doc — no (doc, token) rollup at
+    // all, matching simhashPairs' shape (the declarative 64-vote-agg
+    // twin cost ×5.8 at sf0.1 — r11 bench finding)
+    val sigs = Partitioning.ensureParallel(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .withColumn("__fc", graft.functions.SimHashMd5ChunksExpr
+        .simhashMd5Chunks(TextOps.tokens(col("__text")), chunks))
+      .select(col("id") +: (0 until chunks).map(cx =>
+        element_at(col("__fc"), cx + 1).as(s"f$cx")): _*)
+    val bucketed = sigs.withColumn("bk",
+      explode(array((0 until chunks).map(cx =>
+        struct(lit(cx).as("chunk"), col(s"f$cx").as("cv"))): _*)))
+    val a = bucketed.select(col("bk") +: col("id").as("a_id") +:
+      (0 until chunks).map(cx => col(s"f$cx").as(s"a$cx")): _*)
+    val b = bucketed.select(col("bk") +: col("id").as("b_id") +:
+      (0 until chunks).map(cx => col(s"f$cx").as(s"b$cx")): _*)
+    val ham = (0 until chunks).map(cx =>
+      bit_count(col(s"a$cx").bitwiseXOR(col(s"b$cx")))).reduce(_ + _)
+      .cast("long")
+    a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", ham)
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }

@@ -387,9 +387,13 @@ object SimilarityOps {
     * recall returns exponentially. */
   private[graft] def autoPlanes(n: Long, floor: Int,
       targetBucket: Long = 128L, cap: Int = 12): Int = {
-    val needed = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
-    math.max(floor, math.min(cap, needed))
+    // needed = ⌈log2(max(1, n/targetBucket))⌉, computed in INTEGER
+    // arithmetic (smallest p with targetBucket·2^p ≥ n) so an oracle
+    // can replay the derivation exactly — the FP log2 form risks a
+    // ±1-ulp ceil flip at exact powers of two (r11, q74 oracle)
+    var needed = 0
+    while (needed < cap && (targetBucket << needed) < n) needed += 1
+    math.max(floor, needed)
   }
 
   /** All-pairs top-k neighbor join via banded multi-table LSH (each vector
@@ -434,5 +438,38 @@ object SimilarityOps {
       .orderBy(desc("cos_sim"), asc("b_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("a_id", "b_id", "cos_sim")
+  }
+
+  /** md5-replayable banded ANN self-join (oracle-exact q74 form, r11):
+    * the exact plan shape of [[annSelfJoin]] — one fused-signature pass
+    * per row, `bands` bucket-joins on (band, sig), cross-band dedup
+    * BEFORE scoring, partitioned top-k window — but on the floor(x·1000)
+    * integer lattice with md5-derived plane signs and the signed
+    * ⌊num²·1e8/(na·nb)⌋ score, so every number replays in DuckDB like
+    * q25/q44. The 100 TB story is unchanged: per-band bucket density is
+    * what autoPlanes holds flat, and no stage materializes a cross
+    * product. Output: (a_id, b_id, lat_cos_e8), both directions, k best
+    * bucket-mates per vector. */
+  def latticeAnnSelfJoin(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, planesPerBand: Int, bands: Int): DataFrame = {
+    val base = Partitioning.ensureParallel(
+      vectors.select(col(idCol).as("id"), latticeVec(col(vecCol)).as("v")))
+    val sigged = base.select(col("id"), posexplode(
+        graft.functions.HashExprs.lattice_sigs(col("v"), dim,
+          planesPerBand, bands)).as(Seq("band", "sig")))
+    val a = sigged.select(col("band"), col("sig"), col("id").as("a_id"))
+    val b = sigged.select(col("band"), col("sig"), col("id").as("b_id"))
+    val cands = a.join(b, Seq("band", "sig"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val pairs = cands
+      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
+      .withColumn("lat_cos_e8", latticeCosE8(col("a_v"), col("b_v")))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(desc("lat_cos_e8"), asc("b_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("a_id", "b_id", "lat_cos_e8")
   }
 }

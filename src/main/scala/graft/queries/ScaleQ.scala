@@ -322,16 +322,19 @@ object ScaleQ {
         .orderBy("user_id", "s_start")
     }),
 
-    // Winnowing (rolling-hash) fingerprint near-dups: docs sharing ≥ 5
-    // selected k-gram hashes, via the same inverted-index join shape as
-    // q16 but over the ~2/(w+1)-sampled fingerprint set — smaller
-    // postings for the same guarantee. Hash-family specific → rows-only
-    // check; the winnowing guarantee itself is spec-verified.
+    // Winnowing fingerprint near-dups: docs sharing ≥ 5 selected k-gram
+    // hashes, via the same inverted-index join shape as q16 but over
+    // the ~2/(w+1)-sampled fingerprint set — smaller postings for the
+    // same guarantee. ORACLE-EXACT as of r11: the fingerprint family is
+    // md5 of the space-joined gram (lowercase-hex min ≡ 128-bit min, so
+    // DuckDB replays window selection exactly); the murmur WinnowExpr
+    // stays spec-gated as the cheap-hash variant, and the winnowing
+    // guarantee itself is PropertySpec-pinned for both families.
     "q68_winnow_dups" -> ((s, dir) => {
       val d = Partitioning.ensureParallel(
           t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id").as("id"),
-          graft.functions.WinnowExpr.winnow(toks(col("text")), 3, 4)
+          graft.functions.WinnowMd5Expr.winnowMd5(toks(col("text")), 3, 4)
             .as("fps"))
       val posts = d.select(col("id"), explode(col("fps")).as("fp"))
       posts.as("x").join(posts.as("y"),
@@ -782,6 +785,40 @@ object ScaleQ {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // md5 winnowing replay (r11): grams are 1-based list slices; window
+    // ws (1-based, maxWs = greatest(ngrams-3, 1)) covers grams
+    // [ws, ws+3] clipped — gram j therefore joins windows
+    // [greatest(1, j-3), least(j, maxWs)]; each window's selection is
+    // min fp with RIGHTMOST tie (ORDER BY fp ASC, j DESC), matching
+    // WinnowMd5Expr's <= scan; lowercase-hex md5 compares identically
+    // in both engines
+    "q68_winnow_dups" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, i AS j, len(toks) - 2 AS ngrams,
+        |  md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS fp
+        | FROM (SELECT doc_id, toks,
+        |   unnest(range(1, len(toks) - 1)) AS i FROM s)),
+        |w AS (
+        | SELECT doc_id, ws, j, fp
+        | FROM (SELECT doc_id, j, fp,
+        |   unnest(range(greatest(1, j - 3),
+        |     least(j, greatest(ngrams - 3, 1)) + 1)) AS ws
+        |  FROM g)),
+        |sel AS (
+        | SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id, ws, j, fp, row_number() OVER (
+        |    PARTITION BY doc_id, ws ORDER BY fp ASC, j DESC) AS rn
+        |  FROM w) WHERE rn = 1)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(count(*) AS BIGINT) AS shared
+        |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 5
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q70_session_window" ->
       """WITH flagged AS (

@@ -85,27 +85,32 @@ object SimQ {
         .orderBy("a_id", "b_id")),
 
     // Sub-quadratic near-dup self-join: LSH-bucketed top-k neighbors per
-    // vector (approximate; rows-only check). This is the registered scale
-    // path for embedding near-dup at corpus sizes where q40's exact
-    // broadcast cross-join is impossible; AnnContainmentSpec asserts its
-    // candidate recall against q40's exact pairs.
+    // vector. This is the registered scale path for embedding near-dup
+    // at corpus sizes where q40's exact broadcast cross-join is
+    // impossible; AnnContainmentSpec asserts candidate recall against
+    // q40's exact pairs. ORACLE-EXACT as of r11 (the q25/q44 conversion
+    // finished): md5-derived plane signs on the floor(x·1000) lattice,
+    // signed integer cosine ×1e8 — the float annSelfJoin keeps its own
+    // spec coverage and remains nearDupPairs' dispatch target. The
+    // threshold is the same cos ≥ 0.4 gate in lattice units:
+    // sign·cos²·1e8 ≥ 0.16e8.
     // DENSITY-FLAT banding (the r7 probe fix): planesPerBand derives
-    // from the measured corpus count via autoPlanes (2^planes ≈ n/128),
-    // floored at 6 — this corpus's pair-similarity range (max pairwise
+    // from the measured corpus count via autoPlanes (2^planes ≈ n/128,
+    // INTEGER derivation since r11 so the oracle replays it), floored
+    // at 6 — this corpus's pair-similarity range (max pairwise
     // cos ≈ 0.51) needs the S-curve threshold near 0.55, and at sf0.01
-    // the derivation lands on exactly the old 6×32 tuning, so the
-    // pinned recall spec (AnnContainmentSpec, observed 0.949) is
-    // unchanged there. At ×10 the planes grow with log(n), holding
-    // bucket density — and pair work per row — flat instead of ∝ n
-    // (the old fixed banding measured exponent 1.24). The count is one
-    // pruned single-column job, memoized per dir (embeddingCount) so
-    // repeated plan construction stays action-free.
+    // the derivation lands on exactly the old 6×32 tuning. At ×10 the
+    // planes grow with log(n), holding bucket density — and pair work
+    // per row — flat instead of ∝ n (the old fixed banding measured
+    // exponent 1.24). The count is one pruned single-column job,
+    // memoized per dir (embeddingCount) so repeated plan construction
+    // stays action-free.
     "q74_ann_self_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val n = embeddingCount(s, dir)
-      SimilarityOps.annSelfJoin(e, "vec_id", "embedding", 64, k = 5,
+      SimilarityOps.latticeAnnSelfJoin(e, "vec_id", "embedding", 64, k = 5,
           planesPerBand = SimilarityOps.autoPlanes(n, 6), bands = 32)
-        .filter(col("cos_sim") >= 0.4)
+        .filter(col("lat_cos_e8") >= 16000000L)
         .orderBy("a_id", "b_id")
     }),
 
@@ -818,6 +823,63 @@ object SimQ {
         |   * ((CAST(num AS HUGEINT) * num * 100000000)
         |      // (CAST(na AS HUGEINT) * nb)) AS BIGINT) AS lat_cos_e8
         |FROM fin ORDER BY lat_cos_e8 DESC, vec_id LIMIT 25""".stripMargin,
+
+    // md5-replayable banded ANN self-join (r11): 32 bands ×
+    // autoPlanes(count) planes — the plane count re-derived in INTEGER
+    // arithmetic exactly as SimilarityOps.autoPlanes (smallest p with
+    // 128·2^p ≥ n, clamped to [6,12]); pair candidates on any shared
+    // (band, signature), dedup before scoring, k=5 best per vector by
+    // the signed lattice score, cos ≥ 0.4 gate as score ≥ 0.16e8
+    "q74_ann_self_join" ->
+      """WITH pp AS (
+        | SELECT GREATEST(6, LEAST(12, (
+        |  SELECT min(p) FROM range(0, 40) t(p)
+        |  WHERE (CAST(1 AS BIGINT) << p) * 128 >=
+        |    (SELECT count(*) FROM embeddings)))) AS planes),
+        |q AS (
+        | SELECT vec_id, list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |pl AS (
+        | -- global plane index hoisted OUT of the lambda (DuckDB forbids
+        | -- subqueries inside lambda bodies)
+        | SELECT b, j, list_transform(range(0, 64), d -> CASE WHEN
+        |    (instr('0123456789abcdef', substr(md5('plane:'
+        |      || CAST(gp AS VARCHAR)
+        |      || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+        |   THEN 1 ELSE -1 END) AS sgns
+        | FROM (
+        |  SELECT b, j, b * (SELECT planes FROM pp) + j AS gp
+        |  FROM range(0, 32) t1(b), range(0, 12) t2(j)
+        |  WHERE j < (SELECT planes FROM pp))),
+        |sg AS (
+        | SELECT vec_id, b, CAST(sum(CASE WHEN
+        |   list_sum(list_transform(range(1, 65),
+        |     i -> pl.sgns[i] * q.qv[i])) >= 0
+        |   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+        | FROM q, pl GROUP BY vec_id, b),
+        |cand AS (
+        | SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        | FROM sg x JOIN sg y ON x.b = y.b AND x.sig = y.sig
+        | WHERE x.vec_id <> y.vec_id),
+        |sc AS (
+        | SELECT c.a_id, c.b_id,
+        |  list_sum(list_transform(range(1, 65), i -> qa.qv[i] * qb.qv[i])) AS num,
+        |  list_sum(list_transform(range(1, 65), i -> qa.qv[i] * qa.qv[i])) AS na,
+        |  list_sum(list_transform(range(1, 65), i -> qb.qv[i] * qb.qv[i])) AS nb
+        | FROM cand c JOIN q qa ON qa.vec_id = c.a_id
+        |  JOIN q qb ON qb.vec_id = c.b_id),
+        |scored AS (
+        | SELECT a_id, b_id,
+        |  CAST((CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END)
+        |   * ((CAST(num AS HUGEINT) * num * 100000000)
+        |      // (CAST(na AS HUGEINT) * nb)) AS BIGINT) AS lat_cos_e8
+        | FROM sc)
+        |SELECT a_id, b_id, lat_cos_e8 FROM (
+        | SELECT *, row_number() OVER (PARTITION BY a_id
+        |   ORDER BY lat_cos_e8 DESC, b_id) AS rn FROM scored)
+        |WHERE rn <= 5 AND lat_cos_e8 >= 16000000
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q40_embedding_dups" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -215,17 +215,24 @@ object TextQ {
         .orderBy("a_id", "b_id")
     }),
 
-    // MinHash + LSH near-dup candidates, verified by exact shingle Jaccard.
-    // No SQL oracle (hash-family specific) — rows-only check.
+    // MinHash + LSH near-dup candidates, verified by exact shingle
+    // Jaccard. ORACLE-EXACT as of r11: md5 seed-minima (q227's family
+    // at the full 16×4 banding) — DuckDB re-derives every signature,
+    // band key and the verified Jaccard; the murmur minhashLshPairs
+    // stays spec-gated as the cheap-hash variant (DedupOpsSpec).
     "q17_minhash_lsh" -> ((s, dir) =>
-      DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      DedupOps.minhashMd5LshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy("a_id", "b_id")),
 
-    // SimHash near-dup pairs within Hamming distance 16 (pigeonhole-banded).
-    // No SQL oracle — rows-only check.
+    // SimHash near-dup pairs within Hamming distance 3 (pigeonhole-
+    // banded). ORACLE-EXACT as of r11: the md5-nibble vote family
+    // (q253's sketch widened to 64 bits), fingerprint carried as 4
+    // chunk columns so DuckDB replays banding and popcount chunk-by-
+    // chunk; the xxhash simhashPairs stays spec-gated as the cheap-hash
+    // variant (DedupOpsSpec).
     "q18_simhash" -> ((s, dir) =>
-      DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      DedupOps.simhashMd5Pairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)
         .orderBy("a_id", "b_id")),
 
@@ -390,6 +397,95 @@ object TextQ {
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
         |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // md5 MinHash-LSH replay (r11): one md5 per shingle supplies two
+    // 28-bit integers (nibbles 0-6 → x1, 7-13 → x2, little-endian by
+    // nibble index — MinHashMd5SigExpr's derivation); seed r's hash is
+    // the Carter–Wegman (x1 + r·x2) mod (2^31−1); 64 per-doc minima,
+    // band key b = '|'-joined mins s(4b)..s(4b+3), candidates on any
+    // shared (band, key), exact-Jaccard verification — the q16 verify
+    // math on the LSH candidate set
+    "q17_minhash_lsh" -> {
+      val mins = (0 until 64)
+        .map(r => s"min((x1 + $r * x2) % 2147483647) AS s$r").mkString(", ")
+      val keyCase = (0 until 16).map { b =>
+        val parts = (0 until 4).map(r => s"CAST(s${4 * b + r} AS VARCHAR)")
+          .mkString(" || '|' || ")
+        s"WHEN $b THEN $parts"
+      }.mkString(" ")
+      s"""WITH s AS (
+         | SELECT doc_id, string_split(lower(text), ' ') AS toks
+         | FROM documents),
+         |shl AS (
+         | SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+         | FROM s),
+         |sh AS (
+         | SELECT doc_id,
+         |  list_sum(list_transform(range(0, 7), q ->
+         |   CAST(instr('0123456789abcdef', substr(h, 1 + q, 1)) - 1
+         |     AS BIGINT) * (CAST(1 AS BIGINT) << (4 * q)))) AS x1,
+         |  list_sum(list_transform(range(0, 7), q ->
+         |   CAST(instr('0123456789abcdef', substr(h, 8 + q, 1)) - 1
+         |     AS BIGINT) * (CAST(1 AS BIGINT) << (4 * q)))) AS x2
+         | FROM (SELECT doc_id, md5(unnest(shs)) AS h FROM shl)),
+         |sg AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bk AS (
+         | SELECT doc_id, b, CASE b $keyCase END AS key
+         | FROM sg, (SELECT unnest(range(0, 16)) AS b)),
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         | FROM bk x JOIN bk y ON x.b = y.b AND x.key = y.key
+         | WHERE x.doc_id < y.doc_id),
+         |p AS (
+         | SELECT c.a_id, c.b_id,
+         |  len(list_intersect(a.shs, b.shs)) AS inter,
+         |  len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS un
+         | FROM cand c JOIN shl a ON a.doc_id = c.a_id
+         |  JOIN shl b ON b.doc_id = c.b_id)
+         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
+         |FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    // md5 SimHash replay (r11): bit j of the fingerprint is the
+    // count-weighted majority of md5-nibble bit j over the doc's
+    // tokens (nibble j//4, bit j%4, ties to 1 — DedupOps.simhashMd5
+    // Pairs' rule); fingerprints live as 4×16-bit chunks, candidates
+    // share any chunk, hamming = Σ bit_count(xor) over chunks
+    "q18_simhash" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |tc AS (
+        | SELECT doc_id, tk, count(*) AS c
+        | FROM (SELECT doc_id, unnest(toks) AS tk FROM s)
+        | GROUP BY doc_id, tk),
+        |v AS (
+        | SELECT doc_id, j, sum(c * (2 * (((instr('0123456789abcdef',
+        |    substr(md5(tk), 1 + j // 4, 1)) - 1)
+        |    // (1 << (j % 4))) % 2) - 1)) AS vote
+        | FROM tc, (SELECT unnest(range(0, 64)) AS j)
+        | GROUP BY doc_id, j),
+        |f AS (
+        | SELECT doc_id, j // 16 AS ch,
+        |  sum(CASE WHEN vote >= 0
+        |    THEN (CAST(1 AS BIGINT) << (j % 16)) ELSE 0 END) AS fv
+        | FROM v GROUP BY doc_id, j // 16),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM f a JOIN f b ON a.ch = b.ch AND a.fv = b.fv
+        | WHERE a.doc_id < b.doc_id),
+        |fw AS (
+        | SELECT doc_id, list(fv ORDER BY ch) AS fvs
+        | FROM f GROUP BY doc_id)
+        |SELECT a_id, b_id, hamming FROM (
+        | SELECT c.a_id, c.b_id,
+        |  CAST(list_sum(list_transform(range(1, 5),
+        |    i -> bit_count(xor(x.fvs[i], y.fvs[i])))) AS BIGINT) AS hamming
+        | FROM cand c JOIN fw x ON x.doc_id = c.a_id
+        |  JOIN fw y ON y.doc_id = c.b_id)
+        |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
 
     "q82_text_clean" ->
       """WITH d AS (

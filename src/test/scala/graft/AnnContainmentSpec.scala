@@ -4,8 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.ops.SimilarityOps
 
-/** q74 (annSelfJoin, banded hyperplane LSH) is the registered
-  * sub-quadratic embedding near-dup path; this spec pins its recall
+/** The banded-LSH ANN self-join is the registered sub-quadratic
+  * embedding near-dup path (q74 — since r11 the md5-lattice
+  * latticeAnnSelfJoin, oracle-exact; the float annSelfJoin stays the
+  * nearDupPairs dispatch target); this spec pins recall for BOTH forms
   * against q40's exact pairs at sf0.01.
   *
   * Two claims, each made where the LSH math supports it:
@@ -93,5 +95,38 @@ class AnnContainmentSpec extends SparkSpec {
     val recall = (exact & ann).size.toDouble / exact.size
     info(f"recall vs ${exact.size} exact pairs at 0.4: $recall%.3f")
     assert(recall >= 0.75, s"recall vs exact pairs at 0.4 was $recall")
+    // the REGISTERED lattice form (r11): same banding on md5 signs;
+    // its integer-score gate (sign·cos²·1e8 ≥ 0.16e8) expresses the
+    // same cos ≥ 0.4 threshold on the quantized lattice, so recall vs
+    // the float exact pairs carries the same margin
+    val lat = undirected(
+      SimilarityOps.latticeAnnSelfJoin(e, "vec_id", "embedding", 64,
+          k = 1000, planesPerBand = 6, bands = 32)
+        .filter(col("lat_cos_e8") >= 16000000L))
+    val latRecall = (exact & lat).size.toDouble / exact.size
+    info(f"lattice recall vs ${exact.size} exact pairs: $latRecall%.3f")
+    assert(latRecall >= 0.75,
+      s"lattice recall vs exact pairs at 0.4 was $latRecall")
+  }
+
+  test("LatticeSigsExpr is bit-identical to banded latticeSig calls") {
+    val e = Tables.t(spark, dir, "embeddings").limit(50)
+    val lat = e.select(col("vec_id"),
+      SimilarityOps.latticeVec(col("embedding")).as("lv"))
+    val fast = lat.select(col("vec_id"), graft.functions.HashExprs
+      .lattice_sigs(col("lv"), 64, 6, 4).as("sigs"))
+    // the declarative twin: latticeSig reads GLOBAL plane indices, so
+    // band b's in-band plane j is plane b·6 + j — rebuild each band
+    // signature from single-plane signs at those offsets
+    import graft.functions.LongDotExpr.longDot
+    val slow = lat.select(col("vec_id"), array((0 until 4).map { b =>
+      (0 until 6).map { j =>
+        val sgn = array((0 until 64).map(d =>
+          lit(SimilarityOps.md5PlaneSign(b * 6 + j, d))): _*)
+        when(longDot(col("lv"), sgn) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*).as("sigs"))
+    assert(fast.orderBy("vec_id").collect().toSeq ==
+      slow.orderBy("vec_id").collect().toSeq)
   }
 }

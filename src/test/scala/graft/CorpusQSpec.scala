@@ -119,7 +119,7 @@ class CorpusQSpec extends SparkSpec {
     // the invariants ShingleFilterSimplify rewrites on:
     //   size(shingles(toks,k)) > 0  ⟺  size(toks) >= k
     //   isnotnull(shingles(toks,k)) ⟺  isnotnull(toks)   (same for winnow)
-    import graft.functions.{ShinglesExpr, WinnowExpr}
+    import graft.functions.{ShinglesExpr, WinnowExpr, WinnowMd5Expr}
     val gen = Gen.listOf(Gen.oneOf("a", "b", "cc", "ddd"))
     val arrays = samples(gen, 80) ++ Seq(Nil, List("x"), List("x", "y"))
     val df = arrays.map(a => Tuple1(a)).toDF("toks")
@@ -129,7 +129,8 @@ class CorpusQSpec extends SparkSpec {
       (size(col("toks")) >= 3).as("tg"),
       ShinglesExpr.shingles(col("toks"), 3).isNotNull.as("sn"),
       col("toks").isNotNull.as("tn"),
-      (size(WinnowExpr.winnow(col("toks"), 3, 4)) > 0).as("wg"))
+      (size(WinnowExpr.winnow(col("toks"), 3, 4)) > 0).as("wg"),
+      (size(WinnowMd5Expr.winnowMd5(col("toks"), 3, 4)) > 0).as("wmg"))
       .collect()
     rows.foreach { r =>
       assert(r.isNullAt(0) == r.isNullAt(1) &&
@@ -137,6 +138,8 @@ class CorpusQSpec extends SparkSpec {
       assert(r.getBoolean(2) == r.getBoolean(3), r)
       assert(r.isNullAt(4) == r.isNullAt(1) &&
         (r.isNullAt(4) || r.getBoolean(4) == r.getBoolean(1)), r)
+      assert(r.isNullAt(5) == r.isNullAt(1) &&
+        (r.isNullAt(5) || r.getBoolean(5) == r.getBoolean(1)), r)
     }
   }
 

@@ -95,12 +95,26 @@ class DedupOpsSpec extends SparkSpec {
       shingleK = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
       .collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // the md5 twin (q17's registered family since r11): same pair set
+    // on this corpus — banding probability is hash-family-independent
+    val md5Pairs = DedupOps.minhashMd5LshPairs(docs, "id", "text",
+      shingleK = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      .collect()
+    assert(md5Pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
   }
 
   test("simhash pairs: near-dups within small hamming distance") {
     val pairs = DedupOps.simhashPairs(docs, "id", "text", maxHamming = 16)
       .collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    // the md5 twin (q18's registered family since r11); its chunked
+    // banding requires (maxHamming+1) | 64, so 16 bits × 4 chunks
+    val md5Pairs = DedupOps.simhashMd5Pairs(docs, "id", "text",
+      maxHamming = 15)
+      .collect()
+    assert(md5Pairs.map(r => (r.getLong(0), r.getLong(1)))
+      .contains((1L, 2L)))
   }
 
   test("jaccardPairsPrefix survives floating-point threshold boundaries") {

@@ -210,6 +210,13 @@ class PropertySpec extends SparkSpec {
           .winnow(graft.ops.TextOps.tokens($"text"), k, w))
         .collect().map(_.getSeq[Long](0).toSet)
       assert((fps(0) & fps(1)).nonEmpty, s"case $i: no shared fingerprint")
+      // the guarantee is hash-family-independent: the md5-hex twin
+      // (q68's registered family since r11) must find the run too
+      val fpm = Seq(da, db).toDF("text")
+        .select(graft.functions.WinnowMd5Expr
+          .winnowMd5(graft.ops.TextOps.tokens($"text"), k, w))
+        .collect().map(_.getSeq[String](0).toSet)
+      assert((fpm(0) & fpm(1)).nonEmpty, s"case $i: no shared md5 fp")
     }
   }
 
