@@ -53,6 +53,14 @@ object HashExprs {
     Murmur3_x86_32.hashUnsafeBytes(
       s.getBaseObject, s.getBaseOffset, s.numBytes, 42) & 0xFFFFFFFFL
 
+  /** Per-thread MD5 instance for the md5-family expressions —
+    * getInstance does a provider lookup + allocation, and the fused
+    * expressions call it once per ROW (the r9-ADVICE per-row-setup
+    * class, same as the hoisted regex compiles). reset() before use. */
+  private[functions] val Md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** 64-bit avalanche (splitmix64 finalizer) of the 32-bit murmur. */
   private[functions] def mix64(x0: Long): Long = {
     var z = x0 * 0x9E3779B97F4A7C15L
@@ -458,7 +466,8 @@ case class WinnowMd5Expr(child: Expression, k: Int, w: Int)
     val n = arr.numElements()
     val nGrams = n - k + 1
     if (nGrams <= 0) return new GenericArrayData(Array.empty[AnyRef])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = HashExprs.Md5.get()
+    md.reset()
     val hex = "0123456789abcdef".toCharArray
     val gh = new Array[String](nGrams)
     var i = 0
@@ -539,7 +548,8 @@ case class MinHashMd5SigExpr(child: Expression, bands: Int, rowsPerBand: Int)
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
     val numHashes = bands * rowsPerBand
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = HashExprs.Md5.get()
+    md.reset()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
@@ -613,7 +623,8 @@ case class SimHashMd5ChunksExpr(child: Expression, chunks: Int)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = HashExprs.Md5.get()
+    md.reset()
     val votes = new Array[Long](64)
     var i = 0
     while (i < n) {

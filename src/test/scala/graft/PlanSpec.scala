@@ -236,7 +236,7 @@ class PlanSpec extends SparkSpec {
     // or the scan's pushed data filters
     for ((q, expr) <- Seq("q16_jaccard_pairs" -> "shinglesexpr",
         "q101_containment" -> "shinglesexpr",
-        "q68_winnow_dups" -> "winnowexpr")) {
+        "q68_winnow_dups" -> "winnowmd5expr")) { // q68's family since r11
       val p = planOf(q)
       val filterLines = p.linesIterator
         .filter(l => l.contains("Filter") || l.contains("DataFilters"))
