@@ -101,6 +101,21 @@ object GraftFunctions {
         new ExpressionInfo(classOf[WinnowMd5Expr].getName, "winnow_md5"),
         (args: Seq[Expression]) =>
           WinnowMd5Expr(args.head, intArg(args(1), "k"), intArg(args(2), "w"))),
+      (FunctionIdentifier("minhash_md5_bands"),
+        new ExpressionInfo(classOf[MinHashMd5SigExpr].getName,
+          "minhash_md5_bands"),
+        (args: Seq[Expression]) => MinHashMd5SigExpr(args.head,
+          intArg(args(1), "bands"), intArg(args(2), "rowsPerBand"))),
+      (FunctionIdentifier("simhash_md5_chunks"),
+        new ExpressionInfo(classOf[SimHashMd5ChunksExpr].getName,
+          "simhash_md5_chunks"),
+        (args: Seq[Expression]) =>
+          SimHashMd5ChunksExpr(args.head, intArg(args(1), "chunks"))),
+      (FunctionIdentifier("lattice_sigs"),
+        new ExpressionInfo(classOf[LatticeSigsExpr].getName, "lattice_sigs"),
+        (args: Seq[Expression]) => LatticeSigsExpr(args.head,
+          intArg(args(1), "dim"), intArg(args(2), "planesPerBand"),
+          intArg(args(3), "bands"))),
       (FunctionIdentifier("stem_tokens"),
         new ExpressionInfo(classOf[StemTokensExpr].getName, "stem_tokens"),
         (args: Seq[Expression]) => StemTokensExpr(args.head)))

@@ -109,7 +109,9 @@ object XlsxCodec {
     * LEADING token is an elapsed marker ([h]/[mm]/[ss]…, openpyxl's
     * is_timedelta test) are durations, not datetimes: the bracket strip
     * below would otherwise drop the marker and the leftover mm/ss
-    * tokens would misclassify the style as a date. */
+    * tokens would misclassify the style as a date. Multi-section codes
+    * classify on the first ';'-section only (openpyxl's
+    * fmt.split(";")[0] — r11). */
   private[graft] def dateStyles(styles: Array[Byte]): IndexedSeq[Boolean] = {
     val doc = dom(styles)
     val builtin =
@@ -119,9 +121,14 @@ object XlsxCodec {
       (0 until ns.getLength).map(ns.item(_).asInstanceOf[Element])
         .map { e =>
           val code = e.getAttribute("formatCode")
+          // multi-section codes (positive;negative;zero;text) classify
+          // on the FIRST section only — openpyxl's fmt.split(";")[0],
+          // mirrored including its naive split (a quoted ';' splits
+          // there too): "General;dd/mm/yyyy" is NOT a date style
+          val sect = code.split(";", -1).head
           // strip "..."-quoted literals and \-escaped chars first, so a
           // quoted "[h]" can't fake an elapsed marker
-          val noQuotes = code.replaceAll("\"[^\"]*\"", "")
+          val noQuotes = sect.replaceAll("\"[^\"]*\"", "")
             .replaceAll("\\\\.", "")
           val elapsed = ElapsedMarker.pattern.matcher(noQuotes).find()
           val bare = noQuotes.replaceAll("\\[[^\\]]*\\]", "")

@@ -90,6 +90,16 @@ class DocTextSpec extends SparkSpec {
     assert(viaSql.getSeq[String](0) == Seq("run", "fli"))
     assert(viaSql.get(1).isInstanceOf[Long])
     assert(viaSql.getSeq[Long](2).length == 4)
+    // the r11 md5-twin families are SQL-reachable too
+    val md5Sql = spark.sql(
+      "SELECT size(winnow_md5(array('a','b','c','d'), 2, 2)), " +
+        "size(minhash_md5_bands(array('a','b'), 4, 2)), " +
+        "size(simhash_md5_chunks(array('a','b'), 4)), " +
+        "size(lattice_sigs(array(1L, -2L), 2, 3, 4))").collect().head
+    assert(md5Sql.getInt(0) >= 1)
+    assert(md5Sql.getInt(1) == 4)
+    assert(md5Sql.getInt(2) == 4)
+    assert(md5Sql.getInt(3) == 4)
   }
 
   test("GraftSession.local yields a session with engine functions ready") {
@@ -649,12 +659,13 @@ class DocTextSpec extends SparkSpec {
     // seeded-fuzz treatment as the PDF dict scanner
     val pool = Seq("yyyy", "mm", "dd", "hh", "ss", "0.00", "#,##0",
       "\"at h o'clock\"", "\"[h]\"", "[Red]", "[>=100]", "[h]", "[mm]",
-      "[ss]", "\\y", "\\\\", "@", ":", "-", " ", "\"unclosed", "]")
+      "[ss]", "\\y", "\\\\", "@", ":", "-", " ", "\"unclosed", "]", ";")
     val rnd = new scala.util.Random(11)
     val codes = (1 to 200).map { _ =>
       (0 until rnd.nextInt(6)).map(_ => pool(rnd.nextInt(pool.size)))
         .mkString
-    } :+ "" :+ "\"" :+ "\\" :+ "[[]]" :+ "[h"
+    } :+ "" :+ "\"" :+ "\\" :+ "[[]]" :+ "[h" :+
+      "General;dd/mm/yyyy" :+ "yyyy-mm-dd;@" :+ "0.00;[h]:mm:ss"
     val styles =
       s"""<styleSheet xmlns="$main"><numFmts count="${codes.size}">""" +
         codes.zipWithIndex.map { case (c, i) =>
@@ -669,16 +680,33 @@ class DocTextSpec extends SparkSpec {
     val flags = XlsxCodec.dateStyles(styles.getBytes("UTF-8"))
     assert(flags.size == codes.size)
     codes.zip(flags).foreach { case (code, isDate) =>
-      val noQuotes = code.replaceAll("\"[^\"]*\"", "").replaceAll("\\\\.", "")
+      // classification reads the FIRST ';'-section only (openpyxl's
+      // naive fmt.split(";")[0] — the invariants mirror that)
+      val sect = code.split(";", -1).head
+      val noQuotes = sect.replaceAll("\"[^\"]*\"", "").replaceAll("\\\\.", "")
       // invariant 1: a LEADING elapsed marker is a duration, never a date
       if (noQuotes.matches("(?i)^\\s*\\[(h+|m+|s+)\\].*"))
         assert(!isDate, s"elapsed code <$code> classified as date")
-      // invariant 2: date tokens only inside quotes/escapes/brackets
-      // never classify as date
+      // invariant 2: date tokens only inside quotes/escapes/brackets —
+      // or only in sections past the first — never classify as date
       if (!noQuotes.replaceAll("\\[[^\\]]*\\]", "")
           .exists(c => "ymdhsYMDHS".indexOf(c) >= 0))
         assert(!isDate, s"token-free code <$code> classified as date")
     }
+    // deterministic section-split cases (openpyxl parity)
+    def one(code: String): Boolean = {
+      val esc = code.replace("&", "&amp;").replace("<", "&lt;")
+        .replace("\"", "&quot;")
+      XlsxCodec.dateStyles(
+        (s"""<styleSheet xmlns="$main"><numFmts count="1">""" +
+          s"""<numFmt numFmtId="164" formatCode="$esc"/></numFmts>""" +
+          s"""<cellXfs count="1"><xf numFmtId="164"/></cellXfs>""" +
+          "</styleSheet>").getBytes("UTF-8")).head
+    }
+    assert(!one("General;dd/mm/yyyy")) // date tokens only in section 2
+    assert(one("yyyy-mm-dd;@"))        // section 1 is the date
+    assert(!one("0.00;[h]:mm:ss"))     // section 1 numeric
+    assert(!one("[h]:mm:ss;yyyy"))     // section 1 elapsed
   }
 
   test("sniff: magic bytes beat extensions; zip parts discriminate") {
