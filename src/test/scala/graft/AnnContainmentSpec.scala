@@ -66,6 +66,15 @@ class AnnContainmentSpec extends SparkSpec {
     val missed = expected -- found
     assert(expected.size == 200)
     assert(missed.isEmpty, s"LSH bands missed planted twins: $missed")
+    // the registered lattice form (r11) at the same (8, 16) banding:
+    // the miss-probability math is sign-family-independent, so every
+    // planted twin must surface here too (score ≥ 0.98e8 ⇔ cos ≥ 0.99)
+    val foundLat = undirected(
+      SimilarityOps.latticeAnnSelfJoin(all, "vec_id", "embedding", 64,
+          k = 1000, planesPerBand = 8, bands = 16)
+        .filter(col("lat_cos_e8") >= 98000000L))
+    val missedLat = expected -- foundLat
+    assert(missedLat.isEmpty, s"lattice bands missed twins: $missedLat")
   }
 
   test("autoPlanes holds bucket density flat, floored and capped") {
