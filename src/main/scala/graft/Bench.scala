@@ -80,6 +80,27 @@ object Bench {
     // line, so a contaminated run is *labeled* instead of silently
     // poisoning round-over-round comparisons.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    // per-query executor task time (SparkListener stage metrics, r11
+    // verdict #4): wall time alone can't separate a plan regression
+    // from machine contention — wall up with task time flat is
+    // contention by definition (the tasks did the same work, they just
+    // waited for CPU). One atomic accumulates executorRunTime across
+    // all tasks; per-query deltas are snapshotted around the timed runs
+    // behind a listener-bus flush barrier (events are async).
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) taskMs.addAndGet(m.executorRunTime)
+        }
+      })
+    def taskMsNow(): Long = {
+      org.apache.spark.graftglue.ListenerGlue
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      taskMs.get()
+    }
     val load1 = try {
       java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
@@ -102,6 +123,7 @@ object Bench {
       case c => c.toString
     }
     val allRuns = selected.map { case (name, fn) =>
+      val task0 = taskMsNow()
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count()
@@ -112,9 +134,13 @@ object Bench {
             None
         }
       }
-      name -> times
+      // mean task seconds per run (the per-run split isn't observable
+      // from one accumulator, and the median-vs-mean gap is noise at
+      // task granularity — the signal is round-over-round level shifts)
+      val taskSec = (taskMsNow() - task0) / 1e3 / runs
+      name -> (times, taskSec)
     }
-    val results = allRuns.map { case (name, times) =>
+    val results = allRuns.map { case (name, (times, _)) =>
       // ANY failed run marks the query failed in the artifact (-1.0):
       // a median over the surviving runs would make an intermittently
       // OOMing query look healthy to JSON-only round-over-round tooling
@@ -136,9 +162,10 @@ object Bench {
       if (only.isEmpty) "bench/latest_full.json"
       else "/tmp/bench_subset.json")
     if (outPath.nonEmpty) try {
-      val detail = allRuns.toSeq.sortBy(_._1).map { case (name, times) =>
-        val med = results(name)
-        s"""  "${jesc(name)}": {"median": $med, "runs": [${times.mkString(", ")}]}"""
+      val detail = allRuns.toSeq.sortBy(_._1).map {
+        case (name, (times, taskSec)) =>
+          val med = results(name)
+          s"""  "${jesc(name)}": {"median": $med, "task_sec": ${f"$taskSec%.3f"}, "runs": [${times.mkString(", ")}]}"""
       }.mkString(",\n")
       val json =
         s"""{

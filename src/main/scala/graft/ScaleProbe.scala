@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** Self-measured scale probe (dev tool, not part of the engine): builds
   * a ×N corpus from sf0.1 by key-shift replication and times the most
   * expensive registered queries at both scales, printing the measured
-  * scaling exponent per query (log-ratio of warm medians / log N).
+  * scaling exponent per query (log-ratio of warm medians / log N) plus
+  * the r11-verdict-#1 resource columns: per-query executor task time,
+  * PEAK single-task execution memory, and total spill — wall-only
+  * probes can extrapolate time but never find the first memory ceiling.
   *
   * Replication preserves WORKLOAD SHAPE, which naive copying would not:
   *   - documents: each copy's tokens get a copy suffix, so shingle/token
@@ -18,23 +21,43 @@ import org.apache.spark.sql.functions._
   *     flip per dimension — intra-copy geometry (distances up to sign
   *     pattern, cluster structure) is preserved while cross-copy cosines
   *     land near zero, so ANN candidate sets replicate per copy.
+  *   - events: user/event ids shift per copy — N user populations with
+  *     identical per-user histories.
+  *   - lineitem (r12, verdict #5): orderkey AND partkey AND suppkey all
+  *     shift per copy — N disjoint basket/bipartite-graph copies with
+  *     the original basket-size and degree distributions, so the
+  *     q241/q128 pair explode and the q157 wedge join get measured
+  *     exponents instead of structural pins. (Copies keep part/supplier
+  *     FK validity only within copy 0; the three lineitem-only probe
+  *     queries never join those dims.)
   *
   * Usage: runMain graft.ScaleProbe [mult] [q1,q2,...]
+  * Env: SPARK_GRAFT_PROBE_RUNS (timed runs per scale, default 3 — use 1
+  * at ×100 where a single warm run is minutes), SPARK_GRAFT_CPUS.
   * Writes the corpus under /tmp/graft_scaleprobe/sfX<mult> (reused if
-  * present), prints one line per query: name, t(sf0.1), t(×N), exponent.
+  * present AND built by this builder version).
   */
 object ScaleProbe {
+
+  /** bump when buildCorpus changes — stale corpora silently measure the
+    * old workload shape otherwise */
+  private val BuilderVersion = "v2-lineitem"
 
   private val defaultProbe = Seq(
     "q75_jaccard_prefix", "q16_jaccard_pairs", "q157_triangle_census",
     "q100_pagerank", "q156_split_leakage", "q150_dup_span",
     "q76_stemmed_search", "q178_lm_fluency", "q74_ann_self_join",
-    "q40_embedding_dups", "q173_paragraph_dedup", "q102_bpe_merges")
+    "q40_embedding_dups", "q173_paragraph_dedup", "q102_bpe_merges",
+    // the r11-verdict additions: the CPU-heavy relational trio plus the
+    // two iterative/quantile plans previously pinned structurally
+    "q241_association_rules", "q128_basket_pairs", "q240_dbscan_lite",
+    "q279_rfm_segments")
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val probe = args.lift(1).map(_.split(",").map(_.trim).toSeq)
       .getOrElse(defaultProbe)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,33 +68,71 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
+    // task-metric accumulators, snapshotted per query behind the
+    // listener-bus flush barrier (events are async)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            taskMs.addAndGet(m.executorRunTime)
+            spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            peakMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+          }
+        }
+      })
+    def flush(): Unit = org.apache.spark.graftglue.ListenerGlue
+      .waitUntilListenerBusEmpty(spark.sparkContext)
+
     val base = "/root/testdata/sf0.1"
     val big = s"/tmp/graft_scaleprobe/sfX$mult"
-    if (!new java.io.File(s"$big/_READY").exists()) buildCorpus(spark, base, big, mult)
+    val ready = java.nio.file.Paths.get(big, "_READY")
+    val fresh = java.nio.file.Files.exists(ready) &&
+      java.nio.file.Files.readString(ready).trim == BuilderVersion
+    if (!fresh) buildCorpus(spark, base, big, mult)
 
-    def warmMedian(fn: (SparkSession, String) => DataFrame, dir: String,
-        runs: Int = 3): Double = {
+    /** (median wall, mean task sec, peak task mem MB, spill MB) over
+      * `runs` timed runs after one warm run. */
+    def measure(fn: (SparkSession, String) => DataFrame, dir: String)
+        : (Double, Double, Double, Double) = {
       fn(spark, dir).count() // warm: codegen + page cache
+      flush()
+      peakMem.set(0L) // peak is per-probe-phase, not process-lifetime
+      val task0 = taskMs.get(); val spill0 = spillB.get()
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      ts.sorted.apply(runs / 2)
+      flush()
+      (ts.sorted.apply(runs / 2),
+        (taskMs.get() - task0) / 1e3 / runs,
+        peakMem.get() / 1048576.0,
+        (spillB.get() - spill0) / 1048576.0)
     }
 
-    println(f"${"query"}%-24s ${"t_sf0.1"}%8s ${"t_x" + mult}%8s ${"exponent"}%9s")
+    println(f"${"query"}%-24s ${"t_sf0.1"}%8s ${"t_x" + mult}%8s " +
+      f"${"exp"}%6s ${"task1"}%8s ${"taskN"}%8s ${"texp"}%6s " +
+      f"${"peakMB"}%8s ${"spillMB"}%8s")
     probe.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => println(f"$name%-24s MISSING")
         case Some(fn) =>
           try {
-            val t1 = warmMedian(fn, base)
+            val (t1, task1, _, _) = measure(fn, base)
             graft.SessionCaches.resetAll()
-            val tN = warmMedian(fn, big)
+            val (tN, taskN, pk, sp) = measure(fn, big)
             graft.SessionCaches.resetAll()
             val exp = math.log(tN / t1) / math.log(mult.toDouble)
-            println(f"$name%-24s $t1%8.2f $tN%8.2f $exp%9.2f")
+            // task-time exponent: the contention-free signal — wall
+            // exponents inherit scheduler latency at small t
+            val texp = math.log(taskN / task1) / math.log(mult.toDouble)
+            println(f"$name%-24s $t1%8.2f $tN%8.2f $exp%6.2f " +
+              f"$task1%8.2f $taskN%8.2f $texp%6.2f $pk%8.1f $sp%8.1f")
           } catch {
             case e: Throwable =>
               println(f"$name%-24s FAIL ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -88,11 +149,17 @@ object ScaleProbe {
     val names = new java.io.File(base).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet"))
       .filterNot(n => n == "documents.parquet" ||
-        n == "embeddings.parquet" || n == "events.parquet")
+        n == "embeddings.parquet" || n == "events.parquet" ||
+        n == "lineitem.parquet")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree)
+      java.nio.file.Files.deleteIfExists(p)
+    }
     names.foreach { n =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(base, n), java.nio.file.Paths.get(big, n),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val dst = java.nio.file.Paths.get(big, n)
+      rmTree(dst) // a v1 corpus may have left a dir where a file goes
+      java.nio.file.Files.copy(java.nio.file.Paths.get(base, n), dst)
     }
     val docs = Tables.t(spark, base, "documents")
     val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
@@ -144,8 +211,28 @@ object ScaleProbe {
     }.reduce(_ union _)
     bigEvs.repartition(16).write.mode("overwrite")
       .parquet(s"$big/events.parquet")
+    // lineitem: ALL THREE keys shift per copy — N disjoint copies of
+    // the same basket structure (q241/q128: per-basket pair explode
+    // replicates, pair-key space stays disjoint so support counts keep
+    // their distribution) and of the same supplier-part bipartite graph
+    // (q157: degree distribution and triangle census replicate ×N)
+    val li = Tables.t(spark, base, "lineitem")
+    val Array(liMax) = li.agg(max(col("l_orderkey")),
+      max(col("l_partkey")), max(col("l_suppkey"))).collect()
+    val (nOk, nPk, nSk) =
+      (liMax.getLong(0) + 1, liMax.getLong(1) + 1, liMax.getLong(2) + 1)
+    val passCols = li.columns.filterNot(
+      Set("l_orderkey", "l_partkey", "l_suppkey")).map(col).toSeq
+    val bigLi = (0 until mult).map { k =>
+      li.select(Seq(
+        (col("l_orderkey") + lit(k * nOk)).as("l_orderkey"),
+        (col("l_partkey") + lit(k * nPk)).as("l_partkey"),
+        (col("l_suppkey") + lit(k * nSk)).as("l_suppkey")) ++ passCols: _*)
+    }.reduce(_ union _)
+    bigLi.repartition(32).write.mode("overwrite")
+      .parquet(s"$big/lineitem.parquet")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(big, "_READY"), "ok")
-    println(s"[scaleprobe] built $big (x$mult)")
+      java.nio.file.Paths.get(big, "_READY"), BuilderVersion)
+    println(s"[scaleprobe] built $big (x$mult, $BuilderVersion)")
   }
 }

@@ -566,10 +566,18 @@ case class MinHashMd5SigExpr(child: Expression, bands: Int, rowsPerBand: Int)
         x2 += nib(7 + q) << (4 * q)
         q += 1
       }
+      // h_r = (x1 + r·x2) mod P computed incrementally: x1, x2 < 2²⁸ < P,
+      // so h₀ = x1 and each step adds x2 then subtracts P at most once —
+      // identical values to the modmul form, but the seed loop is two
+      // adds and a compare instead of a 64-bit multiply + hardware
+      // division (the r11→r12 q17 constant-factor fix; the md5 digest
+      // per element is unchanged, so the oracle replays bit-for-bit)
+      var h = x1
       var r = 0
       while (r < numHashes) {
-        val h = (x1 + r * x2) % P
         if (h < mins(r)) mins(r) = h
+        h += x2
+        if (h >= P) h -= P
         r += 1
       }
       i += 1
@@ -612,7 +620,10 @@ object MinHashMd5SigExpr {
   * declarative twin (64 conditional sums over a (doc, token) rollup)
   * measured ×5.8 at sf0.1; here each token is one MessageDigest call
   * and one 64-counter update loop. Chunked output keeps the sign bit
-  * untouched on both engines. */
+  * untouched on both engines. Empty token arrays yield an EMPTY
+  * signature (mirroring MinHashMd5SigExpr) — zero votes would tie every
+  * bit to 1, pairing every empty doc with every other at hamming 0
+  * while the SQL rollup twin emits no rows at all for them. */
 case class SimHashMd5ChunksExpr(child: Expression, chunks: Int)
     extends UnaryExpression with EvalCallCodegen {
   require(chunks >= 1 && 64 % chunks == 0, s"chunks=$chunks must divide 64")
@@ -623,6 +634,7 @@ case class SimHashMd5ChunksExpr(child: Expression, chunks: Int)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val md = HashExprs.Md5.get()
     md.reset()
     val votes = new Array[Long](64)

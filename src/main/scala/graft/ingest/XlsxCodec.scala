@@ -226,12 +226,18 @@ object XlsxCodec {
         else "false"
       case "str" => // formula-cached string: raw cached text
         child("v").map(_.getTextContent).getOrElse("")
-      case t => // "n"/untyped numeric, "d" (ISO-8601 date text) or "e"
-        // (error literal like #DIV/0!): raw <v> text (no float
-        // round-trip) — except date-styled NUMERIC cells, which render
-        // as the pandas Timestamp string pd.read_excel hands the
-        // reference. t="d"/t="e" payloads are not serials, so the
-        // conversion is gated on the numeric types only.
+      case "d" => // ISO-8601 typed cell: openpyxl parses these into
+        // datetime/date/time objects regardless of style, so the
+        // reference surfaces '2020-01-01 00:00:00', never the raw
+        // 'T'-separated payload — render in serialDate's forms so
+        // typed-date cells and date-styled serials read identically
+        isoDateText(child("v").map(_.getTextContent.trim).getOrElse(""))
+      case t => // "n"/untyped numeric or "e" (error literal like
+        // #DIV/0!): raw <v> text (no float round-trip) — except
+        // date-styled NUMERIC cells, which render as the pandas
+        // Timestamp string pd.read_excel hands the reference. t="e"
+        // payloads are not serials, so the conversion is gated on the
+        // numeric types only.
         val v = child("v").map(_.getTextContent).getOrElse("")
         val styled = (t.isEmpty || t == "n") &&
           Option(c.getAttribute("s")).filter(_.nonEmpty)
@@ -239,6 +245,39 @@ object XlsxCodec {
         if (styled && v.nonEmpty)
           serialDate(java.lang.Double.parseDouble(v.trim), date1904)
         else v
+    }
+  }
+
+  /** t="d" ISO-8601 payload in the surface pd.read_excel would hand the
+    * reference: full datetimes and date-only values render
+    * 'yyyy-MM-dd HH:mm:ss' (fractional seconds truncated — serialDate's
+    * whole-second surface), time-only values 'HH:mm:ss' (openpyxl's
+    * datetime.time form, same as sub-day serials). A payload that is
+    * not ISO-8601 refuses loudly — the typed cell CLAIMS a date, and
+    * passing garbage through as text would silently diverge from every
+    * conforming reader (same posture as out-of-order refs). */
+  private[graft] def isoDateText(v: String): String = {
+    if (v.isEmpty) return ""
+    val noFrac = { // LocalTime.parse accepts fractions; drop them up
+      val dot = v.indexOf('.') // front so every branch truncates alike
+      if (dot >= 0) v.substring(0, dot) else v
+    }
+    try {
+      if (noFrac.contains("T"))
+        java.time.LocalDateTime.parse(noFrac).format(
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      else if (noFrac.contains(":"))
+        java.time.LocalTime.parse(noFrac).format(
+          java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+      else
+        java.time.LocalDate.parse(noFrac).atStartOfDay.format(
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"""xlsx t="d" cell payload '$v' is not ISO-8601 — refusing""", e)
     }
   }
 

@@ -118,6 +118,15 @@ object DedupOps {
       threshold: Double = 0.5): DataFrame = {
     val sh = graft.functions.ShinglesExpr.shingles(
       TextOps.tokens(col("__text")), shingleK)
+    // the (id, shingles) relation feeds the banded signature pass and
+    // both sides of the verify join, so shingles are recomputed per
+    // consumer. A lazy localCheckpoint here was MEASURED as a loss
+    // (r12): one pass + materialization cost 32 task-sec vs 21 for
+    // three recomputed passes at sf0.1 — serializing the shingle
+    // arrays into block storage exceeds the recompute, and the md5
+    // signature (the actually expensive expression) is only ever
+    // evaluated once, in the bucket pass. Recompute is the scale
+    // posture too: CPU-linear and partition-local, no working set.
     val withSh = Partitioning.ensureParallel(
         df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), sh.as("sh"))
@@ -163,6 +172,15 @@ object DedupOps {
       threshold: Double = 0.5): DataFrame = {
     val sh = graft.functions.ShinglesExpr.shingles(
       TextOps.tokens(col("__text")), shingleK)
+    // the (id, shingles) relation feeds the banded signature pass and
+    // both sides of the verify join, so shingles are recomputed per
+    // consumer. A lazy localCheckpoint here was MEASURED as a loss
+    // (r12): one pass + materialization cost 32 task-sec vs 21 for
+    // three recomputed passes at sf0.1 — serializing the shingle
+    // arrays into block storage exceeds the recompute, and the md5
+    // signature (the actually expensive expression) is only ever
+    // evaluated once, in the bucket pass. Recompute is the scale
+    // posture too: CPU-linear and partition-local, no working set.
     val withSh = Partitioning.ensureParallel(
         df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), sh.as("sh"))
@@ -432,6 +450,16 @@ object DedupOps {
         df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .withColumn("__fc", graft.functions.SimHashMd5ChunksExpr
         .simhashMd5Chunks(TextOps.tokens(col("__text")), chunks))
+      // NO empty-signature filter here: tokens() is a split(), which
+      // never yields a zero-element array, so the expression's
+      // empty-in→empty-out contract (r11 ADVICE fix) is unreachable on
+      // this path — and a size(__fc) guard measured a full SECOND
+      // evaluation of the digest loop (predicate pushdown rebuilds the
+      // fused expression below the projection; q18 0.78 → 1.03 s).
+      // Pre-tokenized callers go through simhashMd5Chunks directly,
+      // where empty input now yields an empty signature, never the
+      // all-ones fingerprint that paired every empty doc with every
+      // other at hamming 0.
       .select(col("id") +: (0 until chunks).map(cx =>
         element_at(col("__fc"), cx + 1).as(s"f$cx")): _*)
     val bucketed = sigs.withColumn("bk",

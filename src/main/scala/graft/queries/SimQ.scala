@@ -297,87 +297,16 @@ object SimQ {
 
     // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     // at web-scale through semantic deduplication" — the published
-    // method): cluster the embedding corpus, then remove near-
-    // duplicates WITHIN each cluster only — the cluster bound is what
-    // makes semantic dedup tractable at web scale (the quadratic is
-    // per-cluster, so k scales with n to hold cluster size ~constant;
-    // k=4 here mirrors q182's oracle-checkable clustering). Everything
-    // is the q182 integer lattice: identical 2-round Lloyd assignment,
-    // then intra-cluster pairs pass cos ≥ 0.4 as the INTEGER predicate
-    // 25·dot² ≥ 4·‖a‖²·‖b‖² ∧ dot>0 (exact — no float compare), then
-    // min-label connected components pick each group's survivor.
-    // Shuffle story: assignment is broadcast-only; the pair stage
-    // shuffles once on cid; CC runs on the (tiny) edge set. Output is
-    // the per-cluster dedup report a curation run logs.
-    "q211_semantic_dedup" -> ((s, dir) => {
-      val k = 4
-      val quant = transform(col("embedding"),
-        v => floor(v.cast("double") * 1000).cast("long"))
-      val base = t(s, dir, "embeddings")
-        .select(col("vec_id"), quant.as("q"))
-        .localCheckpoint()
-      val c0 = base.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("q").as("cent"))
-      // ‖q−c‖² expanded to dot identities so each distance is three
-      // codegen'd integer loops (LongDotExpr), not an interpreted
-      // zip_with fold — bit-identical values, same (dist, cid) argmin
-      def dist2(q: Column, cent: Column): Column = {
-        import graft.functions.LongDotExpr.longDot
-        longDot(q, q) - lit(2L) * longDot(q, cent) + longDot(cent, cent)
-      }
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        base.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("q"), col("cid"),
-            dist2(col("q"), col("cent")).as("dist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn", "dist")
-      }
-      def update(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
-          .groupBy("cid", "pos")
-          .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
-          .groupBy("cid")
-          .agg(transform(array_sort(collect_list(struct(col("pos"),
-            col("cv")))), x => x.getField("cv")).as("cent"))
-      import graft.functions.LongDotExpr.longDot
-      // per-vector squared norm computed ONCE before the checkpoint (it
-      // materializes with the assignment) — the pair stage below must
-      // never recompute an O(dim) quantity per PAIR, only the dot
-      val a3 = assign(update(assign(update(assign(c0)))))
-        .withColumn("nv", longDot(col("q"), col("q")))
-        .localCheckpoint() // two consumers: pair join sides + rollup
-      val x = a3.select(col("cid"), col("vec_id").as("a_id"),
-        col("q").as("qa"), col("nv").as("na"))
-      val y = a3.select(col("cid"), col("vec_id").as("b_id"),
-        col("q").as("qb"), col("nv").as("nb"))
-      // the quadratic's inner loop is ONE codegen'd integer dot
-      // (LongDotExpr) — the interpreted zip_with fold here was 13% of
-      // the whole 217-query bench before this
-      val pairs = x.join(y, "cid").filter(col("a_id") < col("b_id"))
-        .select(col("cid"), col("a_id"), col("b_id"),
-          longDot(col("qa"), col("qb")).as("dot"),
-          col("na"), col("nb"))
-      val edges = pairs.filter(col("dot") > 0 &&
-        lit(25L) * col("dot") * col("dot") >= lit(4L) * col("na") * col("nb"))
-      val nEdges = edges.groupBy("cid").agg(count(lit(1)).as("n_edges"))
-      val removed = graft.ops.DedupOps
-        .connectedComponents(edges.select("a_id", "b_id"))
-        .filter(col("node") =!= col("cluster")) // survivor = min id
-        .select(col("node").as("vec_id")).withColumn("rem", lit(1L))
-      a3.join(removed, Seq("vec_id"), "left")
-        .groupBy("cid")
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(coalesce(col("rem"), lit(0L))).as("n_removed"),
-          sum(when(col("rem").isNull, col("vec_id"))).cast("long")
-            .as("kept_checksum"))
-        .join(nEdges, Seq("cid"), "left")
-        .select(col("cid"), col("n_vecs"),
-          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
-          col("n_removed"), col("kept_checksum"))
-        .orderBy("cid")
-    }),
+    // method), now the k-parameterized op SimilarityOps.semanticDedup
+    // (r12, verdict #2): the registry pins the oracle-checkable k=4
+    // (mirroring q182's clustering); production holds cluster size —
+    // and the per-cluster quadratic — constant via semanticDedupAuto's
+    // k ∝ n. Integer-lattice Lloyd + exact cos ≥ 0.4 predicate + CC
+    // survivor election, all inside the op; SemanticDedupSpec pins the
+    // flat-candidate-count scale property at two corpus sizes.
+    "q211_semantic_dedup" -> ((s, dir) =>
+      SimilarityOps.semanticDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4)),
 
     // Product-quantization codebook training + encoding (the PQ half
     // of IVF-PQ, the standard billion-vector ANN memory layout): 64
@@ -837,9 +766,12 @@ object SimQ {
         |  WHERE (CAST(1 AS BIGINT) << p) * 128 >=
         |    (SELECT count(*) FROM embeddings)))) AS planes),
         |q AS (
+        | -- len gate mirrors LatticeSigsExpr's wrong-length-→-null drop:
+        | -- without it, list_sum over NULL-padded products still buckets
+        | -- a short vector here while the JVM side drops the row
         | SELECT vec_id, list_transform(embedding,
         |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        | FROM embeddings),
+        | FROM embeddings WHERE len(embedding) = 64),
         |pl AS (
         | -- global plane index hoisted OUT of the lambda (DuckDB forbids
         | -- subqueries inside lambda bodies)

@@ -117,6 +117,25 @@ class DedupOpsSpec extends SparkSpec {
       .contains((1L, 2L)))
   }
 
+  test("simhash md5 empty token arrays carry no signature (r11 ADVICE)") {
+    // zero votes used to tie every bit to 1 — an all-ones fingerprint
+    // pairing every empty doc with every other at hamming 0, while the
+    // SQL rollup twin emits no rows for them at all. The expression now
+    // mirrors MinHashMd5SigExpr: empty in, empty out (simhashMd5Pairs
+    // itself never sees one — split() can't produce an empty array).
+    import graft.functions.SimHashMd5ChunksExpr.simhashMd5Chunks
+    val sig = Seq((1L, Seq.empty[String]), (2L, Seq("a", "b")))
+      .toDF("id", "toks")
+      .select(col("id"), size(simhashMd5Chunks(col("toks"), 4)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(sig == Map(1L -> 0, 2L -> 4))
+    // and through the registered SQL surface (the exposure ADVICE named)
+    val viaSql = spark.sql(
+      "SELECT size(simhash_md5_chunks(CAST(array() AS ARRAY<STRING>), 4))")
+      .head().getInt(0)
+    assert(viaSql == 0)
+  }
+
   test("jaccardPairsPrefix survives floating-point threshold boundaries") {
     // |A| = 7 ⊂ |B| = 100, J = 7/100 = 0.07 exactly at the threshold:
     // naive floor(7/0.07) = 99 < 100 would prune the pair before verify

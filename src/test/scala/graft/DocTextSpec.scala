@@ -610,20 +610,33 @@ class DocTextSpec extends SparkSpec {
     // F1: builtin 46 [h]:mm:ss is ELAPSED (openpyxl timedelta) — raw;
     // G1: custom elapsed [h]:mm:ss — the leading marker keeps the
     //     style non-date despite the mm/ss tokens — raw;
-    // H1/I1: t="d" and t="e" payloads are not serials — raw text even
-    //     under a date style (previously NumberFormatException)
+    // H1: t="d" ISO payloads parse like openpyxl regardless of style —
+    //     'T' becomes the space-separated pandas surface (r12, was raw);
+    // I1: t="e" payloads are not serials — raw text even under a date
+    //     style (previously NumberFormatException)
     assert(XlsxCodec.decode(wb("", withStyles = true)).head.rows ==
       Seq(Seq("2020-01-01 00:00:00", "2020-01-01 12:00:00",
         "43831", "43831", "12:00:00", "1.5", "0.25",
-        "2020-01-01T00:00:00", "#DIV/0!")))
-    // no styles.xml at all: raw serials (the pre-r10 behavior holds)
+        "2020-01-01 00:00:00", "#DIV/0!")))
+    // no styles.xml at all: raw serials (the pre-r10 behavior holds),
+    // but the TYPED date cell still parses (type beats style)
     assert(XlsxCodec.decode(wb("", withStyles = false)).head.rows ==
       Seq(Seq("43831", "43831.5", "43831", "43831", "0.5", "1.5",
-        "0.25", "2020-01-01T00:00:00", "#DIV/0!")))
+        "0.25", "2020-01-01 00:00:00", "#DIV/0!")))
     // 1904-system workbook: same styled cell, shifted epoch
     val rows1904 = XlsxCodec.decode(
       wb("""<workbookPr date1904="1"/>""", withStyles = true)).head.rows
     assert(rows1904.head.head == "2024-01-02 00:00:00") // 1904 + 43831d
+    // isoDateText surface forms: date-only → midnight datetime (the
+    // serialDate whole-day form), time-only → HH:mm:ss, fractional
+    // seconds truncate, empty passes, non-ISO refuses loudly
+    assert(XlsxCodec.isoDateText("2020-06-15") == "2020-06-15 00:00:00")
+    assert(XlsxCodec.isoDateText("13:05:09") == "13:05:09")
+    assert(XlsxCodec.isoDateText("2020-01-01T23:59:59.875")
+      == "2020-01-01 23:59:59")
+    assert(XlsxCodec.isoDateText("") == "")
+    intercept[IllegalArgumentException](XlsxCodec.isoDateText("not-a-date"))
+    intercept[IllegalArgumentException](XlsxCodec.isoDateText("43831"))
   }
 
   test("xlsx extraction: first sheet wins, else union across all sheets") {
