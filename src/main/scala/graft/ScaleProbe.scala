@@ -17,10 +17,18 @@ import org.apache.spark.sql.functions._
   *     posting-list distributions replicate per copy instead of every
   *     copy of a doc pairing with every other (which would grow pair
   *     outputs ×N² and measure output explosion, not engine scaling).
-  *   - embeddings: each copy applies a copy-keyed deterministic sign
-  *     flip per dimension — intra-copy geometry (distances up to sign
-  *     pattern, cluster structure) is preserved while cross-copy cosines
-  *     land near zero, so ANN candidate sets replicate per copy.
+  *   - embeddings: each copy applies a copy-keyed ROTATION of the
+  *     dimension order plus a deterministic sign flip per dimension —
+  *     an isometry, so intra-copy geometry (distances, cluster
+  *     structure) is preserved exactly while cross-copy cosines land
+  *     near zero and ANN candidate sets replicate per copy. The
+  *     rotation matters for the GRID queries (q237/q240 project dims
+  *     1-2): sign flips alone have only 4 distinct patterns on two
+  *     dims, so at ×100 ~25 copies stacked into the same grid cells
+  *     and the within-cell quadratic grew ×625 — measured as a hard
+  *     executor OOM, even at 64 g heap (r12). Rotated copies project
+  *     different original dims, so cell densities replicate instead
+  *     of stacking.
   *   - events: user/event ids shift per copy — N user populations with
   *     identical per-user histories.
   *   - lineitem (r12, verdict #5): orderkey AND partkey AND suppkey all
@@ -41,7 +49,7 @@ object ScaleProbe {
 
   /** bump when buildCorpus changes — stale corpora silently measure the
     * old workload shape otherwise */
-  private val BuilderVersion = "v2-lineitem"
+  private val BuilderVersion = "v3-rotate"
 
   private val defaultProbe = Seq(
     "q75_jaccard_prefix", "q16_jaccard_pairs", "q157_triangle_census",
@@ -184,12 +192,15 @@ object ScaleProbe {
     val bigVecs = (0 until mult).map { k =>
       vecs.select(
         (col("vec_id") + lit(k * nVecs)).as("vec_id"),
-        // copy-keyed deterministic sign flip per dimension: intra-copy
-        // geometry preserved, cross-copy cosines ~0
+        // copy-keyed rotation + sign flip (see scaladoc): new dim i
+        // takes old dim (i + k) mod d with a hash-keyed sign — an
+        // exact isometry per copy, near-orthogonal across copies, and
+        // no two copies project the same dims onto the grid axes
         (if (k == 0) col("embedding")
-         else zip_with(col("embedding"),
-           sequence(lit(0), size(col("embedding")) - 1),
-           (v, i) => v * when(pmod(hash(lit(k), i), lit(2)) === 0, lit(1.0f))
+         else transform(sequence(lit(0), size(col("embedding")) - 1),
+           i => element_at(col("embedding"),
+               pmod(i + lit(k), size(col("embedding"))) + 1)
+             * when(pmod(hash(lit(k), i), lit(2)) === 0, lit(1.0f))
              .otherwise(lit(-1.0f)))).as("embedding"),
         col("label"))
     }.reduce(_ union _)
