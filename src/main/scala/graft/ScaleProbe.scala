@@ -123,11 +123,23 @@ object ScaleProbe {
         (spillB.get() - spill0) / 1048576.0)
     }
 
+    // probe-only entries (not registry queries): the SemDeDup auto
+    // path, so the k ∝ n contract is MEASURED against the pinned-k
+    // registry form — with k fixed the per-cluster quadratic grows
+    // ∝ n²/k; with k ∝ n (constant target cluster size) it stays
+    // linear. targetClusterSize 1024 gives k=5 at sf0.1 (comparable
+    // work to the registry's k=4) and k∝n beyond.
+    val probeOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "semdedup_auto" -> ((s, dir) =>
+        graft.ops.SimilarityOps.semanticDedupAuto(
+          Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+          targetClusterSize = 1024)))
+
     println(f"${"query"}%-24s ${"t_sf0.1"}%8s ${"t_x" + mult}%8s " +
       f"${"exp"}%6s ${"task1"}%8s ${"taskN"}%8s ${"texp"}%6s " +
       f"${"peakMB"}%8s ${"spillMB"}%8s")
     probe.foreach { name =>
-      SparkEntry.queries.get(name) match {
+      SparkEntry.queries.get(name).orElse(probeOnly.get(name)) match {
         case None => println(f"$name%-24s MISSING")
         case Some(fn) =>
           try {

@@ -541,14 +541,17 @@ object SimilarityOps {
         // with n. min_by aggregates instead: every vector's k
         // candidates sit in one partition of the broadcast-crossJoin
         // output, so the partial pass resolves each vector map-side
-        // and the exchange carries n rows regardless of k. (min_by's
-        // array-typed buffer plans as SortAggregate — a per-partition
-        // CPU cost, not a network one.)
-        scored.groupBy("vec_id")
-          .agg(min_by(struct(col("cid"), col("q")),
-            struct(col("dist"), col("cid"))).as("best"))
-          .select(col("vec_id"), col("best.q").as("q"),
-            col("best.cid").as("cid"))
+        // and the exchange carries n rows regardless of k. The vector
+        // payload is DROPPED before the aggregation and joined back
+        // from the checkpointed base after — min_by's struct buffer
+        // plans as SortAggregate, and sorting n·k 24-byte (dist, cid)
+        // rows instead of ~550-byte q-carrying rows cut the measured
+        // ×100 spill ~20× for the price of one n-row join.
+        scored.drop("q").groupBy("vec_id")
+          .agg(min_by(col("cid"), struct(col("dist"), col("cid")))
+            .as("cid"))
+          .join(base, "vec_id")
+          .select(col("vec_id"), col("q"), col("cid"))
       }
     }
     def update(assigned: DataFrame): DataFrame =
