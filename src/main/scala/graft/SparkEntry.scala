@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQ, CorpusQ, CurateQ, EtlQ, MetricsQ, PipelineQ, QualityQ, RelationalQ, ScaleQ, SimQ, TextQ, TrendQ, WebQ}
+import graft.queries.{AdvancedQ, CorpusQ, CurateQ, EtlQ, MediaQ, MetricsQ, PipelineQ, QualityQ, RelationalQ, ScaleQ, SimQ, TextQ, TrendQ, WebQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
     RelationalQ.queries ++ TextQ.queries ++ SimQ.queries ++ EtlQ.queries ++
       AdvancedQ.queries ++ ScaleQ.queries ++ PipelineQ.queries ++
       QualityQ.queries ++ CorpusQ.queries ++ TrendQ.queries ++
-      CurateQ.queries ++ WebQ.queries ++ MetricsQ.queries
+      CurateQ.queries ++ WebQ.queries ++ MetricsQ.queries ++ MediaQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
     RelationalQ.oracles ++ TextQ.oracles ++ SimQ.oracles ++ EtlQ.oracles ++
       AdvancedQ.oracles ++ ScaleQ.oracles ++ PipelineQ.oracles ++
       QualityQ.oracles ++ CorpusQ.oracles ++ TrendQ.oracles ++
-      CurateQ.oracles ++ WebQ.oracles ++ MetricsQ.oracles
+      CurateQ.oracles ++ WebQ.oracles ++ MetricsQ.oracles ++ MediaQ.oracles
 }

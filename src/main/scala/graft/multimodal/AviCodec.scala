@@ -8,9 +8,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * ImageCodec (image) and WavCodec (audio). Uncompressed BI_RGB frames
   * ('00db' chunks) are the one mainstream video payload that is
   * LOSSLESS, which is what lets the driver's integer checksum oracles
-  * hold bit-for-bit through a real container roundtrip; compressed
-  * codecs (MJPG/H.264/…) stay behind the declared stub, the same
-  * perimeter stance as PdfCodec's filter set.
+  * hold bit-for-bit through a real container roundtrip. Motion JPEG
+  * ('00dc' chunks, biCompression 'MJPG') decodes via the in-engine
+  * JpegCodec — see encodeMjpg/decodeMjpg below — whose block-constant
+  * subspace keeps the same exact-oracle discipline through a genuinely
+  * compressed payload; H.264 and every other fourcc still refuse
+  * loudly, the perimeter stance of PdfCodec's filter set.
   *
   * The DIB payload carries the two classic traps and the decoder must
   * handle both or the driver hash breaks: rows are stored BOTTOM-UP,
@@ -170,6 +173,164 @@ object AviCodec {
         case "00dc" =>
           throw new IllegalArgumentException(
             "compressed frame chunk 00dc is outside the decode perimeter")
+        case _ => ()
+      }
+      buf.position(next)
+    }
+
+    walkList(bytes.length)
+    require(w > 0 && h > 0, "no strf header")
+    (w, h, fps, frames.toSeq)
+  }
+
+  // ------------------------------------------------------------- MJPG side
+  //
+  // Motion JPEG: each frame is a standalone baseline JPEG in a '00dc'
+  // (compressed) chunk, biCompression = 'MJPG'. With JpegCodec in-engine
+  // this closes the compressed-video half of the r11 perimeter — the DIB
+  // path above stays byte-identical (its oracles are hash-load-bearing)
+  // and H.264/anything-else still refuses loudly by fourcc.
+
+  private val MjpgFourcc = 0x47504a4d // 'MJPG' little-endian
+
+  /** Encode 8-bit GRAY frames (each w·h bytes) as an MJPG AVI. Frames
+    * ride JpegCodec.encodeGray, so block-constant frames survive the
+    * lossy codec exactly (the oracle subspace); biBitCount is 24 per the
+    * VfW convention for MJPG regardless of the JPEG's component count. */
+  def encodeMjpg(w: Int, h: Int, frames: Seq[Array[Byte]], fps: Int)
+      : Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0, "bad geometry/rate")
+    frames.foreach(f => require(f.length == w * h,
+      s"gray frame has ${f.length} bytes, want ${w * h}"))
+    val payloads = frames.map(f => JpegCodec.encodeGray(w, h, f))
+    val moviBody = 4 + payloads.map(p => 8 + p.length + (p.length & 1)).sum
+    val hdrlBody = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (12 + hdrlBody - 4) + (12 + moviBody - 4)
+    val maxFrame = if (payloads.isEmpty) 0 else payloads.map(_.length).max
+    val buf = ByteBuffer.allocate(8 + riffBody).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); buf.putInt(riffBody); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlBody); tag("hdrl")
+    tag("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps)
+    buf.putInt(maxFrame * fps)
+    buf.putInt(0); buf.putInt(0)
+    buf.putInt(frames.size)
+    buf.putInt(0); buf.putInt(1)
+    buf.putInt(maxFrame)
+    buf.putInt(w); buf.putInt(h)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    tag("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); tag("strl")
+    tag("strh"); buf.putInt(56)
+    tag("vids"); tag("MJPG")
+    buf.putInt(0)
+    buf.putShort(0); buf.putShort(0)
+    buf.putInt(0)
+    buf.putInt(1); buf.putInt(fps)
+    buf.putInt(0)
+    buf.putInt(frames.size)
+    buf.putInt(maxFrame)
+    buf.putInt(-1)
+    buf.putInt(0)
+    buf.putShort(0); buf.putShort(0); buf.putShort(w.toShort)
+    buf.putShort(h.toShort)
+    tag("strf"); buf.putInt(40)
+    buf.putInt(40); buf.putInt(w); buf.putInt(h)
+    buf.putShort(1); buf.putShort(24)
+    buf.putInt(MjpgFourcc)
+    buf.putInt(maxFrame)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    tag("LIST"); buf.putInt(moviBody); tag("movi")
+    payloads.foreach { p =>
+      tag("00dc"); buf.putInt(p.length)
+      buf.put(p)
+      if ((p.length & 1) == 1) buf.put(0.toByte) // RIFF even padding
+    }
+    buf.array()
+  }
+
+  /** Decode an MJPG AVI → (w, h, fps, top-down row-major GRAY frames).
+    * Walks the same RIFF layout as decodeDib24 but requires
+    * biCompression == 'MJPG' and decodes each '00dc' payload with
+    * JpegCodec; any other fourcc (H.264/cvid/…) refuses loudly with the
+    * fourcc spelled out, and a frame whose JPEG geometry disagrees with
+    * the stream header refuses rather than emitting misshapen pixels. */
+  def decodeMjpg(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(bytes.length >= 12, s"not an AVI: ${bytes.length} bytes")
+    val riff = tag()
+    require(riff == "RIFF", s"not an AVI: leading tag '$riff'")
+    buf.getInt()
+    val form = tag()
+    require(form == "AVI ", s"not an AVI: form type '$form'")
+    var w = -1; var h = -1; var fps = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    def walkStrl(end: Int): Unit = {
+      var rate = -1; var scale = -1
+      while (buf.position() < end) {
+        val id = tag(); val size = buf.getInt()
+        val next = buf.position() + size + (size & 1)
+        require(size >= 0 && next <= bytes.length,
+          s"truncated chunk '$id': declared $size")
+        id match {
+          case "strh" =>
+            require(size >= 28, s"strh too small ($size bytes)")
+            val typ = tag()
+            require(typ == "vids", s"first stream is '$typ', want 'vids'")
+            tag() // handler fourcc — strf's biCompression is authoritative
+            buf.getInt(); buf.getShort(); buf.getShort(); buf.getInt()
+            scale = buf.getInt(); rate = buf.getInt()
+          case "strf" =>
+            require(size >= 40,
+              s"strf too small ($size bytes, BITMAPINFOHEADER needs 40)")
+            buf.getInt()
+            w = buf.getInt(); h = buf.getInt()
+            buf.getShort(); buf.getShort()
+            val comp = buf.getInt()
+            require(comp == MjpgFourcc, {
+              val fourcc = new String(Array[Byte](
+                (comp & 0xff).toByte, ((comp >> 8) & 0xff).toByte,
+                ((comp >> 16) & 0xff).toByte, ((comp >> 24) & 0xff).toByte),
+                "US-ASCII")
+              s"compression '$fourcc' (0x${comp.toHexString}) is outside " +
+                "the decode perimeter (MJPG here, BI_RGB via decodeDib24)"
+            })
+          case _ => ()
+        }
+        buf.position(next)
+      }
+      require(rate > 0 && scale > 0, "no strh rate")
+      fps = rate / scale
+    }
+
+    def walkList(end: Int): Unit = while (buf.position() < end) {
+      val id = tag(); val size = buf.getInt()
+      val next = buf.position() + size + (size & 1)
+      require(size >= 0 && next <= bytes.length,
+        s"truncated chunk '$id': declared $size")
+      id match {
+        case "LIST" =>
+          tag() match {
+            case "hdrl" => walkList(next)
+            case "strl" if w < 0 => walkStrl(next)
+            case "movi" => walkList(next)
+            case _ => buf.position(next)
+          }
+        case "00dc" =>
+          require(w > 0 && h > 0, "frame before strf header")
+          val payload = new Array[Byte](size)
+          buf.get(payload)
+          val (fw, fh, pix) = JpegCodec.decodeGray(payload)
+          require(fw == w && fh == h,
+            s"frame geometry ${fw}x$fh disagrees with stream ${w}x$h")
+          frames += pix
+        case "00db" =>
+          throw new IllegalArgumentException(
+            "uncompressed 00db chunk in an MJPG stream — use decodeDib24")
         case _ => ()
       }
       buf.position(next)

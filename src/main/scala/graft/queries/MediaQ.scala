@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Compressed-media codecs under the driver hash — round 12's close of
+  * the r11 "What's missing #1" perimeter (compressed formats threw
+  * loudly; the reference swallows them via PyMuPDF, pdf_spider.py:42-50).
+  * Each query drives a REAL compressed codec end-to-end executor-side and
+  * reports exact integer stats the DuckDB oracle reproduces from the
+  * source text alone:
+  *
+  * - q281: baseline JPEG (hand-rolled Huffman/DCT/markers, JpegCodec)
+  *   on its exact-roundtrip subspace — block-constant images, one 8×8
+  *   block per source byte — with the JDK's independent libjpeg-lineage
+  *   decoder required to agree sample-for-sample in the same row.
+  * - q282: Motion-JPEG AVI ('00dc' frames through JpegCodec inside the
+  *   RIFF walk) — the compressed counterpart of q220's DIB form.
+  * - q283: ITU-T G.711 µ-law/A-law WAV — source bytes are CODES, the
+  *   decode table is exact integer arithmetic both engines share.
+  * - q284: MPEG-1 Layer III frame census (sync walk, bitrate/padding
+  *   tables, ID3v2 skip) — the ffprobe-level scan a corpus pipeline
+  *   actually runs on audio blobs.
+  *
+  * All four are per-row executor work over a projection — no shuffle,
+  * the standard 100 TB codec envelope (scan-fused, CPU-linear). */
+object MediaQ {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The JPEG codec under the driver hash. Image-kind docs (id%3==0)
+    // become one REAL baseline JPEG each — byte k of the text renders as
+    // a constant 8×8 block, so the lossy codec is exact (see JpegCodec's
+    // header note) and the oracle recomputes pixel sums from characters.
+    // Restart markers vary by id (intervals 0/2/4/6), putting DRI/RSTn
+    // under the hash too. Both OUR decoder and the JDK's must agree on
+    // every sample before stats are emitted — a dual-decoder certificate
+    // in the hot row. A defect anywhere (entropy coding, DCT, zigzag,
+    // marker walk, restart reset) shifts a pixel and breaks the hash.
+    "q281_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("ISO-8859-1")
+          val n = bytes.length
+          val w = 8 * n
+          val h = 8
+          val pix = new Array[Byte](w * h)
+          var j = 0
+          while (j < n) {
+            var y = 0
+            while (y < 8) {
+              java.util.Arrays.fill(pix, y * w + 8 * j, y * w + 8 * j + 8,
+                bytes(j))
+              y += 1
+            }
+            j += 1
+          }
+          val rst = ((id % 4) * 2).toInt
+          val enc = graft.multimodal.JpegCodec.encodeGray(w, h, pix, rst)
+          val (dw, dh, dec) = graft.multimodal.JpegCodec.decodeGray(enc)
+          require(dw == w && dh == h,
+            s"jpeg roundtrip drifted to ${dw}x$dh for doc $id")
+          // independent decoder must agree sample-for-sample
+          val (iw, ih, ref) = graft.multimodal.ImageCodec.decodeGray(enc)
+          require(iw == w && ih == h &&
+            java.util.Arrays.equals(dec, ref),
+            s"JpegCodec and ImageIO disagree on doc $id")
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < dec.length) {
+            val v = (dec(i) & 0xff).toLong
+            sum += v
+            chk += (i + 1) * v
+            i += 1
+          }
+          (id, rst.toLong, w.toLong, h.toLong, sum, chk)
+        }
+        .toDF("doc_id", "restart_interval", "width", "height",
+          "pix_sum", "pos_checksum")
+        .orderBy("doc_id")
+    }),
+
+    // Motion JPEG under the driver hash — q220's shape with a genuinely
+    // COMPRESSED payload: video-kind docs become nf 16×8 gray frames of
+    // two constant blocks (bytes 2f, 2f+1 of the text, cycled), ride an
+    // MJPG AVI through encodeMjpg/decodeMjpg, and every even frame
+    // reports exact checksums. A stride slip, frame misorder, or any
+    // JPEG defect inside the RIFF walk breaks the hash.
+    "q282_mjpg_frames" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2 && length(col("text")) > 1)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val src = text.getBytes("ISO-8859-1")
+          val len = src.length
+          val nf = (3 + id % 3).toInt
+          val frames = (0 until nf).map { f =>
+            val v0 = src((2 * f) % len)
+            val v1 = src((2 * f + 1) % len)
+            Array.tabulate[Byte](16 * 8)(i => if (i % 16 < 8) v0 else v1)
+          }
+          val avi = graft.multimodal.AviCodec.encodeMjpg(16, 8, frames, 10)
+          val (w, h, fps, dec) = graft.multimodal.AviCodec.decodeMjpg(avi)
+          require(w == 16 && h == 8 && fps == 10 && dec.length == nf,
+            s"mjpg roundtrip shape drift: ${w}x$h @$fps, ${dec.length}")
+          dec.zipWithIndex.filter(_._2 % 2 == 0).map { case (fr, fi) =>
+            var sum = 0L
+            var chk = 0L
+            var p = 0
+            while (p < fr.length) {
+              val v = (fr(p) & 0xff).toLong
+              sum += v
+              chk += (p + 1) * v
+              p += 1
+            }
+            (id, nf.toLong, fi.toLong, sum, chk)
+          }
+        }
+        .toDF("doc_id", "n_frames", "frame_idx", "pix_sum", "pos_checksum")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // G.711 under the driver hash — q217's shape through a COMPRESSED
+    // (companded) codec: audio-kind docs carry their bytes as G.711
+    // CODES (µ-law on even ids, A-law on odd), the codes ride a real
+    // format-tag-6/7 WAV, and the decoded 16-bit samples report exact
+    // amplitude stats. The oracle recomputes every sample from the
+    // published bit-field formulas; a segment/mantissa/sign slip in
+    // either table breaks the hash.
+    "q283_g711_audio" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val codes = text.getBytes("ISO-8859-1")
+          val mu = id % 2 == 0
+          val samples = codes.map(c =>
+            if (mu) graft.multimodal.G711Codec.ulawToLinear(c)
+            else graft.multimodal.G711Codec.alawToLinear(c))
+          val wav = graft.multimodal.G711Codec.encodeWav(8000, 1,
+            samples, mu)
+          val (rate, ch, isMu, dec) =
+            graft.multimodal.G711Codec.decodeWav(wav)
+          require(rate == 8000 && ch == 1 && isMu == mu &&
+            dec.length == codes.length,
+            s"g711 roundtrip shape drift for doc $id")
+          var sum = 0L
+          var chk = 0L
+          var peak = 0L
+          var k = 0
+          while (k < dec.length) {
+            val v = dec(k).toLong
+            sum += v
+            chk += (k + 1) * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            k += 1
+          }
+          (id, if (mu) "ulaw" else "alaw", dec.length.toLong, sum, chk,
+            peak)
+        }
+        .toDF("doc_id", "law", "n_samples", "amp_sum", "pos_checksum",
+          "peak_abs")
+        .orderBy("doc_id")
+    }),
+
+    // The MP3 frame census under the driver hash: each audio-kind doc
+    // synthesizes a REAL MPEG-1 Layer III stream (one frame per text
+    // byte: bitrate index b%14+1, padding bit (b/16)%2, 44.1 kHz; a
+    // deterministic ID3v2 prefix on id%5≠0 docs exercises the syncsafe
+    // skip), then scan() walks it back. Totals are pure published-table
+    // arithmetic — the oracle rebuilds them per character; a frame-length
+    // slip desyncs the walk and the row refuses rather than mis-counting.
+    "q284_mp3_scan" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val src = text.getBytes("ISO-8859-1")
+          val specs = src.toSeq.map { b =>
+            ((b & 0xff) % 14 + 1, ((b & 0xff) / 16) % 2 == 1)
+          }
+          val id3 = ((id % 5) * 13).toInt
+          val bytes = graft.multimodal.Mp3Codec.synth(specs, 0, id3)
+          val frames = graft.multimodal.Mp3Codec.scan(bytes)
+          require(frames.length == specs.length,
+            s"mp3 scan found ${frames.length} of ${specs.length} frames")
+          val firstOffset = frames.head.offset
+          val totalBytes = frames.map(_.frameBytes.toLong).sum
+          val brChk = frames.zipWithIndex.map { case (f, k) =>
+            (k + 1).toLong * f.bitrateKbps }.sum
+          val padCount = frames.count(_.padded).toLong
+          val durMs =
+            frames.length.toLong * graft.multimodal.Mp3Codec.SamplesPerFrame *
+              1000L / 44100L
+          (id, frames.length.toLong, firstOffset, totalBytes, brChk,
+            padCount, durMs)
+        }
+        .toDF("doc_id", "n_frames", "first_offset", "total_bytes",
+          "bitrate_checksum", "pad_count", "duration_ms")
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    // pixel math for one constant 8×8 block j of value v in an 8-row
+    // image of width 8·len: Σ pix = 64v; Σ (i+1)·pix over the block =
+    // v · (1792·len + 512·j + 288)  [ Σ_y Σ_x (y·8len + 8j + x + 1) ]
+    "q281_jpeg_decode" ->
+      """SELECT doc_id,
+        | CAST((doc_id % 4) * 2 AS BIGINT) AS restart_interval,
+        | CAST(8 * length(text) AS BIGINT) AS width,
+        | CAST(8 AS BIGINT) AS height,
+        | CAST(64 * list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT)
+        |   AS pix_sum,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> ord(substr(text, CAST(i AS INTEGER), 1))
+        |      * (1792 * length(text) + 512 * (i - 1) + 288))) AS BIGINT)
+        |   AS pos_checksum
+        |FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // frame f: blocks v0 = char((2f) mod len), v1 = char((2f+1) mod len);
+    // pix_sum = 64(v0+v1); pos_checksum = 3872·v0 + 4384·v1
+    // [ Σ over a 16-wide block b: Σ_y Σ_x (16y + 8b + x + 1) = 3584 +
+    //   512b + 288 ]; only even frames are reported
+    "q282_mjpg_frames" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len,
+        |  3 + doc_id % 3 AS nf
+        | FROM documents WHERE doc_id % 3 = 2 AND length(text) > 1),
+        |fr AS (
+        | SELECT doc_id, text, len, nf, unnest(range(0, nf)) AS f
+        | FROM d),
+        |v AS (
+        | SELECT doc_id, nf, f,
+        |  ord(substr(text, CAST((2 * f) % len + 1 AS INTEGER), 1)) AS v0,
+        |  ord(substr(text, CAST((2 * f + 1) % len + 1 AS INTEGER), 1)) AS v1
+        | FROM fr WHERE f % 2 = 0)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        | CAST(f AS BIGINT) AS frame_idx,
+        | CAST(64 * (v0 + v1) AS BIGINT) AS pix_sum,
+        | CAST(3872 * v0 + 4384 * v1 AS BIGINT) AS pos_checksum
+        |FROM v ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // µ-law decode of code b: u = 255-b; t = ((u%16)*8+132)*2^((u//16)%8)
+    //   - 132; value = -t if u >= 128 else t   (ITU G.711 / Sun g711.c)
+    // A-law decode of code b: a = xor(b,85); base = (a%16)*16; seg =
+    //   (a//16)%8; t = base+8 if seg=0 else (base+264)<<(seg-1);
+    //   value = t if a >= 128 else -t
+    "q283_g711_audio" ->
+      """WITH s AS (
+        | SELECT doc_id, text, length(text) AS len,
+        |  doc_id % 2 = 0 AS mu
+        | FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0),
+        |v AS (
+        | SELECT doc_id, mu, len,
+        |  list_transform(range(1, len + 1), i ->
+        |   CASE WHEN mu THEN
+        |    CASE WHEN (255 - ord(substr(text, CAST(i AS INTEGER), 1)))
+        |              >= 128
+        |     THEN -((((255 - ord(substr(text, CAST(i AS INTEGER), 1)))
+        |         % 16) * 8 + 132)
+        |        * (1 << (((255 - ord(substr(text, CAST(i AS INTEGER), 1)))
+        |            // 16) % 8)) - 132)
+        |     ELSE ((((255 - ord(substr(text, CAST(i AS INTEGER), 1)))
+        |         % 16) * 8 + 132)
+        |        * (1 << (((255 - ord(substr(text, CAST(i AS INTEGER), 1)))
+        |            // 16) % 8)) - 132)
+        |    END
+        |   ELSE
+        |    CASE WHEN xor(ord(substr(text, CAST(i AS INTEGER), 1)), 85)
+        |              >= 128
+        |     THEN (CASE WHEN ((xor(ord(substr(text, CAST(i AS INTEGER), 1)),
+        |            85) // 16) % 8) = 0
+        |       THEN (xor(ord(substr(text, CAST(i AS INTEGER), 1)), 85) % 16)
+        |            * 16 + 8
+        |       ELSE ((xor(ord(substr(text, CAST(i AS INTEGER), 1)), 85) % 16)
+        |            * 16 + 264)
+        |          * (1 << (((xor(ord(substr(text, CAST(i AS INTEGER), 1)),
+        |              85) // 16) % 8) - 1)) END)
+        |     ELSE -(CASE WHEN ((xor(ord(substr(text, CAST(i AS INTEGER), 1)),
+        |            85) // 16) % 8) = 0
+        |       THEN (xor(ord(substr(text, CAST(i AS INTEGER), 1)), 85) % 16)
+        |            * 16 + 8
+        |       ELSE ((xor(ord(substr(text, CAST(i AS INTEGER), 1)), 85) % 16)
+        |            * 16 + 264)
+        |          * (1 << (((xor(ord(substr(text, CAST(i AS INTEGER), 1)),
+        |              85) // 16) % 8) - 1)) END)
+        |    END
+        |   END) AS vals
+        | FROM s)
+        |SELECT doc_id,
+        | CASE WHEN mu THEN 'ulaw' ELSE 'alaw' END AS law,
+        | CAST(len AS BIGINT) AS n_samples,
+        | CAST(list_sum(vals) AS BIGINT) AS amp_sum,
+        | CAST(list_sum(list_transform(range(1, len + 1),
+        |   i -> i * vals[CAST(i AS INTEGER)])) AS BIGINT) AS pos_checksum,
+        | CAST(list_max(list_transform(vals, x -> abs(x))) AS BIGINT)
+        |   AS peak_abs
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // frame k (char b): bitrate = BR[b % 14 + 1], padded = (b//16) % 2,
+    // frame_bytes = 144000·bitrate // 44100 + padded; ID3v2 prefix is
+    // 10 + 13·(doc_id % 5) bytes when doc_id % 5 != 0
+    "q284_mp3_scan" ->
+      """WITH br AS (SELECT [0,32,40,48,56,64,80,96,112,128,160,192,224,
+        |  256,320] AS t),
+        |d AS (
+        | SELECT doc_id, text, length(text) AS len,
+        |  CASE WHEN doc_id % 5 = 0 THEN 0
+        |       ELSE 10 + 13 * (doc_id % 5) END AS id3
+        | FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0),
+        |v AS (
+        | SELECT doc_id, len, id3,
+        |  list_transform(range(1, len + 1), i ->
+        |   t[ord(substr(text, CAST(i AS INTEGER), 1)) % 14 + 2]) AS kbps,
+        |  list_transform(range(1, len + 1), i ->
+        |   (ord(substr(text, CAST(i AS INTEGER), 1)) // 16) % 2) AS pad
+        | FROM d, br)
+        |SELECT doc_id,
+        | CAST(len AS BIGINT) AS n_frames,
+        | CAST(id3 AS BIGINT) AS first_offset,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   144000 * kbps[CAST(i AS INTEGER)] // 44100
+        |     + pad[CAST(i AS INTEGER)])) AS BIGINT) AS total_bytes,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   i * kbps[CAST(i AS INTEGER)])) AS BIGINT) AS bitrate_checksum,
+        | CAST(list_sum(pad) AS BIGINT) AS pad_count,
+        | CAST(len * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms
+        |FROM v ORDER BY doc_id""".stripMargin)
+}

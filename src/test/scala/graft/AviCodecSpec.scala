@@ -70,4 +70,56 @@ class AviCodecSpec extends AnyFunSuite {
     }
     assertThrows[IllegalArgumentException](AviCodec.decodeDib24(comp))
   }
+
+  // --------------------------------------------------------------- MJPG
+
+  /** block-constant 16×8 gray frame (two 8×8 blocks: va then vb) — the
+    * JPEG exact-roundtrip subspace, so MJPG frames survive bit-for-bit. */
+  private def grayFrame(va: Int, vb: Int): Array[Byte] =
+    Array.tabulate(16 * 8) { i =>
+      (if ((i % 16) < 8) va else vb).toByte
+    }
+
+  test("MJPG roundtrip: block-constant frames survive the lossy codec") {
+    val fs = Seq(grayFrame(10, 200), grayFrame(99, 3), grayFrame(128, 128))
+    val avi = AviCodec.encodeMjpg(16, 8, fs, 25)
+    val (w, h, fps, back) = AviCodec.decodeMjpg(avi)
+    assert(w == 16 && h == 8 && fps == 25 && back.size == 3)
+    fs.zip(back).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
+
+  test("MJPG frames are real JPEGs (SOI inside the 00dc payload)") {
+    val avi = AviCodec.encodeMjpg(16, 8, Seq(grayFrame(1, 2)), 10)
+    // find the 00dc chunk and check its payload starts FF D8
+    var i = 0
+    var at = -1
+    while (at < 0 && i < avi.length - 4) {
+      if (avi(i) == '0' && avi(i + 1) == '0' && avi(i + 2) == 'd' &&
+        avi(i + 3) == 'c') at = i
+      i += 1
+    }
+    assert(at > 0)
+    assert((avi(at + 8) & 0xff) == 0xff && (avi(at + 9) & 0xff) == 0xd8)
+  }
+
+  test("MJPG perimeter: foreign fourcc and cross-path chunks refuse") {
+    // H.264 fourcc in strf refuses with the fourcc named
+    val avi = AviCodec.encodeMjpg(16, 8, Seq(grayFrame(7, 8)), 10)
+    val h264 = avi.clone()
+    var i = 0
+    while (i < h264.length - 4) {
+      if (h264(i) == 'M' && h264(i + 1) == 'J' && h264(i + 2) == 'P' &&
+        h264(i + 3) == 'G' && i > 100) { // the strf one, not strh handler
+        h264(i) = 'H'; h264(i + 1) = '2'; h264(i + 2) = '6'; h264(i + 3) = '4'
+      }
+      i += 1
+    }
+    val e = intercept[IllegalArgumentException](AviCodec.decodeMjpg(h264))
+    assert(e.getMessage.contains("H264"), e.getMessage)
+    // a DIB stream through the MJPG decoder refuses (00db + BI_RGB)
+    val dib = AviCodec.encodeDib24(5, 3, Seq(frame(3)), 10)
+    intercept[IllegalArgumentException](AviCodec.decodeMjpg(dib))
+    // an MJPG stream through the DIB decoder refuses (00dc)
+    intercept[IllegalArgumentException](AviCodec.decodeDib24(avi))
+  }
 }
