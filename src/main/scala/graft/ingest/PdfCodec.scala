@@ -17,11 +17,19 @@ import java.util.zip.{Deflater, Inflater}
   * DCT/JPX image XObjects, and the reference extracts text from such
   * files silently (pdf_spider.py:42-50); refusing the whole document
   * over an undecodable image was the r8 verdict's top missing item.
-  * Declared out of scope, loudly: image-ONLY PDFs (every stream an
-  * image — would need OCR), encrypted files, unparsable /Filter
-  * values (indirect refs), and image-codec filters (DCT/JPX/CCITT) on
-  * CONTENT streams — `decode` on those throws rather than returning
-  * garbage.
+  * ENCRYPTED documents (r12): the standard security handler with an
+  * EMPTY user password — the ubiquitous owner-locked "permissions"
+  * PDF — decrypts in-engine via [[PdfCrypt]] (RC4 V1/V2 R2/R3 and
+  * AES-128 AESV2 V4/R4); each content stream is decrypted with its
+  * per-object key before the filter chain runs. Declared out of
+  * scope, loudly: image-ONLY PDFs (every stream an image — would
+  * need OCR), password-protected files (a /U that fails the
+  * empty-password check), indirect /Length values reachable only
+  * through an ObjStm of an ENCRYPTED document (the member bytes are
+  * ciphertext to the resolver — such a length refuses as
+  * unresolvable), unparsable /Filter values (indirect refs), and
+  * image-codec filters (DCT/JPX/CCITT) on CONTENT streams — `decode`
+  * on those throws rather than returning garbage.
   *
   * Indirect `/Length N G R` references — the dominant stream-length
   * encoding in real-world PDFs (writers emit the stream before they
@@ -89,6 +97,10 @@ object PdfCodec {
       new String(bytes, 0, 5, "ISO-8859-1") == "%PDF-",
       "not a PDF: missing %PDF- header")
     val raw = new String(bytes, "ISO-8859-1") // byte-transparent charset
+    // standard-security-handler detection + empty-user-password key
+    // derivation; None for the unencrypted majority. Loud on a real
+    // password or an out-of-perimeter handler (see PdfCrypt).
+    val crypt = PdfCrypt.parse(raw)
     val lines = Seq.newBuilder[String]
     var from = 0
     var found = false
@@ -149,7 +161,16 @@ object PdfCodec {
       // throw inside decodeFiltered stays for content streams
       if (SubtypeImage.findFirstIn(dict).isEmpty &&
           TypeContainer.findFirstIn(dict).isEmpty) {
-        val seg = raw.substring(s, e).getBytes("ISO-8859-1")
+        val raw0 = raw.substring(s, e).getBytes("ISO-8859-1")
+        // encrypted documents: the stream's bytes are ciphertext under
+        // its OWNING object's key (§7.6.2) — decrypt before the filter
+        // chain, which operates on plaintext
+        val seg = crypt match {
+          case Some(ctx) =>
+            val (onum, ogen) = owningObj(raw, i)
+            ctx.decryptStream(onum, ogen, raw0)
+          case None => raw0
+        }
         val content = decodeFiltered(dict, seg)
         lines ++= showOps(new String(content, "ISO-8859-1"))
         found = true
@@ -159,6 +180,34 @@ object PdfCodec {
     }}) ()
     require(found, "no content stream found in PDF")
     lines.result()
+  }
+
+  /** The `num gen obj` header owning the stream whose keyword sits at
+    * `until` — backward scan, skipping `endobj` keyword hits (the only
+    * place 'obj' legally occurs that is not an object header; a stray
+    * 'obj' inside an earlier stream's BINARY body cannot intervene
+    * because that body ends with its own `endobj` closer to `until`).
+    * Needed only on encrypted documents, where the per-object key is
+    * derived from this pair. */
+  private def owningObj(raw: String, until: Int): (Int, Int) = {
+    var k = raw.lastIndexOf("obj", until)
+    while (k >= 3 && raw.regionMatches(k - 3, "end", 0, 3))
+      k = raw.lastIndexOf("obj", k - 1)
+    require(k > 0, "encrypted stream outside any `num gen obj` object")
+    def skipWs(p: Int): Int = {
+      var q = p
+      while (q >= 0 && raw.charAt(q).isWhitespace) q -= 1
+      q
+    }
+    def readInt(p: Int): (Int, Int) = {
+      var q = p
+      while (q >= 0 && raw.charAt(q).isDigit) q -= 1
+      require(q < p, s"malformed object header before offset $until")
+      (raw.substring(q + 1, p + 1).toInt, q)
+    }
+    val (gen, j) = readInt(skipWs(k - 1))
+    val (num, _) = readInt(skipWs(j))
+    (num, gen)
   }
 
   // integer-parameter probes, compiled once per distinct name (the
@@ -869,6 +918,77 @@ object PdfCodec {
 
   def encode(lines: Seq[String], compress: Boolean = true): Array[Byte] =
     build(lines, if (compress) "flate" else "raw")
+
+  /** Fixture: a REAL encrypted PDF (standard security handler, empty
+    * user+owner password) — one Flate content stream whose bytes are
+    * ciphertext under the per-object key, with correct /O, /U, /P and
+    * trailer /ID, so a conforming reader opens it without a prompt.
+    * `mode`: "rc4-40" (V1/R2) | "rc4-128" (V2/R3) | "aes-128"
+    * (V4/R4 AESV2). Deterministic byte-for-byte (fixed /ID from the
+    * content, fixed AES IVs) — the driver-hash requirement. */
+  def encodeEncrypted(lines: Seq[String], mode: String): Array[Byte] = {
+    val (v, r, lenBits, aes) = mode match {
+      case "rc4-40" => (1, 2, 40, false)
+      case "rc4-128" => (2, 3, 128, false)
+      case "aes-128" => (4, 4, 128, true)
+      case other => throw new IllegalArgumentException(
+        s"unknown encryption mode $other — rc4-40 | rc4-128 | aes-128")
+    }
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val content = ("BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
+      .getBytes("ISO-8859-1")
+    val d = new Deflater()
+    d.setInput(content); d.finish()
+    val cOut = new ByteArrayOutputStream(content.length)
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    val plain = cOut.toByteArray
+    val p = -44 // typical permissions word (print/modify denied)
+    val id0 = PdfCrypt.md5(("graft-pdf-" + mode).getBytes("ISO-8859-1"),
+      content).take(16)
+    val o = PdfCrypt.ownerEntry(r min 3, lenBits)
+    val key = PdfCrypt.fileKey(o, p, id0, r min 3, lenBits)
+    val u = PdfCrypt.userEntry(key, id0, r min 3)
+    val data = PdfCrypt.encrypt(PdfCrypt.objKey(key, 4, 0, aes), plain, aes)
+    def hex(b: Array[Byte]): String =
+      b.map(x => f"${x & 0xff}%02x").mkString
+    val cf = if (aes)
+      " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> " +
+        ">> /StmF /StdCF /StrF /StdCF"
+    else ""
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = Array.newBuilder[Int]
+    w("%PDF-1.4\n")
+    offsets += out.size()
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets += out.size()
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    offsets += out.size()
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/MediaBox [0 0 612 792] >> endobj\n")
+    offsets += out.size()
+    w(s"4 0 obj << /Length ${data.length} /Filter /FlateDecode >> stream\n")
+    out.write(data)
+    w("\nendstream endobj\n")
+    offsets += out.size()
+    w(s"5 0 obj << /Filter /Standard /V $v /R $r /Length $lenBits$cf " +
+      s"/O <${hex(o)}> /U <${hex(u)}> /P $p >> endobj\n")
+    val xref = out.size()
+    val offs = offsets.result()
+    w("xref\n0 6\n0000000000 65535 f \n" +
+      offs.map(off => f"$off%010d 00000 n \n").mkString)
+    w(s"trailer << /Size 6 /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
 
   /** Fixture: a PDF whose page has BOTH a Flate-compressed text content
     * stream and a /DCTDecode image XObject (the overwhelmingly common

@@ -1,0 +1,285 @@
+package graft.ingest
+
+import java.security.MessageDigest
+
+/** PDF standard security handler (ISO 32000-1 §7.6.2-7.6.4) — the
+  * encrypted-PDF half of the r11 "What's missing #2" perimeter. The
+  * reference opens encrypted PDFs silently via PyMuPDF (tasks.py:102-115);
+  * here the handler is in-engine: RC4 (V1/V2, R2/R3) and AES-128-CBC
+  * (V4/R4 AESV2, via the JDK's javax.crypto — standard library, no
+  * egress), for the overwhelmingly common real-world case of a document
+  * encrypted with an EMPTY USER PASSWORD (owner-locked "permissions"
+  * PDFs open everywhere without a prompt; that is this perimeter).
+  * A non-empty user password fails the /U verification and refuses
+  * LOUDLY — password recovery is out of scope by design, not silently
+  * skipped.
+  *
+  * Everything below is the published algorithm set: Algorithm 2 (file
+  * key), 3 (/O), 4/5 (/U for R2/R3+), 1 (per-object key, with the AESV2
+  * sAlT suffix). RC4 is the textbook KSA/PRGA. */
+object PdfCrypt {
+
+  /** the 32-byte padding string of §7.6.3.3 */
+  val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 (KSA + PRGA) — symmetric, so this is also the encryptor. */
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var a = 0
+    var b = 0
+    var k = 0
+    while (k < data.length) {
+      a = (a + 1) & 0xff
+      b = (b + s(a)) & 0xff
+      val t = s(a); s(a) = s(b); s(b) = t
+      out(k) = (data(k) ^ s((s(a) + s(b)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def intLE4(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Algorithm 2, empty user password: the file encryption key. */
+  def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int,
+      lenBits: Int): Array[Byte] = {
+    val n = if (r == 2) 5 else lenBits / 8
+    var key = md5(Pad, o, intLE4(p), id0).take(n)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { key = md5(key).take(n); i += 1 }
+    }
+    key
+  }
+
+  /** Algorithm 3, empty owner AND user password: the /O entry. */
+  def ownerEntry(r: Int, lenBits: Int): Array[Byte] = {
+    val n = if (r == 2) 5 else lenBits / 8
+    var tmp = md5(Pad) // padded empty owner password
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { tmp = md5(tmp); i += 1 }
+    }
+    val rc4key = tmp.take(n)
+    var o = rc4(rc4key, Pad) // padded empty user password
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) {
+        o = rc4(rc4key.map(b => (b ^ i).toByte), o)
+        i += 1
+      }
+    }
+    o
+  }
+
+  /** Algorithms 4 (R2) / 5 (R3+): the /U entry from the file key. */
+  def userEntry(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(key, Pad)
+    else {
+      var u = rc4(key, md5(Pad, id0))
+      var i = 1
+      while (i <= 19) {
+        u = rc4(key.map(b => (b ^ i).toByte), u)
+        i += 1
+      }
+      u ++ new Array[Byte](16) // 16 bytes of arbitrary padding
+    }
+
+  /** Algorithm 1: the per-object key (AESV2 appends the sAlT word). */
+  def objKey(key: Array[Byte], num: Int, gen: Int, aes: Boolean)
+      : Array[Byte] = {
+    val ext = Array(
+      (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else
+      Array.emptyByteArray
+    md5(key, ext, salt).take(math.min(key.length + 5, 16))
+  }
+
+  private def aesCipher(mode: Int, key: Array[Byte], iv: Array[Byte]) = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c
+  }
+
+  /** Decrypt one stream/string payload with an object key. */
+  def decrypt(ok: Array[Byte], data: Array[Byte], aes: Boolean)
+      : Array[Byte] =
+    if (!aes) rc4(ok, data)
+    else {
+      require(data.length >= 32 && data.length % 16 == 0,
+        s"AESV2 payload of ${data.length} bytes is not IV + CBC blocks")
+      val iv = java.util.Arrays.copyOf(data, 16)
+      aesCipher(javax.crypto.Cipher.DECRYPT_MODE, ok, iv)
+        .doFinal(data, 16, data.length - 16)
+    }
+
+  /** Encrypt one payload (fixture side). AES uses a deterministic IV
+    * derived from the object key — fixtures must be byte-reproducible
+    * across runs for the driver hash, and IV secrecy is not a goal of
+    * a test fixture. */
+  def encrypt(ok: Array[Byte], data: Array[Byte], aes: Boolean)
+      : Array[Byte] =
+    if (!aes) rc4(ok, data)
+    else {
+      val iv = md5(ok).take(16)
+      iv ++ aesCipher(javax.crypto.Cipher.ENCRYPT_MODE, ok, iv)
+        .doFinal(data)
+    }
+
+  /** A parsed, verified encryption context. `streamKey(num, gen)` is
+    * what the stream loop applies. */
+  final case class Ctx(r: Int, v: Int, lenBits: Int, aes: Boolean,
+      key: Array[Byte]) {
+    def decryptStream(num: Int, gen: Int, data: Array[Byte])
+        : Array[Byte] = decrypt(objKey(key, num, gen, aes), data, aes)
+  }
+
+  // --- dict-string parsing -------------------------------------------
+
+  /** PDF string object at `raw(at)`: literal (...) with escapes or hex
+    * <...>; returns (bytes, endIndex). §7.3.4. */
+  private[graft] def pdfString(raw: String, at: Int)
+      : (Array[Byte], Int) = raw.charAt(at) match {
+    case '(' =>
+      val out = new java.io.ByteArrayOutputStream()
+      var i = at + 1
+      var depth = 1
+      while (depth > 0) {
+        require(i < raw.length, "unterminated literal string")
+        raw.charAt(i) match {
+          case '\\' =>
+            require(i + 1 < raw.length, "dangling escape")
+            raw.charAt(i + 1) match {
+              case 'n' => out.write('\n'); i += 2
+              case 'r' => out.write('\r'); i += 2
+              case 't' => out.write('\t'); i += 2
+              case 'b' => out.write('\b'); i += 2
+              case 'f' => out.write('\f'); i += 2
+              case '(' => out.write('('); i += 2
+              case ')' => out.write(')'); i += 2
+              case '\\' => out.write('\\'); i += 2
+              case '\n' => i += 2 // line continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = 0
+                var k = i + 1
+                while (k < raw.length && k < i + 4 &&
+                  raw.charAt(k) >= '0' && raw.charAt(k) <= '7') {
+                  v = v * 8 + (raw.charAt(k) - '0')
+                  k += 1
+                }
+                out.write(v & 0xff)
+                i = k
+              case other => out.write(other); i += 2 // spec: drop the \
+            }
+          case '(' => depth += 1; out.write('('); i += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) out.write(')')
+            i += 1
+          case c => out.write(c); i += 1
+        }
+      }
+      (out.toByteArray, i)
+    case '<' =>
+      val end = raw.indexOf('>', at)
+      require(end > at, "unterminated hex string")
+      val hex = raw.substring(at + 1, end).filterNot(_.isWhitespace)
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      (padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        end + 1)
+    case c =>
+      throw new IllegalArgumentException(s"expected PDF string, got '$c'")
+  }
+
+  private val EncryptRef =
+    """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r
+  private val IdEntry = """/ID\s*\[\s*""".r
+  private def intEntry(dict: String, name: String): Option[Int] =
+    (name + """\s+(-?\d+)""").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+  private def strEntryAt(dict: String, name: String): Option[Int] = {
+    val m = (name + """\s*""").r.findFirstMatchIn(dict)
+    m.map(mm => mm.end)
+  }
+
+  /** Detect and verify encryption on a raw (ISO-8859-1-decoded) PDF.
+    * Returns None for unencrypted documents. Refuses loudly on: a
+    * non-Standard filter, V/R outside {1,2}/{2,3} and {4 with AESV2},
+    * a missing /ID, or a /U that does not verify against the EMPTY
+    * user password. */
+  def parse(raw: String): Option[Ctx] = {
+    // only the trailer dictionary can carry /Encrypt — scanning the whole
+    // byte stream would false-positive on a raw content stream whose TEXT
+    // mentions the pattern. (Encrypted xref-STREAM documents have no
+    // `trailer` keyword; they go undetected here and surface downstream
+    // as a loud filter failure on ciphertext — outside the perimeter.)
+    val trailerAt = raw.lastIndexOf("trailer")
+    if (trailerAt < 0) return None
+    val encRef = EncryptRef.findFirstMatchIn(raw.substring(trailerAt))
+    if (encRef.isEmpty) return None
+    val (num, gen) = (encRef.get.group(1), encRef.get.group(2))
+    // the encryption dict: `num gen obj << ... >>`
+    val objPat = (s"""(?s)$num\\s+$gen\\s+obj\\s*<<""").r
+    val m = objPat.findFirstMatchIn(raw).getOrElse(
+      throw new IllegalArgumentException(
+        s"/Encrypt $num $gen R names a missing object"))
+    val dictStart = m.end - 2
+    val dictEnd = raw.indexOf("endobj", dictStart)
+    require(dictEnd > dictStart, "unterminated encryption dictionary")
+    val dict = raw.substring(dictStart, dictEnd)
+    require(dict.contains("/Filter") && dict.contains("/Standard"),
+      "non-Standard security handler is outside the decode perimeter")
+    val v = intEntry(dict, "/V").getOrElse(0)
+    val r = intEntry(dict, "/R").getOrElse(0)
+    val lenBits = intEntry(dict, "/Length").getOrElse(40)
+    val aes = v == 4 && dict.contains("/AESV2")
+    require((v == 1 || v == 2) && (r == 2 || r == 3) || aes && r == 4,
+      s"encryption V=$v R=$r is outside the decode perimeter " +
+        "(RC4 V1/V2 R2/R3 and AESV2 V4/R4 supported)")
+    val o = strEntryAt(dict, "/O").map(at => pdfString(dict, at)._1)
+      .getOrElse(throw new IllegalArgumentException("no /O entry"))
+    val u = strEntryAt(dict, "/U").map(at => pdfString(dict, at)._1)
+      .getOrElse(throw new IllegalArgumentException("no /U entry"))
+    val p = intEntry(dict, "/P").getOrElse(
+      throw new IllegalArgumentException("no /P entry"))
+    require(o.length == 32 && u.length == 32,
+      s"malformed /O (${o.length}) or /U (${u.length}) entry")
+    // first file identifier from the trailer (same region as /Encrypt)
+    val idAt = IdEntry.findFirstMatchIn(raw.substring(trailerAt))
+      .map(_.end + trailerAt).getOrElse(
+        throw new IllegalArgumentException(
+          "encrypted PDF without a /ID file identifier"))
+    val id0 = pdfString(raw, idAt)._1
+    val kr = if (r == 4) 3 else r // R4 key derivation matches R3
+    val key = fileKey(o, p, id0, kr, lenBits)
+    val expectU = userEntry(key, id0, kr)
+    val ok = if (r == 2) java.util.Arrays.equals(expectU, u)
+    else java.util.Arrays.equals(expectU.take(16), u.take(16))
+    require(ok,
+      "user password verification failed — this PDF requires a non-empty " +
+        "password, which is outside the decode perimeter")
+    Some(Ctx(r, v, lenBits, aes, key))
+  }
+}

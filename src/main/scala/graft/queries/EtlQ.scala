@@ -103,6 +103,40 @@ object EtlQ {
         .orderBy("doc_id")
     }),
 
+    // ENCRYPTED PDF decode under the driver gate — the r11 "missing #2"
+    // perimeter made real (the reference opens these silently via
+    // PyMuPDF, tasks.py:102-115). Each doc becomes a REAL encrypted
+    // one-page PDF — standard security handler, empty user password,
+    // correct /O //U //P and trailer /ID — cycling all three supported
+    // modes by id (RC4-40 V1/R2, RC4-128 V2/R3, AES-128-CBC AESV2
+    // V4/R4). decode() must detect the handler, derive the file key,
+    // verify /U, derive the PER-OBJECT key and decrypt the stream
+    // before the Flate chain; any slip in MD5 chaining, RC4 state, AES
+    // IV handling or the object-key salt produces garbage that breaks
+    // the md5-of-lines hash. The oracle reconstructs the lines from the
+    // source text — it never sees a cipher byte. Per-row executor work.
+    "q285_pdf_encrypted" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val mode = (id % 3) match {
+            case 0 => "rc4-40"
+            case 1 => "rc4-128"
+            case _ => "aes-128"
+          }
+          val lines = Seq(s"Name: Event $id", text)
+          val bytes = graft.ingest.PdfCodec.encodeEncrypted(lines, mode)
+          val got = graft.ingest.PdfCodec.decode(bytes)
+          (id, mode, got.size.toLong, got.mkString("\n"))
+        }
+        .toDF("doc_id", "mode", "n_lines", "joined")
+        .select(col("doc_id"), col("mode"), col("n_lines"),
+          md5(col("joined").cast("binary")).as("lines_md5"))
+        .orderBy("doc_id")
+    }),
+
     // In-engine .xlsx binary decode under the driver gate, closing S8
     // the way q175 closed S9: each doc becomes a real OOXML workbook —
     // even ids a single sheet with a valid field table written through
@@ -547,6 +581,15 @@ object EtlQ {
         | md5('Name: Event ' || CAST(doc_id AS VARCHAR) || chr(10) ||
         |   'Venue: Hall (njk) \ ' || CAST(doc_id AS VARCHAR) || chr(10) ||
         |   text) AS lines_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q285_pdf_encrypted" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'rc4-40' WHEN 1 THEN 'rc4-128'
+        |   ELSE 'aes-128' END AS mode,
+        | CAST(2 AS BIGINT) AS n_lines,
+        | md5('Name: Event ' || CAST(doc_id AS VARCHAR) || chr(10) || text)
+        |   AS lines_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q221_record_linkage" ->

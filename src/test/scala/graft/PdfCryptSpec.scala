@@ -1,0 +1,119 @@
+package graft
+
+import graft.ingest.{PdfCodec, PdfCrypt}
+
+/** The PDF standard security handler: published-vector RC4, all three
+  * supported modes roundtripping real encrypted documents end-to-end
+  * through PdfCodec.decode, string-object parsing, and the loud
+  * perimeter (real passwords, tampered /U, unknown V/R, missing /ID). */
+class PdfCryptSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("RC4 matches the classic published test vectors") {
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    // the three canonical RC4 vectors (key, plaintext, ciphertext)
+    assert(hex(PdfCrypt.rc4("Key".getBytes, "Plaintext".getBytes)) ==
+      "bbf316e8d940af0ad3")
+    assert(hex(PdfCrypt.rc4("Wiki".getBytes, "pedia".getBytes)) ==
+      "1021bf0420")
+    assert(hex(PdfCrypt.rc4("Secret".getBytes,
+      "Attack at dawn".getBytes)) == "45a01f645fc35b383552544b9bf5")
+    // symmetry: decrypt == encrypt
+    val ct = PdfCrypt.rc4("k".getBytes, "round trip".getBytes)
+    assert(new String(PdfCrypt.rc4("k".getBytes, ct)) == "round trip")
+  }
+
+  test("O/U/file-key derivation matches independently-computed vectors") {
+    // pinned from a from-the-spec Python model (hashlib + textbook RC4)
+    // run against ISO 32000-1 Algorithms 2/3/4/5 with empty passwords,
+    // P = -44, ID = MD5("fixture-id")
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    val id0 = PdfCrypt.md5("fixture-id".getBytes)
+    val o2 = PdfCrypt.ownerEntry(2, 40)
+    val k2 = PdfCrypt.fileKey(o2, -44, id0, 2, 40)
+    assert(hex(o2).startsWith("2055c756c72e1ad7"))
+    assert(hex(k2) == "72533cd400")
+    assert(hex(PdfCrypt.userEntry(k2, id0, 2)).startsWith("e4e6bda2a04f6a7e"))
+    val o3 = PdfCrypt.ownerEntry(3, 128)
+    val k3 = PdfCrypt.fileKey(o3, -44, id0, 3, 128)
+    assert(hex(o3).startsWith("36451bd39d753b7c"))
+    assert(hex(k3) == "c47702ddce1930e17debe2952f5cc148")
+    assert(hex(PdfCrypt.userEntry(k3, id0, 3)).startsWith("42d92bb24d9ac87f"))
+  }
+
+  test("all three modes roundtrip through PdfCodec.decode") {
+    val lines = Seq("Name: Crypt Test", "Venue: (Secure) \\ Hall",
+      "body text with specials <>&")
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128")) {
+      val bytes = PdfCodec.encodeEncrypted(lines, mode)
+      // the ciphertext must NOT contain the plaintext marker
+      assert(!new String(bytes, "ISO-8859-1").contains("Crypt Test"),
+        s"$mode left plaintext in the document")
+      val got = PdfCodec.decode(bytes)
+      assert(got == lines, s"$mode: $got")
+    }
+  }
+
+  test("fixtures are deterministic byte-for-byte (driver-hash premise)") {
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128")) {
+      val a = PdfCodec.encodeEncrypted(Seq("same input"), mode)
+      val b = PdfCodec.encodeEncrypted(Seq("same input"), mode)
+      assert(java.util.Arrays.equals(a, b), mode)
+    }
+  }
+
+  test("a real (non-empty) user password refuses loudly") {
+    // tamper /U so the empty-password verification fails — equivalent to
+    // a document encrypted under a real password
+    val bytes = PdfCodec.encodeEncrypted(Seq("secret"), "rc4-128")
+    val raw = new String(bytes, "ISO-8859-1")
+    val uAt = raw.indexOf("/U <")
+    assert(uAt > 0)
+    val tampered = bytes.clone()
+    // flip one hex digit of /U
+    tampered(uAt + 4) =
+      (if (bytes(uAt + 4) == '0') '1' else '0').toByte
+    val e = intercept[IllegalArgumentException](PdfCodec.decode(tampered))
+    assert(e.getMessage.contains("password"), e.getMessage)
+  }
+
+  test("unknown V/R and missing /ID refuse loudly") {
+    val bytes = PdfCodec.encodeEncrypted(Seq("x"), "rc4-128")
+    val raw = new String(bytes, "ISO-8859-1")
+    val v5 = raw.replace("/V 2 /R 3", "/V 5 /R 6")
+    val e1 = intercept[IllegalArgumentException](
+      PdfCodec.decode(v5.getBytes("ISO-8859-1")))
+    assert(e1.getMessage.contains("perimeter"), e1.getMessage)
+    val noId = raw.replace("/ID", "/XD")
+    val e2 = intercept[IllegalArgumentException](
+      PdfCodec.decode(noId.getBytes("ISO-8859-1")))
+    assert(e2.getMessage.contains("/ID"), e2.getMessage)
+  }
+
+  test("unencrypted documents are untouched (parse returns None)") {
+    assert(PdfCrypt.parse(new String(
+      PdfCodec.encode(Seq("plain")), "ISO-8859-1")).isEmpty)
+    // an unencrypted doc whose TEXT mentions the pattern stays unencrypted
+    val sly = PdfCodec.encode(Seq("see /Encrypt 5 0 R for details"),
+      compress = false)
+    assert(PdfCrypt.parse(new String(sly, "ISO-8859-1")).isEmpty)
+    assert(PdfCodec.decode(sly).head.contains("/Encrypt 5 0 R"))
+  }
+
+  test("pdf string parsing: escapes, octal, nesting, hex") {
+    def p(s: String): Array[Byte] = PdfCrypt.pdfString(s, 0)._1
+    assert(new String(p("(abc)")) == "abc")
+    assert(new String(p("(a\\(b\\)c)")) == "a(b)c")
+    assert(new String(p("(a(nested)c)")) == "a(nested)c")
+    assert(p("(\\101\\102)").toSeq == "AB".getBytes.toSeq)
+    assert(new String(p("(tab\\there)")) == "tab\there")
+    assert(p("<41 42 4>").toSeq ==
+      Seq[Byte](0x41, 0x42, 0x40)) // odd hex pads with 0
+    intercept[IllegalArgumentException](p("(unterminated"))
+  }
+
+  test("AES payload shape violations refuse loudly") {
+    val ok = PdfCrypt.objKey(new Array[Byte](16), 4, 0, aes = true)
+    intercept[IllegalArgumentException](
+      PdfCrypt.decrypt(ok, new Array[Byte](17), aes = true))
+  }
+}
