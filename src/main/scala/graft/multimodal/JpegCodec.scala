@@ -440,6 +440,11 @@ object JpegCodec {
         s"$prec-bit sample precision is outside the decode perimeter")
       val h = u16(); val w = u16()
       require(w > 0 && h > 0, s"bad frame geometry ${w}x$h")
+      // decompression-bomb guard: a 16-byte hostile header can declare
+      // 65535x65535 (17 GB of planes); cap total pixels rather than
+      // letting the allocator be the error message
+      require(w.toLong * h <= (1L << 26),
+        s"frame ${w}x$h exceeds the 64-megapixel decode guard")
       val n = bytes(pos) & 0xff; pos += 1
       require(n == 1 || n == 3,
         s"$n-component JPEG (CMYK/unknown) is outside the decode perimeter")

@@ -190,6 +190,49 @@ class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       JpegCodec.encodeGray(4, 4, new Array[Byte](9)))
   }
 
+  test("hostile geometry refuses before allocating (bomb guard)") {
+    // patch the SOF height/width of a real stream to 65535x65535 — a
+    // 16-byte header must not buy a 17 GB plane allocation
+    val (w, h, pix) = blockConstant(all256.take(8), 8)
+    val enc = JpegCodec.encodeGray(w, h, pix)
+    // SOF0 payload: FF C0 len(2) prec(1) h(2) w(2) — find the marker
+    var at = -1
+    var i = 2
+    while (at < 0 && i < enc.length - 1) {
+      if ((enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc0) at = i
+      i += 1
+    }
+    assert(at > 0)
+    val bomb = enc.clone()
+    bomb(at + 5) = 0xff.toByte; bomb(at + 6) = 0xff.toByte // height
+    bomb(at + 7) = 0xff.toByte; bomb(at + 8) = 0xff.toByte // width
+    val e = intercept[IllegalArgumentException](JpegCodec.decodeGray(bomb))
+    assert(e.getMessage.contains("guard"), e.getMessage)
+  }
+
+  test("fuzz: bit-flipped streams refuse with IAE, never crash or hang") {
+    val (w, h, pix) = blockConstant(all256.take(32), 8)
+    val enc = JpegCodec.encodeGray(w, h, pix)
+    // deterministic single-byte corruptions across the whole stream —
+    // every outcome must be either a clean decode (geometry intact) or
+    // an IllegalArgumentException; anything else is an unhandled path
+    var decoded = 0
+    var refused = 0
+    for (pos <- enc.indices by 7; delta <- Seq(1, 0x80)) {
+      val mut = enc.clone()
+      mut(pos) = (mut(pos) + delta).toByte
+      try {
+        val (dw, dh, _) = JpegCodec.decodeGray(mut)
+        require(dw > 0 && dh > 0)
+        decoded += 1
+      } catch {
+        case _: IllegalArgumentException => refused += 1
+      }
+    }
+    assert(refused > 0 && decoded > 0,
+      s"fuzz outcomes degenerate: $decoded decoded, $refused refused")
+  }
+
   test("1xN strip (the query geometry) roundtrips via 8x8 upsample blocks") {
     // the driver fixture: byte k -> block k of an 8-tall strip
     val bytes = "JPEG fixture bytes 0123".getBytes("ISO-8859-1")
