@@ -924,15 +924,19 @@ object PdfCodec {
     * ciphertext under the per-object key, with correct /O, /U, /P and
     * trailer /ID, so a conforming reader opens it without a prompt.
     * `mode`: "rc4-40" (V1/R2) | "rc4-128" (V2/R3) | "aes-128"
-    * (V4/R4 AESV2). Deterministic byte-for-byte (fixed /ID from the
-    * content, fixed AES IVs) — the driver-hash requirement. */
+    * (V4/R4 AESV2) | "aes-256" (V5/R6 AESV3, the Acrobat X+ handler —
+    * hardened-hash /U //UE, file-key encryption, /Perms block).
+    * Deterministic byte-for-byte (fixed /ID from the content, fixed
+    * salts and AES IVs) — the driver-hash requirement. */
   def encodeEncrypted(lines: Seq[String], mode: String): Array[Byte] = {
     val (v, r, lenBits, aes) = mode match {
       case "rc4-40" => (1, 2, 40, false)
       case "rc4-128" => (2, 3, 128, false)
       case "aes-128" => (4, 4, 128, true)
+      case "aes-256" => (5, 6, 256, true)
       case other => throw new IllegalArgumentException(
-        s"unknown encryption mode $other — rc4-40 | rc4-128 | aes-128")
+        s"unknown encryption mode $other — rc4-40 | rc4-128 | aes-128 | " +
+          "aes-256")
     }
     def esc(s: String): String = s.flatMap {
       case '\\' => "\\\\"
@@ -953,16 +957,47 @@ object PdfCodec {
     val p = -44 // typical permissions word (print/modify denied)
     val id0 = PdfCrypt.md5(("graft-pdf-" + mode).getBytes("ISO-8859-1"),
       content).take(16)
-    val o = PdfCrypt.ownerEntry(r min 3, lenBits)
-    val key = PdfCrypt.fileKey(o, p, id0, r min 3, lenBits)
-    val u = PdfCrypt.userEntry(key, id0, r min 3)
-    val data = PdfCrypt.encrypt(PdfCrypt.objKey(key, 4, 0, aes), plain, aes)
     def hex(b: Array[Byte]): String =
       b.map(x => f"${x & 0xff}%02x").mkString
-    val cf = if (aes)
-      " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> " +
-        ">> /StmF /StdCF /StrF /StdCF"
-    else ""
+    val empty = Array.emptyByteArray
+    // (o, u, extra dict entries, encrypted stream payload)
+    val (o, u, r6Entries, data) =
+      if (r == 6) {
+        // R6: deterministic salts (fixtures must be byte-reproducible;
+        // salt secrecy is not a goal of a test fixture), file key from
+        // content, /U //UE //O //OE //Perms per §7.6.4.4.7-8
+        val fileKey = PdfCrypt.md5(id0, "k1".getBytes) ++
+          PdfCrypt.md5(id0, "k2".getBytes)
+        val vsU = PdfCrypt.md5(id0, "vu".getBytes).take(8)
+        val ksU = PdfCrypt.md5(id0, "ku".getBytes).take(8)
+        val u48 = PdfCrypt.hash2B(empty, vsU, empty) ++ vsU ++ ksU
+        val ue = PdfCrypt.aes256WrapKey(
+          PdfCrypt.hash2B(empty, ksU, empty), fileKey)
+        val vsO = PdfCrypt.md5(id0, "vo".getBytes).take(8)
+        val ksO = PdfCrypt.md5(id0, "ko".getBytes).take(8)
+        val o48 = PdfCrypt.hash2B(empty, vsO, u48) ++ vsO ++ ksO
+        val oe = PdfCrypt.aes256WrapKey(
+          PdfCrypt.hash2B(empty, ksO, u48), fileKey)
+        val perms = PdfCrypt.permsEntry(fileKey, p)
+        val extra = s" /UE <${hex(ue)}> /OE <${hex(oe)}> " +
+          s"/Perms <${hex(perms)}>"
+        (o48, u48, extra,
+          PdfCrypt.encrypt(fileKey, plain, aes = true))
+      } else {
+        val o = PdfCrypt.ownerEntry(r min 3, lenBits)
+        val key = PdfCrypt.fileKey(o, p, id0, r min 3, lenBits)
+        val u = PdfCrypt.userEntry(key, id0, r min 3)
+        (o, u, "",
+          PdfCrypt.encrypt(PdfCrypt.objKey(key, 4, 0, aes), plain, aes))
+      }
+    val cf =
+      if (r == 6)
+        " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> " +
+          ">> /StmF /StdCF /StrF /StdCF"
+      else if (aes)
+        " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> " +
+          ">> /StmF /StdCF /StrF /StdCF"
+      else ""
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val offsets = Array.newBuilder[Int]
@@ -980,7 +1015,7 @@ object PdfCodec {
     w("\nendstream endobj\n")
     offsets += out.size()
     w(s"5 0 obj << /Filter /Standard /V $v /R $r /Length $lenBits$cf " +
-      s"/O <${hex(o)}> /U <${hex(u)}> /P $p >> endobj\n")
+      s"/O <${hex(o)}> /U <${hex(u)}>$r6Entries /P $p >> endobj\n")
     val xref = out.size()
     val offs = offsets.result()
     w("xref\n0 6\n0000000000 65535 f \n" +

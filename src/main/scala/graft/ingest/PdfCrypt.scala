@@ -149,12 +149,97 @@ object PdfCrypt {
         .doFinal(data)
     }
 
-  /** A parsed, verified encryption context. `streamKey(num, gen)` is
-    * what the stream loop applies. */
+  // --- AES-256 / R6 (ISO 32000-2 §7.6.4.3.3-4, the Acrobat X+ handler) —
+
+  private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesNoPad(encrypt: Boolean, key: Array[Byte],
+      iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+           else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 2.B — the hardened hash: SHA-256 seed, then rounds of
+    * (pw∥K∥udata)×64 through AES-128-CBC keyed by K, hash choice by
+    * the first 16 bytes' sum mod 3, until round ≥ 64 and the last
+    * cipher byte ≤ round − 32. */
+  def hash2B(pw: Array[Byte], salt: Array[Byte], udata: Array[Byte])
+      : Array[Byte] = {
+    var k = sha(256, pw, salt, udata)
+    var round = 0
+    var done = false
+    var lastByte = 0
+    while (!done) {
+      val block = pw ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(block, 0, k1, i * block.length, block.length)
+        i += 1
+      }
+      val e = aesNoPad(encrypt = true, java.util.Arrays.copyOf(k, 16),
+        java.util.Arrays.copyOfRange(k, 16, 32), k1)
+      var sum = 0
+      var j = 0
+      while (j < 16) { sum += e(j) & 0xff; j += 1 }
+      k = sha(256 + (sum % 3) * 128, e)
+      lastByte = e(e.length - 1) & 0xff
+      round += 1
+      done = round >= 64 && lastByte <= round - 32
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
+  /** Wrap a 32-byte file key for /UE or /OE: AES-256-CBC, zero IV, no
+    * padding, keyed by the intermediate hash (§7.6.4.4.7). */
+  def aes256WrapKey(intermediate: Array[Byte], fileKey: Array[Byte])
+      : Array[Byte] =
+    aesNoPad(encrypt = true, intermediate, new Array[Byte](16), fileKey)
+
+  /** The /Perms block: P ∥ 0xFFFFFFFF ∥ 'T' (EncryptMetadata) ∥ 'adb'
+    * ∥ 4 fixed bytes, AES-256-ECB under the file key (§7.6.4.4.9). */
+  def permsEntry(fileKey: Array[Byte], p: Int): Array[Byte] = {
+    val block = intLE4(p) ++ Array[Byte](-1, -1, -1, -1) ++
+      "Tadbgrft".getBytes("US-ASCII")
+    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+    c.doFinal(block)
+  }
+
+  /** Verify the empty user password against a 48-byte R6 /U and unwrap
+    * the 256-bit file key from /UE. Loud on a real password. */
+  def r6FileKey(u: Array[Byte], ue: Array[Byte]): Array[Byte] = {
+    require(u.length == 48 && ue.length == 32,
+      s"malformed R6 /U (${u.length}) or /UE (${ue.length})")
+    val vSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+    val kSalt = java.util.Arrays.copyOfRange(u, 40, 48)
+    val empty = Array.emptyByteArray
+    require(java.util.Arrays.equals(
+      hash2B(empty, vSalt, empty), java.util.Arrays.copyOf(u, 32)),
+      "user password verification failed — this PDF requires a non-empty " +
+        "password, which is outside the decode perimeter")
+    aesNoPad(encrypt = false, hash2B(empty, kSalt, empty),
+      new Array[Byte](16), ue)
+  }
+
+  /** A parsed, verified encryption context. R6 (AES-256) encrypts every
+    * object under the FILE key directly; earlier revisions derive a
+    * per-object key. */
   final case class Ctx(r: Int, v: Int, lenBits: Int, aes: Boolean,
       key: Array[Byte]) {
     def decryptStream(num: Int, gen: Int, data: Array[Byte])
-        : Array[Byte] = decrypt(objKey(key, num, gen, aes), data, aes)
+        : Array[Byte] =
+      if (r == 6) decrypt(key, data, aes = true)
+      else decrypt(objKey(key, num, gen, aes), data, aes)
   }
 
   // --- dict-string parsing -------------------------------------------
@@ -220,7 +305,8 @@ object PdfCrypt {
   private def intEntry(dict: String, name: String): Option[Int] =
     (name + """\s+(-?\d+)""").r.findFirstMatchIn(dict).map(_.group(1).toInt)
   private def strEntryAt(dict: String, name: String): Option[Int] = {
-    val m = (name + """\s*""").r.findFirstMatchIn(dict)
+    // the name must END at the key (so "/U" cannot match inside "/UE")
+    val m = (name + """(?![A-Za-z0-9])\s*""").r.findFirstMatchIn(dict)
     m.map(mm => mm.end)
   }
 
@@ -255,9 +341,18 @@ object PdfCrypt {
     val r = intEntry(dict, "/R").getOrElse(0)
     val lenBits = intEntry(dict, "/Length").getOrElse(40)
     val aes = v == 4 && dict.contains("/AESV2")
+    val aes256 = v == 5 && r == 6 && dict.contains("/AESV3")
+    if (aes256) {
+      // R6: the key unwraps from /U //UE; /ID plays no role
+      val u = strEntryAt(dict, "/U").map(at => pdfString(dict, at)._1)
+        .getOrElse(throw new IllegalArgumentException("no /U entry"))
+      val ue = strEntryAt(dict, "/UE").map(at => pdfString(dict, at)._1)
+        .getOrElse(throw new IllegalArgumentException("no /UE entry"))
+      return Some(Ctx(6, 5, 256, aes = true, r6FileKey(u, ue)))
+    }
     require((v == 1 || v == 2) && (r == 2 || r == 3) || aes && r == 4,
       s"encryption V=$v R=$r is outside the decode perimeter " +
-        "(RC4 V1/V2 R2/R3 and AESV2 V4/R4 supported)")
+        "(RC4 V1/V2 R2/R3, AESV2 V4/R4, AESV3 V5/R6 supported)")
     val o = strEntryAt(dict, "/O").map(at => pdfString(dict, at)._1)
       .getOrElse(throw new IllegalArgumentException("no /O entry"))
     val u = strEntryAt(dict, "/U").map(at => pdfString(dict, at)._1)

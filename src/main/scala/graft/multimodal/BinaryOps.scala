@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed in partition-sized batches.
   *
   * The Spark-side shape is real — schema, binaryFile source, mapPartitions
-  * batching, deterministic partitioning by content hash — while the media
-  * decode itself is behind [[MediaDecoder]]: the container has no codec
-  * libraries, so the default is a deterministic stub; a deployment swaps
-  * in a real decoder without touching the plumbing. */
+  * batching, deterministic partitioning by content hash — while the
+  * feature step is behind [[MediaDecoder]] (deterministic stub by
+  * default; a deployment swaps in richer features without touching the
+  * plumbing). The CODECS themselves are in-engine: ImageCodec (PNG/BMP
+  * via ImageIO), JpegCodec (hand-rolled baseline JPEG), WavCodec (PCM16),
+  * G711Codec (µ-law/A-law), AviCodec (DIB + MJPG), Mp3Codec (frame
+  * census) — each driver-hash-gated by its own q-query. */
 object BinaryOps {
 
   /** media row: content + typed metadata (the multimodal table schema). */

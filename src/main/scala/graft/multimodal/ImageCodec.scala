@@ -7,8 +7,11 @@ import javax.imageio.ImageIO
 /** Real image decode for the BinaryOps seam — JDK `ImageIO`, zero
   * dependencies, no egress. Closes the r5 verdict's "decoder is a
   * declared stub" gap for the formats the JDK ships codecs for
-  * (PNG/BMP/GIF/JPEG read; PNG/BMP write used here). Formats without a
-  * JDK codec stay behind the stub, by design.
+  * (PNG/BMP/GIF/JPEG read; PNG/BMP write used here). Since r12 the
+  * engine also carries its OWN baseline JPEG codec ([[JpegCodec]]) —
+  * q281 runs both decoders against the same stream and requires
+  * sample-for-sample agreement, so this ImageIO path doubles as the
+  * independent cross-check of the hand-rolled one.
   *
   * The driver-gated queries use GRAYSCALE images whose pixel array is
   * exactly the document's byte stream (1×len), so a real

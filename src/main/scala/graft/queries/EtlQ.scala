@@ -107,24 +107,27 @@ object EtlQ {
     // perimeter made real (the reference opens these silently via
     // PyMuPDF, tasks.py:102-115). Each doc becomes a REAL encrypted
     // one-page PDF — standard security handler, empty user password,
-    // correct /O //U //P and trailer /ID — cycling all three supported
+    // correct /O //U //P and trailer /ID — cycling all four supported
     // modes by id (RC4-40 V1/R2, RC4-128 V2/R3, AES-128-CBC AESV2
-    // V4/R4). decode() must detect the handler, derive the file key,
-    // verify /U, derive the PER-OBJECT key and decrypt the stream
-    // before the Flate chain; any slip in MD5 chaining, RC4 state, AES
-    // IV handling or the object-key salt produces garbage that breaks
-    // the md5-of-lines hash. The oracle reconstructs the lines from the
-    // source text — it never sees a cipher byte. Per-row executor work.
+    // V4/R4, AES-256 AESV3 V5/R6 with hardened-hash /U //UE and a
+    // /Perms block). decode() must detect the handler, derive or
+    // unwrap the file key, verify /U, and decrypt the stream under the
+    // per-object (≤R4) or file (R6) key before the Flate chain; any
+    // slip in MD5/SHA chaining, RC4 state, AES IV handling or the
+    // object-key salt produces garbage that breaks the md5-of-lines
+    // hash. The oracle reconstructs the lines from the source text —
+    // it never sees a cipher byte. Per-row executor work.
     "q285_pdf_encrypted" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
           .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val mode = (id % 3) match {
+          val mode = (id % 4) match {
             case 0 => "rc4-40"
             case 1 => "rc4-128"
-            case _ => "aes-128"
+            case 2 => "aes-128"
+            case _ => "aes-256"
           }
           val lines = Seq(s"Name: Event $id", text)
           val bytes = graft.ingest.PdfCodec.encodeEncrypted(lines, mode)
@@ -585,8 +588,8 @@ object EtlQ {
 
     "q285_pdf_encrypted" ->
       """SELECT doc_id,
-        | CASE doc_id % 3 WHEN 0 THEN 'rc4-40' WHEN 1 THEN 'rc4-128'
-        |   ELSE 'aes-128' END AS mode,
+        | CASE doc_id % 4 WHEN 0 THEN 'rc4-40' WHEN 1 THEN 'rc4-128'
+        |   WHEN 2 THEN 'aes-128' ELSE 'aes-256' END AS mode,
         | CAST(2 AS BIGINT) AS n_lines,
         | md5('Name: Event ' || CAST(doc_id AS VARCHAR) || chr(10) || text)
         |   AS lines_md5

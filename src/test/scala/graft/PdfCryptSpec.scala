@@ -40,10 +40,25 @@ class PdfCryptSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(hex(PdfCrypt.userEntry(k3, id0, 3)).startsWith("42d92bb24d9ac87f"))
   }
 
-  test("all three modes roundtrip through PdfCodec.decode") {
+  test("hash2B (R6 hardened hash) matches independently-computed vectors") {
+    // pinned from a from-the-spec Python model (hashlib + the
+    // `cryptography` package's AES) of ISO 32000-2 Algorithm 2.B
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    val empty = Array.emptyByteArray
+    assert(hex(PdfCrypt.hash2B(empty, new Array[Byte](8), empty)) ==
+      "439feba099a63d0d035a1e5fb67ff307329189584956425aff2d3bd3d15edc60")
+    assert(hex(PdfCrypt.hash2B(empty,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), empty)) ==
+      "8d1efb4f1bdbb651341704c2139de4f6be05d6d4609af56916b21646ed74825c")
+    assert(hex(PdfCrypt.hash2B(empty, new Array[Byte](8),
+      "user-data-48-bytes".padTo(48, 'x').getBytes("US-ASCII"))) ==
+      "a511d6652275245282fe91718acb03160e27996efe44ba857fc8eb44a4f9251c")
+  }
+
+  test("all four modes roundtrip through PdfCodec.decode") {
     val lines = Seq("Name: Crypt Test", "Venue: (Secure) \\ Hall",
       "body text with specials <>&")
-    for (mode <- Seq("rc4-40", "rc4-128", "aes-128")) {
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128", "aes-256")) {
       val bytes = PdfCodec.encodeEncrypted(lines, mode)
       // the ciphertext must NOT contain the plaintext marker
       assert(!new String(bytes, "ISO-8859-1").contains("Crypt Test"),
@@ -54,11 +69,23 @@ class PdfCryptSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("fixtures are deterministic byte-for-byte (driver-hash premise)") {
-    for (mode <- Seq("rc4-40", "rc4-128", "aes-128")) {
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128", "aes-256")) {
       val a = PdfCodec.encodeEncrypted(Seq("same input"), mode)
       val b = PdfCodec.encodeEncrypted(Seq("same input"), mode)
       assert(java.util.Arrays.equals(a, b), mode)
     }
+  }
+
+  test("R6: a real (non-empty) user password refuses loudly") {
+    val bytes = PdfCodec.encodeEncrypted(Seq("secret"), "aes-256")
+    val raw = new String(bytes, "ISO-8859-1")
+    val uAt = raw.indexOf("/U <")
+    assert(uAt > 0)
+    val tampered = bytes.clone()
+    tampered(uAt + 4) =
+      (if (bytes(uAt + 4) == '0') '1' else '0').toByte
+    val e = intercept[IllegalArgumentException](PdfCodec.decode(tampered))
+    assert(e.getMessage.contains("password"), e.getMessage)
   }
 
   test("a real (non-empty) user password refuses loudly") {
