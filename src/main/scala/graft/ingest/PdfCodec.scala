@@ -633,13 +633,22 @@ object PdfCodec {
     inf.setInput(data)
     val out = new ByteArrayOutputStream(data.length * 4)
     val tmp = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val n = inf.inflate(tmp)
-      if (n == 0 && inf.needsInput())
-        throw new IllegalArgumentException("truncated Flate stream")
-      out.write(tmp, 0, n)
-    }
-    inf.end()
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(tmp)
+        if (n == 0 && inf.needsInput())
+          throw new IllegalArgumentException("truncated Flate stream")
+        out.write(tmp, 0, n)
+      }
+    } catch {
+      // zlib's checked exception (bad header, dictionary mismatch,
+      // failed adler check — what RC4 garbage from a corrupted
+      // encrypted stream produces) is a perimeter hit like any other:
+      // refuse loudly with the standard exception type
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(
+          s"corrupt Flate stream: ${e.getMessage}")
+    } finally inf.end()
     out.toByteArray
   }
 

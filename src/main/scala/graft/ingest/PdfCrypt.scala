@@ -124,16 +124,24 @@ object PdfCrypt {
     c
   }
 
-  /** Decrypt one stream/string payload with an object key. */
+  /** Decrypt one stream/string payload with an object key. Corrupt AES
+    * payloads (bad CBC padding) surface as the same loud
+    * IllegalArgumentException as every other perimeter hit — crypto
+    * exceptions never escape to the caller. */
   def decrypt(ok: Array[Byte], data: Array[Byte], aes: Boolean)
       : Array[Byte] =
     if (!aes) rc4(ok, data)
     else {
       require(data.length >= 32 && data.length % 16 == 0,
-        s"AESV2 payload of ${data.length} bytes is not IV + CBC blocks")
+        s"AES payload of ${data.length} bytes is not IV + CBC blocks")
       val iv = java.util.Arrays.copyOf(data, 16)
-      aesCipher(javax.crypto.Cipher.DECRYPT_MODE, ok, iv)
+      try aesCipher(javax.crypto.Cipher.DECRYPT_MODE, ok, iv)
         .doFinal(data, 16, data.length - 16)
+      catch {
+        case e: java.security.GeneralSecurityException =>
+          throw new IllegalArgumentException(
+            s"corrupt AES stream: ${e.getMessage}")
+      }
     }
 
   /** Encrypt one payload (fixture side). AES uses a deterministic IV
@@ -312,10 +320,19 @@ object PdfCrypt {
 
   /** Detect and verify encryption on a raw (ISO-8859-1-decoded) PDF.
     * Returns None for unencrypted documents. Refuses loudly on: a
-    * non-Standard filter, V/R outside {1,2}/{2,3} and {4 with AESV2},
-    * a missing /ID, or a /U that does not verify against the EMPTY
-    * user password. */
-  def parse(raw: String): Option[Ctx] = {
+    * non-Standard filter, V/R outside {1,2}/{2,3}, {4 with AESV2} and
+    * {5/6 with AESV3}, a missing /ID (≤R4), or a /U that does not
+    * verify against the EMPTY user password. A truncated dictionary
+    * surfaces as the same loud IllegalArgumentException. */
+  def parse(raw: String): Option[Ctx] =
+    try parse0(raw)
+    catch {
+      case _: StringIndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          "truncated encryption dictionary or trailer")
+    }
+
+  private def parse0(raw: String): Option[Ctx] = {
     // only the trailer dictionary can carry /Encrypt — scanning the whole
     // byte stream would false-positive on a raw content stream whose TEXT
     // mentions the pattern. (Encrypted xref-STREAM documents have no

@@ -176,6 +176,77 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // EXIF + orientation normalization under the driver hash — the
+    // photo-corpus metadata pass: each image-kind doc becomes a REAL
+    // JPEG (q281's block-constant strip) with a REAL spliced APP1 Exif
+    // segment (TIFF IFD0, byte order alternating II/MM by id, Make/
+    // Model/DateTime/Orientation), then the pipeline every image
+    // ingest runs: parse EXIF -> decode pixels (the decoder must skip
+    // APP1) -> apply the orientation transform (ids cycle 1/180°/
+    // 90°CW/90°CCW). The output checksums are position-weighted over
+    // the TRANSFORMED image, so a wrong rotation direction, a
+    // transposed axis, or an endianness slip in the IFD walk all break
+    // the hash. The closed-form checksum per orientation is pinned
+    // against brute force in ExifCodecSpec; the oracle recomputes it
+    // per character. Per-row executor work.
+    "q286_exif_normalize" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("ISO-8859-1")
+          val n = bytes.length
+          val w = 8 * n
+          val pix = new Array[Byte](w * 8)
+          var j = 0
+          while (j < n) {
+            var y = 0
+            while (y < 8) {
+              java.util.Arrays.fill(pix, y * w + 8 * j, y * w + 8 * j + 8,
+                bytes(j))
+              y += 1
+            }
+            j += 1
+          }
+          val o = Seq(1, 3, 6, 8)((id % 12 / 3).toInt)
+          val big = id % 2 == 1
+          val make = s"GraftCam ${id % 5}"
+          val model = s"M${id % 7}"
+          val takenAt = f"2026:08:16 00:00:${id % 60}%02d"
+          val jpeg = graft.multimodal.ExifCodec.insertApp1(
+            graft.multimodal.JpegCodec.encodeGray(w, 8, pix),
+            graft.multimodal.ExifCodec.encodeApp1(make, model, o,
+              takenAt, big))
+          val exif = graft.multimodal.ExifCodec.parse(jpeg).getOrElse(
+            throw new IllegalStateException(s"EXIF vanished on doc $id"))
+          require(exif.bigEndian == big && exif.orientation.contains(o),
+            s"EXIF roundtrip drifted on doc $id")
+          val (dw, dh, dec) = graft.multimodal.JpegCodec.decodeGray(jpeg)
+          require(dw == w && dh == 8, s"decode drifted on doc $id")
+          val (w2, h2, up) = graft.multimodal.ExifCodec
+            .applyOrientation(dw, dh, dec, o)
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < up.length) {
+            val v = (up(i) & 0xff).toLong
+            sum += v
+            chk += (i + 1) * v
+            i += 1
+          }
+          (id, if (big) "MM" else "II", o.toLong,
+            exif.make.getOrElse(""), exif.model.getOrElse(""),
+            exif.dateTime.getOrElse(""),
+            w2.toLong, h2.toLong, sum, chk)
+        }
+        .toDF("doc_id", "byte_order", "orientation", "make", "model",
+          "taken_at", "out_w", "out_h", "pix_sum", "pos_checksum")
+        .orderBy("doc_id")
+    }),
+
     // The MP3 frame census under the driver hash: each audio-kind doc
     // synthesizes a REAL MPEG-1 Layer III stream (one frame per text
     // byte: bitrate index b%14+1, padding bit (b/16)%2, 44.1 kHz; a
@@ -315,6 +386,41 @@ object MediaQ {
         | CAST(list_max(list_transform(vals, x -> abs(x))) AS BIGINT)
         |   AS peak_abs
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // orientation o by (doc_id%12)/3 over {1,3,6,8}; transformed-image
+    // position weights per block j (0-based; i = j+1 is the 1-based SQL
+    // index, L = len):  o=1: 1792L+512j+288   o=3: 1792L+512(L-1-j)+288
+    //                   o=6: 4096j+2080       o=8: 4096(L-1-j)+2080
+    // (derivations pinned against brute force in ExifCodecSpec)
+    "q286_exif_normalize" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len,
+        |  CASE (doc_id % 12) // 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+        |    WHEN 2 THEN 6 ELSE 8 END AS o
+        | FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0)
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+        | CAST(o AS BIGINT) AS orientation,
+        | 'GraftCam ' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        | 'M' || CAST(doc_id % 7 AS VARCHAR) AS model,
+        | '2026:08:16 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+        |   AS taken_at,
+        | CAST(CASE WHEN o IN (6, 8) THEN 8 ELSE 8 * len END AS BIGINT)
+        |   AS out_w,
+        | CAST(CASE WHEN o IN (6, 8) THEN 8 * len ELSE 8 END AS BIGINT)
+        |   AS out_h,
+        | CAST(64 * list_sum(list_transform(range(1, len + 1),
+        |   i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT)
+        |   AS pix_sum,
+        | CAST(list_sum(list_transform(range(1, len + 1),
+        |   i -> ord(substr(text, CAST(i AS INTEGER), 1)) *
+        |    CASE o
+        |     WHEN 1 THEN 1792 * len + 512 * (i - 1) + 288
+        |     WHEN 3 THEN 1792 * len + 512 * (len - i) + 288
+        |     WHEN 6 THEN 4096 * (i - 1) + 2080
+        |     ELSE 4096 * (len - i) + 2080
+        |    END)) AS BIGINT) AS pos_checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // frame k (char b): bitrate = BR[b % 14 + 1], padded = (b//16) % 2,
     // frame_bytes = 144000·bitrate // 44100 + padded; ID3v2 prefix is
