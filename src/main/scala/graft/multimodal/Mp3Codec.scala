@@ -137,4 +137,105 @@ object Mp3Codec {
       "MP3 sample decode (hybrid filterbank/IMDCT) is outside the " +
         "engine's codec perimeter; scan() provides the frame-level " +
         "census (bitrate/duration/extents) a curation pipeline consumes")
+
+  // ------------------------------------------------------- ID3v2 frames
+  //
+  // The tag CONTENT (title/artist/album — what a corpus labels audio
+  // with), not just the skip that scan() does. ID3v2.3 frame sizes are
+  // plain 32-bit; v2.4 sizes are syncsafe — both published layouts.
+
+  final case class Id3(version: Int, frames: Map[String, String])
+
+  private val Encodings = Array("ISO-8859-1", "UTF-16", "UTF-16BE", "UTF-8")
+
+  /** Encode an ID3v2 tag (version 3 or 4) of text frames, each with its
+    * own encoding byte 0..3 (latin-1 / UTF-16+BOM / UTF-16BE / UTF-8 —
+    * 2 and 3 are v2.4 encodings but widely written into v2.3 tags, so
+    * the parser takes them anywhere). */
+  def encodeId3(frames: Seq[(String, String, Int)], version: Int = 3)
+      : Array[Byte] = {
+    require(version == 3 || version == 4, s"ID3v2.$version not writable")
+    val body = new ByteArrayOutputStream()
+    frames.foreach { case (id, text, enc) =>
+      require(id.length == 4 && id.forall(c =>
+        (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')),
+        s"bad frame id '$id'")
+      require(enc >= 0 && enc <= 3, s"bad text encoding $enc")
+      val payload = text.getBytes(Encodings(enc))
+      val size = 1 + payload.length
+      body.write(id.getBytes("US-ASCII"))
+      if (version == 4) { // syncsafe
+        body.write((size >> 21) & 0x7f); body.write((size >> 14) & 0x7f)
+        body.write((size >> 7) & 0x7f); body.write(size & 0x7f)
+      } else {
+        body.write((size >> 24) & 0xff); body.write((size >> 16) & 0xff)
+        body.write((size >> 8) & 0xff); body.write(size & 0xff)
+      }
+      body.write(0); body.write(0) // frame flags
+      body.write(enc)
+      body.write(payload)
+    }
+    val b = body.toByteArray
+    val out = new ByteArrayOutputStream(10 + b.length)
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(version); out.write(0)
+    out.write(0) // tag flags
+    out.write((b.length >> 21) & 0x7f); out.write((b.length >> 14) & 0x7f)
+    out.write((b.length >> 7) & 0x7f); out.write(b.length & 0x7f)
+    out.write(b)
+    out.toByteArray
+  }
+
+  /** Parse a leading ID3v2.3/2.4 tag's TEXT frames (None when the
+    * stream has no tag; loud on a structurally broken one). Non-text
+    * frames (APIC art, …) are skipped by their declared size; padding
+    * ends the walk. */
+  def parseId3(bytes: Array[Byte]): Option[Id3] = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return None
+    val version = bytes(3) & 0xff
+    require(version == 3 || version == 4,
+      s"ID3v2.$version is outside the parse perimeter (2.3/2.4 only)")
+    require(((bytes(6) | bytes(7) | bytes(8) | bytes(9)) & 0x80) == 0,
+      "corrupt ID3v2 size (non-syncsafe byte)")
+    val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    val end = 10 + size
+    require(end <= bytes.length, s"ID3v2 tag declares $size bytes past EOF")
+    val frames = Map.newBuilder[String, String]
+    var pos = 10
+    var done = false
+    while (!done && pos + 10 <= end) {
+      if (bytes(pos) == 0) done = true // padding
+      else {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        require(id.forall(c => (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9')),
+          s"corrupt ID3 frame id '$id' at offset $pos")
+        val fsize =
+          if (version == 4)
+            ((bytes(pos + 4) & 0x7f) << 21) | ((bytes(pos + 5) & 0x7f) << 14) |
+              ((bytes(pos + 6) & 0x7f) << 7) | (bytes(pos + 7) & 0x7f)
+          else
+            ((bytes(pos + 4) & 0xff) << 24) | ((bytes(pos + 5) & 0xff) << 16) |
+              ((bytes(pos + 6) & 0xff) << 8) | (bytes(pos + 7) & 0xff)
+        require(fsize >= 0 && pos + 10 + fsize <= end,
+          s"ID3 frame '$id' declares $fsize bytes past the tag")
+        if (id.startsWith("T") && fsize >= 1) {
+          val enc = bytes(pos + 10) & 0xff
+          require(enc <= 3, s"ID3 text encoding $enc in '$id'")
+          var len = fsize - 1
+          // strip one trailing NUL terminator (single or double byte)
+          val start = pos + 11
+          if (enc == 1 || enc == 2) {
+            if (len >= 2 && bytes(start + len - 1) == 0 &&
+              bytes(start + len - 2) == 0) len -= 2
+          } else if (len >= 1 && bytes(start + len - 1) == 0) len -= 1
+          frames += id -> new String(bytes, start, len, Encodings(enc))
+        }
+        pos += 10 + fsize
+      }
+    }
+    Some(Id3(version, frames.result()))
+  }
 }

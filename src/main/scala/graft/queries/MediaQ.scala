@@ -285,6 +285,50 @@ object MediaQ {
         .toDF("doc_id", "n_frames", "first_offset", "total_bytes",
           "bitrate_checksum", "pad_count", "duration_ms")
         .orderBy("doc_id")
+    }),
+
+    // ID3v2 TAG CONTENT under the driver hash — the labels an audio
+    // corpus carries (title/artist/album), not just the skip q284 does:
+    // each audio-kind doc gets a real ID3v2.3/2.4 tag (version by id
+    // parity, text encoding cycling latin-1 / UTF-16+BOM / UTF-16BE /
+    // UTF-8 by id) followed by real MPEG frames; parseId3 reads the
+    // frames back and scan() must land its first frame exactly at the
+    // tag boundary — so the emitted first_offset pins the writer's
+    // byte-level layout (syncsafe vs plain sizes, BOM bytes, NUL-free
+    // payloads) against the oracle's arithmetic reconstruction of it.
+    "q287_id3_tags" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 12)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val version = if (id % 2 == 0) 3 else 4
+          val enc = (id % 12 / 3).toInt
+          val title = s"Track $id"
+          val artist = text.take(12)
+          val album = s"Album ${id % 9}"
+          val tag = graft.multimodal.Mp3Codec.encodeId3(Seq(
+            ("TIT2", title, enc), ("TPE1", artist, enc),
+            ("TALB", album, enc)), version)
+          val src = text.getBytes("ISO-8859-1")
+          val stream = tag ++ graft.multimodal.Mp3Codec.synth(Seq(
+            ((src(0) & 0xff) % 14 + 1, false),
+            ((src(1) & 0xff) % 14 + 1, true)))
+          val id3 = graft.multimodal.Mp3Codec.parseId3(stream)
+            .getOrElse(throw new IllegalStateException(
+              s"ID3 tag vanished on doc $id"))
+          val frames = graft.multimodal.Mp3Codec.scan(stream)
+          require(id3.version == version && frames.length == 2,
+            s"ID3 roundtrip drifted on doc $id")
+          (id, version.toLong, enc.toLong, id3.frames("TIT2"),
+            id3.frames("TPE1"), id3.frames("TALB"),
+            frames.head.offset, frames.map(_.frameBytes.toLong).sum)
+        }
+        .toDF("doc_id", "id3_version", "encoding", "title", "artist",
+          "album", "first_offset", "frame_bytes")
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -421,6 +465,41 @@ object MediaQ {
         |     ELSE 4096 * (len - i) + 2080
         |    END)) AS BIGINT) AS pos_checksum
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // first_offset = the full tag size: 10 (header) + per text frame
+    // (10 hdr + 1 encoding byte + payload), payload bytes by encoding:
+    // latin-1/UTF-8 = chars (ASCII input), UTF-16+BOM = 2 + 2·chars,
+    // UTF-16BE = 2·chars. frame_bytes = the published Layer III length
+    // table over the first two characters.
+    "q287_id3_tags" ->
+      """WITH br AS (SELECT [0,32,40,48,56,64,80,96,112,128,160,192,224,
+        |  256,320] AS t),
+        |d AS (
+        | SELECT doc_id, text,
+        |  (doc_id % 12) // 3 AS enc,
+        |  CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ver,
+        |  'Track ' || CAST(doc_id AS VARCHAR) AS title,
+        |  substr(text, 1, 12) AS artist,
+        |  'Album ' || CAST(doc_id % 9 AS VARCHAR) AS album
+        | FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 12),
+        |sz AS (
+        | SELECT *,
+        |  CASE enc WHEN 1 THEN 2 + 2 * length(title)
+        |    WHEN 2 THEN 2 * length(title) ELSE length(title) END AS pt,
+        |  CASE enc WHEN 1 THEN 2 + 2 * 12
+        |    WHEN 2 THEN 2 * 12 ELSE 12 END AS pa,
+        |  CASE enc WHEN 1 THEN 2 + 2 * length(album)
+        |    WHEN 2 THEN 2 * length(album) ELSE length(album) END AS pl
+        | FROM d)
+        |SELECT doc_id,
+        | CAST(ver AS BIGINT) AS id3_version,
+        | CAST(enc AS BIGINT) AS encoding,
+        | title, artist, album,
+        | CAST(10 + 3 * 11 + pt + pa + pl AS BIGINT) AS first_offset,
+        | CAST(144000 * t[ord(substr(text, 1, 1)) % 14 + 2] // 44100
+        |    + 144000 * t[ord(substr(text, 2, 1)) % 14 + 2] // 44100
+        |    + 1 AS BIGINT) AS frame_bytes
+        |FROM sz, br ORDER BY doc_id""".stripMargin,
 
     // frame k (char b): bitrate = BR[b % 14 + 1], padded = (b//16) % 2,
     // frame_bytes = 144000·bitrate // 44100 + padded; ID3v2 prefix is

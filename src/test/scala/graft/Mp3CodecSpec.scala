@@ -49,6 +49,46 @@ class Mp3CodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("ID3v2 text frames roundtrip: versions 3/4, all four encodings") {
+    for (version <- Seq(3, 4); enc <- 0 to 3) {
+      val tag = Mp3Codec.encodeId3(Seq(
+        ("TIT2", "Søngs & Títles 标题", enc),
+        ("TPE1", "The Artist", enc),
+        ("TALB", "Album 9", enc)), version)
+      val id3 = Mp3Codec.parseId3(tag).get
+      assert(id3.version == version)
+      val expectTitle = if (enc == 0) // latin-1 cannot carry CJK
+        new String("Søngs & Títles 标题".getBytes("ISO-8859-1"),
+          "ISO-8859-1")
+      else "Søngs & Títles 标题"
+      assert(id3.frames("TIT2") == expectTitle, s"v$version enc$enc")
+      assert(id3.frames("TPE1") == "The Artist")
+      assert(id3.frames("TALB") == "Album 9")
+    }
+  }
+
+  test("ID3 tag followed by frames: parseId3 and scan both read it") {
+    val tag = Mp3Codec.encodeId3(Seq(("TIT2", "Combined", 0)))
+    val stream = tag ++ Mp3Codec.synth(Seq((7, false), (9, true)))
+    assert(Mp3Codec.parseId3(stream).get.frames("TIT2") == "Combined")
+    val frames = Mp3Codec.scan(stream)
+    assert(frames.length == 2 && frames.head.offset == tag.length)
+  }
+
+  test("ID3 parse perimeter: no tag -> None, corrupt -> loud") {
+    assert(Mp3Codec.parseId3(Mp3Codec.synth(Seq((5, false)))).isEmpty)
+    val tag = Mp3Codec.encodeId3(Seq(("TIT2", "x", 0)))
+    // corrupt the frame id
+    val bad = tag.clone(); bad(10) = '!'
+    intercept[IllegalArgumentException](Mp3Codec.parseId3(bad))
+    // frame size past the tag
+    val oversize = tag.clone(); oversize(17) = 0x7f
+    intercept[IllegalArgumentException](Mp3Codec.parseId3(oversize))
+    // unsupported version
+    val v2 = tag.clone(); v2(3) = 2
+    intercept[IllegalArgumentException](Mp3Codec.parseId3(v2))
+  }
+
   test("perimeter: free-format, MPEG-2, Layer II, desync, truncation") {
     val good = Mp3Codec.synth(Seq((7, false)))
     // truncate mid-frame
