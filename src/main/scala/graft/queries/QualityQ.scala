@@ -155,9 +155,55 @@ object QualityQ {
             .as("rest_mean_quality_bp"))
         .orderBy("source")
     }),
+
+    // fasttext-style hashed linear classifier — the model-based quality
+    // gate every published LLM data pipeline runs after the rule-based
+    // one (CCNet's fasttext LM filter, RedPajama's classifier). Tokens
+    // hash into 4096 buckets (first 3 md5 nibbles — the feature-hashing
+    // trick, so the weight table is fixed-size however large the vocab),
+    // each bucket carries a weight, the doc score is the weight sum,
+    // keep = positive mean. Weights here derive deterministically from
+    // the bucket index so the oracle can recompute them; a production
+    // run swaps in trained weights as a broadcast 4096-float array
+    // behind the same plan. Pure built-in column ops (md5/conv inside
+    // transform/aggregate) — codegen'd, one scan, no shuffle: at 100 TB
+    // the gate fuses into whatever scan feeds it.
+    "q288_quality_classifier" -> ((s, dir) => {
+      val toksC = TextOps.tokens(col("text"))
+      val buckets = transform(toksC,
+        w => conv(substring(md5(w), 1, 3), 16, 10).cast("long"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), buckets.as("bks"))
+        .select(col("doc_id"),
+          size(col("bks")).cast("long").as("n_tokens"),
+          aggregate(col("bks"), lit(0L),
+            (acc, b) => acc + (b % 61 - 30)).as("score_sum"))
+        .withColumn("keep", col("score_sum") > 0)
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // bucket = big-endian value of md5's first 3 hex nibbles (= Spark's
+    // conv(substr(md5,1,3),16,10)); weight = bucket % 61 - 30
+    "q288_quality_classifier" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id,
+        |  list_transform(toks, w ->
+        |   (instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(w), 3, 1)) - 1)) AS bks
+        | FROM t)
+        |SELECT doc_id,
+        | CAST(len(bks) AS BIGINT) AS n_tokens,
+        | CAST(list_sum(list_transform(bks, x -> x % 61 - 30))
+        |   AS BIGINT) AS score_sum,
+        | list_sum(list_transform(bks, x -> x % 61 - 30)) > 0 AS keep
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     "q86_dedup_canonical" -> (ScaleQ.dedupLabSql + "\n" +
       """SELECT coalesce(lab.cluster, d.doc_id) AS doc_id,
         | count(*) AS n_merged
