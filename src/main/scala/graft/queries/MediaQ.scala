@@ -329,6 +329,84 @@ object MediaQ {
         .toDF("doc_id", "id3_version", "encoding", "title", "artist",
           "album", "first_offset", "frame_bytes")
         .orderBy("doc_id")
+    }),
+
+    // The compressed-media funnel — the q105 routing pattern with the
+    // REAL compressed codecs end-to-end: every doc takes its kind's
+    // full pipeline (image → JPEG encode/decode, audio → G.711 µ/A-law
+    // WAV, video → MJPG AVI), and ONE 3-row rollup reports corpus-level
+    // decoded-unit counts and checksum totals per kind. This is the
+    // shape a real curation pass has at 100 TB: per-row executor decode
+    // fused into the scan, then a kind-keyed partial aggregate whose
+    // exchange carries three rows.
+    "q289_media_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 1)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val src = text.getBytes("ISO-8859-1")
+          val len = src.length
+          (id % 3) match {
+            case 0 => // image: one 8×8 block per byte through JPEG
+              val w = 8 * len
+              val pix = new Array[Byte](w * 8)
+              var j = 0
+              while (j < len) {
+                var y = 0
+                while (y < 8) {
+                  java.util.Arrays.fill(pix,
+                    y * w + 8 * j, y * w + 8 * j + 8, src(j))
+                  y += 1
+                }
+                j += 1
+              }
+              val (dw, dh, dec) = graft.multimodal.JpegCodec.decodeGray(
+                graft.multimodal.JpegCodec.encodeGray(w, 8, pix))
+              require(dw == w && dh == 8, s"funnel image drift doc $id")
+              var sum = 0L
+              var i = 0
+              while (i < dec.length) { sum += dec(i) & 0xff; i += 1 }
+              ("image", len.toLong, sum)
+            case 1 => // audio: bytes as G.711 codes (µ even / A odd)
+              val mu = id % 2 == 0
+              val samples = src.map(c =>
+                if (mu) graft.multimodal.G711Codec.ulawToLinear(c)
+                else graft.multimodal.G711Codec.alawToLinear(c))
+              val (_, _, _, dec) = graft.multimodal.G711Codec.decodeWav(
+                graft.multimodal.G711Codec.encodeWav(8000, 1, samples, mu))
+              require(dec.length == len, s"funnel audio drift doc $id")
+              var sum = 0L
+              var k = 0
+              while (k < dec.length) { sum += dec(k); k += 1 }
+              ("audio", len.toLong, sum)
+            case _ => // video: nf two-block MJPG frames
+              val nf = (3 + id % 3).toInt
+              val frames = (0 until nf).map { f =>
+                val v0 = src((2 * f) % len)
+                val v1 = src((2 * f + 1) % len)
+                Array.tabulate[Byte](16 * 8)(i =>
+                  if (i % 16 < 8) v0 else v1)
+              }
+              val (_, _, _, dec) = graft.multimodal.AviCodec.decodeMjpg(
+                graft.multimodal.AviCodec.encodeMjpg(16, 8, frames, 10))
+              require(dec.length == nf, s"funnel video drift doc $id")
+              var sum = 0L
+              dec.foreach { fr =>
+                var p = 0
+                while (p < fr.length) { sum += fr(p) & 0xff; p += 1 }
+              }
+              ("video", nf.toLong, sum)
+          }
+        }
+        .toDF("kind", "units", "checksum")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("units")).as("units"),
+          sum(col("checksum")).as("checksum_total"))
+        .orderBy("kind")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -465,6 +543,71 @@ object MediaQ {
         |     ELSE 4096 * (len - i) + 2080
         |    END)) AS BIGINT) AS pos_checksum
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // three arithmetic arms, one rollup: image = 64·Σord per block
+    // (JPEG exact subspace), audio = Σ G.711 decode values (the q283
+    // bit-field formulas), video = Σ over all nf frames of 64(v0+v1)
+    "q289_media_funnel" ->
+      """WITH base AS (
+        | SELECT doc_id, text, length(text) AS len, doc_id % 3 AS k
+        | FROM documents WHERE length(text) > 1),
+        |img AS (
+        | SELECT 'image' AS kind, CAST(len AS BIGINT) AS units,
+        |  CAST(64 * list_sum(list_transform(range(1, len + 1),
+        |   i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT)
+        |   AS checksum
+        | FROM base WHERE k = 0),
+        |aud AS (
+        | SELECT 'audio' AS kind, CAST(len AS BIGINT) AS units,
+        |  CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   CASE WHEN doc_id % 2 = 0 THEN
+        |    CASE WHEN (255 - ord(substr(text, CAST(i AS INTEGER), 1)))
+        |              >= 128
+        |     THEN -((((255 - ord(substr(text, CAST(i AS INTEGER), 1)))
+        |         % 16) * 8 + 132)
+        |        * (1 << (((255 - ord(substr(text, CAST(i AS INTEGER), 1)))
+        |            // 16) % 8)) - 132)
+        |     ELSE ((((255 - ord(substr(text, CAST(i AS INTEGER), 1)))
+        |         % 16) * 8 + 132)
+        |        * (1 << (((255 - ord(substr(text, CAST(i AS INTEGER), 1)))
+        |            // 16) % 8)) - 132)
+        |    END
+        |   ELSE
+        |    CASE WHEN xor(ord(substr(text, CAST(i AS INTEGER), 1)), 85)
+        |              >= 128
+        |     THEN (CASE WHEN ((xor(ord(substr(text, CAST(i AS INTEGER), 1)),
+        |            85) // 16) % 8) = 0
+        |       THEN (xor(ord(substr(text, CAST(i AS INTEGER), 1)), 85) % 16)
+        |            * 16 + 8
+        |       ELSE ((xor(ord(substr(text, CAST(i AS INTEGER), 1)), 85) % 16)
+        |            * 16 + 264)
+        |          * (1 << (((xor(ord(substr(text, CAST(i AS INTEGER), 1)),
+        |              85) // 16) % 8) - 1)) END)
+        |     ELSE -(CASE WHEN ((xor(ord(substr(text, CAST(i AS INTEGER), 1)),
+        |            85) // 16) % 8) = 0
+        |       THEN (xor(ord(substr(text, CAST(i AS INTEGER), 1)), 85) % 16)
+        |            * 16 + 8
+        |       ELSE ((xor(ord(substr(text, CAST(i AS INTEGER), 1)), 85) % 16)
+        |            * 16 + 264)
+        |          * (1 << (((xor(ord(substr(text, CAST(i AS INTEGER), 1)),
+        |              85) // 16) % 8) - 1)) END)
+        |    END
+        |   END)) AS BIGINT) AS checksum
+        | FROM base WHERE k = 1),
+        |vid AS (
+        | SELECT 'video' AS kind, CAST(3 + doc_id % 3 AS BIGINT) AS units,
+        |  CAST(list_sum(list_transform(range(0, 3 + doc_id % 3), f ->
+        |   64 * (ord(substr(text, CAST((2 * f) % len + 1 AS INTEGER), 1))
+        |    + ord(substr(text, CAST((2 * f + 1) % len + 1 AS INTEGER),
+        |        1))))) AS BIGINT) AS checksum
+        | FROM base WHERE k = 2),
+        |u AS (
+        | SELECT * FROM img UNION ALL SELECT * FROM aud
+        | UNION ALL SELECT * FROM vid)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS docs,
+        | CAST(sum(units) AS BIGINT) AS units,
+        | CAST(sum(checksum) AS BIGINT) AS checksum_total
+        |FROM u GROUP BY kind ORDER BY kind""".stripMargin,
 
     // first_offset = the full tag size: 10 (header) + per text frame
     // (10 hdr + 1 encoding byte + payload), payload bytes by encoding:
