@@ -22,9 +22,16 @@ import graft.Tables._
   * - q284: MPEG-1 Layer III frame census (sync walk, bitrate/padding
   *   tables, ID3v2 skip) — the ffprobe-level scan a corpus pipeline
   *   actually runs on audio blobs.
+  * - q286: EXIF parse (APP1/TIFF IFD0, both byte orders) + orientation
+  *   normalization, checksummed over the TRANSFORMED image.
+  * - q287: ID3v2.3/2.4 tag content (text frames, all four encodings),
+  *   with the tag's byte-exact size pinned via scan()'s first offset.
+  * - q289: the three kinds routed through their compressed codecs into
+  *   one 3-row funnel rollup (the q105 pattern, compressed edition).
   *
-  * All four are per-row executor work over a projection — no shuffle,
-  * the standard 100 TB codec envelope (scan-fused, CPU-linear). */
+  * All of these are per-row executor work over a projection — no
+  * shuffle beyond q289's 3-row aggregate, the standard 100 TB codec
+  * envelope (scan-fused, CPU-linear; ×10/×100 probes in SCALING.md). */
 object MediaQ {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
