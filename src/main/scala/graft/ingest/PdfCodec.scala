@@ -183,31 +183,40 @@ object PdfCodec {
   }
 
   /** The `num gen obj` header owning the stream whose keyword sits at
-    * `until` — backward scan, skipping `endobj` keyword hits (the only
-    * place 'obj' legally occurs that is not an object header; a stray
-    * 'obj' inside an earlier stream's BINARY body cannot intervene
-    * because that body ends with its own `endobj` closer to `until`).
-    * Needed only on encrypted documents, where the per-object key is
-    * derived from this pair. */
+    * `until` — backward scan that skips `endobj` keyword hits AND any
+    * 'obj' letter sequence that is not preceded by `<int> <int> ` (the
+    * word "object" inside a dict string like /Title (my object), or a
+    * stray 'obj' in an earlier stream's binary body). Needed only on
+    * encrypted documents, where the per-object key derives from this
+    * pair. */
   private def owningObj(raw: String, until: Int): (Int, Int) = {
-    var k = raw.lastIndexOf("obj", until)
-    while (k >= 3 && raw.regionMatches(k - 3, "end", 0, 3))
-      k = raw.lastIndexOf("obj", k - 1)
-    require(k > 0, "encrypted stream outside any `num gen obj` object")
     def skipWs(p: Int): Int = {
       var q = p
       while (q >= 0 && raw.charAt(q).isWhitespace) q -= 1
       q
     }
-    def readInt(p: Int): (Int, Int) = {
+    def readInt(p: Int): Option[(Int, Int)] = {
       var q = p
       while (q >= 0 && raw.charAt(q).isDigit) q -= 1
-      require(q < p, s"malformed object header before offset $until")
-      (raw.substring(q + 1, p + 1).toInt, q)
+      if (q < p) Some((raw.substring(q + 1, p + 1).toInt, q)) else None
     }
-    val (gen, j) = readInt(skipWs(k - 1))
-    val (num, _) = readInt(skipWs(j))
-    (num, gen)
+    var k = raw.lastIndexOf("obj", until)
+    while (k > 0) {
+      if (!raw.regionMatches(k - 3, "end", 0, 3)) {
+        // candidate: require `<digits> <ws> <digits> <ws> obj` behind it
+        readInt(skipWs(k - 1)) match {
+          case Some((gen, j)) =>
+            readInt(skipWs(j)) match {
+              case Some((num, _)) => return (num, gen)
+              case None => ()
+            }
+          case None => ()
+        }
+      }
+      k = raw.lastIndexOf("obj", k - 1)
+    }
+    throw new IllegalArgumentException(
+      "encrypted stream outside any `num gen obj` object")
   }
 
   // integer-parameter probes, compiled once per distinct name (the

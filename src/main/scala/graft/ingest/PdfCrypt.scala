@@ -343,8 +343,9 @@ object PdfCrypt {
     val encRef = EncryptRef.findFirstMatchIn(raw.substring(trailerAt))
     if (encRef.isEmpty) return None
     val (num, gen) = (encRef.get.group(1), encRef.get.group(2))
-    // the encryption dict: `num gen obj << ... >>`
-    val objPat = (s"""(?s)$num\\s+$gen\\s+obj\\s*<<""").r
+    // the encryption dict: `num gen obj << ... >>` — the lookbehind
+    // stops "5 0 obj" from matching inside "15 0 obj"
+    val objPat = (s"""(?s)(?<![0-9])$num\\s+$gen\\s+obj\\s*<<""").r
     val m = objPat.findFirstMatchIn(raw).getOrElse(
       throw new IllegalArgumentException(
         s"/Encrypt $num $gen R names a missing object"))

@@ -126,6 +126,25 @@ class PdfCryptSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(PdfCodec.decode(sly).head.contains("/Encrypt 5 0 R"))
   }
 
+  test("decoy object numbers and 'obj' words inside strings don't misbind") {
+    val enc = PdfCodec.encodeEncrypted(Seq("bind to the right object"),
+      "rc4-128")
+    val raw = new String(enc, "ISO-8859-1")
+    // a decoy object whose number ENDS in the /Encrypt ref's number:
+    // "15 0 obj" must not satisfy a lookup for "5 0 obj"
+    val decoyed = raw.replace("1 0 obj",
+      "15 0 obj << /Filter /Standard /V 9 /R 9 >> endobj\n1 0 obj")
+    assert(PdfCodec.decode(decoyed.getBytes("ISO-8859-1"))
+      .contains("bind to the right object"))
+    // the word "object" inside a dict STRING right before the stream:
+    // the owning-object backward scan must skip it
+    val worded = raw.replace(" /Filter /FlateDecode",
+      " /T (my object) /Filter /FlateDecode")
+    assert(worded != raw)
+    assert(PdfCodec.decode(worded.getBytes("ISO-8859-1"))
+      .contains("bind to the right object"))
+  }
+
   test("pdf string parsing: escapes, octal, nesting, hex") {
     def p(s: String): Array[Byte] = PdfCrypt.pdfString(s, 0)._1
     assert(new String(p("(abc)")) == "abc")
