@@ -255,7 +255,16 @@ object AviCodec {
     * JpegCodec; any other fourcc (H.264/cvid/…) refuses loudly with the
     * fourcc spelled out, and a frame whose JPEG geometry disagrees with
     * the stream header refuses rather than emitting misshapen pixels. */
-  def decodeMjpg(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+  def decodeMjpg(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) =
+    try decodeMjpg0(bytes)
+    catch {
+      case _: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException(
+          "truncated AVI: chunk header runs past the buffer")
+    }
+
+  private def decodeMjpg0(bytes: Array[Byte])
+      : (Int, Int, Int, Seq[Array[Byte]]) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {
       val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")

@@ -118,10 +118,15 @@ object ExifCodec {
     while (!done && payload == null && pos + 4 <= jpeg.length) {
       require((jpeg(pos) & 0xff) == 0xff,
         f"marker sync lost at offset $pos")
-      val m = jpeg(pos + 1) & 0xff
+      var m = jpeg(pos + 1) & 0xff
       pos += 2
+      while (m == 0xff) { // fill bytes before a marker are legal
+        require(pos < jpeg.length, "truncated JPEG: trailing fill bytes")
+        m = jpeg(pos) & 0xff
+        pos += 1
+      }
       if (m == 0xd9 || m == 0xda) done = true // EOI or scan: no EXIF
-      else if (m >= 0xd0 && m <= 0xd8) () // standalone
+      else if ((m >= 0xd0 && m <= 0xd8) || m == 0x01) () // standalone
       else {
         val len = ((jpeg(pos) & 0xff) << 8) | (jpeg(pos + 1) & 0xff)
         require(len >= 2 && pos + len <= jpeg.length,

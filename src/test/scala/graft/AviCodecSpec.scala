@@ -121,5 +121,11 @@ class AviCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AviCodec.decodeMjpg(dib))
     // an MJPG stream through the DIB decoder refuses (00dc)
     intercept[IllegalArgumentException](AviCodec.decodeDib24(avi))
+    // truncations refuse with the standard exception type: mid-chunk
+    // (declared size past the buffer) and mid-TAG (14 bytes leaves 2
+    // bytes of a 4-byte tag — the BufferUnderflow path)
+    intercept[IllegalArgumentException](
+      AviCodec.decodeMjpg(avi.take(avi.length - 3)))
+    intercept[IllegalArgumentException](AviCodec.decodeMjpg(avi.take(14)))
   }
 }
