@@ -127,6 +127,53 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(offsets.toSeq == Seq(0L, 1024L, 2048L, 3072L))
   }
 
+  test("streaming + compressed codecs: JPEG blobs decode per micro-batch") {
+    // a binary-blob stream (the media-ingest shape) whose foreachBatch
+    // decodes REAL compressed payloads with the r12 codecs — the
+    // composition a multimodal ingest pipeline runs: file stream of
+    // blobs -> executor-side decode -> per-batch append of exact stats.
+    // AvailableNow over staged files keeps it deterministic.
+    val base = Files.createTempDirectory("graft_media_stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    Files.createDirectories(Paths.get(in))
+    // stage: id -> a real JPEG of one constant block (value = id*7)
+    (1 to 6).foreach { id =>
+      val v = (id * 7).toByte
+      val jpeg = graft.multimodal.JpegCodec.encodeGray(8, 8,
+        Array.fill[Byte](64)(v))
+      Files.write(Paths.get(s"$in/img_$id.jpg"), jpeg)
+    }
+    val q = spark.readStream.format("binaryFile")
+      .schema(BinaryOps.readMediaDir(spark, in).schema)
+      .load(in)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (path, bytes) =>
+            val (w, h, pix) = graft.multimodal.JpegCodec.decodeGray(bytes)
+            var sum = 0L
+            pix.foreach(p => sum += p & 0xff)
+            (path.substring(path.lastIndexOf('/') + 1), w, h, sum)
+          }
+          .toDF("name", "w", "h", "pix_sum")
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .as[(String, Int, Int, Long)].collect()
+      .map { case (n, w, h, s) => n -> ((w, h, s)) }.toMap
+    assert(got.size == 6)
+    (1 to 6).foreach { id =>
+      // block-constant JPEG is exact: sum = 64 * id * 7
+      assert(got(s"img_$id.jpg") == ((8, 8, 64L * id * 7)), s"img $id")
+    }
+  }
+
   test("streaming dedup within watermark drops in-horizon duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
