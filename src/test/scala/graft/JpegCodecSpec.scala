@@ -161,6 +161,56 @@ class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(meanErr <= 4.5, f"mean channel error $meanErr%.2f")
   }
 
+  test("table-less stream (MJPG convention) decodes via Annex-K defaults") {
+    // strip the two DHT segments from a real stream: motion-JPEG
+    // frames commonly omit them and lean on the standard tables —
+    // which are exactly what our encoder codes with, so the decode
+    // must still be exact
+    val (w, h, pix) = blockConstant(all256.take(24), 6)
+    val enc = JpegCodec.encodeGray(w, h, pix)
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < enc.length) {
+      if (i + 1 < enc.length && (enc(i) & 0xff) == 0xff &&
+        (enc(i + 1) & 0xff) == 0xc4) {
+        val len = ((enc(i + 2) & 0xff) << 8) | (enc(i + 3) & 0xff)
+        i += 2 + len // skip the whole DHT segment
+      } else { out.write(enc(i)); i += 1 }
+    }
+    val stripped = out.toByteArray
+    assert(stripped.length < enc.length, "DHT was not stripped")
+    val (dw, dh, dec) = JpegCodec.decodeGray(stripped)
+    assert((dw, dh) == (w, h))
+    assert(dec.toSeq == pix.toSeq)
+  }
+
+  test("16-bit (Pq=1) quantization tables dequantize correctly") {
+    // rewrite the 8-bit all-ones DQT as a 16-bit table of the same
+    // values: the decode must be unchanged (same dequantization)
+    val (w, h, pix) = blockConstant(all256.take(16), 4)
+    val enc = JpegCodec.encodeGray(w, h, pix)
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < enc.length) {
+      if (i + 1 < enc.length && (enc(i) & 0xff) == 0xff &&
+        (enc(i + 1) & 0xff) == 0xdb) {
+        out.write(0xff); out.write(0xdb)
+        out.write(0); out.write(2 + 1 + 128) // new length
+        out.write(0x10) // Pq=1, Tq=0
+        val tblAt = i + 5 // first of the 64 byte entries
+        for (k <- 0 until 64) {
+          out.write(0); out.write(enc(tblAt + k) & 0xff) // widen to u16
+        }
+        i = tblAt + 64
+      } else { out.write(enc(i)); i += 1 }
+    }
+    val wide = out.toByteArray
+    assert(wide.length == enc.length + 64)
+    val (dw, dh, dec) = JpegCodec.decodeGray(wide)
+    assert((dw, dh) == (w, h))
+    assert(dec.toSeq == pix.toSeq)
+  }
+
   test("progressive JPEG refuses loudly by name") {
     val w = 16; val h = 16
     val src = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
