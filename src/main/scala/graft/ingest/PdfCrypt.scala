@@ -26,8 +26,26 @@ object PdfCrypt {
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
+  // getInstance walks the provider list; the R2/R3 key derivation runs
+  // 50 MD5 rounds and hash2B 64+ SHA rounds per document — cache one
+  // instance per thread and reset before use (the HashExprs hoist).
+  private val Digests = new java.util.concurrent.ConcurrentHashMap[
+    String, ThreadLocal[MessageDigest]]()
+  private def digest(alg: String): MessageDigest = {
+    var tl = Digests.get(alg)
+    if (tl == null) {
+      tl = ThreadLocal.withInitial[MessageDigest](() =>
+        MessageDigest.getInstance(alg))
+      Digests.putIfAbsent(alg, tl)
+      tl = Digests.get(alg)
+    }
+    val d = tl.get()
+    d.reset()
+    d
+  }
+
   def md5(parts: Array[Byte]*): Array[Byte] = {
-    val d = MessageDigest.getInstance("MD5")
+    val d = digest("MD5")
     parts.foreach(d.update)
     d.digest()
   }
@@ -117,8 +135,19 @@ object PdfCrypt {
     md5(key, ext, salt).take(math.min(key.length + 5, 16))
   }
 
+  // Cipher.getInstance walks the JCE provider list every call — a real
+  // cost when hash2B spins 64+ AES rounds per password check (the same
+  // hoist HashExprs applies to MessageDigest). init() re-keys a cached
+  // instance; Cipher is not thread-safe, hence ThreadLocal.
+  private val PadCipher =
+    ThreadLocal.withInitial[javax.crypto.Cipher](() =>
+      javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding"))
+  private val RawCipher =
+    ThreadLocal.withInitial[javax.crypto.Cipher](() =>
+      javax.crypto.Cipher.getInstance("AES/CBC/NoPadding"))
+
   private def aesCipher(mode: Int, key: Array[Byte], iv: Array[Byte]) = {
-    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    val c = PadCipher.get()
     c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
       new javax.crypto.spec.IvParameterSpec(iv))
     c
@@ -160,14 +189,14 @@ object PdfCrypt {
   // --- AES-256 / R6 (ISO 32000-2 §7.6.4.3.3-4, the Acrobat X+ handler) —
 
   private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
-    val d = MessageDigest.getInstance(s"SHA-$bits")
+    val d = digest(s"SHA-$bits")
     parts.foreach(d.update)
     d.digest()
   }
 
   private def aesNoPad(encrypt: Boolean, key: Array[Byte],
       iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    val c = RawCipher.get()
     c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
            else javax.crypto.Cipher.DECRYPT_MODE,
       new javax.crypto.spec.SecretKeySpec(key, "AES"),
