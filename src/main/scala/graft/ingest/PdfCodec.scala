@@ -219,6 +219,100 @@ object PdfCodec {
       "encrypted stream outside any `num gen obj` object")
   }
 
+  final case class PdfImage(width: Int, height: Int, gray: Array[Byte])
+
+  /** Extract the IMAGES a PDF embeds — the other half of what the
+    * reference's PyMuPDF ingest pulls from a document
+    * (pdf_spider.py:42-50 walks page images, not just text): walk the
+    * same stream structure decode() walks, but COLLECT /Subtype /Image
+    * XObjects instead of skipping them. Decodable payloads:
+    * /DCTDecode → the in-engine baseline JpegCodec (grayscale surface,
+    * ITU-601 luma for color); /FlateDecode 8-bit /DeviceGray → inflate
+    * to raw samples. Anything else (JPX, CCITT, CMYK DCT, predictors)
+    * counts as skipped rather than refusing the document — a corpus
+    * miner keeps the text and the images it CAN decode. Encrypted
+    * documents decrypt per object exactly like the text path. Returns
+    * (images in document order, skipped count). Per-row executor work. */
+  def extractImages(bytes: Array[Byte]): (Seq[PdfImage], Int) = {
+    require(bytes.length >= 5 &&
+      new String(bytes, 0, 5, "ISO-8859-1") == "%PDF-",
+      "not a PDF: missing %PDF- header")
+    val raw = new String(bytes, "ISO-8859-1")
+    val crypt = PdfCrypt.parse(raw)
+    val images = Seq.newBuilder[PdfImage]
+    var skipped = 0
+    var from = 0
+    while ({ val i = raw.indexOf("stream", from); i >= 0 && {
+      val dict = lastDictBefore(raw, from, i)
+      var s = i + "stream".length
+      if (s < raw.length && raw.charAt(s) == '\r') s += 1
+      if (s < raw.length && raw.charAt(s) == '\n') s += 1
+      val e = IndirectLen.findFirstMatchIn(dict) match {
+        case Some(m) =>
+          resolveIndirectLength(raw, m.group(1), m.group(2), s) match {
+            case Some(len) => s + len
+            case None => throw new IllegalArgumentException(
+              s"unresolvable indirect /Length in image-walk dict $dict")
+          }
+        case None => LiteralLen.findFirstMatchIn(dict) match {
+          case Some(m) => s + m.group(1).toInt
+          case None =>
+            require(SubtypeImage.findFirstIn(dict).isEmpty &&
+              TypeContainer.findFirstIn(dict).isEmpty,
+              s"image/container stream without numeric /Length in $dict")
+            var e0 = raw.indexOf("endstream", i)
+            require(e0 > i, "PDF stream without endstream")
+            if (e0 > s && raw.charAt(e0 - 1) == '\n') e0 -= 1
+            if (e0 > s && raw.charAt(e0 - 1) == '\r') e0 -= 1
+            e0
+        }
+      }
+      val end = raw.indexOf("endstream", e)
+      require(end >= e, "PDF stream without endstream")
+      if (SubtypeImage.findFirstIn(dict).isDefined) {
+        val raw0 = raw.substring(s, e).getBytes("ISO-8859-1")
+        val seg = crypt match {
+          case Some(ctx) =>
+            val (onum, ogen) = owningObj(raw, i)
+            ctx.decryptStream(onum, ogen, raw0)
+          case None => raw0
+        }
+        val w = intParm(dict, "/Width", -1)
+        val h = intParm(dict, "/Height", -1)
+        val bpc = intParm(dict, "/BitsPerComponent", 8)
+        val isDct = dict.contains("/DCTDecode")
+        val isFlateGray = dict.contains("/FlateDecode") &&
+          dict.contains("/DeviceGray") && bpc == 8 &&
+          !dict.contains("/DecodeParms")
+        if (isDct) {
+          // tolerate undecodable payloads (progressive, CMYK, junk) as
+          // skips — the miner keeps what it can decode; a SUCCESSFUL
+          // decode whose geometry contradicts the dict stays loud
+          // (that is corruption, not an unsupported codec)
+          val decoded =
+            try Some(graft.multimodal.JpegCodec.decodeGray(seg))
+            catch { case _: IllegalArgumentException => None }
+          decoded match {
+            case Some((dw, dh, pix)) =>
+              require(w < 0 || (dw == w && dh == h),
+                s"embedded JPEG geometry ${dw}x$dh contradicts dict " +
+                  s"${w}x$h")
+              images += PdfImage(dw, dh, pix)
+            case None => skipped += 1
+          }
+        } else if (isFlateGray && w > 0 && h > 0) {
+          val pix = decodeFiltered(dict, seg)
+          require(pix.length >= w * h,
+            s"flate image has ${pix.length} samples for ${w}x$h")
+          images += PdfImage(w, h, pix.take(w * h))
+        } else skipped += 1
+      }
+      from = end + "endstream".length
+      true
+    }}) ()
+    (images.result(), skipped)
+  }
+
   // integer-parameter probes, compiled once per distinct name (the
   // dict vocabulary is tiny and fixed — same hoisting rule as above)
   private val IntParmPatterns = new java.util.concurrent.ConcurrentHashMap[
@@ -946,7 +1040,8 @@ object PdfCodec {
     * hardened-hash /U //UE, file-key encryption, /Perms block).
     * Deterministic byte-for-byte (fixed /ID from the content, fixed
     * salts and AES IVs) — the driver-hash requirement. */
-  def encodeEncrypted(lines: Seq[String], mode: String): Array[Byte] = {
+  def encodeEncrypted(lines: Seq[String], mode: String,
+      img: Option[(Int, Int, Array[Byte])] = None): Array[Byte] = {
     val (v, r, lenBits, aes) = mode match {
       case "rc4-40" => (1, 2, 40, false)
       case "rc4-128" => (2, 3, 128, false)
@@ -978,8 +1073,8 @@ object PdfCodec {
     def hex(b: Array[Byte]): String =
       b.map(x => f"${x & 0xff}%02x").mkString
     val empty = Array.emptyByteArray
-    // (o, u, extra dict entries, encrypted stream payload)
-    val (o, u, r6Entries, data) =
+    // (o, u, extra dict entries, per-object encryptor)
+    val (o, u, r6Entries, encFor) =
       if (r == 6) {
         // R6: deterministic salts (fixtures must be byte-reproducible;
         // salt secrecy is not a goal of a test fixture), file key from
@@ -999,15 +1094,20 @@ object PdfCodec {
         val perms = PdfCrypt.permsEntry(fileKey, p)
         val extra = s" /UE <${hex(ue)}> /OE <${hex(oe)}> " +
           s"/Perms <${hex(perms)}>"
-        (o48, u48, extra,
-          PdfCrypt.encrypt(fileKey, plain, aes = true))
+        // R6 encrypts every object under the FILE key
+        (o48, u48, extra, (_: Int, d0: Array[Byte]) =>
+          PdfCrypt.encrypt(fileKey, d0, aes = true))
       } else {
         val o = PdfCrypt.ownerEntry(r min 3, lenBits)
         val key = PdfCrypt.fileKey(o, p, id0, r min 3, lenBits)
         val u = PdfCrypt.userEntry(key, id0, r min 3)
-        (o, u, "",
-          PdfCrypt.encrypt(PdfCrypt.objKey(key, 4, 0, aes), plain, aes))
+        (o, u, "", (num: Int, d0: Array[Byte]) =>
+          PdfCrypt.encrypt(PdfCrypt.objKey(key, num, 0, aes), d0, aes))
       }
+    val data = encFor(4, plain)
+    val imgData = img.map { case (iw, ih, pix) =>
+      (iw, ih, encFor(6, graft.multimodal.JpegCodec.encodeGray(iw, ih, pix)))
+    }
     val cf =
       if (r == 6)
         " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> " +
@@ -1026,6 +1126,8 @@ object PdfCodec {
     w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
     offsets += out.size()
     w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      (if (img.isDefined) "/Resources << /XObject << /Im1 6 0 R >> >> "
+       else "") +
       "/MediaBox [0 0 612 792] >> endobj\n")
     offsets += out.size()
     w(s"4 0 obj << /Length ${data.length} /Filter /FlateDecode >> stream\n")
@@ -1034,11 +1136,20 @@ object PdfCodec {
     offsets += out.size()
     w(s"5 0 obj << /Filter /Standard /V $v /R $r /Length $lenBits$cf " +
       s"/O <${hex(o)}> /U <${hex(u)}>$r6Entries /P $p >> endobj\n")
+    imgData.foreach { case (iw, ih, enc) =>
+      offsets += out.size()
+      w(s"6 0 obj << /Type /XObject /Subtype /Image /Width $iw " +
+        s"/Height $ih /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+        s"/Length ${enc.length} /Filter /DCTDecode >> stream\n")
+      out.write(enc)
+      w("\nendstream endobj\n")
+    }
     val xref = out.size()
     val offs = offsets.result()
-    w("xref\n0 6\n0000000000 65535 f \n" +
+    val size = offs.length + 1
+    w(s"xref\n0 $size\n0000000000 65535 f \n" +
       offs.map(off => f"$off%010d 00000 n \n").mkString)
-    w(s"trailer << /Size 6 /Root 1 0 R /Encrypt 5 0 R " +
+    w(s"trailer << /Size $size /Root 1 0 R /Encrypt 5 0 R " +
       s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\nstartxref\n$xref\n%%EOF\n")
     out.toByteArray
   }
@@ -1091,6 +1202,61 @@ object PdfCodec {
     offsets += out.size()
     w(s"5 0 obj << /Type /XObject /Subtype /Image /Width 8 /Height 8 " +
       s"/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+      s"/Length ${img.length} /Filter /DCTDecode >> stream\n")
+    out.write(img)
+    w("\nendstream endobj\n")
+    val xref = out.size()
+    val offs = offsets.result()
+    w("xref\n0 6\n0000000000 65535 f \n" +
+      offs.map(o => f"$o%010d 00000 n \n").mkString)
+    w(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Fixture: a PDF with a Flate text content stream AND a REAL
+    * baseline-JPEG image XObject (our JpegCodec bytes in a /DCTDecode
+    * stream with correct /Width //Height) — what a born-digital
+    * document actually looks like, and the input extractImages mines.
+    * decode() must still skip the image for text; extractImages must
+    * recover the exact pixels. */
+  def encodeWithRealJpeg(lines: Seq[String], imgW: Int, imgH: Int,
+      imgPix: Array[Byte]): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val content = ("BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
+      .getBytes("ISO-8859-1")
+    val d = new Deflater()
+    d.setInput(content); d.finish()
+    val cOut = new ByteArrayOutputStream(content.length)
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    val cData = cOut.toByteArray
+    val img = graft.multimodal.JpegCodec.encodeGray(imgW, imgH, imgPix)
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = Array.newBuilder[Int]
+    w("%PDF-1.4\n")
+    offsets += out.size()
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets += out.size()
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    offsets += out.size()
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Im1 5 0 R >> >> " +
+      "/MediaBox [0 0 612 792] >> endobj\n")
+    offsets += out.size()
+    w(s"4 0 obj << /Length ${cData.length} /Filter /FlateDecode >> stream\n")
+    out.write(cData)
+    w("\nendstream endobj\n")
+    offsets += out.size()
+    w(s"5 0 obj << /Type /XObject /Subtype /Image /Width $imgW " +
+      s"/Height $imgH /ColorSpace /DeviceGray /BitsPerComponent 8 " +
       s"/Length ${img.length} /Filter /DCTDecode >> stream\n")
     out.write(img)
     w("\nendstream endobj\n")

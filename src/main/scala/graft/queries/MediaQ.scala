@@ -414,9 +414,80 @@ object MediaQ {
           sum(col("units")).as("units"),
           sum(col("checksum")).as("checksum_total"))
         .orderBy("kind")
+    }),
+
+    // PDF image MINING under the driver hash — the PyMuPDF-parity op
+    // (the reference pulls images out of PDFs, pdf_spider.py:42-50;
+    // extractImages is the in-engine equivalent): every doc becomes a
+    // born-digital PDF carrying BOTH a Flate text stream and a REAL
+    // embedded baseline JPEG (the block-constant strip), and the row
+    // reports the text line count AND the extracted image's exact
+    // pixel stats — one fixture exercising the skip-for-text and
+    // collect-for-images walks against each other. A /Length slip, a
+    // dict misbind, or any JPEG defect breaks the hash.
+    "q290_pdf_images" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("ISO-8859-1")
+          val n = bytes.length
+          val w = 8 * n
+          val pix = new Array[Byte](w * 8)
+          var j = 0
+          while (j < n) {
+            var y = 0
+            while (y < 8) {
+              java.util.Arrays.fill(pix, y * w + 8 * j, y * w + 8 * j + 8,
+                bytes(j))
+              y += 1
+            }
+            j += 1
+          }
+          val pdf = graft.ingest.PdfCodec.encodeWithRealJpeg(
+            Seq(s"Name: Event $id", text), w, 8, pix)
+          val lines = graft.ingest.PdfCodec.decode(pdf)
+          val (images, skipped) = graft.ingest.PdfCodec.extractImages(pdf)
+          require(lines.size == 2 && images.size == 1 && skipped == 0,
+            s"pdf mining drifted on doc $id: ${lines.size} lines, " +
+              s"${images.size} images, $skipped skipped")
+          val img = images.head
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < img.gray.length) {
+            val v = (img.gray(i) & 0xff).toLong
+            sum += v
+            chk += (i + 1) * v
+            i += 1
+          }
+          (id, lines.size.toLong, img.width.toLong, img.height.toLong,
+            sum, chk)
+        }
+        .toDF("doc_id", "n_lines", "img_w", "img_h", "pix_sum",
+          "pos_checksum")
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    // the q281 closed forms over an embedded-and-mined image
+    "q290_pdf_images" ->
+      """SELECT doc_id,
+        | CAST(2 AS BIGINT) AS n_lines,
+        | CAST(8 * length(text) AS BIGINT) AS img_w,
+        | CAST(8 AS BIGINT) AS img_h,
+        | CAST(64 * list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT)
+        |   AS pix_sum,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> ord(substr(text, CAST(i AS INTEGER), 1))
+        |      * (1792 * length(text) + 512 * (i - 1) + 288))) AS BIGINT)
+        |   AS pos_checksum
+        |FROM documents WHERE length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // pixel math for one constant 8×8 block j of value v in an 8-row
     // image of width 8·len: Σ pix = 64v; Σ (i+1)·pix over the block =
