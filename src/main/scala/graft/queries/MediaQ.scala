@@ -28,6 +28,8 @@ import graft.Tables._
   *   with the tag's byte-exact size pinned via scan()'s first offset.
   * - q289: the three kinds routed through their compressed codecs into
   *   one 3-row funnel rollup (the q105 pattern, compressed edition).
+  * - q290: PDF image MINING — extractImages pulls the real embedded
+  *   JPEG back out of a born-digital document (the PyMuPDF-parity op).
   *
   * All of these are per-row executor work over a projection — no
   * shuffle beyond q289's 3-row aggregate, the standard 100 TB codec
