@@ -59,7 +59,11 @@ object ScaleProbe {
     // the r11-verdict additions: the CPU-heavy relational trio plus the
     // two iterative/quantile plans previously pinned structurally
     "q241_association_rules", "q128_basket_pairs", "q240_dbscan_lite",
-    "q279_rfm_segments")
+    "q279_rfm_segments",
+    // r13: the registered production forms (r12 verdict #1/#2) and the
+    // new ingest/census families
+    "q291_semantic_dedup_auto", "q292_dbscan_auto",
+    "q293_binary_quarantine", "q294_aac_scan", "q295_h264_scan")
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)

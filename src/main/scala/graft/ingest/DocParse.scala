@@ -203,6 +203,44 @@ object DocParse {
         s"$other payloads route at the DataFrame layer (S13/Normalize)")
     }
 
+  /** One quarantined binary payload: the sniffed (or attempted)
+    * format and a bounded one-line error. The binary mirror of
+    * Normalize.quarantine's JSON split (r12 verdict #3). */
+  final case class ParseFailure(format: String, error: String)
+
+  /** Poison-pill-tolerant front door: parseAny with every decode
+    * failure caught and turned into a TYPED ROW instead of a task
+    * abort. At 100 TB one corrupt PDF must not kill its task forever
+    * — the reference swallows these silently (pdf_spider.py:48-50
+    * catches Exception and returns ""; pipelines.py:18-20); the
+    * honest version keeps the failure as data so the job both
+    * finishes AND reports what it skipped. parseAny itself stays loud
+    * — the oracle fixtures want hard failure on drift; callers choose
+    * the perimeter per job. Fatal JVM errors still propagate. */
+  def parseAnySafe(bytes: Array[Byte])
+      : Either[ParseFailure, (String, Seq[DocRecord])] =
+    try Right(parseAny(bytes))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // sniff itself is loud on a broken zip container — fall back
+        // to a magic-bytes-only classifier that cannot throw, so the
+        // quarantine row still names the container family
+        val fmt =
+          try sniff(bytes)
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              if (bytes != null && bytes.length >= 5 &&
+                new String(bytes, 0, 5, "ISO-8859-1") == "%PDF-") "pdf"
+              else if (bytes != null && bytes.length >= 4 &&
+                bytes(0) == 'P' && bytes(1) == 'K' &&
+                bytes(2) == 3 && bytes(3) == 4) "zip"
+              else "unknown"
+          }
+        val msg = Option(e.getMessage).getOrElse("")
+          .replace('\n', ' ').take(200)
+        Left(ParseFailure(fmt, s"${e.getClass.getSimpleName}: $msg"))
+    }
+
   /** DataFrame adapter for a BINARY docx column: per-row executor-side
     * decode (the bytes never visit the driver), then the same explode
     * shape as `parse`. */

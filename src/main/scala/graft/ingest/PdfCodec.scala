@@ -221,9 +221,10 @@ object PdfCodec {
 
   final case class PdfImage(width: Int, height: Int, gray: Array[Byte])
 
-  /** Extract the IMAGES a PDF embeds — the other half of what the
-    * reference's PyMuPDF ingest pulls from a document
-    * (pdf_spider.py:42-50 walks page images, not just text): walk the
+  /** Extract the IMAGES a PDF embeds. The reference's ingest is
+    * text-only (pdf_spider.py:42-50 calls page.get_text() and nothing
+    * else); this op goes beyond it, because a multimodal corpus
+    * pipeline mines the images too: walk the
     * same stream structure decode() walks, but COLLECT /Subtype /Image
     * XObjects instead of skipping them. Decodable payloads:
     * /DCTDecode → the in-engine baseline JpegCodec (grayscale surface,
@@ -1041,7 +1042,8 @@ object PdfCodec {
     * Deterministic byte-for-byte (fixed /ID from the content, fixed
     * salts and AES IVs) — the driver-hash requirement. */
   def encodeEncrypted(lines: Seq[String], mode: String,
-      img: Option[(Int, Int, Array[Byte])] = None): Array[Byte] = {
+      img: Option[(Int, Int, Array[Byte])] = None,
+      encryptMetadata: Boolean = true): Array[Byte] = {
     val (v, r, lenBits, aes) = mode match {
       case "rc4-40" => (1, 2, 40, false)
       case "rc4-128" => (2, 3, 128, false)
@@ -1099,7 +1101,9 @@ object PdfCodec {
           PdfCrypt.encrypt(fileKey, d0, aes = true))
       } else {
         val o = PdfCrypt.ownerEntry(r min 3, lenBits)
-        val key = PdfCrypt.fileKey(o, p, id0, r min 3, lenBits)
+        // true revision: fileKey's /EncryptMetadata-false step is
+        // R4-gated (ISO 32000-1 Algorithm 2 step f)
+        val key = PdfCrypt.fileKey(o, p, id0, r, lenBits, encryptMetadata)
         val u = PdfCrypt.userEntry(key, id0, r min 3)
         (o, u, "", (num: Int, d0: Array[Byte]) =>
           PdfCrypt.encrypt(PdfCrypt.objKey(key, num, 0, aes), d0, aes))
@@ -1134,8 +1138,9 @@ object PdfCodec {
     out.write(data)
     w("\nendstream endobj\n")
     offsets += out.size()
-    w(s"5 0 obj << /Filter /Standard /V $v /R $r /Length $lenBits$cf " +
-      s"/O <${hex(o)}> /U <${hex(u)}>$r6Entries /P $p >> endobj\n")
+    val emEntry = if (encryptMetadata) "" else " /EncryptMetadata false"
+    w(s"5 0 obj << /Filter /Standard /V $v /R $r /Length $lenBits$cf" +
+      s"$emEntry /O <${hex(o)}> /U <${hex(u)}>$r6Entries /P $p >> endobj\n")
     imgData.foreach { case (iw, ih, enc) =>
       offsets += out.size()
       w(s"6 0 obj << /Type /XObject /Subtype /Image /Width $iw " +

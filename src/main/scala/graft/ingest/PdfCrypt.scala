@@ -78,11 +78,19 @@ object PdfCrypt {
     (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
-  /** Algorithm 2, empty user password: the file encryption key. */
+  /** Algorithm 2, empty user password: the file encryption key.
+    * Step f (ISO 32000-1 §7.6.3.3): R4+ documents with
+    * /EncryptMetadata false append 0xFFFFFFFF to the MD5 input —
+    * omitting it mis-derives the key and a valid empty-password PDF
+    * gets refused as password-protected. */
   def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int,
-      lenBits: Int): Array[Byte] = {
+      lenBits: Int, encryptMetadata: Boolean = true): Array[Byte] = {
     val n = if (r == 2) 5 else lenBits / 8
-    var key = md5(Pad, o, intLE4(p), id0).take(n)
+    val noMeta: Array[Byte] =
+      if (r >= 4 && !encryptMetadata)
+        Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+      else Array.empty[Byte]
+    var key = md5(Pad, o, intLE4(p), id0, noMeta).take(n)
     if (r >= 3) {
       var i = 0
       while (i < 50) { key = md5(key).take(n); i += 1 }
@@ -341,6 +349,40 @@ object PdfCrypt {
   private val IdEntry = """/ID\s*\[\s*""".r
   private def intEntry(dict: String, name: String): Option[Int] =
     (name + """\s+(-?\d+)""").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** The dictionary with every nested `<< … >>` sub-dictionary (and
+    * the contents of literal/hex strings, where `<<`/`>>` byte pairs
+    * can occur freely) blanked out — so intEntry probes match only
+    * TOP-LEVEL keys. Offsets are NOT preserved; use only for scalar
+    * probes, never for strEntryAt/pdfString positions. */
+  private def topLevel(dict: String): String = {
+    val sb = new StringBuilder(dict.length)
+    var i = 0
+    var depth = 0
+    while (i < dict.length) {
+      val c = dict.charAt(i)
+      if (c == '<' && i + 1 < dict.length && dict.charAt(i + 1) == '<') {
+        depth += 1; i += 2
+      } else if (c == '>' && i + 1 < dict.length &&
+          dict.charAt(i + 1) == '>' && depth > 0) {
+        depth -= 1; i += 2
+      } else if (c == '<') { // hex string: skip to its closing '>'
+        val close = dict.indexOf('>', i + 1)
+        i = if (close < 0) dict.length else close + 1
+      } else if (c == '(') { // literal string: skip, honoring \-escapes
+        i += 1
+        while (i < dict.length && dict.charAt(i) != ')') {
+          if (dict.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else {
+        if (depth == 1) sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
   private def strEntryAt(dict: String, name: String): Option[Int] = {
     // the name must END at the key (so "/U" cannot match inside "/UE")
     val m = (name + """(?![A-Za-z0-9])\s*""").r.findFirstMatchIn(dict)
@@ -384,9 +426,16 @@ object PdfCrypt {
     val dict = raw.substring(dictStart, dictEnd)
     require(dict.contains("/Filter") && dict.contains("/Standard"),
       "non-Standard security handler is outside the decode perimeter")
-    val v = intEntry(dict, "/V").getOrElse(0)
-    val r = intEntry(dict, "/R").getOrElse(0)
-    val lenBits = intEntry(dict, "/Length").getOrElse(40)
+    // integer probes scan only the TOP-LEVEL entries: a V4 dict's /CF
+    // crypt-filter sub-dictionary carries its own /Length (in BYTES,
+    // e.g. 16) and if it precedes the top-level entry a first-match
+    // scan mis-derives the key length (r12 advice)
+    val top = topLevel(dict)
+    val v = intEntry(top, "/V").getOrElse(0)
+    val r = intEntry(top, "/R").getOrElse(0)
+    val lenBits = intEntry(top, "/Length").getOrElse(40)
+    val encMeta =
+      """/EncryptMetadata\s+false""".r.findFirstIn(top).isEmpty
     val aes = v == 4 && dict.contains("/AESV2")
     val aes256 = v == 5 && r == 6 && dict.contains("/AESV3")
     if (aes256) {
@@ -404,7 +453,7 @@ object PdfCrypt {
       .getOrElse(throw new IllegalArgumentException("no /O entry"))
     val u = strEntryAt(dict, "/U").map(at => pdfString(dict, at)._1)
       .getOrElse(throw new IllegalArgumentException("no /U entry"))
-    val p = intEntry(dict, "/P").getOrElse(
+    val p = intEntry(top, "/P").getOrElse(
       throw new IllegalArgumentException("no /P entry"))
     require(o.length == 32 && u.length == 32,
       s"malformed /O (${o.length}) or /U (${u.length}) entry")
@@ -414,8 +463,10 @@ object PdfCrypt {
         throw new IllegalArgumentException(
           "encrypted PDF without a /ID file identifier"))
     val id0 = pdfString(raw, idAt)._1
-    val kr = if (r == 4) 3 else r // R4 key derivation matches R3
-    val key = fileKey(o, p, id0, kr, lenBits)
+    val kr = if (r == 4) 3 else r // R4 /U verification matches R3
+    // fileKey takes the TRUE revision: its r==2/r>=3 branches already
+    // treat R4 like R3, and the /EncryptMetadata step is R4-gated
+    val key = fileKey(o, p, id0, r, lenBits, encMeta)
     val expectU = userEntry(key, id0, kr)
     val ok = if (r == 2) java.util.Arrays.equals(expectU, u)
     else java.util.Arrays.equals(expectU.take(16), u.take(16))

@@ -219,7 +219,9 @@ object Mp3Codec {
           else
             ((bytes(pos + 4) & 0xff) << 24) | ((bytes(pos + 5) & 0xff) << 16) |
               ((bytes(pos + 6) & 0xff) << 8) | (bytes(pos + 7) & 0xff)
-        require(fsize >= 0 && pos + 10 + fsize <= end,
+        // bound check in Long: a hostile v2.3 fsize near 2^31 would
+        // overflow `pos + 10 + fsize` to negative and slip the guard
+        require(fsize >= 0 && pos.toLong + 10 + fsize <= end,
           s"ID3 frame '$id' declares $fsize bytes past the tag")
         if (id.startsWith("T") && fsize >= 1) {
           val enc = bytes(pos + 10) & 0xff

@@ -416,6 +416,58 @@ object EtlQ {
         .orderBy("doc_id")
     }),
 
+    // POISON-PILL TOLERANCE for binary ingest (r12 verdict #3): the
+    // q181 dispatch with corruption PLANTED by arithmetic the oracle
+    // knows (the q261 device) — ids with doc_id % 7 == 3 carry a blob
+    // whose magic bytes sniff fine but whose body is unreadable
+    // (docx/pdf/xlsx truncated to 60%; the csv slot becomes a PK-magic
+    // zip that contains no defining part). parseAnySafe turns each
+    // decode failure into a TYPED quarantine row instead of a task
+    // abort — the binary mirror of Normalize.quarantine, and the
+    // reference's silent PyMuPDF swallow (pdf_spider.py:48-50) done
+    // honestly: the job finishes AND reports what it skipped. A clean
+    // doc landing in quarantine fails loudly (the require), so the
+    // tolerance can't mask a codec regression.
+    "q293_binary_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ingest.{DocParse, DocxCodec, PdfCodec, XlsxCodec}
+      graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val table = Seq(Seq("Title", "Venue", "Date", "Info"),
+            Seq(s"Event $id", s"Hall $id", "2020-01-01", text))
+          val intact: Array[Byte] = (id % 4) match {
+            case 0 => DocxCodec.encode(paragraphs = Nil,
+              tables = Seq(table))
+            case 1 => PdfCodec.encode(Seq(s"Name: Event $id",
+              s"Venue: Hall $id", "Date: 2020-01-01", text))
+            case 2 => XlsxCodec.encode(Seq("Events" -> table))
+            case _ =>
+              ("title,venue,date,info\r\n" +
+                s"Event $id,Hall $id,2020-01-01,info").getBytes("UTF-8")
+          }
+          val bytes: Array[Byte] =
+            if (id % 7 != 3) intact
+            else if (id % 4 == 3) // zip magic, no readable structure
+              Array('P'.toByte, 'K'.toByte, 3.toByte, 4.toByte) ++
+                Array.tabulate[Byte](48)(k => ((k * 41 + id) % 251).toByte)
+            else intact.take(math.max(6, intact.length * 3 / 5))
+          DocParse.parseAnySafe(bytes) match {
+            case Right((_, recs)) =>
+              require(id % 7 != 3, s"corrupt doc $id parsed cleanly")
+              (id, "ok", recs.size.toLong,
+                recs.headOption.flatMap(_.name).getOrElse(""))
+            case Left(f) =>
+              require(id % 7 == 3,
+                s"clean doc $id quarantined: ${f.format} ${f.error}")
+              (id, "quarantined", 0L, "")
+          }
+        }
+        .toDF("doc_id", "status", "n_records", "name")
+        .orderBy("doc_id")
+    }),
+
     // Hourly rollup per event type — batch twin of the Structured Streaming
     // windowed aggregation (graft.streaming); decimal sum for exactness.
     "q24_hourly_rollup" -> ((s, dir) => {
@@ -532,6 +584,18 @@ object EtlQ {
         | CASE WHEN doc_id % 4 = 1 THEN md5(substr(text, 1, 500))
         |      WHEN doc_id % 4 = 3 THEN md5(text || ', "q"')
         |      ELSE md5(text) END AS desc_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // quarantine truth from id arithmetic: exactly the doc_id % 7 == 3
+    // rows are unreadable; everything else parses one record
+    "q293_binary_quarantine" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 7 = 3 THEN 'quarantined' ELSE 'ok' END
+        |   AS status,
+        | CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS BIGINT)
+        |   AS n_records,
+        | CASE WHEN doc_id % 7 = 3 THEN ''
+        |      ELSE 'Event ' || CAST(doc_id AS VARCHAR) END AS name
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q180_html_extract" ->

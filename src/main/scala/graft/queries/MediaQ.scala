@@ -29,7 +29,14 @@ import graft.Tables._
   * - q289: the three kinds routed through their compressed codecs into
   *   one 3-row funnel rollup (the q105 pattern, compressed edition).
   * - q290: PDF image MINING — extractImages pulls the real embedded
-  *   JPEG back out of a born-digital document (the PyMuPDF-parity op).
+  *   JPEG back out of a born-digital document (beyond the reference's
+  *   text-only get_text() ingest; a multimodal corpus needs both).
+  * - q294: AAC ADTS frame census (sync + 13-bit frame-length walk,
+  *   ISO 14496-3 sample-rate table, ID3v2 skip) — r13.
+  * - q295: H.264 Annex B NAL census (start codes, one-byte NAL
+  *   headers, IDR keyframe positions) — r13. Both are censuses,
+  *   never decodes: the two biggest remaining loud-throw formats
+  *   become typed metadata a corpus pipeline can route on.
   *
   * All of these are per-row executor work over a projection — no
   * shuffle beyond q289's 3-row aggregate, the standard 100 TB codec
@@ -296,6 +303,87 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // AAC ADTS frame census (r12 verdict #6) — the q284 walk for the
+    // other dominant audio container: one ADTS frame per text byte
+    // (profile b%4, channels b%7+1, payload b%32+1), sample rate by
+    // id%5 over the 14496-3 index table, a deterministic ID3v2
+    // prefix on id%4≠0 docs. scan() hops the 13-bit frame lengths
+    // back; totals are pure header arithmetic the oracle rebuilds
+    // per character. A census, never a decode — the format stops
+    // being a loud unknown and becomes typed metadata a corpus
+    // pipeline can route on.
+    "q294_aac_scan" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val src = text.getBytes("ISO-8859-1")
+          val specs = src.toSeq.map { b =>
+            val v = b & 0xff
+            (v % 4, v % 7 + 1, v % 32 + 1)
+          }
+          val sfi = (id % 5).toInt + 2
+          val id3 = if (id % 4 == 0) 0 else (10 + 11 * (id % 4)).toInt
+          val bytes = graft.multimodal.AacCodec.synth(specs, sfi, id3)
+          val frames = graft.multimodal.AacCodec.scan(bytes)
+          require(frames.length == specs.length,
+            s"aac scan found ${frames.length} of ${specs.length} frames")
+          val profChk = frames.zipWithIndex.map { case (f, k) =>
+            (k + 1).toLong * f.profile }.sum
+          val chanChk = frames.zipWithIndex.map { case (f, k) =>
+            (k + 1).toLong * f.channels }.sum
+          val durMs = frames.length.toLong *
+            graft.multimodal.AacCodec.SamplesPerFrame * 1000L /
+            graft.multimodal.AacCodec.SampleRates(sfi)
+          (id, frames.length.toLong, frames.head.offset.toLong,
+            frames.map(_.frameBytes.toLong).sum, profChk, chanChk, durMs)
+        }
+        .toDF("doc_id", "n_frames", "first_offset", "total_bytes",
+          "profile_checksum", "channel_checksum", "duration_ms")
+        .orderBy("doc_id")
+    }),
+
+    // H.264 Annex B NAL census (r12 verdict #6) — the stream-structure
+    // walk for raw video: SPS + PPS + one slice NAL per text byte
+    // (IDR keyframe when b%5==0, else non-IDR), 4-byte then 3-byte
+    // start codes, payloads that never emulate a start code. scan()
+    // reads the one-byte NAL headers back; the oracle rebuilds every
+    // census number from character arithmetic. Keyframe positions are
+    // what a sharding pipeline actually needs (split points).
+    "q295_h264_scan" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.H264Codec
+          val src = text.getBytes("ISO-8859-1")
+          val specs = src.toSeq.map { b =>
+            val v = b & 0xff
+            (if (v % 5 == 0) H264Codec.TypeIdr else H264Codec.TypeNonIdr,
+              v % 24 + 1)
+          }
+          val nals = H264Codec.scan(H264Codec.synth(specs))
+          require(nals.length == specs.length + 2,
+            s"h264 scan found ${nals.length} of ${specs.length + 2} NALs")
+          val typeChk = nals.zipWithIndex.map { case (n, k) =>
+            (k + 1).toLong * n.nalType }.sum
+          val refChk = nals.map(_.refIdc.toLong).sum
+          (id, nals.length.toLong,
+            nals.count(_.nalType == H264Codec.TypeIdr).toLong,
+            nals.count(_.nalType == H264Codec.TypeNonIdr).toLong,
+            nals.map(_.nalBytes.toLong).sum, typeChk, refChk)
+        }
+        .toDF("doc_id", "n_nals", "n_idr", "n_slices", "total_bytes",
+          "type_checksum", "ref_checksum")
+        .orderBy("doc_id")
+    }),
+
     // ID3v2 TAG CONTENT under the driver hash — the labels an audio
     // corpus carries (title/artist/album), not just the skip q284 does:
     // each audio-kind doc gets a real ID3v2.3/2.4 tag (version by id
@@ -316,7 +404,11 @@ object MediaQ {
           val version = if (id % 2 == 0) 3 else 4
           val enc = (id % 12 / 3).toInt
           val title = s"Track $id"
-          val artist = text.take(12)
+          // ASCII-fold the corpus slice: the oracle's first_offset
+          // arithmetic counts one payload byte per char for enc 0/3,
+          // which only holds for ASCII — fold chars >= 0x80 to '?' so
+          // the invariant doesn't depend on corpus charset
+          val artist = text.take(12).map(c => if (c >= 0x80) '?' else c)
           val album = s"Album ${id % 9}"
           val tag = graft.multimodal.Mp3Codec.encodeId3(Seq(
             ("TIT2", title, enc), ("TPE1", artist, enc),
@@ -418,9 +510,10 @@ object MediaQ {
         .orderBy("kind")
     }),
 
-    // PDF image MINING under the driver hash — the PyMuPDF-parity op
-    // (the reference pulls images out of PDFs, pdf_spider.py:42-50;
-    // extractImages is the in-engine equivalent): every doc becomes a
+    // PDF image MINING under the driver hash. This goes BEYOND the
+    // reference's PDF ingest (pdf_spider.py:42-50 only calls
+    // page.get_text() — text, never images); a multimodal corpus
+    // pipeline needs the image walk too: every doc becomes a
     // born-digital PDF carrying BOTH a Flate text stream and a REAL
     // embedded baseline JPEG (the block-constant strip), and the row
     // reports the text line count AND the extracted image's exact
@@ -702,7 +795,8 @@ object MediaQ {
         |  (doc_id % 12) // 3 AS enc,
         |  CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ver,
         |  'Track ' || CAST(doc_id AS VARCHAR) AS title,
-        |  substr(text, 1, 12) AS artist,
+        |  regexp_replace(substr(text, 1, 12), '[^\x00-\x7F]', '?', 'g')
+        |    AS artist,
         |  'Album ' || CAST(doc_id % 9 AS VARCHAR) AS album
         | FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 12),
         |sz AS (
@@ -723,6 +817,61 @@ object MediaQ {
         |    + 144000 * t[ord(substr(text, 2, 1)) % 14 + 2] // 44100
         |    + 1 AS BIGINT) AS frame_bytes
         |FROM sz, br ORDER BY doc_id""".stripMargin,
+
+    // frame k (char b): profile = b%4, channels = b%7+1, frame bytes =
+    // 8 + b%32; ID3v2 prefix = 10 + 11·(doc_id%4) when doc_id%4 != 0;
+    // sample rate = 14496-3 table at (doc_id%5)+2 (0-based)
+    "q294_aac_scan" ->
+      """WITH sr AS (SELECT [96000,88200,64000,48000,44100,32000,24000,
+        |  22050,16000,12000,11025,8000,7350] AS t),
+        |d AS (
+        | SELECT doc_id, text, length(text) AS len,
+        |  CASE WHEN doc_id % 4 = 0 THEN 0
+        |       ELSE 10 + 11 * (doc_id % 4) END AS id3
+        | FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0)
+        |SELECT doc_id,
+        | CAST(len AS BIGINT) AS n_frames,
+        | CAST(id3 AS BIGINT) AS first_offset,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   8 + ord(substr(text, CAST(i AS INTEGER), 1)) % 32))
+        |  AS BIGINT) AS total_bytes,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   i * (ord(substr(text, CAST(i AS INTEGER), 1)) % 4)))
+        |  AS BIGINT) AS profile_checksum,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   i * (ord(substr(text, CAST(i AS INTEGER), 1)) % 7 + 1)))
+        |  AS BIGINT) AS channel_checksum,
+        | CAST(len * 1024 * 1000 //
+        |   t[CAST(doc_id % 5 + 3 AS INTEGER)] AS BIGINT) AS duration_ms
+        |FROM d, sr ORDER BY doc_id""".stripMargin,
+
+    // NAL k (char b): type = 5 if b%5=0 else 1, bytes = 1 + b%24 + 1;
+    // prefix SPS (7 bytes, type 7) + PPS (4 bytes, type 8); checksum
+    // weights are 1-based NAL positions (SPS=1, PPS=2, slices 3...)
+    "q295_h264_scan" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+        |v AS (
+        | SELECT doc_id, len,
+        |  list_transform(range(1, len + 1), i ->
+        |   CASE WHEN ord(substr(text, CAST(i AS INTEGER), 1)) % 5 = 0
+        |    THEN 5 ELSE 1 END) AS typ,
+        |  list_transform(range(1, len + 1), i ->
+        |   ord(substr(text, CAST(i AS INTEGER), 1)) % 24 + 2) AS nb
+        | FROM d)
+        |SELECT doc_id,
+        | CAST(len + 2 AS BIGINT) AS n_nals,
+        | CAST(len(list_filter(typ, t -> t = 5)) AS BIGINT) AS n_idr,
+        | CAST(len(list_filter(typ, t -> t = 1)) AS BIGINT) AS n_slices,
+        | CAST(7 + 4 + list_sum(nb) AS BIGINT) AS total_bytes,
+        | CAST(7 + 16 + list_sum(list_transform(range(1, len + 1), i ->
+        |   (i + 2) * typ[CAST(i AS INTEGER)])) AS BIGINT)
+        |   AS type_checksum,
+        | CAST(6 + list_sum(list_transform(typ, t ->
+        |   CASE WHEN t = 5 THEN 3 ELSE 2 END)) AS BIGINT)
+        |   AS ref_checksum
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // frame k (char b): bitrate = BR[b % 14 + 1], padded = (b//16) % 2,
     // frame_bytes = 144000·bitrate // 44100 + padded; ID3v2 prefix is

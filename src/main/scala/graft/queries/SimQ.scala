@@ -308,6 +308,21 @@ object SimQ {
       SimilarityOps.semanticDedup(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 4)),
 
+    // The PRODUCTION SemDeDup entry (r12 verdict #1): k ∝ n via
+    // semanticDedupAuto — k = ⌈n / 1024⌉, so expected cluster size
+    // (and with it the per-cluster quadratic) stays constant as the
+    // corpus grows. This is the form you actually run at 100 TB: the
+    // pinned-k q211 registration is the oracle-friendly demonstration
+    // whose ×100 cost was measured 23× worse (439 s vs 19.4 s,
+    // SCALING.md round-12 table) precisely because its clusters grow
+    // with the corpus. The oracle computes the same k in its own CTE
+    // (seeds = the k smallest vec_ids), so the row values — cluster
+    // report per cid — stay hash-exact whatever n is.
+    "q291_semantic_dedup_auto" -> ((s, dir) =>
+      SimilarityOps.semanticDedupAuto(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        targetClusterSize = 1024)),
+
     // Product-quantization codebook training + encoding (the PQ half
     // of IVF-PQ, the standard billion-vector ANN memory layout): 64
     // dims split into 8 subspaces of 8, k=4 codes per subspace, one
@@ -579,6 +594,83 @@ object SimQ {
     (base, cb1, assign(cb1))
   }
 
+
+  /** q211/q291 shared oracle: quantize, seed (caller-supplied CTE(s)
+    * ending in c0), three unrolled integer-Lloyd rounds, intra-cluster
+    * cos >= 0.4 pairs, recursive-CTE components, per-cluster report.
+    * All arithmetic integral so the replay is bit-identical to the
+    * engine at ANY k — q211 pins k=4, q291 derives k from count(*). */
+  private def semanticDedupOracle(seedCtes: String): String = {
+    val indented = seedCtes.linesIterator
+      .map(l => if (l.startsWith("|")) "        " + l else l)
+      .mkString("\n")
+    s"""WITH RECURSIVE
+        |b AS (
+        | SELECT vec_id, list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |$indented,
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c0 c)) WHERE rn = 1),
+        |c1 AS (SELECT cid, list(cv ORDER BY pos) AS cent FROM (
+        |  SELECT cid, i AS pos,
+        |   CAST(sum(q[i]) // count(*) AS BIGINT) AS cv
+        |  FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c1 c)) WHERE rn = 1),
+        |c2 AS (SELECT cid, list(cv ORDER BY pos) AS cent FROM (
+        |  SELECT cid, i AS pos,
+        |   CAST(sum(q[i]) // count(*) AS BIGINT) AS cv
+        |  FROM a2, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+        |a3 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c2 c)) WHERE rn = 1),
+        |p AS (
+        | SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> x.q[i] * y.q[i])) AS dot,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> x.q[i] * x.q[i])) AS na,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> y.q[i] * y.q[i])) AS nb
+        | FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        |e AS (
+        | SELECT cid, a_id, b_id FROM p
+        | WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb),
+        |ec AS (SELECT cid, count(*) AS n_edges FROM e GROUP BY cid),
+        |sym AS (
+        | SELECT a_id AS src, b_id AS dst FROM e
+        | UNION ALL SELECT b_id, a_id FROM e),
+        |reach(node, r) AS (
+        | SELECT src, src FROM sym
+        | UNION
+        | SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.node),
+        |lab AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+        |rem AS (SELECT node FROM lab WHERE node <> root)
+        |SELECT a3.cid, count(*) AS n_vecs,
+        | CAST(coalesce(any_value(ec.n_edges), 0) AS BIGINT) AS n_edges,
+        | CAST(count(rem.node) AS BIGINT) AS n_removed,
+        | CAST(sum(CASE WHEN rem.node IS NULL THEN a3.vec_id END)
+        |   AS BIGINT) AS kept_checksum
+        |FROM a3 LEFT JOIN rem ON a3.vec_id = rem.node
+        |LEFT JOIN ec ON a3.cid = ec.cid
+        |GROUP BY a3.cid ORDER BY a3.cid""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // injection truth from id arithmetic — the gate must rediscover it
     // from the floats; precedence identical on both sides
@@ -834,72 +926,18 @@ object SimQ {
     // — they only align members with centroids inside this SQL).
     // q182's kmeans CTE prefix + intra-cluster integer near-dup pairs
     // + the q56-style recursive-CTE components, sequentially
-    "q211_semantic_dedup" ->
-      """WITH RECURSIVE
-        |b AS (
-        | SELECT vec_id, list_transform(embedding,
-        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
-        | FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, q AS cent FROM b WHERE vec_id < 4),
-        |a1 AS (SELECT vec_id, q, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY dist, cid) AS rn FROM (
-        |   SELECT b.vec_id, b.q, c.cid,
-        |    list_sum(list_transform(range(1, 65),
-        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
-        |   FROM b, c0 c)) WHERE rn = 1),
-        |c1 AS (SELECT cid, list(cv ORDER BY pos) AS cent FROM (
-        |  SELECT cid, i AS pos,
-        |   CAST(sum(q[i]) // count(*) AS BIGINT) AS cv
-        |  FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
-        |a2 AS (SELECT vec_id, q, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY dist, cid) AS rn FROM (
-        |   SELECT b.vec_id, b.q, c.cid,
-        |    list_sum(list_transform(range(1, 65),
-        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
-        |   FROM b, c1 c)) WHERE rn = 1),
-        |c2 AS (SELECT cid, list(cv ORDER BY pos) AS cent FROM (
-        |  SELECT cid, i AS pos,
-        |   CAST(sum(q[i]) // count(*) AS BIGINT) AS cv
-        |  FROM a2, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
-        |a3 AS (SELECT vec_id, q, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY dist, cid) AS rn FROM (
-        |   SELECT b.vec_id, b.q, c.cid,
-        |    list_sum(list_transform(range(1, 65),
-        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
-        |   FROM b, c2 c)) WHERE rn = 1),
-        |p AS (
-        | SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id,
-        |  list_sum(list_transform(range(1, 65),
-        |    i -> x.q[i] * y.q[i])) AS dot,
-        |  list_sum(list_transform(range(1, 65),
-        |    i -> x.q[i] * x.q[i])) AS na,
-        |  list_sum(list_transform(range(1, 65),
-        |    i -> y.q[i] * y.q[i])) AS nb
-        | FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
-        |e AS (
-        | SELECT cid, a_id, b_id FROM p
-        | WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb),
-        |ec AS (SELECT cid, count(*) AS n_edges FROM e GROUP BY cid),
-        |sym AS (
-        | SELECT a_id AS src, b_id AS dst FROM e
-        | UNION ALL SELECT b_id, a_id FROM e),
-        |reach(node, r) AS (
-        | SELECT src, src FROM sym
-        | UNION
-        | SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.node),
-        |lab AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
-        |rem AS (SELECT node FROM lab WHERE node <> root)
-        |SELECT a3.cid, count(*) AS n_vecs,
-        | CAST(coalesce(any_value(ec.n_edges), 0) AS BIGINT) AS n_edges,
-        | CAST(count(rem.node) AS BIGINT) AS n_removed,
-        | CAST(sum(CASE WHEN rem.node IS NULL THEN a3.vec_id END)
-        |   AS BIGINT) AS kept_checksum
-        |FROM a3 LEFT JOIN rem ON a3.vec_id = rem.node
-        |LEFT JOIN ec ON a3.cid = ec.cid
-        |GROUP BY a3.cid ORDER BY a3.cid""".stripMargin,
+    "q211_semantic_dedup" -> semanticDedupOracle(
+      "c0 AS (SELECT vec_id AS cid, q AS cent FROM b WHERE vec_id < 4)"),
+
+    // q291: the same replay with k computed from the corpus count in
+    // its own CTE — seeds are the k = (n + 1023) // 1024 smallest
+    // vec_ids (row_number, so it is id-domain-agnostic like the
+    // engine's TakeOrdered seed rule)
+    "q291_semantic_dedup_auto" -> semanticDedupOracle(
+      """kk AS (SELECT (count(*) + 1023) // 1024 AS k FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, q AS cent FROM (
+        |  SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn
+        |  FROM b) WHERE rn <= (SELECT k FROM kk))""".stripMargin),
 
     "q182_kmeans_embed" ->
       """WITH b AS (

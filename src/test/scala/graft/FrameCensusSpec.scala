@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{AacCodec, H264Codec}
+
+/** The r13 census codecs: synth→scan roundtrips, header-field
+  * recovery, and the loud perimeter (desync, truncation, reserved
+  * values). Censuses never decode payloads — the spec pins the walk
+  * geometry, which is all the registered queries rely on. */
+class FrameCensusSpec extends AnyFunSuite {
+
+  test("AAC: synth→scan recovers every frame across the field grid") {
+    val specs = for {
+      profile <- 0 to 3
+      channels <- Seq(1, 2, 6, 7)
+      len <- Seq(1, 31, 200)
+    } yield (profile, channels, len)
+    val frames = AacCodec.scan(AacCodec.synth(specs, sampleRateIdx = 4))
+    assert(frames.length == specs.length)
+    frames.zip(specs).foreach { case (f, (p, c, l)) =>
+      assert(f.profile == p && f.channels == c && f.frameBytes == 7 + l)
+      assert(f.sfi == 4 && f.rawDataBlocks == 1)
+    }
+    // offsets chain exactly
+    assert(frames.sliding(2).forall {
+      case Seq(a, b) => b.offset == a.offset + a.frameBytes
+      case _ => true
+    })
+  }
+
+  test("AAC: ID3v2 prefix is skipped; first frame lands at its end") {
+    val bytes = AacCodec.synth(Seq((1, 2, 10)), 4, id3Bytes = 43)
+    val frames = AacCodec.scan(bytes)
+    assert(frames.length == 1 && frames.head.offset == 43)
+  }
+
+  test("AAC perimeter: desync, truncation, reserved index are loud") {
+    val good = AacCodec.synth(Seq((1, 2, 10), (2, 1, 5)))
+    // flip the second frame's syncword
+    val desync = good.clone(); desync(17) = 0
+    val e1 = intercept[IllegalArgumentException](AacCodec.scan(desync))
+    assert(e1.getMessage.contains("desync"), e1.getMessage)
+    // truncate inside the last frame
+    val e2 = intercept[IllegalArgumentException](
+      AacCodec.scan(good.take(good.length - 2)))
+    assert(e2.getMessage.contains("EOF"), e2.getMessage)
+    // reserved sampling_frequency_index 15
+    val resv = AacCodec.synth(Seq((1, 2, 10))).clone()
+    resv(2) = ((resv(2) & 0xc3) | (15 << 2)).toByte
+    val e3 = intercept[IllegalArgumentException](AacCodec.scan(resv))
+    assert(e3.getMessage.contains("sampling_frequency_index"),
+      e3.getMessage)
+  }
+
+  test("H264: synth→scan recovers SPS/PPS + slices with types/sizes") {
+    val slices = Seq((1, 5), (5, 24), (1, 1), (6, 12))
+    val nals = H264Codec.scan(H264Codec.synth(slices))
+    assert(nals.length == slices.length + 2)
+    assert(nals(0).nalType == H264Codec.TypeSps && nals(0).nalBytes == 7)
+    assert(nals(1).nalType == H264Codec.TypePps && nals(1).nalBytes == 4)
+    nals.drop(2).zip(slices).foreach { case (n, (t, l)) =>
+      assert(n.nalType == t && n.nalBytes == 1 + l)
+      assert(n.refIdc == (if (t == 5) 3 else 2))
+    }
+  }
+
+  test("H264: 4-byte and 3-byte start codes both delimit") {
+    val bytes = H264Codec.synth(Seq((1, 3)))
+    // leading code is 4 bytes: first NAL header at offset 4
+    assert(H264Codec.scan(bytes).head.offset == 4)
+  }
+
+  test("H264 perimeter: no start code / forbidden bit are loud") {
+    val e1 = intercept[IllegalArgumentException](
+      H264Codec.scan(Array[Byte](1, 2, 3, 4)))
+    assert(e1.getMessage.contains("start code"), e1.getMessage)
+    val bad = H264Codec.synth(Seq((1, 3))).clone()
+    bad(4) = (bad(4) | 0x80).toByte // forbidden_zero_bit on the SPS
+    val e2 = intercept[IllegalArgumentException](H264Codec.scan(bad))
+    assert(e2.getMessage.contains("forbidden"), e2.getMessage)
+  }
+}

@@ -87,6 +87,15 @@ class Mp3CodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     // unsupported version
     val v2 = tag.clone(); v2(3) = 2
     intercept[IllegalArgumentException](Mp3Codec.parseId3(v2))
+    // hostile v2.3 frame size near 2^31: the Int sum pos+10+fsize
+    // would wrap negative and slip an Int-arithmetic bound check
+    // (r12 advice) — must still refuse loudly, not throw a raw
+    // StringIndexOutOfBoundsException
+    val huge = Mp3Codec.encodeId3(Seq(("TIT2", "x", 0)), version = 3)
+    huge(14) = 0x7f.toByte; huge(15) = 0xff.toByte
+    huge(16) = 0xff.toByte; huge(17) = 0xff.toByte // fsize = Int.Max
+    val e = intercept[IllegalArgumentException](Mp3Codec.parseId3(huge))
+    assert(e.getMessage.contains("past the tag"), e.getMessage)
   }
 
   test("perimeter: free-format, MPEG-2, Layer II, desync, truncation") {

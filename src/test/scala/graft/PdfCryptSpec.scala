@@ -68,6 +68,39 @@ class PdfCryptSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("R4 /EncryptMetadata false derives the 0xFFFFFFFF-salted key") {
+    // Algorithm 2 step f (r12 advice): such documents are common in
+    // the wild; without the 4×0xFF MD5 salt they mis-verify as
+    // password-protected
+    val lines = Seq("Name: NoMeta Test", "body")
+    val bytes = PdfCodec.encodeEncrypted(lines, "aes-128",
+      encryptMetadata = false)
+    assert(new String(bytes, "ISO-8859-1")
+      .contains("/EncryptMetadata false"))
+    assert(PdfCodec.decode(bytes) == lines)
+    // the salted key differs from the unsalted one: a reader ignoring
+    // the flag must NOT open the document
+    val unsalted = PdfCodec.encodeEncrypted(lines, "aes-128")
+    assert(!java.util.Arrays.equals(bytes, unsalted))
+  }
+
+  test("/CF sub-dictionary /Length before the top-level entry") {
+    // V4 dicts carry /Length 16 (BYTES) inside /CF — a first-match
+    // scan that hits it derives an 8×-short key (r12 advice); the
+    // top-level probe must skip nested << >> regions
+    val lines = Seq("Name: CF Order", "body")
+    val bytes = PdfCodec.encodeEncrypted(lines, "aes-128")
+    val raw = new String(bytes, "ISO-8859-1")
+    val cf = "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen " +
+      "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+    val before = s"/Length 128 $cf"
+    assert(raw.contains(before), "fixture dict layout drifted")
+    // same-length reorder: xref offsets stay valid
+    val swapped = raw.replace(before, s"$cf /Length 128")
+    assert(swapped.length == raw.length)
+    assert(PdfCodec.decode(swapped.getBytes("ISO-8859-1")) == lines)
+  }
+
   test("fixtures are deterministic byte-for-byte (driver-hash premise)") {
     for (mode <- Seq("rc4-40", "rc4-128", "aes-128", "aes-256")) {
       val a = PdfCodec.encodeEncrypted(Seq("same input"), mode)

@@ -22,6 +22,39 @@ class RobustnessSpec extends SparkSpec {
       .collect().head.startsWith("{not"))
   }
 
+  test("parseAnySafe: poison blobs become typed rows, clean ones parse") {
+    import graft.ingest.{DocParse, DocxCodec, PdfCodec}
+    // clean PDF parses Right
+    val pdf = PdfCodec.encode(Seq("Name: Safe Event", "Venue: Hall"))
+    val ok = DocParse.parseAnySafe(pdf)
+    assert(ok.isRight && ok.toOption.get._1 == "pdf")
+    // truncated PDF (magic intact, structure gone) → quarantine row,
+    // not a thrown exception
+    val poisonPdf = pdf.take(pdf.length / 2)
+    val q1 = DocParse.parseAnySafe(poisonPdf)
+    assert(q1.isLeft, "truncated PDF must quarantine")
+    assert(q1.swap.toOption.get.format == "pdf")
+    assert(q1.swap.toOption.get.error.nonEmpty)
+    // truncated docx → quarantine
+    val docx = DocxCodec.encode(paragraphs = Seq("x"), tables = Nil)
+    assert(DocParse.parseAnySafe(docx.take(docx.length / 2)).isLeft)
+    // zip magic with no readable structure → quarantine, format 'zip'
+    val junkZip = Array('P'.toByte, 'K'.toByte, 3.toByte, 4.toByte) ++
+      Array.tabulate[Byte](32)(k => (k * 37 % 251).toByte)
+    val q2 = DocParse.parseAnySafe(junkZip)
+    assert(q2.isLeft && q2.swap.toOption.get.format == "zip")
+    // a Dataset map over MIXED clean+poison blobs completes (the
+    // 100 TB property: one corrupt blob must not abort the task)
+    val rows = Seq((1L, pdf), (2L, poisonPdf), (3L, junkZip))
+      .toDF("id", "bin").as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        (id, DocParse.parseAnySafe(b).fold(_ => "quarantined", _ => "ok"))
+      }
+      .collect().toMap
+    assert(rows == Map(1L -> "ok", 2L -> "quarantined",
+      3L -> "quarantined"))
+  }
+
   test("containmentPairs: empty shingle sets never divide by zero") {
     val df = Seq(
       (1L, Seq("a", "b")),
