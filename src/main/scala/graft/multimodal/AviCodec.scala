@@ -202,7 +202,21 @@ object AviCodec {
     require(w > 0 && h > 0 && fps > 0, "bad geometry/rate")
     frames.foreach(f => require(f.length == w * h,
       s"gray frame has ${f.length} bytes, want ${w * h}"))
-    val payloads = frames.map(f => JpegCodec.encodeGray(w, h, f))
+    encodeStream(w, h, fps, "MJPG",
+      frames.map(f => JpegCodec.encodeGray(w, h, f)))
+  }
+
+  /** Encode arbitrary pre-compressed '00dc' payloads under any video
+    * fourcc (H264, cvid, …) — the container half of the census path:
+    * a real VfW-layout AVI whose stream payloads the walker reports
+    * but never decodes. encodeMjpg rides this with JPEG payloads. */
+  def encodeStream(w: Int, h: Int, fps: Int, fourcc: String,
+      payloads: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0, "bad geometry/rate")
+    require(fourcc.length == 4, s"fourcc must be 4 chars: '$fourcc'")
+    val fcc = fourcc.getBytes("US-ASCII")
+    val fccLe = (fcc(0) & 0xff) | ((fcc(1) & 0xff) << 8) |
+      ((fcc(2) & 0xff) << 16) | ((fcc(3) & 0xff) << 24)
     val moviBody = 4 + payloads.map(p => 8 + p.length + (p.length & 1)).sum
     val hdrlBody = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40))
     val riffBody = 4 + (12 + hdrlBody - 4) + (12 + moviBody - 4)
@@ -215,20 +229,20 @@ object AviCodec {
     buf.putInt(1000000 / fps)
     buf.putInt(maxFrame * fps)
     buf.putInt(0); buf.putInt(0)
-    buf.putInt(frames.size)
+    buf.putInt(payloads.size)
     buf.putInt(0); buf.putInt(1)
     buf.putInt(maxFrame)
     buf.putInt(w); buf.putInt(h)
     buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
     tag("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); tag("strl")
     tag("strh"); buf.putInt(56)
-    tag("vids"); tag("MJPG")
+    tag("vids"); tag(fourcc)
     buf.putInt(0)
     buf.putShort(0); buf.putShort(0)
     buf.putInt(0)
     buf.putInt(1); buf.putInt(fps)
     buf.putInt(0)
-    buf.putInt(frames.size)
+    buf.putInt(payloads.size)
     buf.putInt(maxFrame)
     buf.putInt(-1)
     buf.putInt(0)
@@ -237,7 +251,7 @@ object AviCodec {
     tag("strf"); buf.putInt(40)
     buf.putInt(40); buf.putInt(w); buf.putInt(h)
     buf.putShort(1); buf.putShort(24)
-    buf.putInt(MjpgFourcc)
+    buf.putInt(fccLe)
     buf.putInt(maxFrame)
     buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
     tag("LIST"); buf.putInt(moviBody); tag("movi")
@@ -348,5 +362,97 @@ object AviCodec {
     walkList(bytes.length)
     require(w > 0 && h > 0, "no strf header")
     (w, h, fps, frames.toSeq)
+  }
+
+  /** CONTAINER CENSUS — walk the RIFF/VfW structure and report the
+    * stream without decoding any payload: (fourcc, w, h, fps, raw
+    * '00db'/'00dc' chunk payloads in stream order). This is how the
+    * formats outside the decode perimeter (H.264, cvid, …) stop being
+    * loud refusals and become typed metadata: the caller routes on
+    * the fourcc — MJPG → decodeMjpg, H264 → H264Codec.scan per chunk,
+    * anything else → a size census. Same loud structural perimeter as
+    * the decoders (truncation, missing headers). */
+  def census(bytes: Array[Byte])
+      : (String, Int, Int, Int, Seq[Array[Byte]]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(bytes.length >= 12, s"not an AVI: ${bytes.length} bytes")
+    val riff = tag()
+    require(riff == "RIFF", s"not an AVI: leading tag '$riff'")
+    buf.getInt()
+    val form = tag()
+    require(form == "AVI ", s"not an AVI: form type '$form'")
+    var w = -1; var h = -1; var fps = -1; var fourcc = ""
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    def walkStrl(end: Int): Unit = {
+      var rate = -1; var scale = -1
+      while (buf.position() < end) {
+        val id = tag(); val size = buf.getInt()
+        val next = buf.position() + size + (size & 1)
+        require(size >= 0 && next <= bytes.length,
+          s"truncated chunk '$id': declared $size")
+        id match {
+          case "strh" =>
+            require(size >= 28, s"strh too small ($size bytes)")
+            val typ = tag()
+            require(typ == "vids", s"first stream is '$typ', want 'vids'")
+            tag() // handler fourcc; strf's biCompression is authoritative
+            buf.getInt(); buf.getShort(); buf.getShort(); buf.getInt()
+            scale = buf.getInt(); rate = buf.getInt()
+          case "strf" =>
+            require(size >= 40,
+              s"strf too small ($size bytes, BITMAPINFOHEADER needs 40)")
+            buf.getInt()
+            w = buf.getInt(); h = buf.getInt()
+            buf.getShort(); buf.getShort()
+            val comp = buf.getInt()
+            fourcc =
+              if (comp == 0) "DIB " // BI_RGB
+              else new String(Array[Byte](
+                (comp & 0xff).toByte, ((comp >> 8) & 0xff).toByte,
+                ((comp >> 16) & 0xff).toByte,
+                ((comp >> 24) & 0xff).toByte), "US-ASCII")
+          case _ => ()
+        }
+        buf.position(next)
+      }
+      require(rate > 0 && scale > 0, "no strh rate")
+      fps = rate / scale
+    }
+
+    def walkList(end: Int): Unit = while (buf.position() < end) {
+      val id = tag(); val size = buf.getInt()
+      val next = buf.position() + size + (size & 1)
+      require(size >= 0 && next <= bytes.length,
+        s"truncated chunk '$id': declared $size")
+      id match {
+        case "LIST" =>
+          tag() match {
+            case "hdrl" => walkList(next)
+            case "strl" if w < 0 => walkStrl(next)
+            case "movi" => walkList(next)
+            case _ => buf.position(next)
+          }
+        case "00db" | "00dc" =>
+          require(w > 0 && h > 0, "frame before strf header")
+          val payload = new Array[Byte](size)
+          buf.get(payload)
+          chunks += payload
+        case _ => ()
+      }
+      buf.position(next)
+    }
+
+    try walkList(bytes.length)
+    catch {
+      case _: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException(
+          "truncated AVI: chunk header runs past the buffer")
+    }
+    require(w > 0 && h > 0, "no strf header")
+    (fourcc, w, h, fps, chunks.toSeq)
   }
 }

@@ -28,21 +28,26 @@ object H264Codec {
       nalBytes: Int)
 
   /** Synthesize a real Annex B stream: a 4-byte-start-code SPS, a
-    * PPS, then one slice NAL per (nalType, payloadLen) spec with
+    * PPS (both omitted when `paramSets` is false — the per-chunk AVI
+    * access-unit shape, where parameter sets ride only the first
+    * chunk), then one slice NAL per (nalType, payloadLen) spec with
     * 3-byte start codes (the common framing mix). Payload bytes are
     * deterministic and never zero, so no accidental start-code
     * emulation occurs (and no 00 00 03 escaping is needed). */
-  def synth(slices: Seq[(Int, Int)]): Array[Byte] = {
+  def synth(slices: Seq[(Int, Int)],
+      paramSets: Boolean = true): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def hdr(refIdc: Int, t: Int): Int = (refIdc << 5) | t
     def payload(n: Int, salt: Int): Unit = {
       var i = 0
       while (i < n) { out.write((i * 73 + salt) % 250 + 1); i += 1 }
     }
-    out.write(0); out.write(0); out.write(0); out.write(1)
-    out.write(hdr(3, TypeSps)); payload(6, TypeSps)
-    out.write(0); out.write(0); out.write(1)
-    out.write(hdr(3, TypePps)); payload(3, TypePps)
+    if (paramSets) {
+      out.write(0); out.write(0); out.write(0); out.write(1)
+      out.write(hdr(3, TypeSps)); payload(6, TypeSps)
+      out.write(0); out.write(0); out.write(1)
+      out.write(hdr(3, TypePps)); payload(3, TypePps)
+    }
     slices.foreach { case (t, len) =>
       require(t >= 1 && t <= 23, s"bad NAL type $t")
       require(len >= 1, s"bad payload length $len")

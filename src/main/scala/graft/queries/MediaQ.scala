@@ -37,6 +37,12 @@ import graft.Tables._
   *   headers, IDR keyframe positions) — r13. Both are censuses,
   *   never decodes: the two biggest remaining loud-throw formats
   *   become typed metadata a corpus pipeline can route on.
+  * - q296: AVI container census → per-chunk NAL routing (the old
+  *   H.264 fourcc refusal, now typed metadata with keyframe split
+  *   points) — r13.
+  * - q297: poison-pill tolerance for the codec family — the q289
+  *   funnel behind SafeDecode.attempt with arithmetic-planted
+  *   truncation — r13.
   *
   * All of these are per-row executor work over a projection — no
   * shuffle beyond q289's 3-row aggregate, the standard 100 TB codec
@@ -381,6 +387,135 @@ object MediaQ {
         }
         .toDF("doc_id", "n_nals", "n_idr", "n_slices", "total_bytes",
           "type_checksum", "ref_checksum")
+        .orderBy("doc_id")
+    }),
+
+    // AVI CONTAINER → NAL CENSUS routing — the composition that turns
+    // AviCodec's old H.264 refusal (AviCodec.scala fourcc perimeter)
+    // into typed metadata: census() walks the RIFF structure without
+    // decoding payloads, reports the fourcc, and the caller routes
+    // H264 chunks through H264Codec.scan. Chunk 0 carries SPS+PPS+
+    // slice (the VfW access-unit convention), later chunks one slice
+    // each; keyframe (IDR) positions — the split points a sharding
+    // pipeline needs — land in a 1-based position checksum.
+    "q296_avi_h264_census" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.{AviCodec, H264Codec}
+          val src = text.getBytes("ISO-8859-1")
+          val payloads = src.toSeq.zipWithIndex.map { case (b, k) =>
+            val v = b & 0xff
+            H264Codec.synth(
+              Seq((if (v % 5 == 0) H264Codec.TypeIdr
+                   else H264Codec.TypeNonIdr, v % 24 + 1)),
+              paramSets = k == 0)
+          }
+          val avi = AviCodec.encodeStream(16, 16, 25, "H264", payloads)
+          val (fourcc, w, h, fps, chunks) = AviCodec.census(avi)
+          require(fourcc == "H264" && w == 16 && h == 16 && fps == 25 &&
+            chunks.length == payloads.length,
+            s"census drift on doc $id: $fourcc ${w}x$h@$fps " +
+              s"${chunks.length} chunks")
+          val nals = chunks.map(H264Codec.scan)
+          val keyChk = nals.zipWithIndex.collect {
+            case (ns, k) if ns.exists(_.nalType == H264Codec.TypeIdr) =>
+              (k + 1).toLong
+          }.sum
+          (id, fourcc, chunks.length.toLong,
+            nals.map(_.length.toLong).sum,
+            nals.map(_.count(_.nalType == H264Codec.TypeIdr).toLong).sum,
+            keyChk,
+            nals.flatten.map(_.nalBytes.toLong).sum)
+        }
+        .toDF("doc_id", "fourcc", "n_chunks", "n_nals", "n_idr",
+          "keyframe_checksum", "nal_bytes")
+        .orderBy("doc_id")
+    }),
+
+    // POISON-PILL TOLERANCE for the codec family (r12 verdict #3,
+    // media half — SafeDecode.attempt is parseAnySafe's sibling): the
+    // q289 funnel arms with corruption PLANTED by id arithmetic —
+    // doc_id % 7 == 3 blobs are truncated to 60% (magic bytes intact,
+    // structure broken), and each kind's FULL decode pipeline runs
+    // behind attempt(). A clean doc landing in quarantine fails
+    // loudly, so the tolerance can't mask a codec regression; the
+    // oracle knows the quarantine set and every surviving unit count
+    // from arithmetic alone.
+    "q297_media_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 1)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal._
+          val src = text.getBytes("ISO-8859-1")
+          val len = src.length
+          def maim(b: Array[Byte]): Array[Byte] =
+            if (id % 7 == 3) b.take(math.max(4, b.length * 3 / 5)) else b
+          val (kind, outcome) = (id % 3) match {
+            case 0 =>
+              val w = 8 * len
+              val pix = new Array[Byte](w * 8)
+              var j = 0
+              while (j < len) {
+                var y = 0
+                while (y < 8) {
+                  java.util.Arrays.fill(pix,
+                    y * w + 8 * j, y * w + 8 * j + 8, src(j))
+                  y += 1
+                }
+                j += 1
+              }
+              val bytes = maim(JpegCodec.encodeGray(w, 8, pix))
+              ("image", SafeDecode.attempt("jpeg") {
+                val (dw, dh, _) = JpegCodec.decodeGray(bytes)
+                require(dw == w && dh == 8, s"image drift doc $id")
+                len.toLong
+              })
+            case 1 =>
+              val mu = id % 2 == 0
+              val samples = src.map(c =>
+                if (mu) G711Codec.ulawToLinear(c)
+                else G711Codec.alawToLinear(c))
+              val bytes = maim(G711Codec.encodeWav(8000, 1, samples, mu))
+              ("audio", SafeDecode.attempt("wav") {
+                val (_, _, _, dec) = G711Codec.decodeWav(bytes)
+                require(dec.length == len, s"audio drift doc $id")
+                len.toLong
+              })
+            case _ =>
+              val nf = (3 + id % 3).toInt
+              val frames = (0 until nf).map { f =>
+                val v0 = src((2 * f) % len)
+                val v1 = src((2 * f + 1) % len)
+                Array.tabulate[Byte](16 * 8)(i =>
+                  if (i % 16 < 8) v0 else v1)
+              }
+              val bytes = maim(AviCodec.encodeMjpg(16, 8, frames, 10))
+              ("video", SafeDecode.attempt("avi") {
+                val (_, _, _, dec) = AviCodec.decodeMjpg(bytes)
+                require(dec.length == nf, s"video drift doc $id")
+                nf.toLong
+              })
+          }
+          outcome match {
+            case Right(units) =>
+              require(id % 7 != 3, s"corrupt $kind doc $id decoded cleanly")
+              (id, kind, "ok", units)
+            case Left(f) =>
+              require(id % 7 == 3,
+                s"clean $kind doc $id quarantined: ${f.error}")
+              (id, kind, "quarantined", 0L)
+          }
+        }
+        .toDF("doc_id", "kind", "status", "units")
         .orderBy("doc_id")
     }),
 
@@ -817,6 +952,42 @@ object MediaQ {
         |    + 144000 * t[ord(substr(text, 2, 1)) % 14 + 2] // 44100
         |    + 1 AS BIGINT) AS frame_bytes
         |FROM sz, br ORDER BY doc_id""".stripMargin,
+
+    // chunk k (char b): slice NAL = 2 + b%24 bytes (header + payload),
+    // IDR when b%5=0; chunk 1 additionally carries SPS (7) + PPS (4);
+    // keyframe checksum sums 1-based IDR chunk positions
+    "q296_avi_h264_census" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0)
+        |SELECT doc_id, 'H264' AS fourcc,
+        | CAST(len AS BIGINT) AS n_chunks,
+        | CAST(len + 2 AS BIGINT) AS n_nals,
+        | CAST(len(list_filter(range(1, len + 1), i ->
+        |   ord(substr(text, CAST(i AS INTEGER), 1)) % 5 = 0))
+        |  AS BIGINT) AS n_idr,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   CASE WHEN ord(substr(text, CAST(i AS INTEGER), 1)) % 5 = 0
+        |    THEN i ELSE 0 END)) AS BIGINT) AS keyframe_checksum,
+        | CAST(11 + list_sum(list_transform(range(1, len + 1), i ->
+        |   ord(substr(text, CAST(i AS INTEGER), 1)) % 24 + 2))
+        |  AS BIGINT) AS nal_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // quarantine truth from id arithmetic (the q293 device, media
+    // edition): exactly the doc_id % 7 == 3 blobs are truncated;
+    // surviving unit counts are the q289 per-kind arithmetic
+    "q297_media_quarantine" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        | CASE WHEN doc_id % 7 = 3 THEN 'quarantined' ELSE 'ok' END
+        |   AS status,
+        | CAST(CASE WHEN doc_id % 7 = 3 THEN 0
+        |      WHEN doc_id % 3 = 2 THEN 3 + doc_id % 3
+        |      ELSE length(text) END AS BIGINT) AS units
+        |FROM documents WHERE length(text) > 1
+        |ORDER BY doc_id""".stripMargin,
 
     // frame k (char b): profile = b%4, channels = b%7+1, frame bytes =
     // 8 + b%32; ID3v2 prefix = 10 + 11·(doc_id%4) when doc_id%4 != 0;

@@ -70,6 +70,50 @@ class FrameCensusSpec extends AnyFunSuite {
     assert(H264Codec.scan(bytes).head.offset == 4)
   }
 
+  test("AVI census: fourcc + geometry + raw chunks, no decode") {
+    import graft.multimodal.AviCodec
+    val payloads = Seq(
+      H264Codec.synth(Seq((5, 9)), paramSets = true),
+      H264Codec.synth(Seq((1, 4)), paramSets = false))
+    val avi = AviCodec.encodeStream(16, 16, 25, "H264", payloads)
+    val (fourcc, w, h, fps, chunks) = AviCodec.census(avi)
+    assert(fourcc == "H264" && w == 16 && h == 16 && fps == 25)
+    assert(chunks.length == 2)
+    assert(chunks.zip(payloads).forall { case (c, p) =>
+      java.util.Arrays.equals(c, p) })
+    // the chunk payloads route straight into the NAL census
+    val nals = chunks.map(H264Codec.scan)
+    assert(nals.head.map(_.nalType) == Seq(7, 8, 5))
+    assert(nals(1).map(_.nalType) == Seq(1))
+    // an MJPG AVI censuses with its own fourcc (routing key)
+    val mj = AviCodec.encodeMjpg(16, 8,
+      Seq(Array.fill[Byte](16 * 8)(42)), 10)
+    assert(AviCodec.census(mj)._1 == "MJPG")
+    // truncation is loud, like the decoders
+    intercept[IllegalArgumentException](
+      AviCodec.census(avi.take(avi.length / 2)))
+  }
+
+  test("SafeDecode.attempt: loud codecs become typed rows") {
+    import graft.multimodal.{SafeDecode, JpegCodec, G711Codec, AviCodec}
+    val jpeg = JpegCodec.encodeGray(8, 8, Array.fill[Byte](64)(7))
+    assert(SafeDecode.attempt("jpeg")(
+      JpegCodec.decodeGray(jpeg)).isRight)
+    val broken = SafeDecode.attempt("jpeg")(
+      JpegCodec.decodeGray(jpeg.take(jpeg.length * 3 / 5)))
+    assert(broken.isLeft)
+    assert(broken.swap.toOption.get.format == "jpeg")
+    assert(broken.swap.toOption.get.error.nonEmpty)
+    // WAV and AVI truncations quarantine the same way
+    val wav = G711Codec.encodeWav(8000, 1, Array[Short](100, -200, 3), mu = true)
+    assert(SafeDecode.attempt("wav")(
+      G711Codec.decodeWav(wav.take(wav.length * 3 / 5))).isLeft)
+    val avi = AviCodec.encodeMjpg(16, 8,
+      Seq(Array.fill[Byte](16 * 8)(9)), 10)
+    assert(SafeDecode.attempt("avi")(
+      AviCodec.decodeMjpg(avi.take(avi.length * 3 / 5))).isLeft)
+  }
+
   test("H264 perimeter: no start code / forbidden bit are loud") {
     val e1 = intercept[IllegalArgumentException](
       H264Codec.scan(Array[Byte](1, 2, 3, 4)))
