@@ -1,0 +1,216 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+/** ISO Base Media File Format (ISO/IEC 14496-12) box census — the
+  * ffprobe-level structure walk for MP4/M4A, the other dominant media
+  * container next to RIFF/AVI (AviCodec.census). CENSUS, not decode:
+  * the walk parses the box tree (size+type headers, 64-bit largesize,
+  * size-0 = to-EOF), recurses into the standard containers, and
+  * reads exactly the metadata a corpus pipeline routes on — major
+  * brand, track handler, sample-entry codec fourcc, sample count,
+  * timescale-normalized duration, mdat payload size. Sample decoding
+  * (the codec itself) stays outside the perimeter. Loud on truncated
+  * or impossible boxes. Per-row executor work, scan-fused. */
+object Mp4Codec {
+
+  final case class Mp4Census(brand: String, handler: String,
+      codec: String, nBoxes: Int, nSamples: Long, timescale: Long,
+      duration: Long, mdatBytes: Long)
+
+  private val Containers =
+    Set("moov", "trak", "mdia", "minf", "stbl", "edts", "udta", "dinf")
+
+  /** Synthesize a minimal valid single-track MP4: ftyp + moov
+    * { mvhd, trak { tkhd, mdia { mdhd, hdlr, minf { vmhd|smhd,
+    * stbl { stsd(one sample entry), stts, stsz, stco } } } } } +
+    * mdat. One sample per entry of `sampleSizes`, fixed `delta`
+    * ticks each at timescale 1000; `video` picks vide/avc1 vs
+    * soun/mp4a. Deterministic byte-for-byte. */
+  def synth(sampleSizes: Seq[Int], delta: Int,
+      video: Boolean): Array[Byte] = {
+    require(sampleSizes.forall(_ >= 1), "sample sizes must be >= 1")
+    require(delta >= 1, s"bad sample delta $delta")
+    val n = sampleSizes.length
+    val duration = n.toLong * delta
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length)
+      b.put(typ.getBytes("US-ASCII")); b.put(payload)
+      b.array()
+    }
+    def bb(cap: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(cap); f(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    val ftyp = box("ftyp", bb(16) { b =>
+      b.put("isom".getBytes("US-ASCII")); b.putInt(0x200)
+      b.put("isom".getBytes("US-ASCII"))
+      b.put("mp42".getBytes("US-ASCII"))
+    })
+    val mvhd = box("mvhd", bb(100) { b =>
+      b.putInt(0) // version 0 + flags
+      b.putInt(0); b.putInt(0) // creation, modification
+      b.putInt(1000) // timescale
+      b.putInt(duration.toInt)
+      b.putInt(0x00010000); b.putShort(0x0100.toShort) // rate, volume
+      b.putShort(0); b.putLong(0) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt) // unity matrix
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(2) // next_track_ID
+    })
+    val tkhd = box("tkhd", bb(84) { b =>
+      b.putInt(7) // version 0, flags: enabled|in_movie|in_preview
+      b.putInt(0); b.putInt(0) // creation, modification
+      b.putInt(1); b.putInt(0) // track_ID, reserved
+      b.putInt(duration.toInt)
+      b.putLong(0) // reserved
+      b.putShort(0); b.putShort(0) // layer, alternate_group
+      b.putShort(if (video) 0 else 0x0100.toShort); b.putShort(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)
+      b.putInt(if (video) 16 << 16 else 0) // width 16.16
+      b.putInt(if (video) 16 << 16 else 0) // height
+    })
+    val mdhd = box("mdhd", bb(24) { b =>
+      b.putInt(0)
+      b.putInt(0); b.putInt(0)
+      b.putInt(1000); b.putInt(duration.toInt)
+      b.putShort(0x55c4.toShort) // packed 'und'
+      b.putShort(0)
+    })
+    val hdlr = box("hdlr", bb(26) { b =>
+      b.putInt(0); b.putInt(0)
+      b.put((if (video) "vide" else "soun").getBytes("US-ASCII"))
+      b.putInt(0); b.putInt(0); b.putInt(0) // reserved
+      b.put("g".getBytes("US-ASCII")); b.put(0.toByte) // name, NUL
+    })
+    val mediaHdr =
+      if (video) box("vmhd", bb(12) { b =>
+        b.putInt(1) // version 0, flags 1 (spec-required)
+        b.putShort(0); b.putShort(0); b.putShort(0); b.putShort(0)
+      })
+      else box("smhd", bb(8) { b =>
+        b.putInt(0); b.putShort(0); b.putShort(0)
+      })
+    val entry = box(if (video) "avc1" else "mp4a", bb(16) { b =>
+      b.putInt(0); b.putShort(0) // 6 reserved bytes
+      b.putShort(1) // data_reference_index
+      b.putLong(0) // minimal body (census reads only the fourcc)
+    })
+    val stsd = box("stsd", bb(8 + entry.length) { b =>
+      b.putInt(0); b.putInt(1); b.put(entry)
+    })
+    val stts = box("stts", bb(16) { b =>
+      b.putInt(0); b.putInt(1)
+      b.putInt(n); b.putInt(delta)
+    })
+    val stsz = box("stsz", bb(12 + 4 * n) { b =>
+      b.putInt(0); b.putInt(0) // sample_size 0 = per-sample table
+      b.putInt(n)
+      sampleSizes.foreach(b.putInt)
+    })
+    val mdatPayload = {
+      val out = new ByteArrayOutputStream()
+      sampleSizes.foreach { sz =>
+        var i = 0
+        while (i < sz) { out.write((i * 73 + sz) % 251); i += 1 }
+      }
+      out.toByteArray
+    }
+    val stbl0 = (offset: Int) => box("stbl",
+      stsd ++ stts ++ stsz ++ box("stco", bb(16) { b =>
+        b.putInt(0); b.putInt(1); b.putInt(offset)
+      }))
+    // chunk offset = absolute position of the mdat payload; the file
+    // is ftyp ++ moov ++ mdat, and stbl's size does not depend on the
+    // offset VALUE, so one dry build sizes it
+    def assemble(stbl: Array[Byte]): (Array[Byte], Int) = {
+      val minf = box("minf", mediaHdr ++ stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val trak = box("trak", tkhd ++ mdia)
+      val moov = box("moov", mvhd ++ trak)
+      (moov, ftyp.length + moov.length + 8)
+    }
+    val (_, off) = assemble(stbl0(0))
+    val (moov, off2) = assemble(stbl0(off))
+    require(off2 == off, "stco offset sizing drifted")
+    ftyp ++ moov ++ box("mdat", mdatPayload)
+  }
+
+  /** Walk the box tree and report the routing metadata. Counts every
+    * box the walker enumerates (containers recursed; sample entries
+    * inside stsd are read for the fourcc but not counted as tree
+    * boxes). */
+  def census(bytes: Array[Byte]): Mp4Census = {
+    var brand = ""; var handler = ""; var codec = ""
+    var nBoxes = 0; var nSamples = -1L
+    var timescale = -1L; var duration = -1L; var mdatBytes = -1L
+    def u32(at: Int): Long =
+      ((bytes(at) & 0xffL) << 24) | ((bytes(at + 1) & 0xffL) << 16) |
+        ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
+    def u64(at: Int): Long = (u32(at) << 32) | u32(at + 4)
+    def typ(at: Int): String = {
+      val b = java.util.Arrays.copyOfRange(bytes, at, at + 4)
+      new String(b, "US-ASCII")
+    }
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos < end) {
+        require(pos + 8 <= end, s"truncated box header at offset $pos")
+        val size0 = u32(pos)
+        val t = typ(pos + 4)
+        val (size, hdr) =
+          if (size0 == 1) {
+            require(pos + 16 <= end, s"truncated largesize at $pos")
+            (u64(pos + 8), 16)
+          } else if (size0 == 0) ((end - pos).toLong, 8)
+          else (size0, 8)
+        require(size >= hdr && pos + size <= end,
+          s"box '$t' at $pos declares $size bytes past offset $end")
+        val bodyAt = pos + hdr
+        val bodyEnd = pos + size.toInt
+        nBoxes += 1
+        t match {
+          case c if Containers(c) => walk(bodyAt, bodyEnd)
+          case "ftyp" =>
+            require(bodyAt + 4 <= bodyEnd, "ftyp too small")
+            brand = typ(bodyAt)
+          case "mvhd" =>
+            val v = bytes(bodyAt) & 0xff
+            if (v == 1) {
+              timescale = u32(bodyAt + 20); duration = u64(bodyAt + 24)
+            } else {
+              timescale = u32(bodyAt + 12); duration = u32(bodyAt + 16)
+            }
+          case "hdlr" =>
+            require(bodyAt + 12 <= bodyEnd, "hdlr too small")
+            handler = typ(bodyAt + 8)
+          case "stsd" =>
+            require(bodyAt + 16 <= bodyEnd, "stsd too small")
+            require(u32(bodyAt + 4) >= 1, "stsd with no entries")
+            codec = typ(bodyAt + 12) // first sample entry's fourcc
+          case "stsz" =>
+            require(bodyAt + 12 <= bodyEnd, "stsz too small")
+            nSamples = u32(bodyAt + 8)
+          case "mdat" =>
+            mdatBytes = size
+          case _ => ()
+        }
+        pos += size.toInt
+      }
+      require(pos == end, s"box walk overran: $pos vs $end")
+    }
+    require(bytes.length >= 8, s"not a BMFF file: ${bytes.length} bytes")
+    require(typ(4) == "ftyp" || typ(4) == "moov" || typ(4) == "mdat" ||
+      typ(4) == "free" || typ(4) == "styp",
+      s"not a BMFF file: leading box '${typ(4)}'")
+    walk(0, bytes.length)
+    require(brand.nonEmpty, "no ftyp box")
+    require(timescale > 0, "no mvhd box")
+    Mp4Census(brand, handler, codec, nBoxes, nSamples, timescale,
+      duration, mdatBytes)
+  }
+}

@@ -519,6 +519,38 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // MP4 / ISO-BMFF BOX CENSUS — the other dominant media container
+    // next to RIFF/AVI (q296): every doc becomes a minimal valid
+    // single-track MP4 (vide/avc1 on even ids, soun/mp4a on odd; one
+    // sample per text byte, size b%64+1, 40 ms/23 ms deltas at
+    // timescale 1000), and census() walks the box tree back — brand,
+    // handler, codec fourcc, sample count, normalized duration, mdat
+    // size. The routing metadata an ingest pipeline reads BEFORE
+    // deciding whether to decode; sample payloads are never touched.
+    "q298_mp4_boxes" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.Mp4Codec
+          val src = text.getBytes("ISO-8859-1")
+          val sizes = src.toSeq.map(b => (b & 0xff) % 64 + 1)
+          val video = id % 2 == 0
+          val delta = if (video) 40 else 23
+          val c = Mp4Codec.census(Mp4Codec.synth(sizes, delta, video))
+          require(c.timescale == 1000 && c.nSamples == sizes.length,
+            s"mp4 census drift on doc $id: $c")
+          (id, c.brand, c.handler, c.codec, c.nBoxes.toLong,
+            c.nSamples, c.duration * 1000L / c.timescale, c.mdatBytes)
+        }
+        .toDF("doc_id", "brand", "handler", "codec", "n_boxes",
+          "n_samples", "duration_ms", "mdat_bytes")
+        .orderBy("doc_id")
+    }),
+
     // ID3v2 TAG CONTENT under the driver hash — the labels an audio
     // corpus carries (title/artist/album), not just the skip q284 does:
     // each audio-kind doc gets a real ID3v2.3/2.4 tag (version by id
@@ -972,6 +1004,25 @@ object MediaQ {
         | CAST(11 + list_sum(list_transform(range(1, len + 1), i ->
         |   ord(substr(text, CAST(i AS INTEGER), 1)) % 24 + 2))
         |  AS BIGINT) AS nal_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // box tree is structurally constant (16 boxes); mdat = 8-byte
+    // header + one sample per char of b%64+1 bytes; duration_ms =
+    // len·delta at timescale 1000
+    "q298_mp4_boxes" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, 'isom' AS brand,
+        | CASE WHEN doc_id % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
+        | CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'mp4a' END AS codec,
+        | CAST(16 AS BIGINT) AS n_boxes,
+        | CAST(len AS BIGINT) AS n_samples,
+        | CAST(len * CASE WHEN doc_id % 2 = 0 THEN 40 ELSE 23 END
+        |  AS BIGINT) AS duration_ms,
+        | CAST(8 + list_sum(list_transform(range(1, len + 1), i ->
+        |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
+        |  AS BIGINT) AS mdat_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // quarantine truth from id arithmetic (the q293 device, media

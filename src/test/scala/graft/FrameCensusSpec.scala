@@ -114,6 +114,51 @@ class FrameCensusSpec extends AnyFunSuite {
       AviCodec.decodeMjpg(avi.take(avi.length * 3 / 5))).isLeft)
   }
 
+  test("MP4: synth→census recovers brand/handler/codec/samples") {
+    import graft.multimodal.Mp4Codec
+    val v = Mp4Codec.census(Mp4Codec.synth(Seq(5, 64, 1), 40, video = true))
+    assert(v.brand == "isom" && v.handler == "vide" && v.codec == "avc1")
+    assert(v.nBoxes == 16 && v.nSamples == 3)
+    assert(v.timescale == 1000 && v.duration == 120)
+    assert(v.mdatBytes == 8 + 5 + 64 + 1)
+    val a = Mp4Codec.census(Mp4Codec.synth(Seq(2), 23, video = false))
+    assert(a.handler == "soun" && a.codec == "mp4a" && a.duration == 23)
+  }
+
+  test("MP4: 64-bit largesize and size-0 (to-EOF) boxes walk") {
+    import graft.multimodal.Mp4Codec
+    val base = Mp4Codec.synth(Seq(4, 4), 40, video = true)
+    // rewrite the trailing mdat's 32-bit size as a largesize box:
+    // size=1 marker + 8-byte largesize (body grows by 8)
+    val mdatAt = base.length - (8 + 8) // 8 hdr + 8 payload
+    assert(new String(base, mdatAt + 4, 4, "US-ASCII") == "mdat")
+    val pre = java.util.Arrays.copyOfRange(base, 0, mdatAt)
+    val payload = java.util.Arrays.copyOfRange(base, mdatAt + 8, base.length)
+    val b = java.nio.ByteBuffer.allocate(16 + payload.length)
+    b.putInt(1); b.put("mdat".getBytes("US-ASCII"))
+    b.putLong(16L + payload.length); b.put(payload)
+    val large = pre ++ b.array()
+    assert(Mp4Codec.census(large).mdatBytes == 16 + payload.length)
+    // size-0: mdat extends to EOF
+    val z = java.nio.ByteBuffer.allocate(8 + payload.length)
+    z.putInt(0); z.put("mdat".getBytes("US-ASCII")); z.put(payload)
+    val zero = pre ++ z.array()
+    assert(Mp4Codec.census(zero).mdatBytes == 8 + payload.length)
+  }
+
+  test("MP4 perimeter: truncation and non-BMFF leaders are loud") {
+    import graft.multimodal.Mp4Codec
+    val bytes = Mp4Codec.synth(Seq(10, 10), 40, video = true)
+    intercept[IllegalArgumentException](
+      Mp4Codec.census(bytes.take(bytes.length / 2)))
+    intercept[IllegalArgumentException](
+      Mp4Codec.census("RIFFxxxxAVI LIST".getBytes("US-ASCII")))
+    // and SafeDecode turns the truncation into a typed row
+    import graft.multimodal.SafeDecode
+    assert(SafeDecode.attempt("mp4")(
+      Mp4Codec.census(bytes.take(bytes.length / 2))).isLeft)
+  }
+
   test("H264 perimeter: no start code / forbidden bit are loud") {
     val e1 = intercept[IllegalArgumentException](
       H264Codec.scan(Array[Byte](1, 2, 3, 4)))
