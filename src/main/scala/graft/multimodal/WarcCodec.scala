@@ -1,0 +1,145 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** WARC (ISO 28500) record census — the container every web-scale
+  * text corpus actually arrives in (Common Crawl ships .warc.gz).
+  * CENSUS, not content processing: walk the records by their
+  * Content-Length, read the WARC-Type / WARC-Target-URI headers and
+  * the HTTP status line of response payloads, and report the counts
+  * a crawl-ingest pipeline routes on before any text extraction.
+  * Gzipped archives (magic 1f 8b) inflate transparently first — the
+  * census output, not the compressed bytes, is what oracles hash.
+  * Loud on a bad version line, a missing Content-Length, or a
+  * truncated payload. Per-row executor work, scan-fused. */
+object WarcCodec {
+
+  final case class WarcRecord(warcType: String, targetUri: String,
+      contentLength: Int, httpStatus: Int)
+
+  /** Synthesize a WARC/1.0 archive: one record per (type, uri,
+    * payload); headers CRLF-delimited, records separated by the
+    * mandated blank CRLF pair. `gzipped` wraps the whole archive in
+    * one gzip stream (the census inflates it back). */
+  def synth(records: Seq[(String, String, Array[Byte])],
+      gzipped: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.zipWithIndex.foreach { case ((typ, uri, payload), i) =>
+      val hdr = new StringBuilder()
+      hdr ++= "WARC/1.0\r\n"
+      hdr ++= s"WARC-Type: $typ\r\n"
+      if (uri.nonEmpty) hdr ++= s"WARC-Target-URI: $uri\r\n"
+      hdr ++= s"WARC-Record-ID: <urn:graft:$i>\r\n"
+      hdr ++= s"Content-Length: ${payload.length}\r\n"
+      hdr ++= "\r\n"
+      out.write(hdr.toString.getBytes("ISO-8859-1"))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    val raw = out.toByteArray
+    if (!gzipped) raw
+    else {
+      val gz = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(gz)
+      g.write(raw); g.close()
+      gz.toByteArray
+    }
+  }
+
+  /** An HTTP response payload: status line + headers + CRLF CRLF +
+    * deterministic body. */
+  def httpPayload(status: Int, bodyLen: Int): Array[Byte] = {
+    val reason = status match {
+      case 200 => "OK"
+      case 404 => "Not Found"
+      case _ => "Status"
+    }
+    val out = new ByteArrayOutputStream()
+    out.write((s"HTTP/1.1 $status $reason\r\n" +
+      s"Content-Length: $bodyLen\r\n\r\n").getBytes("ISO-8859-1"))
+    var i = 0
+    while (i < bodyLen) { out.write((i * 73 + bodyLen) % 251); i += 1 }
+    out.toByteArray
+  }
+
+  /** Walk the records. Gzip magic inflates the whole archive first. */
+  def census(bytesIn: Array[Byte]): Seq[WarcRecord] = {
+    val bytes =
+      if (bytesIn.length >= 2 && (bytesIn(0) & 0xff) == 0x1f &&
+        (bytesIn(1) & 0xff) == 0x8b) {
+        val in = new GZIPInputStream(new ByteArrayInputStream(bytesIn))
+        val out = new ByteArrayOutputStream(bytesIn.length * 4)
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } else bytesIn
+    val recs = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    def line(): String = {
+      val eol = indexOfCrlf(bytes, pos)
+      require(eol >= 0, s"unterminated header line at offset $pos")
+      val s = new String(bytes, pos, eol - pos, "ISO-8859-1")
+      pos = eol + 2
+      s
+    }
+    while (pos < bytes.length) {
+      val ver = line()
+      require(ver.startsWith("WARC/"),
+        s"not a WARC record: version line '${ver.take(20)}'")
+      var typ = ""; var uri = ""; var clen = -1
+      var h = line()
+      while (h.nonEmpty) {
+        val colon = h.indexOf(':')
+        require(colon > 0, s"malformed WARC header '${h.take(40)}'")
+        val (k, v) = (h.substring(0, colon).trim.toLowerCase,
+          h.substring(colon + 1).trim)
+        k match {
+          case "warc-type" => typ = v
+          case "warc-target-uri" => uri = v
+          case "content-length" => clen = v.toInt
+          case _ => ()
+        }
+        h = line()
+      }
+      require(clen >= 0, "WARC record without Content-Length")
+      require(pos.toLong + clen <= bytes.length,
+        s"record declares $clen payload bytes past EOF")
+      // HTTP status from a response payload's status line
+      val status =
+        if (typ == "response" && clen >= 12 &&
+          new String(bytes, pos, 5, "ISO-8859-1") == "HTTP/") {
+          val sp = {
+            var i = pos
+            while (i < pos + clen && bytes(i) != ' ') i += 1
+            i
+          }
+          var j = sp + 1
+          var st = 0
+          while (j < pos + clen && bytes(j) >= '0' && bytes(j) <= '9') {
+            st = st * 10 + (bytes(j) - '0'); j += 1
+          }
+          st
+        } else 0
+      recs += WarcRecord(typ, uri, clen, status)
+      pos += clen
+      // the mandated record separator: two CRLFs
+      require(pos + 4 <= bytes.length &&
+        bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+        bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
+        s"missing record separator at offset $pos")
+      pos += 4
+    }
+    recs.result()
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+}

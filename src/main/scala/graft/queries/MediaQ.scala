@@ -551,6 +551,49 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // WARC RECORD CENSUS — the container web-scale text corpora
+    // actually arrive in (Common Crawl ships .warc.gz): every doc
+    // becomes a WARC/1.0 archive (one warcinfo + one HTTP response
+    // record per text byte; 404 on b%10==0, body b%128+1 bytes),
+    // whole-archive-gzipped on odd ids (the census inflates by magic
+    // sniff — the OUTPUT is what the oracle hashes, so gzip byte
+    // nondeterminism is irrelevant). The walk is Content-Length-
+    // driven with the mandated CRLF-pair separators checked — the
+    // crawl-ingest routing pass that precedes any text extraction.
+    "q299_warc_census" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.WarcCodec
+          val src = text.getBytes("ISO-8859-1")
+          val info = ("warcinfo", "",
+            "software: graft\r\n".getBytes("ISO-8859-1"))
+          val resps = src.toSeq.zipWithIndex.map { case (b, k) =>
+            val v = b & 0xff
+            val status = if (v % 10 == 0) 404 else 200
+            ("response", s"https://example.com/$id/$k",
+              WarcCodec.httpPayload(status, v % 128 + 1))
+          }
+          val bytes = WarcCodec.synth(info +: resps,
+            gzipped = id % 2 == 1)
+          val recs = WarcCodec.census(bytes)
+          require(recs.length == src.length + 1,
+            s"warc census found ${recs.length} of ${src.length + 1}")
+          (id, recs.length.toLong,
+            recs.count(_.warcType == "response").toLong,
+            recs.count(_.httpStatus == 404).toLong,
+            recs.map(_.contentLength.toLong).sum,
+            recs.map(_.httpStatus.toLong).sum)
+        }
+        .toDF("doc_id", "n_records", "n_responses", "n_404",
+          "content_bytes", "status_checksum")
+        .orderBy("doc_id")
+    }),
+
     // ID3v2 TAG CONTENT under the driver hash — the labels an audio
     // corpus carries (title/artist/album), not just the skip q284 does:
     // each audio-kind doc gets a real ID3v2.3/2.4 tag (version by id
@@ -1024,6 +1067,31 @@ object MediaQ {
         |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
         |  AS BIGINT) AS mdat_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // record k (char b): payload = status line (17 B for 200, 24 for
+    // 404) + "Content-Length: N\r\n\r\n" (20 + digits) + body
+    // (b%128+1); warcinfo payload fixed 17 B
+    "q299_warc_census" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |v AS (
+        | SELECT doc_id, len,
+        |  list_transform(range(1, len + 1), i ->
+        |   ord(substr(text, CAST(i AS INTEGER), 1))) AS o
+        | FROM d)
+        |SELECT doc_id,
+        | CAST(len + 1 AS BIGINT) AS n_records,
+        | CAST(len AS BIGINT) AS n_responses,
+        | CAST(len(list_filter(o, b -> b % 10 = 0)) AS BIGINT) AS n_404,
+        | CAST(17 + list_sum(list_transform(o, b ->
+        |   CASE WHEN b % 10 = 0 THEN 24 ELSE 17 END + 20 +
+        |   length(CAST(b % 128 + 1 AS VARCHAR)) + b % 128 + 1))
+        |  AS BIGINT) AS content_bytes,
+        | CAST(list_sum(list_transform(o, b ->
+        |   CASE WHEN b % 10 = 0 THEN 404 ELSE 200 END))
+        |  AS BIGINT) AS status_checksum
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // quarantine truth from id arithmetic (the q293 device, media
     // edition): exactly the doc_id % 7 == 3 blobs are truncated;

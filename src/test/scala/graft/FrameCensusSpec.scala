@@ -159,6 +159,42 @@ class FrameCensusSpec extends AnyFunSuite {
       Mp4Codec.census(bytes.take(bytes.length / 2))).isLeft)
   }
 
+  test("WARC: synth→census roundtrips, gzip sniffs, statuses parse") {
+    import graft.multimodal.WarcCodec
+    val recs = Seq(
+      ("warcinfo", "", "software: graft\r\n".getBytes("ISO-8859-1")),
+      ("response", "https://x/1", WarcCodec.httpPayload(200, 10)),
+      ("response", "https://x/2", WarcCodec.httpPayload(404, 3)),
+      ("request", "https://x/2", "GET / HTTP/1.1\r\n".getBytes("ISO-8859-1")))
+    for (gz <- Seq(false, true)) {
+      val out = WarcCodec.census(WarcCodec.synth(recs, gzipped = gz))
+      assert(out.length == 4, s"gz=$gz")
+      assert(out.map(_.warcType) ==
+        Seq("warcinfo", "response", "response", "request"))
+      assert(out.map(_.httpStatus) == Seq(0, 200, 404, 0))
+      assert(out(1).targetUri == "https://x/1")
+      assert(out(1).contentLength ==
+        WarcCodec.httpPayload(200, 10).length)
+    }
+  }
+
+  test("WARC perimeter: truncation and bad version line are loud") {
+    import graft.multimodal.WarcCodec
+    val bytes = WarcCodec.synth(Seq(
+      ("response", "https://x/1", WarcCodec.httpPayload(200, 50))))
+    val e1 = intercept[IllegalArgumentException](
+      WarcCodec.census(bytes.take(bytes.length - 10)))
+    assert(e1.getMessage.contains("past EOF") ||
+      e1.getMessage.contains("separator"), e1.getMessage)
+    intercept[IllegalArgumentException](
+      WarcCodec.census("HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1")))
+    // a record with no Content-Length refuses
+    val noCl = ("WARC/1.0\r\nWARC-Type: metadata\r\n\r\n" +
+      "x\r\n\r\n").getBytes("ISO-8859-1")
+    val e2 = intercept[IllegalArgumentException](WarcCodec.census(noCl))
+    assert(e2.getMessage.contains("Content-Length"), e2.getMessage)
+  }
+
   test("H264 perimeter: no start code / forbidden bit are loud") {
     val e1 = intercept[IllegalArgumentException](
       H264Codec.scan(Array[Byte](1, 2, 3, 4)))
