@@ -174,6 +174,62 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streaming quarantine: a poison blob cannot kill the query") {
+    // the r13 poison-pill path under Structured Streaming — the place
+    // it matters MOST: a batch job loses a task retry to one corrupt
+    // blob, a streaming query DIES PERMANENTLY (the micro-batch
+    // re-fails forever at the checkpoint). parseAnySafe routes the
+    // poison row to a quarantine sink and the stream keeps draining.
+    val base = Files.createTempDirectory("graft_poison_stream").toString
+    val in = s"$base/in"; val ok = s"$base/ok"
+    val quar = s"$base/quarantine"; val ck = s"$base/ck"
+    Files.createDirectories(Paths.get(in))
+    val good = graft.ingest.PdfCodec.encode(
+      Seq("Name: Good Event", "Venue: Hall"))
+    Files.write(Paths.get(s"$in/good.pdf"), good)
+    Files.write(Paths.get(s"$in/poison.pdf"), good.take(good.length / 2))
+    Files.write(Paths.get(s"$in/junk.bin"),
+      Array('P'.toByte, 'K'.toByte, 3.toByte, 4.toByte) ++
+        Array.tabulate[Byte](32)(k => (k * 37 % 251).toByte))
+    val q = spark.readStream.format("binaryFile")
+      .schema(BinaryOps.readMediaDir(spark, in).schema)
+      .load(in)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val parsed = batch.select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (path, bytes) =>
+            val name = path.substring(path.lastIndexOf('/') + 1)
+            graft.ingest.DocParse.parseAnySafe(bytes) match {
+              case Right((fmt, recs)) =>
+                (name, "ok", fmt, recs.size.toLong, "")
+              case Left(f) =>
+                (name, "quarantined", f.format, 0L, f.error)
+            }
+          }
+          .toDF("name", "status", "fmt", "n_records", "error")
+        parsed.filter($"status" === "ok")
+          .write.mode("append").parquet(ok)
+        parsed.filter($"status" === "quarantined")
+          .write.mode("append").parquet(quar)
+        ()
+      }
+      .start()
+    q.awaitTermination() // a thrown poison pill would fail here
+    val goodRows = spark.read.parquet(ok)
+      .select("name", "fmt").as[(String, String)].collect().toSet
+    assert(goodRows == Set(("good.pdf", "pdf")))
+    val quarRows = spark.read.parquet(quar)
+      .select("name", "fmt", "error").as[(String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(quarRows.keySet == Set("poison.pdf", "junk.bin"))
+    assert(quarRows("poison.pdf")._1 == "pdf")
+    assert(quarRows("junk.bin")._1 == "zip")
+    assert(quarRows.values.forall(_._2.nonEmpty)) // errors kept as data
+  }
+
   test("streaming dedup within watermark drops in-horizon duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
