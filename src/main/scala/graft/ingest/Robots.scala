@@ -1,0 +1,96 @@
+package graft.ingest
+
+/** robots.txt parsing and admission per RFC 9309 — the crawl-policy
+  * gate every corpus-collection pipeline runs before a fetch (the
+  * reference crawls with scrapy, which applies the same protocol via
+  * ROBOTSTXT_OBEY; this is the in-engine, per-row form). Implements
+  * the protocol's matching core exactly:
+  *   - groups of user-agent lines sharing one rule block; the
+  *     crawler uses ALL groups whose product token matches its agent
+  *     case-insensitively, falling back to the `*` groups;
+  *   - rule patterns with `*` wildcards and the `$` end anchor;
+  *   - precedence: the LONGEST matching pattern (octet length) wins;
+  *     on a tie, allow wins; no matching rule means allow;
+  *   - comments (#), blank lines, unknown fields, and case-insensitive
+  *     field names tolerated as the spec requires.
+  * Pure per-row string work — no regex compilation in the hot path
+  * (the wildcard matcher is a two-pointer backtracking loop). */
+object Robots {
+
+  final case class Rule(allow: Boolean, pattern: String)
+  final case class Group(agents: Seq[String], rules: Seq[Rule])
+
+  def parse(text: String): Seq[Group] = {
+    val groups = Seq.newBuilder[Group]
+    var agents = List.empty[String]
+    var rules = List.empty[Rule]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents.reverse, rules.reverse)
+      agents = Nil; rules = Nil; inRules = false
+    }
+    text.linesIterator.foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val colon = line.indexOf(':')
+      if (line.nonEmpty && colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            // a user-agent line after rules starts a NEW group
+            if (inRules) flush()
+            agents ::= value.toLowerCase
+          case "allow" if agents.nonEmpty =>
+            inRules = true
+            if (value.nonEmpty) rules ::= Rule(allow = true, value)
+          case "disallow" if agents.nonEmpty =>
+            inRules = true
+            // an empty Disallow means allow-all: no rule
+            if (value.nonEmpty) rules ::= Rule(allow = false, value)
+          case _ => () // crawl-delay, sitemap, unknown fields
+        }
+      }
+    }
+    flush()
+    groups.result()
+  }
+
+  /** `pattern` against `path`: literal octets, `*` matches any run,
+    * trailing `$` anchors the end. */
+  def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.last == '$'
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    def m(pi: Int, si: Int): Boolean =
+      if (pi == pat.length) !anchored || si == path.length
+      else if (pat.charAt(pi) == '*') {
+        var k = si
+        var ok = false
+        while (!ok && k <= path.length) {
+          ok = m(pi + 1, k); k += 1
+        }
+        ok
+      } else si < path.length && path.charAt(si) == pat.charAt(pi) &&
+        m(pi + 1, si + 1)
+    m(0, 0)
+  }
+
+  /** Admission for (agent, path) under the parsed groups. */
+  def allowed(groups: Seq[Group], agent: String, path: String)
+      : Boolean = {
+    val a = agent.toLowerCase
+    val mine = groups.filter(_.agents.contains(a))
+    val chosen = if (mine.nonEmpty) mine
+      else groups.filter(_.agents.contains("*"))
+    val applicable = chosen.flatMap(_.rules)
+      .filter(r => matches(r.pattern, path))
+    if (applicable.isEmpty) true
+    else {
+      val best = applicable.map(_.pattern.length).max
+      // tie at the longest length → allow wins
+      applicable.exists(r => r.allow && r.pattern.length == best)
+    }
+  }
+}

@@ -16,6 +16,63 @@ object WebQ {
   private val B = 0.75
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // robots.txt ADMISSION (RFC 9309) — the crawl-policy gate that
+    // precedes every fetch in a corpus-collection pipeline (the
+    // reference's scrapy stack applies the same protocol through
+    // ROBOTSTXT_OBEY). Each doc carries its own robots.txt (the
+    // graftbot group gains an Allow /private/pub$ override on even
+    // ids; comments/case noise included) and crawls 8 path shapes per
+    // text byte under an agent that falls back to the `*` group on
+    // id%3==0 docs. The engine runs the generic RFC matcher — group
+    // selection, `*` wildcards, `$` anchor, longest-match-then-allow
+    // precedence; the oracle encodes the resulting truth table from
+    // id arithmetic, so any drift in the matcher's precedence or
+    // anchoring breaks the hash. RobotsSpec pins the protocol corner
+    // cases hand-worked from the RFC. Per-row executor work.
+    "q300_robots_admission" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.ingest.Robots
+          val robots =
+            "# graft crawl policy\r\n" +
+            "User-Agent: graftbot\r\n" +
+            "Disallow: /private*\r\n" +
+            (if (id % 2 == 0) "Allow: /private/pub$\r\n" else "") +
+            "Crawl-delay: 2\r\n" +
+            "\r\n" +
+            "user-agent: *\r\n" +
+            "Disallow: /tmp/\r\n" +
+            "Allow: /\r\n"
+          val groups = Robots.parse(robots)
+          val agent = if (id % 3 == 0) "otherbot" else "GraftBot"
+          val paths = Array("/", "/public/page", "/private",
+            "/private/pub", "/privateer", "/tmp/x", "/pub",
+            "/private/pub/deep")
+          val src = text.getBytes("ISO-8859-1")
+          var denied = 0L
+          var deniedChk = 0L
+          var k = 0
+          while (k < src.length) {
+            val path = paths((src(k) & 0xff) % 8)
+            if (!Robots.allowed(groups, agent, path)) {
+              denied += 1
+              deniedChk += k + 1
+            }
+            k += 1
+          }
+          (id, src.length.toLong, src.length - denied, denied,
+            deniedChk)
+        }
+        .toDF("doc_id", "n_urls", "n_allowed", "n_denied",
+          "denied_checksum")
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization as a codegen expression: four deterministic
     // dirt classes (scheme/host case, default ports, duplicate and ./
     // path segments, tracking params, unsorted query, fragments) are
@@ -357,6 +414,37 @@ object WebQ {
   }
 
   val oracles: Map[String, String] = Map(
+    // the RFC truth table from id arithmetic: under the graftbot
+    // group (id%3 != 0) paths 2/4/7 are denied by Disallow /private*,
+    // path 3 is denied unless the even-id Allow /private/pub$
+    // override out-lengths it; under the * group (id%3 = 0) only
+    // path 5 (/tmp/x) is denied
+    "q300_robots_admission" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |v AS (
+        | SELECT doc_id, len,
+        |  list_transform(range(1, len + 1), i ->
+        |   CASE WHEN doc_id % 3 = 0 THEN
+        |     CASE WHEN ord(substr(text, CAST(i AS INTEGER), 1)) % 8 = 5
+        |      THEN 1 ELSE 0 END
+        |   ELSE
+        |     CASE WHEN ord(substr(text, CAST(i AS INTEGER), 1)) % 8
+        |            IN (2, 4, 7) THEN 1
+        |      WHEN ord(substr(text, CAST(i AS INTEGER), 1)) % 8 = 3
+        |           AND doc_id % 2 = 1 THEN 1
+        |      ELSE 0 END
+        |   END) AS dny
+        | FROM d)
+        |SELECT doc_id,
+        | CAST(len AS BIGINT) AS n_urls,
+        | CAST(len - list_sum(dny) AS BIGINT) AS n_allowed,
+        | CAST(list_sum(dny) AS BIGINT) AS n_denied,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   i * dny[CAST(i AS INTEGER)])) AS BIGINT) AS denied_checksum
+        |FROM v ORDER BY doc_id""".stripMargin,
+
     "q204_url_canonical" ->
       """SELECT doc_id,
         | CASE doc_id % 4
