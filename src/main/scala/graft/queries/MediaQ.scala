@@ -43,6 +43,10 @@ import graft.Tables._
   * - q297: poison-pill tolerance for the codec family — the q289
   *   funnel behind SafeDecode.attempt with arithmetic-planted
   *   truncation — r13.
+  * - q298: MP4 / ISO-BMFF box census (largesize, to-EOF, container
+  *   recursion; brand/handler/codec routing metadata) — r13.
+  * - q299: WARC record census (Common Crawl's container; gzip sniff,
+  *   Content-Length walk, HTTP status parse) — r13.
   *
   * All of these are per-row executor work over a projection — no
   * shuffle beyond q289's 3-row aggregate, the standard 100 TB codec
