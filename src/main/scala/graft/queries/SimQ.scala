@@ -377,6 +377,103 @@ object SimQ {
         .limit(10)
     }),
 
+    // IVF-PQ COMPOSED search (Jégou, Douze & Schmid, TPAMI 2011,
+    // §V — "IVFADC") — the standard billion-vector ANN layout
+    // end-to-end, composing the two halves the registry already
+    // proves separately (q44's coarse inverted file, q216's PQ-ADC):
+    // a 4-cell coarse quantizer over the integer lattice, RESIDUALS
+    // (vector − cell centroid) encoded by an 8×4 product quantizer
+    // trained on those residuals, and a query that probes the
+    // nprobe=2 nearest cells with a PER-CELL ADC lookup table (the
+    // query residual differs per probed cell — the detail naive
+    // compositions get wrong). All arithmetic integral with (dist,
+    // id) tie-breaks, so the top-10 is bit-identical cross-engine.
+    // Scale shape: centroids/codebooks/LUTs are all broadcast-sized
+    // (cells·dim, 32 rows, nprobe·32 rows); the scan touches only
+    // the CODES relation of the probed cells — at 100 TB the codes
+    // ARE the index and this is one broadcast-join scan + top-k,
+    // with the inverted-file pruning cutting the scanned fraction to
+    // nprobe/cells.
+    "q301_ivfpq_search" -> ((s, dir) => {
+      import graft.Tables.ldiv
+      import graft.functions.LongDotExpr.longDot
+      def dist2(a: Column, b: Column): Column =
+        longDot(a, a) - lit(2L) * longDot(a, b) + longDot(b, b)
+      val q = t(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * 1000).cast("long")).as("q"))
+        .localCheckpoint() // consumers: coarse rounds + query probe
+      val c0 = q.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("q").as("cent"))
+      def coarseAssign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        q.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("q"), col("cid"), col("cent"),
+            dist2(col("q"), col("cent")).as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn", "dist")
+      }
+      def coarseUpdate(a: DataFrame): DataFrame = a
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("cv")))), x => x.getField("cv")).as("cent"))
+      val cents1 = coarseUpdate(coarseAssign(c0))
+        .localCheckpoint() // consumers: final assign + query probe
+      // final assignment carries the centroid so the residual is one
+      // zip_with away — no second join back to the centroid table
+      val withRes = coarseAssign(cents1)
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("q"), col("cent"), (a, b) => a - b).as("r"))
+        .localCheckpoint() // consumers: PQ train/encode + cell lookup
+      val rb = withRes
+        .select(col("vec_id"), posexplode(col("r")).as(Seq("pos", "v")))
+        .select(col("vec_id"), ldiv(col("pos"), lit(8L)).as("sub"),
+          (col("pos") % 8L).as("j"), col("v"))
+        .localCheckpoint() // consumers: two PQ assigns + update
+      val pc0 = rb.filter(col("vec_id") < 4)
+        .select(col("sub"), col("vec_id").as("code"), col("j"),
+          col("v").as("cv"))
+      def pqAssign(cb: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "sub").orderBy("dist", "code")
+        rb.join(broadcast(cb), Seq("sub", "j"))
+          .groupBy("vec_id", "sub", "code")
+          .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
+            .as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }
+      def pqUpdate(a: DataFrame): DataFrame =
+        rb.join(a.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
+          .groupBy("sub", "code", "j")
+          .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
+      val cb1 = pqUpdate(pqAssign(pc0)).localCheckpoint()
+      val codes = pqAssign(cb1).select("vec_id", "sub", "code")
+      // query: nprobe=2 nearest cells, per-cell residual LUT
+      val qv = q.filter(col("vec_id") === 7).select(col("q").as("qq"))
+      val probed = cents1.crossJoin(broadcast(qv))
+        .select(col("cid"),
+          zip_with(col("qq"), col("cent"), (a, b) => a - b).as("qr"),
+          dist2(col("qq"), col("cent")).as("cdist"))
+        .orderBy("cdist", "cid").limit(2)
+      val qrExpl = probed
+        .select(col("cid"), posexplode(col("qr")).as(Seq("pos", "v")))
+        .select(col("cid"), ldiv(col("pos"), lit(8L)).as("sub"),
+          (col("pos") % 8L).as("j"), col("v").as("qv"))
+      val lut = qrExpl.join(cb1, Seq("sub", "j"))
+        .groupBy("cid", "sub", "code")
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+          .as("lut")) // nprobe · 32 rows
+      withRes.select("vec_id", "cid").join(codes, "vec_id")
+        .join(broadcast(lut), Seq("cid", "sub", "code")) // prunes cells
+        .groupBy("vec_id", "cid")
+        .agg(sum(col("lut")).as("adc_dist"))
+        .orderBy(asc("adc_dist"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // Binary-embedding Hamming search — the OTHER standard embedding
     // compression next to PQ (q216): each vector collapses to its 64
     // sign bits (Charikar hyperplane sketch with axis-aligned planes),
@@ -1057,6 +1154,82 @@ object SimQ {
         |FROM a2 JOIN lut l ON l.sub = a2.sub AND l.code = a2.code
         |GROUP BY a2.vec_id ORDER BY adc_dist, a2.vec_id
         |LIMIT 10""".stripMargin,
+
+    // IVFADC replay: the q182 coarse-kmeans CTE prefix (one update
+    // round), residuals vs the final assignment's centroid, the q216
+    // PQ CTEs retrained on those residuals, nprobe=2 cell probe with
+    // a per-cell LUT, codes-only ADC scan
+    "q301_ivfpq_search" ->
+      """WITH b AS (
+        | SELECT vec_id, list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, q AS cent FROM b WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c0 c)) WHERE rn = 1),
+        |c1 AS (SELECT cid, list(cv ORDER BY pos) AS cent FROM (
+        |  SELECT cid, i AS pos,
+        |   CAST(sum(q[i]) // count(*) AS BIGINT) AS cv
+        |  FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c1 c)) WHERE rn = 1),
+        |rb AS (
+        | SELECT a2.vec_id, a2.cid, (i - 1) // 8 AS sub, (i - 1) % 8 AS j,
+        |  a2.q[i] - c1.cent[i] AS v
+        | FROM a2 JOIN c1 ON c1.cid = a2.cid, range(1, 65) t(i)),
+        |pc0 AS (SELECT sub, vec_id AS code, j, v AS cv
+        |  FROM rb WHERE vec_id < 4),
+        |p1 AS (SELECT vec_id, sub, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) AS rn FROM (
+        |   SELECT rb.vec_id, rb.sub, c.code,
+        |    sum((rb.v - c.cv) * (rb.v - c.cv)) AS dist
+        |   FROM rb JOIN pc0 c ON c.sub = rb.sub AND c.j = rb.j
+        |   GROUP BY rb.vec_id, rb.sub, c.code)) WHERE rn = 1),
+        |pcb AS (SELECT rb.sub, p.code, rb.j,
+        |  CAST(sum(rb.v) // count(*) AS BIGINT) AS cv
+        | FROM rb JOIN p1 p ON p.vec_id = rb.vec_id AND p.sub = rb.sub
+        | GROUP BY rb.sub, p.code, rb.j),
+        |p2 AS (SELECT vec_id, sub, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) AS rn FROM (
+        |   SELECT rb.vec_id, rb.sub, c.code,
+        |    sum((rb.v - c.cv) * (rb.v - c.cv)) AS dist
+        |   FROM rb JOIN pcb c ON c.sub = rb.sub AND c.j = rb.j
+        |   GROUP BY rb.vec_id, rb.sub, c.code)) WHERE rn = 1),
+        |qq AS (SELECT q FROM b WHERE vec_id = 7),
+        |probe AS (SELECT cid, cent FROM (
+        |  SELECT c1.cid, c1.cent,
+        |   list_sum(list_transform(range(1, 65),
+        |    i -> (qq.q[i] - c1.cent[i]) * (qq.q[i] - c1.cent[i])))
+        |    AS cdist
+        |  FROM c1, qq ORDER BY cdist, cid LIMIT 2)),
+        |qr AS (
+        | SELECT probe.cid, (i - 1) // 8 AS sub, (i - 1) % 8 AS j,
+        |  qq.q[i] - probe.cent[i] AS qv
+        | FROM probe, qq, range(1, 65) t(i)),
+        |lut AS (
+        | SELECT qr.cid, pcb.sub, pcb.code,
+        |  sum((qr.qv - pcb.cv) * (qr.qv - pcb.cv)) AS lut
+        | FROM qr JOIN pcb ON pcb.sub = qr.sub AND pcb.j = qr.j
+        | GROUP BY qr.cid, pcb.sub, pcb.code)
+        |SELECT p2.vec_id, CAST(a2.cid AS BIGINT) AS cid,
+        | CAST(sum(l.lut) AS BIGINT) AS adc_dist
+        |FROM p2 JOIN a2 ON a2.vec_id = p2.vec_id
+        |JOIN lut l ON l.cid = a2.cid AND l.sub = p2.sub
+        |  AND l.code = p2.code
+        |GROUP BY p2.vec_id, a2.cid
+        |ORDER BY adc_dist, p2.vec_id LIMIT 10""".stripMargin,
 
     // sign bits packed into two 32-bit words (no 2^63 overflow);
     // xor + bit_count are exact integer builtins on both engines
