@@ -395,68 +395,13 @@ object SimQ {
     // with the inverted-file pruning cutting the scanned fraction to
     // nprobe/cells.
     "q301_ivfpq_search" -> ((s, dir) => {
-      import graft.Tables.ldiv
-      import graft.functions.LongDotExpr.longDot
-      def dist2(a: Column, b: Column): Column =
-        longDot(a, a) - lit(2L) * longDot(a, b) + longDot(b, b)
-      val q = t(s, dir, "embeddings").select(col("vec_id"),
-          transform(col("embedding"),
-            v => floor(v.cast("double") * 1000).cast("long")).as("q"))
-        .localCheckpoint() // consumers: coarse rounds + query probe
-      val c0 = q.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("q").as("cent"))
-      def coarseAssign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        q.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("q"), col("cid"), col("cent"),
-            dist2(col("q"), col("cent")).as("dist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn", "dist")
-      }
-      def coarseUpdate(a: DataFrame): DataFrame = a
-        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-          col("cv")))), x => x.getField("cv")).as("cent"))
-      val cents1 = coarseUpdate(coarseAssign(c0))
-        .localCheckpoint() // consumers: final assign + query probe
-      // final assignment carries the centroid so the residual is one
-      // zip_with away — no second join back to the centroid table
-      val withRes = coarseAssign(cents1)
-        .select(col("vec_id"), col("cid"),
-          zip_with(col("q"), col("cent"), (a, b) => a - b).as("r"))
-        .localCheckpoint() // consumers: PQ train/encode + cell lookup
-      val rb = withRes
-        .select(col("vec_id"), posexplode(col("r")).as(Seq("pos", "v")))
-        .select(col("vec_id"), ldiv(col("pos"), lit(8L)).as("sub"),
-          (col("pos") % 8L).as("j"), col("v"))
-        .localCheckpoint() // consumers: two PQ assigns + update
-      val pc0 = rb.filter(col("vec_id") < 4)
-        .select(col("sub"), col("vec_id").as("code"), col("j"),
-          col("v").as("cv"))
-      def pqAssign(cb: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id", "sub").orderBy("dist", "code")
-        rb.join(broadcast(cb), Seq("sub", "j"))
-          .groupBy("vec_id", "sub", "code")
-          .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
-            .as("dist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-      }
-      def pqUpdate(a: DataFrame): DataFrame =
-        rb.join(a.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
-          .groupBy("sub", "code", "j")
-          .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
-      val cb1 = pqUpdate(pqAssign(pc0)).localCheckpoint()
-      val codes = pqAssign(cb1).select("vec_id", "sub", "code")
+      val (q, cents1, cb1, codes, cellOf) = ivfPqTrained(s, dir)
       // query: nprobe=2 nearest cells, per-cell residual LUT
       val qv = q.filter(col("vec_id") === 7).select(col("q").as("qq"))
       val probed = cents1.crossJoin(broadcast(qv))
         .select(col("cid"),
           zip_with(col("qq"), col("cent"), (a, b) => a - b).as("qr"),
-          dist2(col("qq"), col("cent")).as("cdist"))
+          qdist2(col("qq"), col("cent")).as("cdist"))
         .orderBy("cdist", "cid").limit(2)
       val qrExpl = probed
         .select(col("cid"), posexplode(col("qr")).as(Seq("pos", "v")))
@@ -465,13 +410,82 @@ object SimQ {
       val lut = qrExpl.join(cb1, Seq("sub", "j"))
         .groupBy("cid", "sub", "code")
         .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
-          .as("lut")) // nprobe · 32 rows
-      withRes.select("vec_id", "cid").join(codes, "vec_id")
+          .as("lut")) // nprobe * 32 rows
+      cellOf.join(codes, "vec_id")
         .join(broadcast(lut), Seq("cid", "sub", "code")) // prunes cells
         .groupBy("vec_id", "cid")
         .agg(sum(col("lut")).as("adc_dist"))
         .orderBy(asc("adc_dist"), asc("vec_id"))
         .limit(10)
+    }),
+
+    // IVFADC RECALL AUDIT — the q238/q278 device for the composed
+    // index: recall@10 of q301's IVF-PQ ranking against the exact
+    // quantized-distance ranking, per probe. The probe set is
+    // BOUNDED (vec_id % 100 == 7 AND vec_id < 1600 — at most 16
+    // probes whatever the corpus): an eval sample must be a fixed
+    // COUNT, not a fixed fraction, or the exact-ranking side is
+    // n²/100 by construction (measured: the unbounded form hit texp
+    // 1.52 with 16.7 GB spill at ×100; the bounded form is 16·n).
+    // Plus the DECOMPOSITION every ANN deployment needs
+    // before tuning: exact_in_probed counts how many of the true
+    // top-10 even live in the probed cells — recall lost to IVF
+    // pruning (raise nprobe) vs lost to PQ quantization (raise code
+    // width) are different fixes. Both rankings deterministic
+    // integers with (dist, id) tie-breaks, so the audit itself is
+    // hash-checkable.
+    "q302_ivfpq_recall" -> ((s, dir) => {
+      val (q, cents1, cb1, codes, cellOf) = ivfPqTrained(s, dir)
+      val probes = q
+        .filter(col("vec_id") % 100 === 7 && col("vec_id") < 1600)
+        .select(col("vec_id").as("q_id"), col("q").as("pq"))
+      val wq = Window.partitionBy("q_id").orderBy("d", "vec_id")
+      val exact = q.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          qdist2(col("q"), col("pq")).as("d"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10)
+        .select("q_id", "vec_id")
+      val wc = Window.partitionBy("q_id").orderBy("cd", "cid")
+      val pcell = cents1.crossJoin(broadcast(probes))
+        .select(col("q_id"), col("cid"),
+          zip_with(col("pq"), col("cent"), (a, b) => a - b).as("qr"),
+          qdist2(col("pq"), col("cent")).as("cd"))
+        .withColumn("rn", row_number().over(wc))
+        .filter(col("rn") <= 2)
+        .select("q_id", "cid", "qr")
+      val qrExpl = pcell
+        .select(col("q_id"), col("cid"),
+          posexplode(col("qr")).as(Seq("pos", "v")))
+        .select(col("q_id"), col("cid"),
+          ldiv(col("pos"), lit(8L)).as("sub"),
+          (col("pos") % 8L).as("j"), col("v").as("qv"))
+      val lut = qrExpl.join(cb1, Seq("sub", "j"))
+        .groupBy("q_id", "cid", "sub", "code")
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+          .as("lut")) // probes * nprobe * 32 rows
+      val adc = cellOf.join(codes, "vec_id")
+        .join(broadcast(lut), Seq("cid", "sub", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id").agg(sum(col("lut")).as("d"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10)
+        .select(col("q_id").as("aq_id"), col("vec_id").as("a_vid"))
+      val cells = pcell.select("q_id", "cid")
+        .join(cellOf.withColumnRenamed("vec_id", "c_vid"), "cid")
+        .select(col("q_id").as("cq_id"), col("c_vid")).distinct()
+      exact
+        .join(adc, col("q_id") === col("aq_id") &&
+          col("vec_id") === col("a_vid"), "left")
+        .join(cells, col("q_id") === col("cq_id") &&
+          col("vec_id") === col("c_vid"), "left")
+        .groupBy("q_id")
+        .agg(sum(when(col("a_vid").isNotNull, 1L).otherwise(0L))
+            .as("hits_at_10"),
+          sum(when(col("c_vid").isNotNull, 1L).otherwise(0L))
+            .as("exact_in_probed"))
+        .orderBy("q_id")
     }),
 
     // Binary-embedding Hamming search — the OTHER standard embedding
@@ -661,6 +675,77 @@ object SimQ {
     * update. Returns (base, codebook, assignment-with-dist); base and
     * the 256-row codebook are each localCheckpointed ONCE because both
     * have two consumers downstream (checkpoint-two-consumers rule). */
+  /** Integer-exact squared L2 via dot identities (three codegen
+    * LongDotExpr loops, no interpreted zip_with fold). */
+  private def qdist2(a: Column, b: Column): Column = {
+    import graft.functions.LongDotExpr.longDot
+    longDot(a, a) - lit(2L) * longDot(a, b) + longDot(b, b)
+  }
+
+  /** IVFADC training shared by q301/q302 (the q301 registration note
+    * has the full story): quantized vectors, 4-cell coarse quantizer
+    * (seeds vec_id<4, one Lloyd update), residuals vs the final
+    * assignment, 8x4 product quantizer trained ON the residuals.
+    * Returns (q, cents1, cb1, codes, cellOf); q/cents1/residual
+    * relations are localCheckpointed where they have two consumers. */
+  private def ivfPqTrained(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.Tables.ldiv
+    val q = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * 1000).cast("long")).as("q"))
+      .localCheckpoint() // consumers: coarse rounds + query probe
+    val c0 = q.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("q").as("cent"))
+    def coarseAssign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+      q.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("cid"), col("cent"),
+          qdist2(col("q"), col("cent")).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "dist")
+    }
+    def coarseUpdate(a: DataFrame): DataFrame = a
+      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        col("cv")))), x => x.getField("cv")).as("cent"))
+    val cents1 = coarseUpdate(coarseAssign(c0))
+      .localCheckpoint() // consumers: final assign + query probe
+    // final assignment carries the centroid so the residual is one
+    // zip_with away - no second join back to the centroid table
+    val withRes = coarseAssign(cents1)
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("q"), col("cent"), (a, b) => a - b).as("r"))
+      .localCheckpoint() // consumers: PQ train/encode + cell lookup
+    val rb = withRes
+      .select(col("vec_id"), posexplode(col("r")).as(Seq("pos", "v")))
+      .select(col("vec_id"), ldiv(col("pos"), lit(8L)).as("sub"),
+        (col("pos") % 8L).as("j"), col("v"))
+      .localCheckpoint() // consumers: two PQ assigns + update
+    val pc0 = rb.filter(col("vec_id") < 4)
+      .select(col("sub"), col("vec_id").as("code"), col("j"),
+        col("v").as("cv"))
+    def pqAssign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "sub").orderBy("dist", "code")
+      rb.join(broadcast(cb), Seq("sub", "j"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
+          .as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    def pqUpdate(a: DataFrame): DataFrame =
+      rb.join(a.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
+        .groupBy("sub", "code", "j")
+        .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
+    val cb1 = pqUpdate(pqAssign(pc0)).localCheckpoint()
+    val codes = pqAssign(cb1).select("vec_id", "sub", "code")
+    (q, cents1, cb1, codes, withRes.select("vec_id", "cid"))
+  }
+
   private def pqTrained(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val k = 4
@@ -1230,6 +1315,105 @@ object SimQ {
         |  AND l.code = p2.code
         |GROUP BY p2.vec_id, a2.cid
         |ORDER BY adc_dist, p2.vec_id LIMIT 10""".stripMargin,
+
+    // the q301 replay with a probe SET (vec_id % 100 = 7): exact
+    // top-10 vs per-probe IVFADC top-10, hits + pruning decomposition
+    "q302_ivfpq_recall" ->
+      """WITH b AS (
+        | SELECT vec_id, list_transform(embedding,
+        |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, q AS cent FROM b WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c0 c)) WHERE rn = 1),
+        |c1 AS (SELECT cid, list(cv ORDER BY pos) AS cent FROM (
+        |  SELECT cid, i AS pos,
+        |   CAST(sum(q[i]) // count(*) AS BIGINT) AS cv
+        |  FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) AS rn FROM (
+        |   SELECT b.vec_id, b.q, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - c.cent[i]) * (b.q[i] - c.cent[i]))) AS dist
+        |   FROM b, c1 c)) WHERE rn = 1),
+        |rb AS (
+        | SELECT a2.vec_id, a2.cid, (i - 1) // 8 AS sub, (i - 1) % 8 AS j,
+        |  a2.q[i] - c1.cent[i] AS v
+        | FROM a2 JOIN c1 ON c1.cid = a2.cid, range(1, 65) t(i)),
+        |pc0 AS (SELECT sub, vec_id AS code, j, v AS cv
+        |  FROM rb WHERE vec_id < 4),
+        |p1 AS (SELECT vec_id, sub, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) AS rn FROM (
+        |   SELECT rb.vec_id, rb.sub, c.code,
+        |    sum((rb.v - c.cv) * (rb.v - c.cv)) AS dist
+        |   FROM rb JOIN pc0 c ON c.sub = rb.sub AND c.j = rb.j
+        |   GROUP BY rb.vec_id, rb.sub, c.code)) WHERE rn = 1),
+        |pcb AS (SELECT rb.sub, p.code, rb.j,
+        |  CAST(sum(rb.v) // count(*) AS BIGINT) AS cv
+        | FROM rb JOIN p1 p ON p.vec_id = rb.vec_id AND p.sub = rb.sub
+        | GROUP BY rb.sub, p.code, rb.j),
+        |p2 AS (SELECT vec_id, sub, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) AS rn FROM (
+        |   SELECT rb.vec_id, rb.sub, c.code,
+        |    sum((rb.v - c.cv) * (rb.v - c.cv)) AS dist
+        |   FROM rb JOIN pcb c ON c.sub = rb.sub AND c.j = rb.j
+        |   GROUP BY rb.vec_id, rb.sub, c.code)) WHERE rn = 1),
+        |pr AS (SELECT vec_id AS q_id, q AS pq FROM b
+        |  WHERE vec_id % 100 = 7 AND vec_id < 1600),
+        |ex AS (SELECT q_id, vec_id FROM (
+        |  SELECT pr.q_id, b.vec_id, row_number() OVER (
+        |    PARTITION BY pr.q_id ORDER BY
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (b.q[i] - pr.pq[i]) * (b.q[i] - pr.pq[i]))),
+        |    b.vec_id) AS rn
+        |  FROM b, pr WHERE b.vec_id <> pr.q_id) WHERE rn <= 10),
+        |pcell AS (SELECT q_id, cid, cent FROM (
+        |  SELECT pr.q_id, c1.cid, c1.cent, row_number() OVER (
+        |    PARTITION BY pr.q_id ORDER BY
+        |    list_sum(list_transform(range(1, 65),
+        |     i -> (pr.pq[i] - c1.cent[i]) * (pr.pq[i] - c1.cent[i]))),
+        |    c1.cid) AS rn
+        |  FROM c1, pr) WHERE rn <= 2),
+        |qr AS (
+        | SELECT pcell.q_id, pcell.cid, (i - 1) // 8 AS sub,
+        |  (i - 1) % 8 AS j, pr.pq[i] - pcell.cent[i] AS qv
+        | FROM pcell JOIN pr ON pr.q_id = pcell.q_id, range(1, 65) t(i)),
+        |lut AS (
+        | SELECT qr.q_id, qr.cid, pcb.sub, pcb.code,
+        |  sum((qr.qv - pcb.cv) * (qr.qv - pcb.cv)) AS lut
+        | FROM qr JOIN pcb ON pcb.sub = qr.sub AND pcb.j = qr.j
+        | GROUP BY qr.q_id, qr.cid, pcb.sub, pcb.code),
+        |adcd AS (
+        | SELECT l.q_id, p2.vec_id, sum(l.lut) AS d
+        | FROM p2 JOIN a2 ON a2.vec_id = p2.vec_id
+        | JOIN lut l ON l.cid = a2.cid AND l.sub = p2.sub
+        |   AND l.code = p2.code
+        | WHERE p2.vec_id <> l.q_id
+        | GROUP BY l.q_id, p2.vec_id),
+        |adc AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY d, vec_id) AS rn FROM adcd) WHERE rn <= 10),
+        |cells AS (
+        | SELECT DISTINCT pcell.q_id, a2.vec_id
+        | FROM pcell JOIN a2 ON a2.cid = pcell.cid)
+        |SELECT ex.q_id,
+        | CAST(sum(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS hits_at_10,
+        | CAST(sum(CASE WHEN cells.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS exact_in_probed
+        |FROM ex
+        |LEFT JOIN adc ON adc.q_id = ex.q_id AND adc.vec_id = ex.vec_id
+        |LEFT JOIN cells ON cells.q_id = ex.q_id
+        |  AND cells.vec_id = ex.vec_id
+        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin,
 
     // sign bits packed into two 32-bit words (no 2^63 overflow);
     // xor + bit_count are exact integer builtins on both engines
