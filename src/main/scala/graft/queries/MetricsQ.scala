@@ -985,7 +985,10 @@ object MetricsQ {
       val base = t(s, dir, "embeddings")
         .select(col("vec_id"), quant.as("q"),
           word(0, 31).as("lo"), word(32, 63).as("hi"))
-      val probes = base.filter(pmod(col("vec_id"), lit(100)) === 7)
+      // bounded eval sample (the q302 lesson): fixed probe COUNT, not
+      // a fixed fraction, or the exact-ranking side is n²/100
+      val probes = base.filter(pmod(col("vec_id"), lit(100)) === 7 &&
+        col("vec_id") < 1600)
         .select(col("vec_id").as("q_id"), col("q").as("qq"),
           col("lo").as("qlo"), col("hi").as("qhi"))
       val w = Window.partitionBy("q_id").orderBy("score", "vec_id")
@@ -2007,7 +2010,7 @@ object MetricsQ {
         | FROM embeddings),
         |p AS (
         | SELECT vec_id AS q_id, q AS qq, lo AS qlo, hi AS qhi
-        | FROM b WHERE vec_id % 100 = 7),
+        | FROM b WHERE vec_id % 100 = 7 AND vec_id < 1600),
         |ex AS (
         | SELECT q_id, vec_id FROM (
         |  SELECT p.q_id, b.vec_id, row_number() OVER (PARTITION BY p.q_id

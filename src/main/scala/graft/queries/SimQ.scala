@@ -165,8 +165,11 @@ object SimQ {
     // vec_id tie-break) → exact oracle.
     "q210_hard_negatives" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // bounded eval sample (the q302 lesson, applied retroactively):
+      // a fixed COUNT of probes, not a fixed fraction — n/100 probes
+      // against an n-row corpus is n²/100 by construction
       val probes = broadcast(
-        e.filter(col("vec_id") % 100 === 0)
+        e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 1600)
           .select(col("vec_id").as("q_id"), col("label").as("q_label"),
             col("embedding").as("qv")))
       val scored = e.join(probes, col("label") =!= col("q_label"))
@@ -867,7 +870,7 @@ object SimQ {
     "q210_hard_negatives" ->
       """WITH p AS (
         | SELECT vec_id AS q_id, label AS q_label, embedding AS qv
-        | FROM embeddings WHERE vec_id % 100 = 0),
+        | FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 1600),
         |s AS (
         | SELECT p.q_id, e.vec_id AS neg_id,
         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
