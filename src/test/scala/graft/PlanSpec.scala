@@ -484,6 +484,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("IVF-PQ search: ADC scan joins the LUT by broadcast only") {
+    // same contract as q216, composed edition: the final scan over
+    // the codes relation must meet the probed-cell LUT by broadcast —
+    // a sort-merge join would shuffle the whole codes table per query
+    val p = planOf("q301_ivfpq_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("IVF-PQ recall: both rankings window per probe, never globally") {
+    // the exact and ADC rankings partition by q_id — a single-
+    // partition window over the scored corpus would serialize the
+    // audit at scale (the suite-wide guard also covers this; the
+    // named test keeps the intent readable)
+    val p = planOf("q302_ivfpq_recall")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      p.take(3000))
+  }
+
+  test("census families plan as one scan, no exchange before the sort") {
+    // per-row executor work fused into the scan: the only exchange a
+    // census query may carry is the final orderBy's range partitioning
+    for (q <- Seq("q294_aac_scan", "q295_h264_scan", "q298_mp4_boxes",
+        "q299_warc_census", "q300_robots_admission")) {
+      val p = planOf(q)
+      val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+        p.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= 2, s"$q has $exchanges exchanges:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"$q joins:\n${p.take(2000)}")
+    }
+  }
+
   test("record linkage joins candidates on BOTH blocking keys") {
     // the prefix key must reach the join (equi-key, not a post-join
     // filter): nationkey alone leaves n²/25 levenshtein pairs — the
