@@ -65,7 +65,7 @@ object ScaleProbe {
     "q291_semantic_dedup_auto", "q292_dbscan_auto",
     "q293_binary_quarantine", "q294_aac_scan", "q295_h264_scan",
     "q296_avi_h264_census", "q297_media_quarantine", "q298_mp4_boxes",
-    "q299_warc_census", "q300_robots_admission", "q301_ivfpq_search", "q302_ivfpq_recall")
+    "q299_warc_census", "q300_robots_admission", "q301_ivfpq_search", "q302_ivfpq_recall", "q303_pdf_incremental")
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)

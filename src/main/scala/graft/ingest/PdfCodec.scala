@@ -92,7 +92,25 @@ object PdfCodec {
   /** Extract text lines from a PDF binary: every content stream is
     * scanned in document order; each `Tj`/`TJ` show operation emits the
     * string literals buffered since the previous one as one line. */
-  def decode(bytes: Array[Byte]): Seq[String] = {
+  def decode(bytes: Array[Byte]): Seq[String] = decodeImpl(bytes, None)
+
+  /** decode() honoring the cross-reference chain: only streams whose
+    * owning object is LIVE — recorded at that exact offset by the
+    * newest xref section that mentions its object number — are
+    * extracted. This is the conforming-reader view of an
+    * INCREMENTALLY UPDATED document (every Acrobat edit/signature
+    * appends new object versions plus a new xref with /Prev, PDF
+    * 32000-1 §7.5.6): the superseded content physically remains in
+    * the file, and the scan-all decode() would emit the stale text
+    * next to the current text. Classic xref tables only; an /XRef
+    * cross-reference STREAM at the chain head refuses loudly (that
+    * layout is handled by decode()'s ObjStm walk, where liveness is
+    * a different mechanism). */
+  def decodeLatest(bytes: Array[Byte]): Seq[String] =
+    decodeImpl(bytes, Some(liveObjects(bytes)))
+
+  private def decodeImpl(bytes: Array[Byte],
+      live: Option[Map[Int, Long]]): Seq[String] = {
     require(bytes.length >= 5 &&
       new String(bytes, 0, 5, "ISO-8859-1") == "%PDF-",
       "not a PDF: missing %PDF- header")
@@ -159,7 +177,13 @@ object PdfCodec {
       // and running the text scanner over them would emit garbage),
       // instead of refusing the document; the loud unknown-filter
       // throw inside decodeFiltered stays for content streams
-      if (SubtypeImage.findFirstIn(dict).isEmpty &&
+      // liveness (decodeLatest): skip streams whose owning object is
+      // not the version the xref chain points at
+      val isLive = live.forall { m =>
+        val (onum, _, ostart) = owningObjFull(raw, i)
+        m.get(onum).contains(ostart.toLong)
+      }
+      if (isLive && SubtypeImage.findFirstIn(dict).isEmpty &&
           TypeContainer.findFirstIn(dict).isEmpty) {
         val raw0 = raw.substring(s, e).getBytes("ISO-8859-1")
         // encrypted documents: the stream's bytes are ciphertext under
@@ -190,6 +214,14 @@ object PdfCodec {
     * encrypted documents, where the per-object key derives from this
     * pair. */
   private def owningObj(raw: String, until: Int): (Int, Int) = {
+    val (num, gen, _) = owningObjFull(raw, until)
+    (num, gen)
+  }
+
+  /** (objnum, gen, header start offset) of the `num gen obj` header
+    * owning position `until` — the offset is what liveness matching
+    * compares against the xref chain's recorded offset. */
+  private def owningObjFull(raw: String, until: Int): (Int, Int, Int) = {
     def skipWs(p: Int): Int = {
       var q = p
       while (q >= 0 && raw.charAt(q).isWhitespace) q -= 1
@@ -207,7 +239,7 @@ object PdfCodec {
         readInt(skipWs(k - 1)) match {
           case Some((gen, j)) =>
             readInt(skipWs(j)) match {
-              case Some((num, _)) => return (num, gen)
+              case Some((num, j2)) => return (num, gen, j2 + 1)
               case None => ()
             }
           case None => ()
@@ -217,6 +249,123 @@ object PdfCodec {
     }
     throw new IllegalArgumentException(
       "encrypted stream outside any `num gen obj` object")
+  }
+
+  /** The live-object map from the classic cross-reference chain
+    * (PDF 32000-1 §7.5.4): follow startxref to the newest table, then
+    * /Prev links back in time; the NEWEST section mentioning an
+    * object number wins (free entries retire the number). Returns
+    * objnum → byte offset of its live version. Loud on a missing or
+    * cyclic chain, a malformed entry, or a cross-reference STREAM at
+    * a chain position (outside this classic-table perimeter). */
+  def liveObjects(bytes: Array[Byte]): Map[Int, Long] = {
+    val raw = new String(bytes, "ISO-8859-1")
+    val sxAt = raw.lastIndexOf("startxref")
+    require(sxAt >= 0, "PDF without startxref")
+    val OffRe = """\s*(\d+)""".r
+    val first = OffRe.findPrefixMatchOf(
+        raw.substring(sxAt + "startxref".length)).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        "startxref without an offset"))
+    val Entry = """(\d{10}) (\d{5}) ([nf])""".r
+    val Section = """(\d+)\s+(\d+)""".r
+    val live = scala.collection.mutable.Map.empty[Int, Long]
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val visited = scala.collection.mutable.Set.empty[Long]
+    var at = Option(first)
+    while (at.isDefined) {
+      val off = at.get
+      require(visited.add(off), s"cyclic /Prev xref chain at $off")
+      require(off >= 0 && off < raw.length, s"xref offset $off past EOF")
+      var p = off.toInt
+      while (p < raw.length && raw.charAt(p).isWhitespace) p += 1
+      require(raw.regionMatches(p, "xref", 0, 4),
+        "chain head is not a classic xref table — cross-reference " +
+          "STREAMS (/XRef) are outside the liveness perimeter")
+      p += 4
+      var done = false
+      while (!done) {
+        while (p < raw.length && raw.charAt(p).isWhitespace) p += 1
+        if (raw.regionMatches(p, "trailer", 0, 7)) done = true
+        else {
+          val m = Section.findPrefixMatchOf(raw.substring(p))
+            .getOrElse(throw new IllegalArgumentException(
+              s"malformed xref subsection header at offset $p"))
+          val start = m.group(1).toInt
+          val count = m.group(2).toInt
+          p += m.end
+          while (p < raw.length && raw.charAt(p).isWhitespace) p += 1
+          var k = 0
+          while (k < count) {
+            val em = Entry.findPrefixMatchOf(raw.substring(p))
+              .getOrElse(throw new IllegalArgumentException(
+                s"malformed xref entry at offset $p"))
+            val objnum = start + k
+            // first (= newest) section mentioning a number wins
+            if (seen.add(objnum) && em.group(3) == "n")
+              live(objnum) = em.group(1).toLong
+            p += 20 // entries are exactly 20 bytes (§7.5.4)
+            k += 1
+          }
+        }
+      }
+      val dictEnd = raw.indexOf(">>", p)
+      require(dictEnd > p, "unterminated trailer dictionary")
+      val trailer = raw.substring(p, dictEnd)
+      at = """/Prev\s+(\d+)""".r.findFirstMatchIn(trailer)
+        .map(_.group(1).toLong)
+    }
+    live.toMap
+  }
+
+  /** Fixture: a REAL incremental update (§7.5.6) — append a new
+    * version of the content stream object, a new xref section
+    * covering it, and a trailer with /Prev pointing at the previous
+    * table; the superseded stream stays in the file exactly as every
+    * Acrobat save-in-place leaves it. `base` must be a classic-xref
+    * document whose content stream is object `objNum` (the build()
+    * layout). */
+  def appendIncrementalUpdate(base: Array[Byte], lines: Seq[String],
+      objNum: Int = 4): Array[Byte] = {
+    val raw = new String(base, "ISO-8859-1")
+    val sxAt = raw.lastIndexOf("startxref")
+    require(sxAt >= 0, "base PDF without startxref")
+    val prevXref = """\s*(\d+)""".r.findPrefixMatchOf(
+        raw.substring(sxAt + "startxref".length)).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        "base startxref without an offset"))
+    val size = """/Size\s+(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toInt).getOrElse(objNum + 1)
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val content = ("BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
+      .getBytes("ISO-8859-1")
+    val d = new Deflater()
+    d.setInput(content); d.finish()
+    val cOut = new ByteArrayOutputStream(content.length)
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    val data = cOut.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(base)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val objAt = out.size()
+    w(s"$objNum 0 obj << /Length ${data.length} /Filter /FlateDecode " +
+      ">> stream\n")
+    out.write(data)
+    w("\nendstream endobj\n")
+    val xrefAt = out.size()
+    w(s"xref\n0 1\n0000000000 65535 f \n$objNum 1\n" +
+      f"$objAt%010d 00000 n \n")
+    w(s"trailer << /Size $size /Root 1 0 R /Prev $prevXref >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
   }
 
   final case class PdfImage(width: Int, height: Int, gray: Array[Byte])

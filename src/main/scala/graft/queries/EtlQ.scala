@@ -468,6 +468,40 @@ object EtlQ {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTALLY UPDATED PDFs (PDF 32000-1 §7.5.6) — what every
+    // Acrobat save-in-place/signature produces: the new object
+    // versions APPEND, the superseded ones physically remain, and
+    // only the xref chain (/Prev links) says which is live. Each doc
+    // becomes a base PDF plus a real incremental update replacing its
+    // content stream; the row reports the scan-all view (decode: both
+    // streams, 5 lines — what a naive extractor emits, stale text
+    // included) AGAINST the conforming-reader view (decodeLatest:
+    // xref-chain liveness, 3 lines), with the live text under the
+    // driver hash. A liveness slip in either direction breaks the
+    // 5-vs-3 split or the md5.
+    "q303_pdf_incremental" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.ingest.PdfCodec
+          val base = PdfCodec.encode(Seq(s"Name: Event $id", text))
+          val updated = PdfCodec.appendIncrementalUpdate(base,
+            Seq(s"Name: Updated $id", text, "Status: amended"))
+          val all = PdfCodec.decode(updated)
+          val liveL = PdfCodec.decodeLatest(updated)
+          require(all.size == 5 && liveL.size == 3,
+            s"doc $id liveness drift: ${all.size} all / ${liveL.size} live")
+          (id, all.size.toLong, liveL.size.toLong, liveL.mkString("\n"))
+        }
+        .toDF("doc_id", "n_lines_all", "n_lines_live", "live_text")
+        .select(col("doc_id"), col("n_lines_all"), col("n_lines_live"),
+          md5(col("live_text").cast("binary")).as("live_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Hourly rollup per event type — batch twin of the Structured Streaming
     // windowed aggregation (graft.streaming); decimal sum for exactness.
     "q24_hourly_rollup" -> ((s, dir) => {
@@ -585,6 +619,17 @@ object EtlQ {
         |      WHEN doc_id % 4 = 3 THEN md5(text || ', "q"')
         |      ELSE md5(text) END AS desc_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the base contributes 2 lines, the update 3; only the update's
+    // text is live under the xref chain
+    "q303_pdf_incremental" ->
+      """SELECT doc_id,
+        | CAST(5 AS BIGINT) AS n_lines_all,
+        | CAST(3 AS BIGINT) AS n_lines_live,
+        | md5('Name: Updated ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |   text || chr(10) || 'Status: amended') AS live_md5
+        |FROM documents WHERE length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // quarantine truth from id arithmetic: exactly the doc_id % 7 == 3
     // rows are unreadable; everything else parses one record

@@ -929,6 +929,45 @@ class DocTextSpec extends SparkSpec {
     }
   }
 
+  test("pdf incremental update: xref-chain liveness vs scan-all") {
+    import graft.ingest.PdfCodec
+    val base = PdfCodec.encode(Seq("Name: Original", "Venue: Old Hall"))
+    val v2 = PdfCodec.appendIncrementalUpdate(base,
+      Seq("Name: Revised", "Venue: New Hall"))
+    // scan-all sees BOTH versions (the stale text is physically there)
+    assert(PdfCodec.decode(v2) ==
+      Seq("Name: Original", "Venue: Old Hall",
+        "Name: Revised", "Venue: New Hall"))
+    // the conforming-reader view sees only the live version
+    assert(PdfCodec.decodeLatest(v2) ==
+      Seq("Name: Revised", "Venue: New Hall"))
+    // a second update supersedes the first: the /Prev chain is walked
+    // newest-first and the newest mention of the object number wins
+    val v3 = PdfCodec.appendIncrementalUpdate(v2, Seq("Name: Final"))
+    assert(PdfCodec.decodeLatest(v3) == Seq("Name: Final"))
+    assert(PdfCodec.decode(v3).size == 5)
+    // an un-updated document is its own live version
+    assert(PdfCodec.decodeLatest(base) == PdfCodec.decode(base))
+    // liveness map: object 4 points at the newest append
+    val m3 = PdfCodec.liveObjects(v3)
+    val m2 = PdfCodec.liveObjects(v2)
+    assert(m3(4) > m2(4) && m2(4) > PdfCodec.liveObjects(base)(4))
+    // loud perimeter: a cyclic /Prev chain refuses
+    val raw3 = new String(v3, "ISO-8859-1")
+    val prevAt = raw3.lastIndexOf("/Prev ")
+    val prevEnd = raw3.indexOf(" ", prevAt + 6)
+    val selfOff = raw3.substring(raw3.lastIndexOf("startxref") + 9)
+      .trim.takeWhile(_.isDigit)
+    val cyc = raw3.substring(0, prevAt + 6) +
+      selfOff.reverse.padTo(prevEnd - prevAt - 6, '0').reverse +
+      raw3.substring(prevEnd)
+    // (same-width splice keeps offsets valid; /Prev now points at the
+    // newest table itself)
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.liveObjects(cyc.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("cyclic"), e.getMessage)
+  }
+
   test("parseDocxFrame: executor-side decode over a binary column") {
     import spark.implicits._
     import graft.ingest.{DocParse, DocxCodec}
