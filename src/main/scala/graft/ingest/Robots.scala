@@ -14,7 +14,12 @@ package graft.ingest
   *   - comments (#), blank lines, unknown fields, and case-insensitive
   *     field names tolerated as the spec requires.
   * Pure per-row string work — no regex compilation in the hot path
-  * (the wildcard matcher is a two-pointer backtracking loop). */
+  * (the wildcard matcher is the standard greedy single-star-backtrack
+  * loop, O(|pattern|·|path|) worst case — robots.txt is UNTRUSTED
+  * external input, so a matcher that can go exponential on a hostile
+  * many-wildcard pattern — a slash followed by a dozen star-a pairs
+  * and an anchor — is a denial-of-service door, not a parser;
+  * r13 ADVICE). */
 object Robots {
 
   final case class Rule(allow: Boolean, pattern: String)
@@ -59,22 +64,36 @@ object Robots {
   }
 
   /** `pattern` against `path`: literal octets, `*` matches any run,
-    * trailing `$` anchors the end. */
+    * trailing `$` anchors the end; an unanchored pattern matches any
+    * PREFIX of the path (the RFC 9309 rule shape). Greedy wildcard
+    * match with a single backtrack point: only the MOST RECENT `*` is
+    * ever reopened (one octet wider per retry), which is the classic
+    * O(n·m) algorithm — reopening earlier stars can never admit a
+    * match the last star misses, because the last star already spans
+    * any split an earlier one would make. */
   def matches(pattern: String, path: String): Boolean = {
     val anchored = pattern.nonEmpty && pattern.last == '$'
     val pat = if (anchored) pattern.dropRight(1) else pattern
-    def m(pi: Int, si: Int): Boolean =
-      if (pi == pat.length) !anchored || si == path.length
-      else if (pat.charAt(pi) == '*') {
-        var k = si
-        var ok = false
-        while (!ok && k <= path.length) {
-          ok = m(pi + 1, k); k += 1
-        }
-        ok
-      } else si < path.length && path.charAt(si) == pat.charAt(pi) &&
-        m(pi + 1, si + 1)
-    m(0, 0)
+    var pi = 0; var si = 0
+    var star = -1 // pattern index of the last '*' seen, -1 = none
+    var mark = 0 // path index the last star currently matches up to
+    while (true) {
+      if (pi == pat.length) {
+        // pattern consumed: a prefix match unless the $ anchor demands
+        // the full path — then the leftover path can only be absorbed
+        // by widening the last star
+        if (!anchored || si == path.length) return true
+        if (star < 0 || mark >= path.length) return false
+        mark += 1; si = mark; pi = star + 1
+      } else if (pat.charAt(pi) == '*') {
+        star = pi; mark = si; pi += 1
+      } else if (si < path.length && path.charAt(si) == pat.charAt(pi)) {
+        pi += 1; si += 1
+      } else if (star >= 0 && mark < path.length) {
+        mark += 1; si = mark; pi = star + 1
+      } else return false
+    }
+    false // unreachable
   }
 
   /** Admission for (agent, path) under the parsed groups. */

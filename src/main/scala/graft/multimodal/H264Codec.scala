@@ -60,41 +60,55 @@ object H264Codec {
   }
 
   /** Walk the start codes; each NAL spans to the next start code (or
-    * EOF). nalBytes counts the header byte plus payload, never the
-    * start code itself. */
+    * EOF). nalBytes counts the header byte plus payload — never the
+    * start code, and never zero padding: ALL consecutive zeros
+    * preceding a `00 00 01` (one is the 4-byte start-code form, any
+    * more are `trailing_zero_8bits`, legal in Annex B §B.1.2) and any
+    * zero run at EOF count as framing, not NAL bytes. A NAL's own
+    * last byte can never be 0x00 — `rbsp_trailing_bits` ends with the
+    * stop bit and `cabac_zero_words` are emulation-escaped — so the
+    * trim can't eat payload (r13 ADVICE: padding zeros silently
+    * inflated the census). */
   def scan(bytes: Array[Byte]): Seq[Nal] = {
-    // next start code at or after i, or length; returns (pos, len)
-    // where len is 3 or 4 (a 4-byte code is a zero + a 3-byte code)
-    def nextStart(i: Int): (Int, Int) = {
+    // next start code at or after i: (nalEnd, nextNalPos, found) where
+    // nalEnd backs over the zero run preceding the code (or EOF) and
+    // nextNalPos is the first header byte after the code
+    def nextStart(i: Int): (Int, Int, Boolean) = {
       var p = i
       while (p + 2 < bytes.length) {
         if (bytes(p) == 0 && bytes(p + 1) == 0 && bytes(p + 2) == 1) {
-          val four = p > i && bytes(p - 1) == 0
-          return if (four) (p - 1, 4) else (p, 3)
+          var q = p
+          while (q > i && bytes(q - 1) == 0) q -= 1
+          return (q, p + 3, true)
         }
         p += 1
       }
-      (bytes.length, 0)
+      var q = bytes.length
+      while (q > i && bytes(q - 1) == 0) q -= 1
+      (q, bytes.length, false)
     }
-    val (first, firstLen) = nextStart(0)
-    require(first == 0 && firstLen > 0,
+    val (first, firstEnd, firstFound) = nextStart(0)
+    require(firstFound && first == 0,
       "not an Annex B stream: no leading start code")
     val nals = Seq.newBuilder[Nal]
-    var pos = first + firstLen
-    while (pos < bytes.length) {
-      require(pos < bytes.length, s"empty NAL at offset $pos")
+    var pos = firstEnd
+    var more = pos < bytes.length
+    require(more, s"trailing start code with no NAL at offset $first")
+    while (more) {
       val h = bytes(pos) & 0xff
       require((h & 0x80) == 0,
         s"forbidden_zero_bit set at offset $pos")
       val refIdc = (h >> 5) & 3
       val t = h & 0x1f
       require(t >= 1, s"reserved NAL type 0 at offset $pos")
-      val (nxt, nxtLen) = nextStart(pos + 1)
-      require(nxt > pos, s"empty NAL at offset $pos")
-      nals += Nal(pos, refIdc, t, nxt - pos)
-      pos = nxt + nxtLen
-      require(nxtLen == 0 || pos < bytes.length,
-        s"trailing start code with no NAL at offset $nxt")
+      val (nalEnd, nxtPos, found) = nextStart(pos + 1)
+      require(nalEnd > pos, s"empty NAL at offset $pos")
+      nals += Nal(pos, refIdc, t, nalEnd - pos)
+      if (found) {
+        require(nxtPos < bytes.length,
+          s"trailing start code with no NAL at offset $nalEnd")
+        pos = nxtPos
+      } else more = false
     }
     nals.result()
   }

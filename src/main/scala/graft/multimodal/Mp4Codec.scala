@@ -24,14 +24,34 @@ object Mp4Codec {
 
   /** Synthesize a minimal valid single-track MP4: ftyp + moov
     * { mvhd, trak { tkhd, mdia { mdhd, hdlr, minf { vmhd|smhd,
-    * stbl { stsd(one sample entry), stts, stsz, stco } } } } } +
-    * mdat. One sample per entry of `sampleSizes`, fixed `delta`
+    * stbl { stsd(one sample entry), stts, stsz, stsc, stco } } } } }
+    * + mdat. One sample per entry of `sampleSizes`, fixed `delta`
     * ticks each at timescale 1000; `video` picks vide/avc1 vs
     * soun/mp4a. Deterministic byte-for-byte. */
   def synth(sampleSizes: Seq[Int], delta: Int,
-      video: Boolean): Array[Byte] = {
-    require(sampleSizes.forall(_ >= 1), "sample sizes must be >= 1")
+      video: Boolean): Array[Byte] =
+    synthSamples(sampleSizes.map { sz =>
+      require(sz >= 1, "sample sizes must be >= 1")
+      Array.tabulate[Byte](sz)(i => ((i * 73 + sz) % 251).toByte)
+    }, delta, video, Seq(sampleSizes.length))
+
+  /** synth with REAL per-sample payloads and a REAL chunk layout:
+    * `chunking` is samples-per-chunk, in order, summing to the sample
+    * count — each chunk gets its own stco offset and the stsc box
+    * carries the run-length-compressed (first_chunk,
+    * samples_per_chunk) map (ISO 14496-12 §8.7.4), so a consumer
+    * that mis-expands stsc reads the wrong bytes. This is the fixture
+    * for SAMPLE ROUTING (r13 verdict #3): mdat bytes are whatever the
+    * caller passes — AVCC length-prefixed NALs for avc1, ADTS frames
+    * for the dirty-but-common ADTS-in-MP4 shape. */
+  def synthSamples(samples: Seq[Array[Byte]], delta: Int,
+      video: Boolean, chunking: Seq[Int]): Array[Byte] = {
+    require(samples.forall(_.length >= 1), "samples must be non-empty")
     require(delta >= 1, s"bad sample delta $delta")
+    require(chunking.forall(_ >= 1) && chunking.sum == samples.length,
+      s"chunking ${chunking.mkString(",")} does not cover " +
+        s"${samples.length} samples")
+    val sampleSizes = samples.map(_.length)
     val n = sampleSizes.length
     val duration = n.toLong * delta
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
@@ -114,19 +134,36 @@ object Mp4Codec {
     })
     val mdatPayload = {
       val out = new ByteArrayOutputStream()
-      sampleSizes.foreach { sz =>
-        var i = 0
-        while (i < sz) { out.write((i * 73 + sz) % 251); i += 1 }
-      }
+      samples.foreach(out.write)
       out.toByteArray
     }
+    // run-length-compressed stsc (§8.7.4): an entry per CHANGE of
+    // samples-per-chunk, first_chunk 1-based
+    val stscEntries = chunking.zipWithIndex.collect {
+      case (spc, i) if i == 0 || chunking(i - 1) != spc => (i + 1, spc)
+    }
+    val stsc = box("stsc", bb(8 + 12 * stscEntries.length) { b =>
+      b.putInt(0); b.putInt(stscEntries.length)
+      stscEntries.foreach { case (first, spc) =>
+        b.putInt(first); b.putInt(spc); b.putInt(1)
+      }
+    })
+    // per-chunk byte offsets: chunks are laid out back-to-back in
+    // mdat, so each is the running sum of the preceding chunks' sizes
+    val chunkRelOffsets = chunking.scanLeft((0, 0)) {
+      case ((sampleAt, byteAt), spc) =>
+        (sampleAt + spc,
+          byteAt + sampleSizes.slice(sampleAt, sampleAt + spc).sum)
+    }.dropRight(1).map(_._2)
     val stbl0 = (offset: Int) => box("stbl",
-      stsd ++ stts ++ stsz ++ box("stco", bb(16) { b =>
-        b.putInt(0); b.putInt(1); b.putInt(offset)
-      }))
-    // chunk offset = absolute position of the mdat payload; the file
-    // is ftyp ++ moov ++ mdat, and stbl's size does not depend on the
-    // offset VALUE, so one dry build sizes it
+      stsd ++ stts ++ stsz ++ stsc ++
+        box("stco", bb(12 + 4 * chunking.length) { b =>
+          b.putInt(0); b.putInt(chunking.length)
+          chunkRelOffsets.foreach(rel => b.putInt(offset + rel))
+        }))
+    // chunk offset base = absolute position of the mdat payload; the
+    // file is ftyp ++ moov ++ mdat, and stbl's size does not depend on
+    // the offset VALUES, so one dry build sizes it
     def assemble(stbl: Array[Byte]): (Array[Byte], Int) = {
       val minf = box("minf", mediaHdr ++ stbl)
       val mdia = box("mdia", mdhd ++ hdlr ++ minf)
@@ -179,7 +216,13 @@ object Mp4Codec {
             require(bodyAt + 4 <= bodyEnd, "ftyp too small")
             brand = typ(bodyAt)
           case "mvhd" =>
+            // loud bound BEFORE the reads, like hdlr/stsd/stsz — a
+            // truncated mvhd near EOF must refuse, not AIOOBE (r13
+            // ADVICE); version 1 widens creation/modification/duration
+            require(bodyAt + 4 <= bodyEnd, "mvhd too small")
             val v = bytes(bodyAt) & 0xff
+            require(bodyAt + (if (v == 1) 32 else 20) <= bodyEnd,
+              "mvhd too small")
             if (v == 1) {
               timescale = u32(bodyAt + 20); duration = u64(bodyAt + 24)
             } else {

@@ -1053,9 +1053,9 @@ object MediaQ {
         |  AS BIGINT) AS nal_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
 
-    // box tree is structurally constant (16 boxes); mdat = 8-byte
-    // header + one sample per char of b%64+1 bytes; duration_ms =
-    // len·delta at timescale 1000
+    // box tree is structurally constant (17 boxes — r14 adds the
+    // mandatory stsc); mdat = 8-byte header + one sample per char of
+    // b%64+1 bytes; duration_ms = len·delta at timescale 1000
     "q298_mp4_boxes" ->
       """WITH d AS (
         | SELECT doc_id, text, length(text) AS len
@@ -1063,7 +1063,7 @@ object MediaQ {
         |SELECT doc_id, 'isom' AS brand,
         | CASE WHEN doc_id % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
         | CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'mp4a' END AS codec,
-        | CAST(16 AS BIGINT) AS n_boxes,
+        | CAST(17 AS BIGINT) AS n_boxes,
         | CAST(len AS BIGINT) AS n_samples,
         | CAST(len * CASE WHEN doc_id % 2 = 0 THEN 40 ELSE 23 END
         |  AS BIGINT) AS duration_ms,

@@ -118,7 +118,8 @@ class FrameCensusSpec extends AnyFunSuite {
     import graft.multimodal.Mp4Codec
     val v = Mp4Codec.census(Mp4Codec.synth(Seq(5, 64, 1), 40, video = true))
     assert(v.brand == "isom" && v.handler == "vide" && v.codec == "avc1")
-    assert(v.nBoxes == 16 && v.nSamples == 3)
+    assert(v.nBoxes == 17 && v.nSamples == 3) // 17: stsc is mandatory
+      // (§8.7.3.2.2) and the r14 synth writes it
     assert(v.timescale == 1000 && v.duration == 120)
     assert(v.mdatBytes == 8 + 5 + 64 + 1)
     val a = Mp4Codec.census(Mp4Codec.synth(Seq(2), 23, video = false))
@@ -193,6 +194,51 @@ class FrameCensusSpec extends AnyFunSuite {
       "x\r\n\r\n").getBytes("ISO-8859-1")
     val e2 = intercept[IllegalArgumentException](WarcCodec.census(noCl))
     assert(e2.getMessage.contains("Content-Length"), e2.getMessage)
+  }
+
+  test("H264: trailing_zero_8bits padding never inflates nalBytes") {
+    // extra zeros before a start code (and a zero run at EOF) are
+    // framing, not NAL payload (Annex B §B.1.2) — the pre-r14 scan
+    // charged them to the preceding NAL's nalBytes
+    val clean = H264Codec.synth(Seq((1, 5), (5, 8)))
+    val ref = H264Codec.scan(clean)
+    // splice 3 padding zeros before the LAST slice's 3-byte start code
+    // and 4 padding zeros at EOF
+    val lastNal = ref.last
+    val lastCodeAt = lastNal.offset - 3
+    val padded = clean.take(lastCodeAt) ++ Array[Byte](0, 0, 0) ++
+      clean.drop(lastCodeAt) ++ Array[Byte](0, 0, 0, 0)
+    val out = H264Codec.scan(padded)
+    assert(out.map(n => (n.refIdc, n.nalType, n.nalBytes)) ==
+      ref.map(n => (n.refIdc, n.nalType, n.nalBytes)))
+    // the padded stream's last header sits 3 bytes later; sizes equal
+    assert(out.last.offset == lastNal.offset + 3)
+  }
+
+  test("MP4: truncated mvhd refuses loudly, never AIOOBE") {
+    import graft.multimodal.Mp4Codec
+    import java.nio.ByteBuffer
+    // a file whose LAST box is an mvhd declaring fewer bytes than the
+    // version-0 fixed fields need (r13 ADVICE: this threw a raw
+    // ArrayIndexOutOfBoundsException instead of the codec family's
+    // loud IllegalArgumentException)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length)
+      b.put(typ.getBytes("US-ASCII")); b.put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomxxxxisom".getBytes("US-ASCII"))
+    for (short <- Seq(0, 2, 10, 19)) {
+      val bad = ftyp ++ box("moov", box("mvhd", new Array[Byte](short)))
+      val e = intercept[IllegalArgumentException](Mp4Codec.census(bad))
+      assert(e.getMessage.contains("mvhd too small"), e.getMessage)
+    }
+    // and a version-1 mvhd with only version-0-sized fields refuses too
+    val v1body = new Array[Byte](20); v1body(0) = 1
+    val badV1 = ftyp ++ box("moov", box("mvhd", v1body))
+    val e = intercept[IllegalArgumentException](Mp4Codec.census(badV1))
+    assert(e.getMessage.contains("mvhd too small"), e.getMessage)
   }
 
   test("H264 perimeter: no start code / forbidden bit are loud") {

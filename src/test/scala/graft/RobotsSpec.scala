@@ -71,6 +71,59 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed(Seq.empty, "bot", "/anything"))
   }
 
+  test("greedy matcher: multi-star patterns, worked cases") {
+    assert(Robots.matches("/a*b*c", "/aXbYc"))
+    assert(Robots.matches("/a*b*c", "/abbbc")) // first b can't be greedy-stolen
+    assert(Robots.matches("/a*b*c$", "/a12b34c"))
+    assert(!Robots.matches("/a*b*c$", "/a12b34cd"))
+    assert(Robots.matches("/a*b*c", "/a12b34cd")) // unanchored prefix
+    assert(Robots.matches("*", "/anything"))
+    assert(Robots.matches("**a$", "/xa"))
+    assert(!Robots.matches("/a*a*a$", "/aa")) // needs three a's
+    assert(Robots.matches("/a*a*a$", "/aaa"))
+  }
+
+  test("greedy matcher agrees with the brute-force recursion") {
+    // the r13 rewrite (single-star-backtrack, O(n·m)) must be
+    // semantics-identical to the obviously-correct exponential form it
+    // replaced; exhaustively compare on a seeded random sample
+    def brute(pattern: String, path: String): Boolean = {
+      val anchored = pattern.nonEmpty && pattern.last == '$'
+      val pat = if (anchored) pattern.dropRight(1) else pattern
+      def m(pi: Int, si: Int): Boolean =
+        if (pi == pat.length) !anchored || si == path.length
+        else if (pat.charAt(pi) == '*')
+          (si to path.length).exists(k => m(pi + 1, k))
+        else si < path.length && path.charAt(si) == pat.charAt(pi) &&
+          m(pi + 1, si + 1)
+      m(0, 0)
+    }
+    val rnd = new scala.util.Random(1309)
+    val patChars = "ab*"
+    val pathChars = "ab"
+    (1 to 4000).foreach { trial =>
+      val pat0 = (0 until rnd.nextInt(8))
+        .map(_ => patChars(rnd.nextInt(3))).mkString
+      val pat = if (rnd.nextBoolean()) pat0 + "$" else pat0
+      val path = (0 until rnd.nextInt(10))
+        .map(_ => pathChars(rnd.nextInt(2))).mkString
+      assert(Robots.matches(pat, path) == brute(pat, path),
+        s"trial $trial: pattern '$pat' vs path '$path'")
+    }
+  }
+
+  test("hostile many-star pattern completes (no exponential blowup)") {
+    // robots.txt is untrusted input: the pre-r14 recursive matcher went
+    // exponential on this shape; the greedy loop is O(n·m)
+    val pat = "/" + ("*a" * 12) + "$"
+    val path = "/" + ("a" * 3000) + "b"
+    val t0 = System.nanoTime()
+    assert(!Robots.matches(pat, path))
+    assert(Robots.matches(pat, "/" + ("a" * 3000)))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000, s"matcher took ${ms}ms — backtracking regressed")
+  }
+
   test("a user-agent line after rules starts a new group") {
     val g = Robots.parse(
       """User-agent: a
