@@ -102,10 +102,11 @@ object PdfCodec {
     * appends new object versions plus a new xref with /Prev, PDF
     * 32000-1 §7.5.6): the superseded content physically remains in
     * the file, and the scan-all decode() would emit the stale text
-    * next to the current text. Classic xref tables only; an /XRef
-    * cross-reference STREAM at the chain head refuses loudly (that
-    * layout is handled by decode()'s ObjStm walk, where liveness is
-    * a different mechanism). */
+    * next to the current text. Both section shapes walk: classic
+    * tables (§7.5.4) and cross-reference STREAMS (§7.5.8, the
+    * post-2005 majority — r13 verdict #2 closed the stream gap),
+    * including hybrid /XRefStm bridges and chains that mix the two
+    * across incremental updates. */
   def decodeLatest(bytes: Array[Byte]): Seq[String] =
     decodeImpl(bytes, Some(liveObjects(bytes)))
 
@@ -251,13 +252,18 @@ object PdfCodec {
       "encrypted stream outside any `num gen obj` object")
   }
 
-  /** The live-object map from the classic cross-reference chain
-    * (PDF 32000-1 §7.5.4): follow startxref to the newest table, then
-    * /Prev links back in time; the NEWEST section mentioning an
-    * object number wins (free entries retire the number). Returns
-    * objnum → byte offset of its live version. Loud on a missing or
-    * cyclic chain, a malformed entry, or a cross-reference STREAM at
-    * a chain position (outside this classic-table perimeter). */
+  /** The live-object map from the cross-reference chain: follow
+    * startxref to the newest section, then /Prev links back in time;
+    * the NEWEST section mentioning an object number wins (free
+    * entries retire the number). Handles BOTH on-disk section shapes:
+    * classic tables (PDF 32000-1 §7.5.4) and cross-reference STREAMS
+    * (§7.5.8 — W field widths, /Index subsections, type-0/1/2 binary
+    * rows, the post-2005 majority layout), plus the hybrid-reference
+    * /XRefStm bridge (§7.5.8.4). Returns objnum → byte offset of its
+    * live TOP-LEVEL version; an object whose live version sits inside
+    * an object stream (type-2 entry) is seen-but-offsetless, so any
+    * top-level body with its number is correctly stale. Loud on a
+    * missing or cyclic chain or a malformed section. */
   def liveObjects(bytes: Array[Byte]): Map[Int, Long] = {
     val raw = new String(bytes, "ISO-8859-1")
     val sxAt = raw.lastIndexOf("startxref")
@@ -279,43 +285,152 @@ object PdfCodec {
       require(off >= 0 && off < raw.length, s"xref offset $off past EOF")
       var p = off.toInt
       while (p < raw.length && raw.charAt(p).isWhitespace) p += 1
-      require(raw.regionMatches(p, "xref", 0, 4),
-        "chain head is not a classic xref table — cross-reference " +
-          "STREAMS (/XRef) are outside the liveness perimeter")
-      p += 4
-      var done = false
-      while (!done) {
-        while (p < raw.length && raw.charAt(p).isWhitespace) p += 1
-        if (raw.regionMatches(p, "trailer", 0, 7)) done = true
-        else {
-          val m = Section.findPrefixMatchOf(raw.substring(p))
-            .getOrElse(throw new IllegalArgumentException(
-              s"malformed xref subsection header at offset $p"))
-          val start = m.group(1).toInt
-          val count = m.group(2).toInt
-          p += m.end
+      if (raw.regionMatches(p, "xref", 0, 4)) {
+        // ---- classic table (§7.5.4) ----
+        p += 4
+        var done = false
+        while (!done) {
           while (p < raw.length && raw.charAt(p).isWhitespace) p += 1
-          var k = 0
-          while (k < count) {
-            val em = Entry.findPrefixMatchOf(raw.substring(p))
+          if (raw.regionMatches(p, "trailer", 0, 7)) done = true
+          else {
+            val m = Section.findPrefixMatchOf(raw.substring(p))
               .getOrElse(throw new IllegalArgumentException(
-                s"malformed xref entry at offset $p"))
-            val objnum = start + k
-            // first (= newest) section mentioning a number wins
-            if (seen.add(objnum) && em.group(3) == "n")
-              live(objnum) = em.group(1).toLong
-            p += 20 // entries are exactly 20 bytes (§7.5.4)
-            k += 1
+                s"malformed xref subsection header at offset $p"))
+            val start = m.group(1).toInt
+            val count = m.group(2).toInt
+            p += m.end
+            while (p < raw.length && raw.charAt(p).isWhitespace) p += 1
+            var k = 0
+            while (k < count) {
+              val em = Entry.findPrefixMatchOf(raw.substring(p))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"malformed xref entry at offset $p"))
+              val objnum = start + k
+              // first (= newest) section mentioning a number wins
+              if (seen.add(objnum) && em.group(3) == "n")
+                live(objnum) = em.group(1).toLong
+              p += 20 // entries are exactly 20 bytes (§7.5.4)
+              k += 1
+            }
           }
         }
+        // the trailer dict is balanced, not first-'>>'-bounded: a
+        // nested sub-dictionary (rare but legal) would otherwise hide
+        // a /Prev that follows its close, silently treating the older
+        // xref sections as absent (r13 ADVICE) — and keys are probed
+        // over the TOP-LEVEL text only, so a key inside the nested
+        // dict can't masquerade as a chain link either
+        val tStart = raw.indexOf("<<", p)
+        require(tStart > p, "unterminated trailer dictionary")
+        val (trailer, _) = topLevelDictText(raw, tStart)
+        // hybrid-reference file (§7.5.8.4): /XRefStm names the stream
+        // HALF of this same section — its entries fill object numbers
+        // the table leaves unmentioned (the newest-wins seen set does
+        // exactly that), read BEFORE following /Prev; the stream's own
+        // /Prev is ignored here — the trailer's governs the chain
+        """/XRefStm\s+(\d+)""".r.findFirstMatchIn(trailer).foreach { m =>
+          val xo = m.group(1).toLong
+          require(visited.add(xo), s"cyclic /XRefStm chain at $xo")
+          require(xo >= 0 && xo < raw.length,
+            s"/XRefStm offset $xo past EOF")
+          readXrefStream(raw, xo.toInt, live, seen)
+        }
+        at = """/Prev\s+(\d+)""".r.findFirstMatchIn(trailer)
+          .map(_.group(1).toLong)
+      } else {
+        // ---- cross-reference STREAM head (§7.5.8) ----
+        at = readXrefStream(raw, p, live, seen)
       }
-      val dictEnd = raw.indexOf(">>", p)
-      require(dictEnd > p, "unterminated trailer dictionary")
-      val trailer = raw.substring(p, dictEnd)
-      at = """/Prev\s+(\d+)""".r.findFirstMatchIn(trailer)
-        .map(_.group(1).toLong)
     }
     live.toMap
+  }
+
+  /** Parse the cross-reference STREAM whose `num gen obj` header sits
+    * at `p` (PDF 32000-1 §7.5.8): /W field widths, /Index subsections
+    * (default [0 /Size]), then rowLen-byte big-endian rows — type 0
+    * free (retires the number), type 1 in-use at a byte offset, type
+    * 2 inside an object stream (live, but at no top-level offset);
+    * per §7.5.8.3 any OTHER type reads as a reference to the null
+    * object, i.e. the number is seen and retired. Trailer keys live
+    * in the stream dict itself (there is no `trailer` keyword), and
+    * §7.5.8.2 requires them DIRECT — an indirect /Length refuses.
+    * Updates live/seen newest-wins; returns the dict's /Prev. */
+  private def readXrefStream(raw: String, p: Int,
+      live: scala.collection.mutable.Map[Int, Long],
+      seen: scala.collection.mutable.Set[Int]): Option[Long] = {
+    val hdr = """(\d+)\s+(\d+)\s+obj""".r.findPrefixMatchOf(
+      raw.substring(p, math.min(raw.length, p + 64)))
+    require(hdr.isDefined,
+      s"chain position at offset $p is neither a classic xref table " +
+        "nor an indirect-object header — not a cross-reference section")
+    val dictStart = raw.indexOf("<<", p)
+    require(dictStart > p, "xref stream object without a dictionary")
+    val dictEnd = balancedDictEnd(raw, dictStart)
+    val dict = raw.substring(dictStart, dictEnd)
+    val (top, _) = topLevelDictText(raw, dictStart)
+    require("""/Type\s*/XRef""".r.findFirstIn(top).isDefined,
+      s"chain head object at offset $p is not /Type /XRef")
+    val len = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r.findFirstMatchIn(top)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        "xref stream without a direct /Length — §7.5.8.2 requires " +
+          "direct values in a cross-reference stream dictionary"))
+    val sk = raw.indexOf("stream", dictEnd)
+    require(sk >= 0 && raw.substring(dictEnd, sk).forall(_.isWhitespace),
+      "xref stream keyword not adjacent to its dictionary")
+    var s = sk + "stream".length
+    if (s < raw.length && raw.charAt(s) == '\r') s += 1
+    if (s < raw.length && raw.charAt(s) == '\n') s += 1
+    require(s + len <= raw.length, "xref stream data past EOF")
+    val data = decodeFiltered(dict,
+      raw.substring(s, s + len).getBytes("ISO-8859-1"))
+    val wm = """/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]""".r
+      .findFirstMatchIn(top)
+      .getOrElse(throw new IllegalArgumentException(
+        "xref stream without /W field widths"))
+    val (w1, w2, w3) = (wm.group(1).toInt, wm.group(2).toInt,
+      wm.group(3).toInt)
+    require(w1 <= 4 && w2 >= 1 && w2 <= 8 && w3 <= 8,
+      s"implausible /W [$w1 $w2 $w3] — offsets need 1..8 bytes")
+    val size = """/Size\s+(\d+)""".r.findFirstMatchIn(top)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        "xref stream without /Size"))
+    val index: Seq[(Int, Int)] =
+      """/Index\s*\[([^\]]*)\]""".r.findFirstMatchIn(top) match {
+        case Some(m) =>
+          val ns = m.group(1).trim.split("\\s+").filter(_.nonEmpty)
+            .map(_.toInt).toSeq
+          require(ns.nonEmpty && ns.length % 2 == 0,
+            s"odd /Index array ${ns.mkString(" ")}")
+          ns.grouped(2).map(g => (g(0), g(1))).toSeq
+        case None => Seq((0, size))
+      }
+    val rowLen = w1 + w2 + w3
+    val total = index.map(_._2.toLong).sum
+    require(data.length >= rowLen * total,
+      s"xref stream data holds ${data.length} bytes, " +
+        s"$total rows × $rowLen declared")
+    var r = 0
+    index.foreach { case (start, count) =>
+      var k = 0
+      while (k < count) {
+        val base = r * rowLen
+        def be(o: Int, n: Int): Long = {
+          var v = 0L
+          var i = 0
+          while (i < n) { v = (v << 8) | (data(base + o + i) & 0xffL); i += 1 }
+          v
+        }
+        val typ = if (w1 == 0) 1L else be(0, w1) // default type 1 (§7.5.8.3)
+        val f2 = be(w1, w2)
+        val objnum = start + k
+        if (seen.add(objnum) && typ == 1L) live(objnum) = f2
+        r += 1
+        k += 1
+      }
+    }
+    """/Prev\s+(\d+)""".r.findFirstMatchIn(top).map(_.group(1).toLong)
   }
 
   /** Fixture: a REAL incremental update (§7.5.6) — append a new
@@ -365,6 +480,143 @@ object PdfCodec {
       f"$objAt%010d 00000 n \n")
     w(s"trailer << /Size $size /Root 1 0 R /Prev $prevXref >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Fixture: the POST-2005 on-disk layout — the document's only
+    * cross-reference section is a /Type /XRef STREAM (§7.5.8), object
+    * 5, self-referencing, /W [1 4 1], optionally PNG-Up predicted
+    * (/Predictor 12 — the encoding Acrobat actually writes). Objects
+    * 1–4 are the build() catalog/pages/page/content chain, so decode
+    * and decodeLatest agree with the classic-xref encode(). */
+  def encodeWithXrefStream(lines: Seq[String],
+      predictor: Boolean = true): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    def deflated(b: Array[Byte]): Array[Byte] = {
+      val d = new Deflater()
+      d.setInput(b); d.finish()
+      val o = new ByteArrayOutputStream(b.length)
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) o.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      o.toByteArray
+    }
+    val content = ("BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
+      .getBytes("ISO-8859-1")
+    val data = deflated(content)
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = Array.newBuilder[Int]
+    w("%PDF-1.5\n")
+    offsets += out.size()
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets += out.size()
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    offsets += out.size()
+    w("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Contents 4 0 R /MediaBox [0 0 612 792] >> endobj\n")
+    offsets += out.size()
+    w(s"4 0 obj << /Length ${data.length} /Filter /FlateDecode " +
+      ">> stream\n")
+    out.write(data)
+    w("\nendstream endobj\n")
+    val xrefAt = out.size()
+    val rows = new ByteArrayOutputStream()
+    def row(t: Int, f2: Long, f3: Int): Unit = {
+      rows.write(t)
+      rows.write(((f2 >> 24) & 0xff).toInt)
+      rows.write(((f2 >> 16) & 0xff).toInt)
+      rows.write(((f2 >> 8) & 0xff).toInt)
+      rows.write((f2 & 0xff).toInt)
+      rows.write(f3)
+    }
+    row(0, 0L, 255) // object 0: head of the free list
+    offsets.result().foreach(o => row(1, o.toLong, 0))
+    row(1, xrefAt.toLong, 0) // the xref stream references itself
+    val table = rows.toByteArray
+    val (xdata, parms) =
+      if (predictor)
+        (deflated(pngPredictEncode(table, 6, _ => 2)),
+          " /DecodeParms << /Predictor 12 /Columns 6 >>")
+      else (deflated(table), "")
+    w(s"5 0 obj << /Type /XRef /Size 6 /W [1 4 1] /Root 1 0 R " +
+      s"/Filter /FlateDecode$parms /Length ${xdata.length} >> stream\n")
+    out.write(xdata)
+    w(s"\nendstream endobj\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Fixture: an incremental update (§7.5.6) whose NEW section is a
+    * cross-reference STREAM with /Prev to the base's newest section —
+    * the chain a post-2005 writer leaves on any original, classic or
+    * stream, so chains that MIX the two shapes are constructible. The
+    * appended xref stream object takes the base's /Size as its number
+    * and self-references. */
+  def appendIncrementalUpdateXrefStream(base: Array[Byte],
+      lines: Seq[String], objNum: Int = 4): Array[Byte] = {
+    val raw = new String(base, "ISO-8859-1")
+    val sxAt = raw.lastIndexOf("startxref")
+    require(sxAt >= 0, "base PDF without startxref")
+    val prevXref = """\s*(\d+)""".r.findPrefixMatchOf(
+        raw.substring(sxAt + "startxref".length)).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        "base startxref without an offset"))
+    // the base's LARGEST /Size governs numbering across chained appends
+    val size = """/Size\s+(\d+)""".r.findAllMatchIn(raw)
+      .map(_.group(1).toInt).maxOption.getOrElse(objNum + 1)
+    val xrefObj = size
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    def deflated(b: Array[Byte]): Array[Byte] = {
+      val d = new Deflater()
+      d.setInput(b); d.finish()
+      val o = new ByteArrayOutputStream(b.length)
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) o.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      o.toByteArray
+    }
+    val content = ("BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
+      .getBytes("ISO-8859-1")
+    val data = deflated(content)
+    val out = new ByteArrayOutputStream()
+    out.write(base)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val objAt = out.size()
+    w(s"$objNum 0 obj << /Length ${data.length} /Filter /FlateDecode " +
+      ">> stream\n")
+    out.write(data)
+    w("\nendstream endobj\n")
+    val xrefAt = out.size()
+    val rows = new ByteArrayOutputStream()
+    def row(t: Int, f2: Long, f3: Int): Unit = {
+      rows.write(t)
+      rows.write(((f2 >> 24) & 0xff).toInt)
+      rows.write(((f2 >> 16) & 0xff).toInt)
+      rows.write(((f2 >> 8) & 0xff).toInt)
+      rows.write((f2 & 0xff).toInt)
+      rows.write(f3)
+    }
+    row(1, objAt.toLong, 0)
+    row(1, xrefAt.toLong, 0)
+    val xdata = deflated(rows.toByteArray)
+    w(s"$xrefObj 0 obj << /Type /XRef /Size ${xrefObj + 1} " +
+      s"/Index [$objNum 1 $xrefObj 1] /W [1 4 1] /Root 1 0 R " +
+      s"/Prev $prevXref /Filter /FlateDecode /Length ${xdata.length} " +
+      ">> stream\n")
+    out.write(xdata)
+    w(s"\nendstream endobj\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 
@@ -705,6 +957,88 @@ object PdfCodec {
     if (lastStart >= 0 && lastEnd > lastStart)
       raw.substring(lastStart, lastEnd)
     else ""
+  }
+
+  /** End index (exclusive) of the balanced `<< ... >>` dictionary
+    * whose `<<` sits at `start`, skipping literal `(...)` strings
+    * (with \-escapes) and hex `<...>` strings exactly like
+    * lastDictBefore so their contents can't perturb the depth count.
+    * Loud on an unterminated dict. */
+  private def balancedDictEnd(raw: String, start: Int): Int = {
+    require(start + 1 < raw.length && raw.charAt(start) == '<' &&
+      raw.charAt(start + 1) == '<', s"no dictionary at offset $start")
+    var i = start
+    var depth = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '(') {
+        var d = 1
+        i += 1
+        while (i < raw.length && d > 0) {
+          val ch = raw.charAt(i)
+          if (ch == '\\') i += 2
+          else {
+            if (ch == '(') d += 1 else if (ch == ')') d -= 1
+            i += 1
+          }
+        }
+      } else if (c == '<' && i + 1 < raw.length &&
+          raw.charAt(i + 1) == '<') {
+        depth += 1; i += 2
+      } else if (c == '>' && i + 1 < raw.length &&
+          raw.charAt(i + 1) == '>' && depth > 0) {
+        depth -= 1; i += 2
+        if (depth == 0) return i
+      } else if (c == '<') {
+        i += 1
+        while (i < raw.length && raw.charAt(i) != '>') i += 1
+        i += 1
+      } else i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unterminated dictionary at offset $start")
+  }
+
+  /** The TOP-LEVEL text of the balanced dict at `start` (nested
+    * sub-dicts and strings replaced by one space) plus its end index
+    * (exclusive). Key probes over this text can neither miss a key
+    * that FOLLOWS a nested dict nor match one hiding INSIDE it. */
+  private def topLevelDictText(raw: String, start: Int): (String, Int) = {
+    require(start + 1 < raw.length && raw.charAt(start) == '<' &&
+      raw.charAt(start + 1) == '<', s"no dictionary at offset $start")
+    val sb = new StringBuilder
+    var i = start + 2
+    var done = false
+    while (!done) {
+      require(i < raw.length, s"unterminated dictionary at offset $start")
+      val c = raw.charAt(i)
+      if (c == '(') {
+        var d = 1
+        i += 1
+        while (i < raw.length && d > 0) {
+          val ch = raw.charAt(i)
+          if (ch == '\\') i += 2
+          else {
+            if (ch == '(') d += 1 else if (ch == ')') d -= 1
+            i += 1
+          }
+        }
+        sb += ' '
+      } else if (c == '<' && i + 1 < raw.length &&
+          raw.charAt(i + 1) == '<') {
+        i = balancedDictEnd(raw, i)
+        sb += ' '
+      } else if (c == '>' && i + 1 < raw.length &&
+          raw.charAt(i + 1) == '>') {
+        i += 2; done = true
+      } else if (c == '<') {
+        i += 1
+        while (i < raw.length && raw.charAt(i) != '>') i += 1
+        i += 1
+        sb += ' '
+      } else { sb += c; i += 1 }
+    }
+    (sb.toString, i)
   }
 
   /** One pass over a content stream: string literals accumulate; each

@@ -502,6 +502,57 @@ object EtlQ {
         .orderBy("doc_id")
     }),
 
+    // CROSS-REFERENCE STREAMS (PDF 32000-1 §7.5.8) in the liveness
+    // walk — the post-2005 majority layout q303 couldn't see (r13
+    // verdict #2): the xref section is itself a compressed binary
+    // stream (/W field widths, /Index subsections, type-0/1/2 rows,
+    // PNG-Up predictor — what Acrobat actually writes) instead of the
+    // classic ASCII table. Three real chain shapes by id: a pure
+    // xref-stream document updated with another xref stream, a
+    // classic-table original updated by a post-2005 writer (stream
+    // section, /Prev to the table), and a stream original updated by
+    // a legacy writer (classic section, /Prev to the stream). Same
+    // 5-all/3-live contract as q303; a parse slip in W/Index/typing
+    // or a /Prev break across the shape boundary shifts the counts or
+    // the live md5.
+    "q304_pdf_xref_stream" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.ingest.PdfCodec
+          val baseLines = Seq(s"Name: Event $id", text)
+          val updLines = Seq(s"Name: Updated $id", text, "Status: amended")
+          val (chain, updated) = (id % 3) match {
+            case 0 =>
+              ("stream+stream", PdfCodec.appendIncrementalUpdateXrefStream(
+                PdfCodec.encodeWithXrefStream(baseLines), updLines))
+            case 1 =>
+              ("classic+stream", PdfCodec.appendIncrementalUpdateXrefStream(
+                PdfCodec.encode(baseLines), updLines))
+            case _ =>
+              ("stream+classic", PdfCodec.appendIncrementalUpdate(
+                PdfCodec.encodeWithXrefStream(baseLines,
+                  predictor = false), updLines))
+          }
+          val all = PdfCodec.decode(updated)
+          val liveL = PdfCodec.decodeLatest(updated)
+          require(all.size == 5 && liveL.size == 3,
+            s"doc $id ($chain) liveness drift: " +
+              s"${all.size} all / ${liveL.size} live")
+          (id, chain, all.size.toLong, liveL.size.toLong,
+            liveL.mkString("\n"))
+        }
+        .toDF("doc_id", "chain", "n_lines_all", "n_lines_live",
+          "live_text")
+        .select(col("doc_id"), col("chain"), col("n_lines_all"),
+          col("n_lines_live"),
+          md5(col("live_text").cast("binary")).as("live_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Hourly rollup per event type — batch twin of the Structured Streaming
     // windowed aggregation (graft.streaming); decimal sum for exactness.
     "q24_hourly_rollup" -> ((s, dir) => {
@@ -624,6 +675,19 @@ object EtlQ {
     // text is live under the xref chain
     "q303_pdf_incremental" ->
       """SELECT doc_id,
+        | CAST(5 AS BIGINT) AS n_lines_all,
+        | CAST(3 AS BIGINT) AS n_lines_live,
+        | md5('Name: Updated ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |   text || chr(10) || 'Status: amended') AS live_md5
+        |FROM documents WHERE length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // same 5/3 contract as q303; chain shape is pure id arithmetic
+    "q304_pdf_xref_stream" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'stream+stream'
+        |      WHEN 1 THEN 'classic+stream'
+        |      ELSE 'stream+classic' END AS chain,
         | CAST(5 AS BIGINT) AS n_lines_all,
         | CAST(3 AS BIGINT) AS n_lines_live,
         | md5('Name: Updated ' || CAST(doc_id AS VARCHAR) || chr(10) ||
