@@ -59,6 +59,61 @@ object H264Codec {
     out.toByteArray
   }
 
+  /** Walk ONE AVCC-framed sample — the shape AVC actually takes
+    * inside MP4 (ISO 14496-15 §5.3.4.2): each NAL is prefixed by a
+    * big-endian `lengthSize`-byte length instead of an Annex B start
+    * code (lengthSize = avcC's lengthSizeMinusOne + 1, 4 in
+    * practice). Same one-byte header census as scan(); loud on a
+    * length that overruns the sample or leaves trailing garbage —
+    * sample bounds come from the container's sample table, so a
+    * mis-expanded stsc/stco shows up here as a refusal, not a
+    * miscount. */
+  def scanAvcc(bytes: Array[Byte], lengthSize: Int = 4): Seq[Nal] = {
+    require(lengthSize >= 1 && lengthSize <= 4,
+      s"bad AVCC length size $lengthSize")
+    val nals = Seq.newBuilder[Nal]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + lengthSize <= bytes.length,
+        s"truncated NAL length field at offset $pos")
+      var len = 0L
+      var i = 0
+      while (i < lengthSize) {
+        len = (len << 8) | (bytes(pos + i) & 0xffL); i += 1
+      }
+      require(len >= 1 && pos + lengthSize + len <= bytes.length,
+        s"NAL length $len at offset $pos overruns the " +
+          s"${bytes.length}-byte sample")
+      val at = pos + lengthSize
+      val h = bytes(at) & 0xff
+      require((h & 0x80) == 0, s"forbidden_zero_bit set at offset $at")
+      val t = h & 0x1f
+      require(t >= 1, s"reserved NAL type 0 at offset $at")
+      nals += Nal(at, (h >> 5) & 3, t, len.toInt)
+      pos = at + len.toInt
+    }
+    nals.result()
+  }
+
+  /** AVCC-frame the given NALs: each `(refIdc, nalType, payloadLen)`
+    * becomes length-prefix + header + deterministic payload — the
+    * per-sample synth for MP4 sample-table fixtures. */
+  def synthAvccSample(nals: Seq[(Int, Int, Int)],
+      lengthSize: Int = 4): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    nals.foreach { case (refIdc, t, payloadLen) =>
+      require(t >= 1 && t <= 23, s"bad NAL type $t")
+      require(payloadLen >= 0, s"bad payload length $payloadLen")
+      val len = 1 + payloadLen
+      var i = lengthSize - 1
+      while (i >= 0) { out.write((len >> (8 * i)) & 0xff); i -= 1 }
+      out.write(((refIdc & 3) << 5) | t)
+      var k = 0
+      while (k < payloadLen) { out.write((k * 73 + t + payloadLen) % 250 + 1); k += 1 }
+    }
+    out.toByteArray
+  }
+
   /** Walk the start codes; each NAL spans to the next start code (or
     * EOF). nalBytes counts the header byte plus payload — never the
     * start code, and never zero padding: ALL consecutive zeros

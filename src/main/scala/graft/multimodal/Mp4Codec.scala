@@ -177,6 +177,127 @@ object Mp4Codec {
     ftyp ++ moov ++ box("mdat", mdatPayload)
   }
 
+  final case class SampleSlice(sample: Int, offset: Long, size: Long)
+
+  /** Expand the sample tables into per-sample byte ranges — the walk
+    * that turns "there are N samples" (census) into "sample k is
+    * bytes [o, o+s)" so the payloads can be ROUTED to a codec census
+    * (r13 verdict #3). stsz gives sizes, stco (or co64) chunk base
+    * offsets, and stsc the run-length-compressed samples-per-chunk
+    * map (ISO 14496-12 §8.7.4: an entry covers chunks from its
+    * first_chunk until the next entry's); within a chunk samples are
+    * contiguous. Returns (sample-entry fourcc, slices in sample
+    * order). Loud on tables that disagree — a mis-expansion must
+    * refuse, not hand the caller someone else's bytes. */
+  def sampleTable(bytes: Array[Byte]): (String, Seq[SampleSlice]) = {
+    var codec = ""
+    var sizes: Seq[Long] = null
+    var chunkOffs: Seq[Long] = null
+    var stsc: Seq[(Int, Int)] = null
+    def u32(at: Int): Long =
+      ((bytes(at) & 0xffL) << 24) | ((bytes(at + 1) & 0xffL) << 16) |
+        ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
+    def u64(at: Int): Long = (u32(at) << 32) | u32(at + 4)
+    def typ(at: Int): String = new String(
+      java.util.Arrays.copyOfRange(bytes, at, at + 4), "US-ASCII")
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos < end) {
+        require(pos + 8 <= end, s"truncated box header at offset $pos")
+        val size0 = u32(pos)
+        val t = typ(pos + 4)
+        val (size, hdr) =
+          if (size0 == 1) {
+            require(pos + 16 <= end, s"truncated largesize at $pos")
+            (u64(pos + 8), 16)
+          } else if (size0 == 0) ((end - pos).toLong, 8)
+          else (size0, 8)
+        require(size >= hdr && pos + size <= end,
+          s"box '$t' at $pos declares $size bytes past offset $end")
+        val bodyAt = pos + hdr
+        val bodyEnd = pos + size.toInt
+        t match {
+          case c if Containers(c) => walk(bodyAt, bodyEnd)
+          case "stsd" =>
+            require(bodyAt + 16 <= bodyEnd, "stsd too small")
+            require(u32(bodyAt + 4) >= 1, "stsd with no entries")
+            codec = typ(bodyAt + 12)
+          case "stsz" =>
+            require(bodyAt + 12 <= bodyEnd, "stsz too small")
+            val fixed = u32(bodyAt + 4)
+            val n = u32(bodyAt + 8).toInt
+            sizes =
+              if (fixed != 0) Seq.fill(n)(fixed)
+              else {
+                require(bodyAt + 12 + 4L * n <= bodyEnd,
+                  s"stsz table truncated: $n entries")
+                (0 until n).map(k => u32(bodyAt + 12 + 4 * k))
+              }
+          case "stco" =>
+            require(bodyAt + 8 <= bodyEnd, "stco too small")
+            val n = u32(bodyAt + 4).toInt
+            require(bodyAt + 8 + 4L * n <= bodyEnd,
+              s"stco table truncated: $n entries")
+            chunkOffs = (0 until n).map(k => u32(bodyAt + 8 + 4 * k))
+          case "co64" =>
+            require(bodyAt + 8 <= bodyEnd, "co64 too small")
+            val n = u32(bodyAt + 4).toInt
+            require(bodyAt + 8 + 8L * n <= bodyEnd,
+              s"co64 table truncated: $n entries")
+            chunkOffs = (0 until n).map(k => u64(bodyAt + 8 + 8 * k))
+          case "stsc" =>
+            require(bodyAt + 8 <= bodyEnd, "stsc too small")
+            val n = u32(bodyAt + 4).toInt
+            require(bodyAt + 8 + 12L * n <= bodyEnd,
+              s"stsc table truncated: $n entries")
+            stsc = (0 until n).map { k =>
+              (u32(bodyAt + 8 + 12 * k).toInt,
+                u32(bodyAt + 12 + 12 * k).toInt)
+            }
+          case _ => ()
+        }
+        pos += size.toInt
+      }
+    }
+    require(bytes.length >= 8, s"not a BMFF file: ${bytes.length} bytes")
+    walk(0, bytes.length)
+    require(sizes != null, "no stsz box")
+    require(chunkOffs != null, "no stco/co64 box")
+    require(stsc != null && stsc.nonEmpty, "no stsc box")
+    require(stsc.head._1 == 1, s"stsc does not start at chunk 1")
+    // expand: entry i covers chunks [first_i, first_{i+1}); the last
+    // entry runs to the stco chunk count
+    val slices = Seq.newBuilder[SampleSlice]
+    var sample = 0
+    var entry = 0
+    var chunk = 1
+    while (chunk <= chunkOffs.length) {
+      while (entry + 1 < stsc.length && stsc(entry + 1)._1 <= chunk)
+        entry += 1
+      val spc = stsc(entry)._2
+      var off = chunkOffs(chunk - 1)
+      var k = 0
+      while (k < spc) {
+        require(sample < sizes.length,
+          s"stsc expands past stsz: sample $sample of ${sizes.length}")
+        slices += SampleSlice(sample, off, sizes(sample))
+        off += sizes(sample)
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    require(sample == sizes.length,
+      s"stsc expansion covered $sample of ${sizes.length} samples")
+    val out = slices.result()
+    out.foreach { s =>
+      require(s.offset >= 0 && s.offset + s.size <= bytes.length,
+        s"sample ${s.sample} spans [${s.offset}, ${s.offset + s.size}) " +
+          s"past EOF ${bytes.length}")
+    }
+    (codec, out)
+  }
+
   /** Walk the box tree and report the routing metadata. Counts every
     * box the walker enumerates (containers recursed; sample entries
     * inside stsd are read for the fourcc but not counted as tree

@@ -555,6 +555,81 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // MP4 SAMPLE ROUTING (r13 verdict #3) — from "there are N
+    // samples" (q298's box census) to "sample k is THESE bytes,
+    // handed to THIS codec": Mp4Codec.sampleTable expands
+    // stsc/stco/stsz (run-length samples-per-chunk map, per-chunk
+    // base offsets, per-sample sizes — ISO 14496-12 §8.7.4) into
+    // per-sample mdat slices, and the slices route by the stsd
+    // fourcc — avc1 → AVCC length-prefixed NAL census
+    // (H264Codec.scanAvcc, the real in-MP4 framing, NOT Annex B),
+    // mp4a → per-sample ADTS frame census (the dirty-but-common
+    // ADTS-in-MP4 muxer shape). Samples derive from text bytes (NAL
+    // type/size and ADTS profile/payload by char arithmetic), the
+    // chunk layout varies by id (chunks of id%4+1 samples), and each
+    // routed slice is RE-SCANNED — a mis-expanded sample table reads
+    // someone else's bytes and the codec census refuses or the
+    // checksum drifts; the oracle recomputes every count from the
+    // text alone.
+    "q305_mp4_sample_census" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.{AacCodec, Mp4Codec, H264Codec}
+          val src = text.getBytes("ISO-8859-1")
+          val video = id % 2 == 0
+          val samples: Seq[Array[Byte]] =
+            if (video) src.toSeq.zipWithIndex.map { case (b, k) =>
+              val v = b & 0xff
+              val sl = (if (v % 5 == 0) 3 else 2,
+                if (v % 5 == 0) H264Codec.TypeIdr else H264Codec.TypeNonIdr,
+                v % 24 + 1)
+              H264Codec.synthAvccSample(
+                if (k == 0) Seq((3, H264Codec.TypeSps, 6),
+                  (3, H264Codec.TypePps, 3), sl)
+                else Seq(sl))
+            }
+            else src.toSeq.map { b =>
+              val v = b & 0xff
+              AacCodec.synth(Seq((v % 4, v % 7 + 1, v % 32 + 1)))
+            }
+          val csize = (id % 4).toInt + 1
+          val chunking = samples.indices.grouped(csize)
+            .map(_.size).toSeq
+          val mp4 = Mp4Codec.synthSamples(samples,
+            if (video) 40 else 23, video, chunking)
+          val (codec, slices) = Mp4Codec.sampleTable(mp4)
+          require(slices.length == samples.length,
+            s"doc $id sample table drift: ${slices.length}")
+          def cut(s: Mp4Codec.SampleSlice) = java.util.Arrays
+            .copyOfRange(mp4, s.offset.toInt, (s.offset + s.size).toInt)
+          val (units, keys, bytes) =
+            if (codec == "avc1") {
+              val nals = slices.map(s => H264Codec.scanAvcc(cut(s)))
+              (nals.map(_.length.toLong).sum,
+                nals.flatten.count(_.nalType == H264Codec.TypeIdr).toLong,
+                nals.flatten.map(_.nalBytes.toLong).sum)
+            } else {
+              require(codec == "mp4a", s"doc $id routed fourcc $codec")
+              val frames = slices.map(s => AacCodec.scan(cut(s)))
+              require(frames.forall(_.length == 1),
+                s"doc $id: multi-frame audio sample")
+              (frames.map(_.length.toLong).sum,
+                frames.flatten.count(_.profile == 1).toLong,
+                frames.flatten.map(_.frameBytes.toLong).sum)
+            }
+          (id, codec, samples.length.toLong, chunking.length.toLong,
+            units, keys, bytes)
+        }
+        .toDF("doc_id", "codec", "n_samples", "n_chunks", "n_units",
+          "n_key", "unit_bytes")
+        .orderBy("doc_id")
+    }),
+
     // WARC RECORD CENSUS — the container web-scale text corpora
     // actually arrive in (Common Crawl ships .warc.gz): every doc
     // becomes a WARC/1.0 archive (one warcinfo + one HTTP response
@@ -1070,6 +1145,37 @@ object MediaQ {
         | CAST(8 + list_sum(list_transform(range(1, len + 1), i ->
         |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
         |  AS BIGINT) AS mdat_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // every count replays from text arithmetic: video docs carry
+    // len+2 NALs (SPS 7 B + PPS 4 B ride sample 0) of b%24+2 bytes
+    // each, IDR on b%5==0; audio docs one ADTS frame per char of
+    // b%32+8 bytes, profile b%4 (key = AAC-LC = 1); chunks hold
+    // id%4+1 samples
+    "q305_mp4_sample_census" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len,
+        |  doc_id % 4 + 1 AS csize
+        | FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'mp4a' END AS codec,
+        | CAST(len AS BIGINT) AS n_samples,
+        | CAST((len + csize - 1) // csize AS BIGINT) AS n_chunks,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN len + 2 ELSE len END
+        |  AS BIGINT) AS n_units,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   CASE WHEN doc_id % 2 = 0 THEN
+        |     CASE WHEN ord(substr(text, CAST(i AS INTEGER), 1)) % 5 = 0
+        |       THEN 1 ELSE 0 END
+        |   ELSE
+        |     CASE WHEN ord(substr(text, CAST(i AS INTEGER), 1)) % 4 = 1
+        |       THEN 1 ELSE 0 END END)) AS BIGINT) AS n_key,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 11 ELSE 0 END +
+        |  list_sum(list_transform(range(1, len + 1), i ->
+        |   CASE WHEN doc_id % 2 = 0
+        |    THEN ord(substr(text, CAST(i AS INTEGER), 1)) % 24 + 2
+        |    ELSE ord(substr(text, CAST(i AS INTEGER), 1)) % 32 + 8
+        |   END)) AS BIGINT) AS unit_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // record k (char b): payload = status line (17 B for 200, 24 for

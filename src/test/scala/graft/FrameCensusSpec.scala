@@ -241,6 +241,81 @@ class FrameCensusSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mvhd too small"), e.getMessage)
   }
 
+  test("MP4 sample routing: stsc/stco/stsz expansion feeds NAL census") {
+    import graft.multimodal.Mp4Codec
+    def slice(bytes: Array[Byte], s: Mp4Codec.SampleSlice) =
+      java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
+        (s.offset + s.size).toInt)
+    // video: AVCC length-prefixed samples (the real in-MP4 framing),
+    // a multi-chunk layout so stsc expansion is genuinely exercised
+    val samples = Seq(
+      H264Codec.synthAvccSample(Seq((3, 7, 6), (3, 8, 3), (3, 5, 20))),
+      H264Codec.synthAvccSample(Seq((2, 1, 9))),
+      H264Codec.synthAvccSample(Seq((2, 1, 5), (0, 6, 4))),
+      H264Codec.synthAvccSample(Seq((3, 5, 11))),
+      H264Codec.synthAvccSample(Seq((2, 1, 2))))
+    val mp4 = Mp4Codec.synthSamples(samples, 40, video = true,
+      chunking = Seq(2, 1, 2))
+    val (codec, slices) = Mp4Codec.sampleTable(mp4)
+    assert(codec == "avc1" && slices.length == 5)
+    slices.zip(samples).foreach { case (s, orig) =>
+      assert(slice(mp4, s).sameElements(orig), s"sample ${s.sample}")
+    }
+    val nals = slices.map(s => H264Codec.scanAvcc(slice(mp4, s)))
+    assert(nals.map(_.map(_.nalType)) ==
+      Seq(Seq(7, 8, 5), Seq(1), Seq(1, 6), Seq(5), Seq(1)))
+    // nalBytes = header + payload; the 4-byte length prefixes are
+    // framing, never counted (8 NALs total)
+    assert(nals.flatten.map(_.nalBytes).sum ==
+      samples.map(_.length).sum - 4 * 8)
+    // audio: ADTS-in-MP4 (the dirty-but-common shape some muxers
+    // emit): each sample is one ADTS frame, routed to AacCodec.scan
+    val aus = Seq((0, 1, 5), (1, 2, 9), (2, 1, 3))
+      .map(s => AacCodec.synth(Seq(s)))
+    val m4a = Mp4Codec.synthSamples(aus, 23, video = false,
+      chunking = Seq(1, 2))
+    val (c2, sl2) = Mp4Codec.sampleTable(m4a)
+    assert(c2 == "mp4a" && sl2.length == 3)
+    val frames = sl2.map(s => AacCodec.scan(slice(m4a, s)))
+    assert(frames.map(_.length) == Seq(1, 1, 1))
+    assert(frames.flatten.map(_.frameBytes) == Seq(12, 16, 10))
+    assert(frames.flatten.map(_.profile) == Seq(0, 1, 2))
+  }
+
+  test("MP4 sample routing perimeter: disagreeing tables refuse") {
+    import graft.multimodal.Mp4Codec
+    val samples = Seq(
+      H264Codec.synthAvccSample(Seq((3, 7, 6))),
+      H264Codec.synthAvccSample(Seq((2, 1, 9))),
+      H264Codec.synthAvccSample(Seq((2, 1, 4))))
+    val mp4 = Mp4Codec.synthSamples(samples, 40, video = true,
+      chunking = Seq(2, 1))
+    // find the stsc box and bump the LAST run's samples_per_chunk so
+    // the expansion overruns stsz
+    val raw = new String(mp4, "ISO-8859-1")
+    val stscAt = raw.indexOf("stsc")
+    assert(stscAt > 0)
+    val bad = mp4.clone()
+    // entries start at stsc+4 (type) +8 (version+count); entry 1 is
+    // (first=2, spc=1) at +12 bytes; its spc's low byte sits 7 bytes in
+    val spcAt = stscAt + 4 + 8 + 12 + 7
+    assert(bad(spcAt) == 1, s"fixture drift: spc byte is ${bad(spcAt)}")
+    bad(spcAt) = 3
+    val e = intercept[IllegalArgumentException](Mp4Codec.sampleTable(bad))
+    assert(e.getMessage.contains("stsc"), e.getMessage)
+    // AVCC perimeter: a NAL length that overruns its sample is loud
+    val s0 = H264Codec.synthAvccSample(Seq((2, 1, 9)))
+    intercept[IllegalArgumentException](
+      H264Codec.scanAvcc(s0.take(s0.length - 2)))
+    // a zero length field is loud
+    intercept[IllegalArgumentException](
+      H264Codec.scanAvcc(Array[Byte](0, 0, 0, 0, 0x41)))
+    // chunking that does not cover the samples refuses at synth time
+    intercept[IllegalArgumentException](
+      Mp4Codec.synthSamples(samples, 40, video = true,
+        chunking = Seq(2, 2)))
+  }
+
   test("H264 perimeter: no start code / forbidden bit are loud") {
     val e1 = intercept[IllegalArgumentException](
       H264Codec.scan(Array[Byte](1, 2, 3, 4)))
