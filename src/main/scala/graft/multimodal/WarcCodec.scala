@@ -63,8 +63,63 @@ object WarcCodec {
     out.toByteArray
   }
 
-  /** Walk the records. Gzip magic inflates the whole archive first. */
-  def census(bytesIn: Array[Byte]): Seq[WarcRecord] = {
+  /** An HTTP response payload with explicit headers and body — the
+    * record shape the crawl-spine fixtures plant (httpPayload keeps
+    * the fixed-header q299 shape). */
+  def httpResponse(status: Int, headers: Seq[(String, String)],
+      body: Array[Byte]): Array[Byte] = {
+    val reason = status match {
+      case 200 => "OK"
+      case 404 => "Not Found"
+      case _ => "Status"
+    }
+    val out = new ByteArrayOutputStream()
+    out.write((s"HTTP/1.1 $status $reason\r\n" +
+      headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1"))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Split an HTTP response payload into (status, lowercased headers,
+    * body) — the step between the WARC walk and whatever consumes the
+    * body (HTML extraction, binary routing). Loud on a payload that
+    * is not an HTTP response. */
+  def httpParts(payload: Array[Byte])
+      : (Int, Map[String, String], Array[Byte]) = {
+    require(payload.length >= 12 &&
+      new String(payload, 0, 5, "ISO-8859-1") == "HTTP/",
+      "payload is not an HTTP response")
+    var pos = 0
+    def line(): String = {
+      val eol = indexOfCrlf(payload, pos)
+      require(eol >= 0, s"unterminated HTTP header line at offset $pos")
+      val s = new String(payload, pos, eol - pos, "ISO-8859-1")
+      pos = eol + 2
+      s
+    }
+    val statusLine = line()
+    val sp1 = statusLine.indexOf(' ')
+    require(sp1 > 0, s"malformed status line '${statusLine.take(30)}'")
+    val rest = statusLine.substring(sp1 + 1)
+    val digits = rest.takeWhile(_.isDigit)
+    require(digits.nonEmpty, s"no status code in '${statusLine.take(30)}'")
+    val headers = Map.newBuilder[String, String]
+    var h = line()
+    while (h.nonEmpty) {
+      val colon = h.indexOf(':')
+      require(colon > 0, s"malformed HTTP header '${h.take(40)}'")
+      headers += (h.substring(0, colon).trim.toLowerCase ->
+        h.substring(colon + 1).trim)
+      h = line()
+    }
+    (digits.toInt, headers.result(),
+      java.util.Arrays.copyOfRange(payload, pos, payload.length))
+  }
+
+  /** Walk the records, payloads included — the census() metadata plus
+    * the bytes a spine consumer routes onward. */
+  def records(bytesIn: Array[Byte]): Seq[(WarcRecord, Array[Byte])] = {
     val bytes =
       if (bytesIn.length >= 2 && (bytesIn(0) & 0xff) == 0x1f &&
         (bytesIn(1) & 0xff) == 0x8b) {
@@ -75,7 +130,7 @@ object WarcCodec {
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         out.toByteArray
       } else bytesIn
-    val recs = Seq.newBuilder[WarcRecord]
+    val recs = Seq.newBuilder[(WarcRecord, Array[Byte])]
     var pos = 0
     def line(): String = {
       val eol = indexOfCrlf(bytes, pos)
@@ -122,7 +177,8 @@ object WarcCodec {
           }
           st
         } else 0
-      recs += WarcRecord(typ, uri, clen, status)
+      recs += ((WarcRecord(typ, uri, clen, status),
+        java.util.Arrays.copyOfRange(bytes, pos, pos + clen)))
       pos += clen
       // the mandated record separator: two CRLFs
       require(pos + 4 <= bytes.length &&
@@ -133,6 +189,10 @@ object WarcCodec {
     }
     recs.result()
   }
+
+  /** Walk the records, metadata only (payloads discarded). */
+  def census(bytesIn: Array[Byte]): Seq[WarcRecord] =
+    records(bytesIn).map(_._1)
 
   private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
     var i = from

@@ -73,6 +73,120 @@ object WebQ {
         .orderBy("doc_id")
     }),
 
+    // THE CRAWL-INGEST SPINE, composed end-to-end (r13 verdict #4):
+    // the Common-Crawl path a real curation run executes — WARC
+    // record walk (q299's organ) → HTTP status/header/body split →
+    // robots.txt parse + RFC 9309 admission per page (q300's organ,
+    // policy fetched FROM the archive itself) → HtmlCodec text
+    // extraction on the admitted HTML (q180's organ) — here as ONE
+    // registered query over a synthesized .warc.gz per doc with
+    // planted allowed/denied/non-HTML/404 records. Admission gates
+    // on all three axes (status 200, Content-Type html, robots
+    // allows the path for our agent — the * group's Disallow / is a
+    // trap that fires if group selection slips), every extracted
+    // page body is checked against its planted truth, and the
+    // admitted titles hash in record order. Per-row executor work;
+    // the only shuffle is the final orderBy.
+    "q306_crawl_spine" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.ingest.{HtmlCodec, Robots}
+          import graft.multimodal.WarcCodec
+          val src = text.getBytes("ISO-8859-1")
+          val host = s"https://site$id.example"
+          val robotsTxt =
+            "User-Agent: graftbot\r\n" +
+            "Disallow: /private*\r\n" +
+            (if (id % 2 == 0) "Allow: /private/pub$\r\n" else "") +
+            "\r\n" +
+            "User-agent: *\r\n" +
+            "Disallow: /\r\n"
+          val paths = Array("/", "/public/page", "/private",
+            "/private/pub", "/privateer", "/tmp/x", "/pub",
+            "/private/pub/deep")
+          val pageRecs = src.toSeq.zipWithIndex.map { case (b, k) =>
+            val v = b & 0xff
+            val status = if (v % 10 == 0) 404 else 200
+            val html = v % 3 != 0
+            val body =
+              if (html)
+                (s"<html><head><title>Page $id-$k</title></head>" +
+                  s"<body><p>Doc $id page $k</p></body></html>")
+                  .getBytes("ISO-8859-1")
+              else Array.tabulate[Byte](v % 32 + 1)(i =>
+                ((i * 73 + v) % 251).toByte)
+            ("response", host + paths(v % 8),
+              WarcCodec.httpResponse(status,
+                Seq("Content-Type" ->
+                  (if (html) "text/html; charset=utf-8"
+                   else "application/octet-stream")), body))
+          }
+          val archive = WarcCodec.synth(
+            ("warcinfo", "", "software: graft\r\n".getBytes("ISO-8859-1"))
+              +: ("response", s"$host/robots.txt",
+                WarcCodec.httpResponse(200,
+                  Seq("Content-Type" -> "text/plain"),
+                  robotsTxt.getBytes("ISO-8859-1")))
+              +: pageRecs,
+            gzipped = id % 2 == 1)
+          // ---- the spine proper: nothing below sees the fixtures ----
+          val recs = WarcCodec.records(archive)
+          val responses = recs.filter(_._1.warcType == "response")
+          val (_, robotsBody) = {
+            val r = responses.find(_._1.targetUri.endsWith("/robots.txt"))
+              .getOrElse(throw new IllegalArgumentException(
+                s"doc $id archive has no robots.txt record"))
+            val (st, _, b) = WarcCodec.httpParts(r._2)
+            require(st == 200, s"doc $id robots fetch status $st")
+            (st, b)
+          }
+          val groups = Robots.parse(
+            new String(robotsBody, "ISO-8859-1"))
+          val pages = responses.filterNot(
+            _._1.targetUri.endsWith("/robots.txt"))
+          var nHtml = 0L
+          var nAdmitted = 0L
+          var admittedChk = 0L
+          val titles = new StringBuilder
+          pages.zipWithIndex.foreach { case ((rec, payload), k) =>
+            val (status, headers, body) = WarcCodec.httpParts(payload)
+            val isHtml = headers.get("content-type")
+              .exists(_.startsWith("text/html"))
+            if (isHtml) nHtml += 1
+            val path = rec.targetUri.substring(
+              rec.targetUri.indexOf('/', "https://".length))
+            if (status == 200 && isHtml &&
+                Robots.allowed(groups, "graftbot", path)) {
+              nAdmitted += 1
+              admittedChk += k + 1
+              val items = HtmlCodec.extractItems(
+                new String(body, "ISO-8859-1"),
+                HtmlCodec.HtmlConfig(
+                  itemContainerSelector = Some("html"),
+                  fields = Map("title" -> "title::text",
+                    "text" -> "p::text")))
+              require(items.size == 1 &&
+                items.head.getOrElse("text", "") == s"Doc $id page $k",
+                s"doc $id page $k extraction drift: $items")
+              titles ++= items.head.getOrElse("title", "") + ";"
+            }
+          }
+          (id, recs.length.toLong, pages.length.toLong, nHtml,
+            nAdmitted, admittedChk, titles.toString)
+        }
+        .toDF("doc_id", "n_records", "n_pages", "n_html", "n_admitted",
+          "admitted_checksum", "titles")
+        .select(col("doc_id"), col("n_records"), col("n_pages"),
+          col("n_html"), col("n_admitted"), col("admitted_checksum"),
+          md5(col("titles").cast("binary")).as("titles_md5"))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization as a codegen expression: four deterministic
     // dirt classes (scheme/host case, default ports, duplicate and ./
     // path segments, tracking params, unsorted query, fragments) are
@@ -444,6 +558,43 @@ object WebQ {
         | CAST(list_sum(list_transform(range(1, len + 1), i ->
         |   i * dny[CAST(i AS INTEGER)])) AS BIGINT) AS denied_checksum
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // admission truth from arithmetic: the fixed graftbot crawl
+    // denies paths 2/4/7 (Disallow /private*) and path 3 on odd ids
+    // (no Allow /private/pub$ override); a page is fetched when it is
+    // 200 (b%10 != 0), HTML (b%3 != 0), and robots-allowed; titles
+    // concatenate 'Page id-k;' over admitted pages in record order
+    "q306_crawl_spine" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, text,
+        |  unnest(range(1, len + 1)) AS i
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg),
+        |f AS (
+        | SELECT doc_id, len, i, b,
+        |  CASE WHEN b % 3 != 0 THEN 1 ELSE 0 END AS html,
+        |  CASE WHEN b % 10 != 0 AND b % 3 != 0 AND
+        |    NOT (b % 8 IN (2, 4, 7) OR (doc_id % 2 = 1 AND b % 8 = 3))
+        |   THEN 1 ELSE 0 END AS adm
+        | FROM a)
+        |SELECT doc_id,
+        | CAST(max(len) + 2 AS BIGINT) AS n_records,
+        | CAST(max(len) AS BIGINT) AS n_pages,
+        | CAST(sum(html) AS BIGINT) AS n_html,
+        | CAST(sum(adm) AS BIGINT) AS n_admitted,
+        | CAST(sum(CASE WHEN adm = 1 THEN i ELSE 0 END) AS BIGINT)
+        |  AS admitted_checksum,
+        | md5(string_agg(CASE WHEN adm = 1 THEN
+        |   'Page ' || CAST(doc_id AS VARCHAR) || '-' ||
+        |   CAST(i - 1 AS VARCHAR) || ';' ELSE '' END, ''
+        |   ORDER BY i)) AS titles_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q204_url_canonical" ->
       """SELECT doc_id,

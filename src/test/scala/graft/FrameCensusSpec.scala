@@ -179,6 +179,31 @@ class FrameCensusSpec extends AnyFunSuite {
     }
   }
 
+  test("WARC records + httpParts: payloads route onward intact") {
+    import graft.multimodal.WarcCodec
+    val body = "<html><head><title>T</title></head></html>"
+      .getBytes("ISO-8859-1")
+    val payload = WarcCodec.httpResponse(200,
+      Seq("Content-Type" -> "text/html; charset=utf-8"), body)
+    val recs = WarcCodec.records(WarcCodec.synth(Seq(
+      ("warcinfo", "", "software: graft\r\n".getBytes("ISO-8859-1")),
+      ("response", "https://x/p", payload)), gzipped = true))
+    assert(recs.length == 2)
+    val (meta, pl) = recs(1)
+    assert(meta.httpStatus == 200 && meta.targetUri == "https://x/p")
+    val (status, headers, got) = WarcCodec.httpParts(pl)
+    assert(status == 200)
+    assert(headers("content-type") == "text/html; charset=utf-8")
+    assert(headers("content-length") == body.length.toString)
+    assert(got.sameElements(body))
+    // census stays the metadata view of the same walk
+    assert(WarcCodec.census(WarcCodec.synth(Seq(
+      ("response", "https://x/p", payload)))) == Seq(meta))
+    // loud on a non-HTTP payload
+    intercept[IllegalArgumentException](
+      WarcCodec.httpParts("not http at all, way too long".getBytes))
+  }
+
   test("WARC perimeter: truncation and bad version line are loud") {
     import graft.multimodal.WarcCodec
     val bytes = WarcCodec.synth(Seq(
