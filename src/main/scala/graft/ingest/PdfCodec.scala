@@ -622,6 +622,177 @@ object PdfCodec {
 
   final case class PdfImage(width: Int, height: Int, gray: Array[Byte])
 
+  /** Decode-free metadata of one image XObject: the routing row a
+    * corpus pipeline reads BEFORE deciding whether to decode (the
+    * q298 census pattern applied to PDF images — r13 verdict #5
+    * retires the anonymous skip counter in favor of typed rows).
+    * `codec` is the image's LAST filter (the codec in a chain like
+    * [/ASCII85Decode /DCTDecode]), with CCITT split by its /K flavor;
+    * `bpc` follows the codec's spec default when the dict omits it
+    * (1 for JBIG2/CCITT, 0 = "in the codestream" for JPX, else 8);
+    * `colorSpace` is "" when absent (JPX carries it in-stream). */
+  final case class ImageInfo(codec: String, width: Int, height: Int,
+      bpc: Int, colorSpace: String, dataBytes: Int)
+
+  private val ImageFilterNames = Map(
+    "/DCTDecode" -> "dct", "/JPXDecode" -> "jpx",
+    "/JBIG2Decode" -> "jbig2", "/CCITTFaxDecode" -> "ccitt",
+    "/FlateDecode" -> "flate", "/LZWDecode" -> "lzw",
+    "/RunLengthDecode" -> "rle", "/ASCIIHexDecode" -> "ahx",
+    "/ASCII85Decode" -> "a85")
+  private val CcittK = """/K\s+(-?\d+)""".r
+  private val ColorSpaceName = """/ColorSpace\s*/(\w+)""".r
+
+  private def imageInfoOf(dict: String, dataBytes: Int): ImageInfo = {
+    val filters = FilterVal.findFirstMatchIn(dict)
+      .map(m => NameTok.findAllIn(m.group(1)).toList)
+      .getOrElse(Nil)
+    val codec0 = filters.lastOption
+      .map(f => ImageFilterNames.getOrElse(f,
+        f.stripPrefix("/").toLowerCase))
+      .getOrElse("raw")
+    val codec =
+      if (codec0 != "ccitt") codec0
+      else CcittK.findFirstMatchIn(dict).map(_.group(1).toInt)
+        .getOrElse(0) match {
+        case k if k < 0 => "ccitt-g4"
+        case 0 => "ccitt-g3"
+        case _ => "ccitt-g3-2d"
+      }
+    val w = intParm(dict, "/Width", -1)
+    val h = intParm(dict, "/Height", -1)
+    require(w > 0 && h > 0,
+      s"image XObject without /Width //Height in $dict")
+    val bpcDefault = codec match {
+      case "jbig2" | "ccitt-g4" | "ccitt-g3" | "ccitt-g3-2d" => 1
+      case "jpx" => 0
+      case _ => 8
+    }
+    ImageInfo(codec, w, h, intParm(dict, "/BitsPerComponent", bpcDefault),
+      ColorSpaceName.findFirstMatchIn(dict).map(_.group(1)).getOrElse(""),
+      dataBytes)
+  }
+
+  /** Census EVERY image XObject — format, geometry, payload size —
+    * without decoding any payload byte (JPX/JBIG2/CCITT codestreams
+    * stay opaque; the dict is authoritative for geometry in PDF,
+    * §8.9.5). Works on encrypted documents too: dicts are plaintext,
+    * and no payload is touched. Per-row executor work. */
+  def imageCensus(bytes: Array[Byte]): Seq[ImageInfo] = {
+    require(bytes.length >= 5 &&
+      new String(bytes, 0, 5, "ISO-8859-1") == "%PDF-",
+      "not a PDF: missing %PDF- header")
+    val raw = new String(bytes, "ISO-8859-1")
+    val infos = Seq.newBuilder[ImageInfo]
+    var from = 0
+    while ({ val i = raw.indexOf("stream", from); i >= 0 && {
+      val dict = lastDictBefore(raw, from, i)
+      var s = i + "stream".length
+      if (s < raw.length && raw.charAt(s) == '\r') s += 1
+      if (s < raw.length && raw.charAt(s) == '\n') s += 1
+      val e = IndirectLen.findFirstMatchIn(dict) match {
+        case Some(m) =>
+          resolveIndirectLength(raw, m.group(1), m.group(2), s) match {
+            case Some(len) => s + len
+            case None => throw new IllegalArgumentException(
+              s"unresolvable indirect /Length in image-census dict $dict")
+          }
+        case None => LiteralLen.findFirstMatchIn(dict) match {
+          case Some(m) => s + m.group(1).toInt
+          case None =>
+            require(SubtypeImage.findFirstIn(dict).isEmpty &&
+              TypeContainer.findFirstIn(dict).isEmpty,
+              s"image/container stream without numeric /Length in $dict")
+            var e0 = raw.indexOf("endstream", i)
+            require(e0 > i, "PDF stream without endstream")
+            if (e0 > s && raw.charAt(e0 - 1) == '\n') e0 -= 1
+            if (e0 > s && raw.charAt(e0 - 1) == '\r') e0 -= 1
+            e0
+        }
+      }
+      val end = raw.indexOf("endstream", e)
+      require(end >= e, "PDF stream without endstream")
+      if (SubtypeImage.findFirstIn(dict).isDefined)
+        infos += imageInfoOf(dict, e - s)
+      from = end + "endstream".length
+      true
+    }}) ()
+    infos.result()
+  }
+
+  /** Fixture: a Flate text content stream plus one image XObject per
+    * (filterToken, width, height, payloadLen) — filterToken one of
+    * jpx | jbig2 | ccitt (K -1, the G4 flavor) | flate — with opaque
+    * deterministic payloads. The decode() text walk must skip every
+    * image whole; imageCensus must read the zoo back exactly. */
+  def encodeWithImageZoo(lines: Seq[String],
+      imgs: Seq[(String, Int, Int, Int)]): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val content = ("BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
+      .getBytes("ISO-8859-1")
+    val d = new Deflater()
+    d.setInput(content); d.finish()
+    val cOut = new ByteArrayOutputStream(content.length)
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    val cData = cOut.toByteArray
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = Array.newBuilder[Int]
+    w("%PDF-1.5\n")
+    offsets += out.size()
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets += out.size()
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    offsets += out.size()
+    val names = imgs.indices.map(k => s"/Im$k ${5 + k} 0 R").mkString(" ")
+    w(s"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      s"/Resources << /XObject << $names >> >> " +
+      "/MediaBox [0 0 612 792] >> endobj\n")
+    offsets += out.size()
+    w(s"4 0 obj << /Length ${cData.length} /Filter /FlateDecode >> stream\n")
+    out.write(cData)
+    w("\nendstream endobj\n")
+    imgs.zipWithIndex.foreach { case ((tok, iw, ih, plen), k) =>
+      require(iw >= 1 && ih >= 1 && plen >= 1, s"bad image spec $tok")
+      val (filter, extra) = tok match {
+        case "jpx" => ("/JPXDecode", "")
+        case "jbig2" =>
+          ("/JBIG2Decode", " /ColorSpace /DeviceGray /BitsPerComponent 1")
+        case "ccitt" => ("/CCITTFaxDecode",
+          s" /ColorSpace /DeviceGray /BitsPerComponent 1" +
+            s" /DecodeParms << /K -1 /Columns $iw >>")
+        case "flate" =>
+          ("/FlateDecode", " /ColorSpace /DeviceRGB /BitsPerComponent 8")
+        case other => throw new IllegalArgumentException(
+          s"unknown image token $other")
+      }
+      // opaque payload with text-scanner bait, never decoded
+      val payload = Array.tabulate[Byte](plen)(i =>
+        ((i * 41 + iw * 7 + ih) % 251).toByte)
+      offsets += out.size()
+      w(s"${5 + k} 0 obj << /Type /XObject /Subtype /Image " +
+        s"/Width $iw /Height $ih$extra " +
+        s"/Length ${payload.length} /Filter $filter >> stream\n")
+      out.write(payload)
+      w("\nendstream endobj\n")
+    }
+    val xref = out.size()
+    val offs = offsets.result()
+    w(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n" +
+      offs.map(o => f"$o%010d 00000 n \n").mkString)
+    w(s"trailer << /Size ${offs.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Extract the IMAGES a PDF embeds. The reference's ingest is
     * text-only (pdf_spider.py:42-50 calls page.get_text() and nothing
     * else); this op goes beyond it, because a multimodal corpus
@@ -631,18 +802,22 @@ object PdfCodec {
     * /DCTDecode → the in-engine baseline JpegCodec (grayscale surface,
     * ITU-601 luma for color); /FlateDecode 8-bit /DeviceGray → inflate
     * to raw samples. Anything else (JPX, CCITT, CMYK DCT, predictors)
-    * counts as skipped rather than refusing the document — a corpus
+    * stays UNDECODED rather than refusing the document — a corpus
     * miner keeps the text and the images it CAN decode. Encrypted
     * documents decrypt per object exactly like the text path. Returns
-    * (images in document order, skipped count). Per-row executor work. */
-  def extractImages(bytes: Array[Byte]): (Seq[PdfImage], Int) = {
+    * (images in document order, TYPED census rows for the undecoded
+    * — the anonymous skip counter is retired, r13 verdict #5: an
+    * undecoded image now says what it is, how big, and why it was
+    * left alone). Per-row executor work. */
+  def extractImages(bytes: Array[Byte])
+      : (Seq[PdfImage], Seq[ImageInfo]) = {
     require(bytes.length >= 5 &&
       new String(bytes, 0, 5, "ISO-8859-1") == "%PDF-",
       "not a PDF: missing %PDF- header")
     val raw = new String(bytes, "ISO-8859-1")
     val crypt = PdfCrypt.parse(raw)
     val images = Seq.newBuilder[PdfImage]
-    var skipped = 0
+    val undecoded = Seq.newBuilder[ImageInfo]
     var from = 0
     while ({ val i = raw.indexOf("stream", from); i >= 0 && {
       val dict = lastDictBefore(raw, from, i)
@@ -700,19 +875,19 @@ object PdfCodec {
                 s"embedded JPEG geometry ${dw}x$dh contradicts dict " +
                   s"${w}x$h")
               images += PdfImage(dw, dh, pix)
-            case None => skipped += 1
+            case None => undecoded += imageInfoOf(dict, e - s)
           }
         } else if (isFlateGray && w > 0 && h > 0) {
           val pix = decodeFiltered(dict, seg)
           require(pix.length >= w * h,
             s"flate image has ${pix.length} samples for ${w}x$h")
           images += PdfImage(w, h, pix.take(w * h))
-        } else skipped += 1
+        } else undecoded += imageInfoOf(dict, e - s)
       }
       from = end + "endstream".length
       true
     }}) ()
-    (images.result(), skipped)
+    (images.result(), undecoded.result())
   }
 
   // integer-parameter probes, compiled once per distinct name (the

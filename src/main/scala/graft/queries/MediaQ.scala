@@ -630,6 +630,68 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // PDF IMAGE-CODEC CENSUS (r13 verdict #5) — the codecs the image
+    // miner (q290) leaves undecoded (JPX, JBIG2, CCITT) were an
+    // anonymous skip COUNT; now they are typed rows: PdfCodec
+    // .imageCensus walks every /Subtype /Image XObject and reports
+    // codec (last filter in the chain, CCITT split by /K flavor),
+    // geometry (the dict is authoritative, §8.9.5), spec-default
+    // BitsPerComponent (1 for JBIG2/CCITT, 0 = in-codestream for
+    // JPX), color space, and payload size — WITHOUT touching a
+    // payload byte. Each doc embeds a zoo of all four shapes from
+    // char arithmetic; the text route must decode around the zoo
+    // untouched, and every census row is checked against its planted
+    // truth before aggregating.
+    "q307_pdf_image_census" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.ingest.PdfCodec
+          val src = text.getBytes("ISO-8859-1")
+          val toks = Array("jpx", "jbig2", "ccitt", "flate")
+          val imgs = src.toSeq.map { b =>
+            val v = b & 0xff
+            (toks(v % 4), v % 32 + 1, v % 16 + 1, v % 64 + 9)
+          }
+          val lines = Seq(s"Name: Event $id", "Body: with images")
+          val pdf = PdfCodec.encodeWithImageZoo(lines, imgs)
+          require(PdfCodec.decode(pdf) == lines,
+            s"doc $id text route drifted around the image zoo")
+          val census = PdfCodec.imageCensus(pdf)
+          require(census.length == imgs.length,
+            s"doc $id census found ${census.length} of ${imgs.length}")
+          census.zip(imgs).foreach { case (c, (tok, iw, ih, plen)) =>
+            val want = tok match {
+              case "jpx" => PdfCodec.ImageInfo("jpx", iw, ih, 0, "", plen)
+              case "jbig2" =>
+                PdfCodec.ImageInfo("jbig2", iw, ih, 1, "DeviceGray", plen)
+              case "ccitt" => PdfCodec.ImageInfo("ccitt-g4", iw, ih, 1,
+                "DeviceGray", plen)
+              case _ => PdfCodec.ImageInfo("flate", iw, ih, 8,
+                "DeviceRGB", plen)
+            }
+            require(c == want, s"doc $id census drift: $c vs $want")
+          }
+          val dims = census.zipWithIndex.map { case (c, k) =>
+            (k + 1).toLong * (c.width * 100L + c.height)
+          }.sum
+          (id, census.length.toLong,
+            census.count(_.codec == "jpx").toLong,
+            census.count(_.codec == "jbig2").toLong,
+            census.count(_.codec == "ccitt-g4").toLong,
+            census.count(_.codec == "flate").toLong,
+            dims, census.map(_.dataBytes.toLong).sum,
+            census.map(_.bpc.toLong).sum)
+        }
+        .toDF("doc_id", "n_images", "n_jpx", "n_jbig2", "n_ccitt_g4",
+          "n_flate", "dims_checksum", "payload_bytes", "bpc_sum")
+        .orderBy("doc_id")
+    }),
+
     // WARC RECORD CENSUS — the container web-scale text corpora
     // actually arrive in (Common Crawl ships .warc.gz): every doc
     // becomes a WARC/1.0 archive (one warcinfo + one HTTP response
@@ -834,10 +896,12 @@ object MediaQ {
           val pdf = graft.ingest.PdfCodec.encodeWithRealJpeg(
             Seq(s"Name: Event $id", text), w, 8, pix)
           val lines = graft.ingest.PdfCodec.decode(pdf)
-          val (images, skipped) = graft.ingest.PdfCodec.extractImages(pdf)
-          require(lines.size == 2 && images.size == 1 && skipped == 0,
+          val (images, undecoded) =
+            graft.ingest.PdfCodec.extractImages(pdf)
+          require(lines.size == 2 && images.size == 1 &&
+            undecoded.isEmpty,
             s"pdf mining drifted on doc $id: ${lines.size} lines, " +
-              s"${images.size} images, $skipped skipped")
+              s"${images.size} images, ${undecoded.size} undecoded")
           val img = images.head
           var sum = 0L
           var chk = 0L
@@ -1146,6 +1210,36 @@ object MediaQ {
         |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
         |  AS BIGINT) AS mdat_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // char b plants codec b%4 (jpx/jbig2/ccitt-g4/flate), geometry
+    // (b%32+1)×(b%16+1), payload b%64+9, bpc 0/1/1/8 by codec
+    "q307_pdf_image_census" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, text, unnest(range(1, len + 1)) AS i
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg)
+        |SELECT doc_id,
+        | CAST(max(len) AS BIGINT) AS n_images,
+        | CAST(sum(CASE WHEN b % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_jpx,
+        | CAST(sum(CASE WHEN b % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_jbig2,
+        | CAST(sum(CASE WHEN b % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_ccitt_g4,
+        | CAST(sum(CASE WHEN b % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_flate,
+        | CAST(sum(i * ((b % 32 + 1) * 100 + b % 16 + 1)) AS BIGINT)
+        |  AS dims_checksum,
+        | CAST(sum(b % 64 + 9) AS BIGINT) AS payload_bytes,
+        | CAST(sum(CASE b % 4 WHEN 1 THEN 1 WHEN 2 THEN 1
+        |   WHEN 3 THEN 8 ELSE 0 END) AS BIGINT) AS bpc_sum
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // every count replays from text arithmetic: video docs carry
     // len+2 NALs (SPS 7 B + PPS 4 B ride sample 0) of b%24+2 bytes

@@ -25,7 +25,7 @@ class PdfImagesSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq("Name: Doc", "the text body"), w, h, pix)
     assert(PdfCodec.decode(pdf) == Seq("Name: Doc", "the text body"))
     val (images, skipped) = PdfCodec.extractImages(pdf)
-    assert(skipped == 0 && images.size == 1)
+    assert(skipped.isEmpty && images.size == 1)
     assert(images.head.width == w && images.head.height == h)
     assert(images.head.gray.toSeq == pix.toSeq)
   }
@@ -34,13 +34,16 @@ class PdfImagesSpec extends org.scalatest.funsuite.AnyFunSuite {
     val pdf = PdfCodec.encodeWithDctImage(Seq("text only"))
     assert(PdfCodec.decode(pdf) == Seq("text only"))
     val (images, skipped) = PdfCodec.extractImages(pdf)
-    assert(images.isEmpty && skipped == 1)
+    assert(images.isEmpty && skipped.size == 1)
+    // the retired skip counter is now a typed census row
+    assert(skipped.head.codec == "dct" && skipped.head.width == 8 &&
+      skipped.head.height == 8)
   }
 
   test("plain documents extract zero images") {
     val (images, skipped) =
       PdfCodec.extractImages(PdfCodec.encode(Seq("no pictures here")))
-    assert(images.isEmpty && skipped == 0)
+    assert(images.isEmpty && skipped.isEmpty)
   }
 
   test("encrypted documents extract through per-object decryption") {
@@ -50,7 +53,7 @@ class PdfImagesSpec extends org.scalatest.funsuite.AnyFunSuite {
         Some((w, h, pix)))
       assert(PdfCodec.decode(pdf) == Seq("the text"), mode)
       val (images, skipped) = PdfCodec.extractImages(pdf)
-      assert(skipped == 0 && images.size == 1, mode)
+      assert(skipped.isEmpty && images.size == 1, mode)
       assert(images.head.gray.toSeq == pix.toSeq, mode)
     }
   }
@@ -89,7 +92,7 @@ class PdfImagesSpec extends org.scalatest.funsuite.AnyFunSuite {
       "trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
     val pdf = head ++ z ++ tail
     val (images, skipped) = PdfCodec.extractImages(pdf)
-    assert(skipped == 0 && images.size == 1)
+    assert(skipped.isEmpty && images.size == 1)
     assert(images.head.width == w && images.head.height == h)
     assert(images.head.gray.toSeq == pix.toSeq)
   }
