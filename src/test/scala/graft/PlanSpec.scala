@@ -508,7 +508,9 @@ class PlanSpec extends SparkSpec {
     // per-row executor work fused into the scan: the only exchange a
     // census query may carry is the final orderBy's range partitioning
     for (q <- Seq("q294_aac_scan", "q295_h264_scan", "q298_mp4_boxes",
-        "q299_warc_census", "q300_robots_admission")) {
+        "q299_warc_census", "q300_robots_admission",
+        "q304_pdf_xref_stream", "q305_mp4_sample_census",
+        "q306_crawl_spine", "q307_pdf_image_census")) {
       val p = planOf(q)
       val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
         p.linesIterator.count(_.trim.startsWith("Exchange"))
