@@ -63,6 +63,46 @@ object Robots {
     groups.result()
   }
 
+  /** RFC 9309 §2.2.2 comparison normalization (via RFC 3986
+    * §6.2.2.1-2): percent-encoded octets that decode to UNRESERVED
+    * characters (ALPHA / DIGIT / `-` `.` `_` `~`) are unencoded, and
+    * the hex digits of encodings that remain are uppercased — so
+    * `/a%62c` and `/abc` compare equal while `%2F` (a reserved `/`)
+    * stays distinct from a literal slash. Decoding can never mint a
+    * `*` or `$` metacharacter (neither is unreserved), so a pattern
+    * cannot gain wildcards through normalization. Malformed escapes
+    * pass through untouched — robots.txt is dirty real-world input
+    * and a normalizer that throws is a crawl-gate outage. */
+  def normalize(s: String): String = {
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    def unreserved(v: Int): Boolean =
+      (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+        (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' ||
+        v == '~'
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val h1 = if (c == '%' && i + 2 < s.length) hex(s.charAt(i + 1)) else -1
+      val h2 = if (h1 >= 0) hex(s.charAt(i + 2)) else -1
+      if (h1 >= 0 && h2 >= 0) {
+        val v = h1 * 16 + h2
+        if (unreserved(v)) sb += v.toChar
+        else {
+          sb += '%'
+          sb += s.charAt(i + 1).toUpper
+          sb += s.charAt(i + 2).toUpper
+        }
+        i += 3
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   /** `pattern` against `path`: literal octets, `*` matches any run,
     * trailing `$` anchors the end; an unanchored pattern matches any
     * PREFIX of the path (the RFC 9309 rule shape). Greedy wildcard
@@ -96,15 +136,19 @@ object Robots {
     false // unreachable
   }
 
-  /** Admission for (agent, path) under the parsed groups. */
+  /** Admission for (agent, path) under the parsed groups. Patterns
+    * and path compare (and rank by octet length) in their §2.2.2
+    * normalized forms. */
   def allowed(groups: Seq[Group], agent: String, path: String)
       : Boolean = {
     val a = agent.toLowerCase
     val mine = groups.filter(_.agents.contains(a))
     val chosen = if (mine.nonEmpty) mine
       else groups.filter(_.agents.contains("*"))
+    val np = normalize(path)
     val applicable = chosen.flatMap(_.rules)
-      .filter(r => matches(r.pattern, path))
+      .map(r => Rule(r.allow, normalize(r.pattern)))
+      .filter(r => matches(r.pattern, np))
     if (applicable.isEmpty) true
     else {
       val best = applicable.map(_.pattern.length).max

@@ -1085,6 +1085,58 @@ class DocTextSpec extends SparkSpec {
     assert(PdfCodec.liveObjects(hybrid)(4) == objAt.toLong)
   }
 
+  test("pdf xref streams: a type-2 entry retires the top-level body") {
+    import graft.ingest.PdfCodec
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.Deflater
+    // append an xref-stream section whose row for the content object
+    // is TYPE 2 (live version now inside an object stream): the
+    // top-level body physically remains, but a conforming reader must
+    // treat it as stale — with no live top-level content stream left,
+    // decodeLatest refuses loudly instead of emitting the stale text
+    val base = PdfCodec.encodeWithXrefStream(Seq("Name: Original"),
+      predictor = false)
+    val raw = new String(base, "ISO-8859-1")
+    val prevXref = raw.substring(raw.lastIndexOf("startxref") + 9)
+      .trim.takeWhile(_.isDigit).toLong
+    def deflated(b: Array[Byte]): Array[Byte] = {
+      val d = new Deflater()
+      d.setInput(b); d.finish()
+      val o = new ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) o.write(tmp, 0, d.deflate(tmp))
+      d.end(); o.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(base)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val xrefAt = out.size()
+    val rows = new ByteArrayOutputStream()
+    def row(t: Int, f2: Long, f3: Int): Unit = {
+      rows.write(t)
+      rows.write(((f2 >> 24) & 0xff).toInt)
+      rows.write(((f2 >> 16) & 0xff).toInt)
+      rows.write(((f2 >> 8) & 0xff).toInt)
+      rows.write((f2 & 0xff).toInt)
+      rows.write(f3)
+    }
+    row(2, 9L, 0) // obj 4: now member 0 of (hypothetical) ObjStm 9
+    row(1, xrefAt.toLong, 0) // the xref stream itself (obj 6)
+    val xdata = deflated(rows.toByteArray)
+    w(s"6 0 obj << /Type /XRef /Size 7 /Index [4 1 6 1] /W [1 4 1] " +
+      s"/Root 1 0 R /Prev $prevXref /Filter /FlateDecode " +
+      s"/Length ${xdata.length} >> stream\n")
+    out.write(xdata)
+    w(s"\nendstream endobj\nstartxref\n$xrefAt\n%%EOF\n")
+    val doc = out.toByteArray
+    // the liveness map knows obj 4 is not at any top-level offset
+    assert(!PdfCodec.liveObjects(doc).contains(4))
+    // scan-all still sees the bytes; the conforming view refuses
+    assert(PdfCodec.decode(doc) == Seq("Name: Original"))
+    val e = intercept[IllegalArgumentException](PdfCodec.decodeLatest(doc))
+    assert(e.getMessage.contains("no content stream"), e.getMessage)
+  }
+
   test("pdf xref streams: malformed sections refuse loudly") {
     import graft.ingest.PdfCodec
     val doc = PdfCodec.encodeWithXrefStream(Seq("Name: X"),

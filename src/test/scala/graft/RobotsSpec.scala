@@ -124,6 +124,30 @@ class RobotsSpec extends AnyFunSuite {
     assert(ms < 2000, s"matcher took ${ms}ms — backtracking regressed")
   }
 
+  test("percent-encoding normalizes before comparison (RFC 9309 §2.2.2)") {
+    // unreserved octets unencode; reserved ones stay encoded with
+    // uppercased hex; literal '/' never equals %2F
+    assert(Robots.normalize("/a%62c") == "/abc")
+    assert(Robots.normalize("/a%2fb") == "/a%2Fb")
+    assert(Robots.normalize("/%7Euser") == "/~user")
+    assert(Robots.normalize("/x%zz") == "/x%zz") // malformed passes through
+    assert(Robots.normalize("/caf%C3%A9") == "/caf%C3%A9")
+    // a rule written encoded matches a path written literal, both ways
+    val g = Robots.parse(
+      """User-agent: bot
+        |Disallow: /priv%61te
+        |Disallow: /a%2Fb
+        |""".stripMargin)
+    assert(!Robots.allowed(g, "bot", "/private"))
+    assert(!Robots.allowed(g, "bot", "/priv%61te"))
+    assert(!Robots.allowed(g, "bot", "/a%2fb")) // hex case folds
+    assert(Robots.allowed(g, "bot", "/a/b")) // reserved %2F != '/'
+    // decoding cannot mint metacharacters: %2A is a literal '*'
+    val g2 = Robots.parse("User-agent: bot\nDisallow: /x%2Ay\n")
+    assert(Robots.allowed(g2, "bot", "/xZZy"))
+    assert(!Robots.allowed(g2, "bot", "/x%2Ay"))
+  }
+
   test("a user-agent line after rules starts a new group") {
     val g = Robots.parse(
       """User-agent: a

@@ -230,6 +230,108 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(quarRows.values.forall(_._2.nonEmpty)) // errors kept as data
   }
 
+  test("streaming crawl spine: WARC archives drain through admission") {
+    // the q306 spine under Structured Streaming — how a crawl
+    // actually lands: .warc.gz files arriving in a directory, each
+    // micro-batch walking records → HTTP split → robots admission →
+    // HTML extraction, with a corrupt archive routed to quarantine
+    // instead of killing the query (the r13 poison contract)
+    import graft.multimodal.WarcCodec
+    import graft.ingest.{HtmlCodec, Robots}
+    val base = Files.createTempDirectory("graft_crawl_stream").toString
+    val in = s"$base/in"; val pages = s"$base/pages"
+    val quar = s"$base/quarantine"; val ck = s"$base/ck"
+    Files.createDirectories(Paths.get(in))
+    val robotsTxt = "User-agent: bot\r\nDisallow: /private*\r\n"
+    def html(t: String, body: String) =
+      (s"<html><head><title>$t</title></head>" +
+        s"<body><p>$body</p></body></html>").getBytes("ISO-8859-1")
+    def archive(host: String, pagesIn: Seq[(String, Int, Boolean)]) =
+      WarcCodec.synth(
+        ("response", s"https://$host/robots.txt",
+          WarcCodec.httpResponse(200,
+            Seq("Content-Type" -> "text/plain"),
+            robotsTxt.getBytes("ISO-8859-1")))
+          +: pagesIn.map { case (path, status, isHtml) =>
+            ("response", s"https://$host$path",
+              WarcCodec.httpResponse(status,
+                Seq("Content-Type" ->
+                  (if (isHtml) "text/html" else "application/pdf")),
+                if (isHtml) html(s"$host$path", s"body of $path")
+                else Array.tabulate[Byte](16)(_.toByte)))
+          }, gzipped = true)
+    Files.write(Paths.get(s"$in/a.warc.gz"), archive("a.example", Seq(
+      ("/ok", 200, true), ("/private/x", 200, true), ("/gone", 404, true),
+      ("/doc", 200, false))))
+    Files.write(Paths.get(s"$in/b.warc.gz"), archive("b.example", Seq(
+      ("/ok", 200, true))))
+    val good = archive("c.example", Seq(("/ok", 200, true)))
+    Files.write(Paths.get(s"$in/poison.warc.gz"),
+      good.take(good.length / 2)) // truncated mid-gzip
+    val q = spark.readStream.format("binaryFile")
+      .schema(BinaryOps.readMediaDir(spark, in).schema)
+      .load(in)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val parsed = batch.select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (path, bytes) =>
+            val name = path.substring(path.lastIndexOf('/') + 1)
+            try {
+              val recs = WarcCodec.records(bytes)
+                .filter(_._1.warcType == "response")
+              val groups = recs
+                .find(_._1.targetUri.endsWith("/robots.txt"))
+                .map { case (_, p) =>
+                  Robots.parse(new String(
+                    WarcCodec.httpParts(p)._3, "ISO-8859-1"))
+                }.getOrElse(Seq.empty)
+              recs.filterNot(_._1.targetUri.endsWith("/robots.txt"))
+                .flatMap { case (rec, payload) =>
+                  val (status, hdrs, body) = WarcCodec.httpParts(payload)
+                  val p = rec.targetUri.substring(
+                    rec.targetUri.indexOf('/', "https://".length))
+                  if (status == 200 &&
+                      hdrs.get("content-type")
+                        .exists(_.startsWith("text/html")) &&
+                      Robots.allowed(groups, "bot", p)) {
+                    val items = HtmlCodec.extractItems(
+                      new String(body, "ISO-8859-1"),
+                      HtmlCodec.HtmlConfig(
+                        itemContainerSelector = Some("html"),
+                        fields = Map("title" -> "title::text")))
+                    Seq((name, "page", rec.targetUri,
+                      items.head.getOrElse("title", "")))
+                  } else Nil
+                }
+            } catch {
+              case e: Exception =>
+                Seq((name, "quarantined", "", e.getMessage.take(80)))
+            }
+          }
+          .toDF("archive", "status", "uri", "title")
+        parsed.filter($"status" === "page")
+          .write.mode("append").parquet(pages)
+        parsed.filter($"status" === "quarantined")
+          .write.mode("append").parquet(quar)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(pages)
+      .select("archive", "uri", "title").as[(String, String, String)]
+      .collect().toSet
+    // only the 200+html+robots-allowed pages surface, titles extracted
+    assert(got == Set(
+      ("a.warc.gz", "https://a.example/ok", "a.example/ok"),
+      ("b.warc.gz", "https://b.example/ok", "b.example/ok")))
+    val bad = spark.read.parquet(quar)
+      .select("archive").as[String].collect().toSet
+    assert(bad == Set("poison.warc.gz"))
+  }
+
   test("streaming dedup within watermark drops in-horizon duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
