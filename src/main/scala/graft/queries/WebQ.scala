@@ -187,6 +187,38 @@ object WebQ {
         .orderBy("doc_id")
     }),
 
+    // CRAWL POLITENESS SCHEDULER — the frontier planner between
+    // admission (q306) and fetch: per host, URLs are fetched in
+    // discovery order but never closer than the host's crawl-delay,
+    // so fetch_i = max(discover_i, fetch_{i-1} + d). That recurrence
+    // looks sequential — the naive form is a per-host LOOP — but with
+    // constant d it rewrites exactly to a prefix max:
+    // fetch_i = d·i + cummax_{j≤i}(discover_j − d·j), which is one
+    // running-max window per host. Bounded groups (hosts), integer
+    // microseconds end-to-end, no UDF, no loop — the difference
+    // between a scheduler that survives 100 TB of frontier and one
+    // that doesn't. Output: per-host fetch plan rollup (URL count,
+    // makespan, total politeness wait, schedule checksum).
+    "q308_crawl_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("user_id").as("host"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      val delay = (col("host") % 4 + 1) * lit(1000000L)
+      val w = Window.partitionBy("host").orderBy("tus", "event_id")
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sched = e
+        .withColumn("idx", row_number().over(w).cast("long") - 1)
+        .withColumn("fetch",
+          delay * col("idx") + max(col("tus") - delay * col("idx")).over(wc))
+      sched.groupBy("host")
+        .agg(count(lit(1)).as("n_urls"),
+          min("tus").as("first_seen_us"),
+          (max("fetch") - min("tus")).as("makespan_us"),
+          sum(col("fetch") - col("tus")).as("total_wait_us"),
+          sum(col("fetch") % 1000000007L).as("sched_checksum"))
+        .orderBy("host")
+    }),
+
     // URL canonicalization as a codegen expression: four deterministic
     // dirt classes (scheme/host case, default ports, duplicate and ./
     // path segments, tracking params, unsorted query, fragments) are
@@ -558,6 +590,31 @@ object WebQ {
         | CAST(list_sum(list_transform(range(1, len + 1), i ->
         |   i * dny[CAST(i AS INTEGER)])) AS BIGINT) AS denied_checksum
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // the same prefix-max rewrite replayed in SQL; integer micros so
+    // both engines agree bit-for-bit
+    "q308_crawl_schedule" ->
+      """WITH e AS (
+        | SELECT user_id AS host, epoch_us(ts) AS tus, event_id,
+        |  (user_id % 4 + 1) * 1000000 AS d
+        | FROM events),
+        |s AS (
+        | SELECT host, tus, d,
+        |  row_number() OVER (PARTITION BY host
+        |    ORDER BY tus, event_id) - 1 AS idx
+        | FROM e),
+        |f AS (
+        | SELECT host, tus,
+        |  d * idx + max(tus - d * idx) OVER (PARTITION BY host
+        |    ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS ft
+        | FROM s)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        | CAST(min(tus) AS BIGINT) AS first_seen_us,
+        | CAST(max(ft) - min(tus) AS BIGINT) AS makespan_us,
+        | CAST(sum(ft - tus) AS BIGINT) AS total_wait_us,
+        | CAST(sum(ft % 1000000007) AS BIGINT) AS sched_checksum
+        |FROM f GROUP BY host ORDER BY host""".stripMargin,
 
     // admission truth from arithmetic: the fixed graftbot crawl
     // denies paths 2/4/7 (Disallow /private*) and path 3 on odd ids

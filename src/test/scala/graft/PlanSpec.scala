@@ -229,6 +229,15 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n${p.take(3000)}")
   }
 
+  test("crawl schedule: windows and rollup share one host exchange") {
+    // the prefix-max rewrite of the politeness recurrence must not
+    // re-shuffle between the per-host windows and the per-host agg
+    val p = planOf("q308_crawl_schedule")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("shingle guard filters rewrite to token-count checks (no double eval)") {
     // ShingleFilterSimplify: the explode-inferred guard must test the
     // cheap token array, not re-run the O(n·k) shingle construction —
