@@ -272,6 +272,43 @@ object ScaleQ {
         .orderBy("source")
     }),
 
+    // TEMPERATURE-SCALED CORPUS MIXING (the Pile / GPT-3 / LLaMA
+    // domain-rebalancing device): sampling weight per source ∝
+    // share^(1/T) with T=2 — i.e. ∝ √n_s — flattens the domain
+    // distribution so small high-quality sources punch above their
+    // raw share. Everything is deterministic and engine-exact: the
+    // integer weight is ⌊√n·1000⌋, the acceptance threshold is a
+    // 16-bit integer cutoff (65536·B·sw) DIV (S·n) with B = half the
+    // corpus (BIGINT products — a true 100 TB run widens to DECIMAL),
+    // and the per-doc coin is the first 4 md5 hex chars of
+    // "mix:"+doc_id (the q71 seedless-uniform device) compared as an
+    // integer. Source stats are a 20-row broadcast; the corpus is
+    // scanned twice (narrow stats pass + filter pass), never shuffled
+    // except the final per-source rollup.
+    "q309_corpus_mixing" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val stats = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("sw", floor(sqrt(col("n_docs")) * 1000).cast("long"))
+      val tot = stats.agg(sum(col("sw")).as("sws"),
+        floor(sum(col("n_docs")) / 2).cast("long").as("budget"))
+      val rates = stats.crossJoin(broadcast(tot))
+        .withColumn("cutoff", // exact integer division (DuckDB `//`)
+          ldiv(lit(65536L) * col("budget") * col("sw"),
+            col("sws") * col("n_docs")))
+        .select("source", "n_docs", "sw", "cutoff")
+      val u16 = conv(substring(md5(concat(lit("mix:"),
+        col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+      d.join(broadcast(rates), "source")
+        .withColumn("acc", when(u16 < col("cutoff"), 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"), max(col("sw")).as("sw"),
+          max(col("cutoff")).as("cutoff"),
+          sum(col("acc")).as("n_sampled"),
+          sum(col("acc") * col("doc_id")).as("sample_checksum"))
+        .orderBy("source")
+    }),
+
     // TPC-H Q5 shape: 6-way join (fact + 2 mid tables + 3 dims) with the
     // region filter pushed to the smallest dim and local-supplier
     // correlation (c_nationkey = s_nationkey). Catalyst broadcasts the
@@ -757,6 +794,33 @@ object ScaleQ {
         | round(CAST(df AS DOUBLE) / n_docs, 4) AS doc_ratio
         |FROM dfs, tot WHERE df > n_docs * 0.5
         |ORDER BY df DESC, tok""".stripMargin,
+
+    // the same √n temperature weights, 16-bit integer cutoff, and
+    // md5("mix:"+id) coin replayed end-to-end
+    "q309_corpus_mixing" ->
+      """WITH c AS (
+        | SELECT source, count(*) AS n,
+        |  CAST(floor(sqrt(count(*)) * 1000) AS BIGINT) AS sw
+        | FROM documents GROUP BY source),
+        |tt AS (
+        | SELECT CAST(sum(sw) AS BIGINT) AS sws,
+        |  CAST(sum(n) // 2 AS BIGINT) AS budget FROM c),
+        |r AS (
+        | SELECT source, n, sw,
+        |  (65536 * budget * sw) // (sws * n) AS cutoff
+        | FROM c, tt),
+        |a AS (
+        | SELECT d.doc_id, d.source, r.n, r.sw, r.cutoff,
+        |  CASE WHEN CAST(CAST(('0x' || substr(md5('mix:' ||
+        |      CAST(d.doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) AS BIGINT)
+        |    < r.cutoff THEN 1 ELSE 0 END AS acc
+        | FROM documents d JOIN r ON r.source = d.source)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        | CAST(max(sw) AS BIGINT) AS sw,
+        | CAST(max(cutoff) AS BIGINT) AS cutoff,
+        | CAST(sum(acc) AS BIGINT) AS n_sampled,
+        | CAST(sum(acc * doc_id) AS BIGINT) AS sample_checksum
+        |FROM a GROUP BY source ORDER BY source""".stripMargin,
 
     "q71_weighted_sample" ->
       """WITH mx AS (SELECT max(n_chars) AS mx FROM documents)
