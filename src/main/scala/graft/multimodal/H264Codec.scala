@@ -59,6 +59,141 @@ object H264Codec {
     out.toByteArray
   }
 
+  /** Decoded SPS routing metadata: the ffprobe-level geometry a
+    * corpus pipeline reads without decoding a single macroblock. */
+  final case class SpsInfo(profile: Int, level: Int, width: Int,
+      height: Int)
+
+  /** Parse a seq_parameter_set_rbsp (ITU-T H.264 §7.3.2.1.1) from a
+    * type-7 NAL's payload (header byte already stripped): real
+    * Exp-Golomb bit reading over the RBSP after emulation-prevention
+    * removal (§7.4.1: every 00 00 03 drops the 03). Profiles with a
+    * chroma-format branch (High family: 100/110/122/244/44/83/86/
+    * 118/128/134/135/138/139) refuse loudly — Baseline/Main/Extended
+    * cover the fixture space and the branch would otherwise be
+    * silently misread. Geometry honors frame cropping with the 4:2:0
+    * crop units (§7.4.2.1.1: CropUnitX=2, CropUnitY=2·(2−fmof)). */
+  def parseSps(payload: Array[Byte]): SpsInfo = {
+    // emulation-prevention removal
+    val rbsp = new ByteArrayOutputStream(payload.length)
+    var i = 0
+    while (i < payload.length) {
+      if (i + 2 < payload.length && payload(i) == 0 &&
+          payload(i + 1) == 0 && payload(i + 2) == 3) {
+        rbsp.write(0); rbsp.write(0); i += 3
+      } else { rbsp.write(payload(i)); i += 1 }
+    }
+    val b = rbsp.toByteArray
+    var pos = 0 // bit cursor
+    def u(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        require(pos < b.length * 8, "SPS truncated mid-field")
+        v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1; k += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        require(zeros <= 31, "implausible Exp-Golomb prefix in SPS")
+      }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+    def se(): Int = { // signed Exp-Golomb (§9.1.1)
+      val k = ue()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+    val profile = u(8)
+    u(8) // constraint_set flags + reserved
+    val level = u(8)
+    ue() // seq_parameter_set_id
+    val highFamily = Set(100, 110, 122, 244, 44, 83, 86, 118, 128,
+      134, 135, 138, 139)
+    require(!highFamily(profile),
+      s"SPS profile_idc $profile carries a chroma-format branch — " +
+        "outside the Baseline/Main/Extended parse perimeter")
+    ue() // log2_max_frame_num_minus4
+    ue() match { // pic_order_cnt_type
+      case 0 => ue() // log2_max_pic_order_cnt_lsb_minus4
+      case 1 =>
+        u(1) // delta_pic_order_always_zero_flag
+        se(); se() // offsets for non-ref / top-to-bottom
+        val n = ue()
+        var k = 0
+        while (k < n) { se(); k += 1 }
+      case _ => ()
+    }
+    ue() // max_num_ref_frames
+    u(1) // gaps_in_frame_num_value_allowed_flag
+    val mbW = ue() + 1
+    val mapH = ue() + 1
+    val fmof = u(1) // frame_mbs_only_flag
+    if (fmof == 0) u(1) // mb_adaptive_frame_field_flag
+    u(1) // direct_8x8_inference_flag
+    val (cl, cr, ct, cb) =
+      if (u(1) == 1) (ue(), ue(), ue(), ue()) else (0, 0, 0, 0)
+    // 4:2:0 crop units (chroma_format_idc defaults to 1 here)
+    val cropUnitY = 2 * (2 - fmof)
+    SpsInfo(profile, level,
+      mbW * 16 - 2 * (cl + cr),
+      (2 - fmof) * mapH * 16 - cropUnitY * (ct + cb))
+  }
+
+  /** Synthesize a conformant Baseline/Main/Extended SPS NAL (header
+    * byte included) for the given geometry — pic_order_cnt_type 2,
+    * frame_mbs_only, optional frame cropping — with §7.4.1 emulation
+    * prevention applied, so the NAL survives Annex B framing however
+    * many zero bits the fields produce. */
+  def synthSps(profile: Int, level: Int, mbW: Int, mapH: Int,
+      cropRight: Int = 0, cropBottom: Int = 0): Array[Byte] = {
+    require(mbW >= 1 && mapH >= 1, s"bad geometry ${mbW}x$mapH")
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]()
+    def u(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bits += ((v >> k) & 1); k -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val c = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(c)
+      u(0, len - 1); u(c, len)
+    }
+    u(profile, 8); u(0, 8); u(level, 8)
+    ue(0) // sps id
+    ue(0) // log2_max_frame_num_minus4
+    ue(2) // pic_order_cnt_type 2: no further POC fields
+    ue(1) // max_num_ref_frames
+    u(0, 1) // gaps_in_frame_num_value_allowed_flag
+    ue(mbW - 1)
+    ue(mapH - 1)
+    u(1, 1) // frame_mbs_only_flag
+    u(1, 1) // direct_8x8_inference_flag
+    if (cropRight > 0 || cropBottom > 0) {
+      u(1, 1); ue(0); ue(cropRight); ue(0); ue(cropBottom)
+    } else u(0, 1)
+    u(0, 1) // vui_parameters_present_flag
+    u(1, 1) // rbsp_stop_one_bit
+    while (bits.length % 8 != 0) bits += 0
+    val raw = bits.grouped(8)
+      .map(g => g.foldLeft(0)((a, x) => (a << 1) | x).toByte).toArray
+    // header byte + emulation prevention over the payload
+    val out = new ByteArrayOutputStream(raw.length + 4)
+    out.write((3 << 5) | TypeSps)
+    var i = 0
+    var zeros = 0
+    while (i < raw.length) {
+      val v = raw(i) & 0xff
+      if (zeros == 2 && v <= 3) { out.write(3); zeros = 0 }
+      out.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Walk ONE AVCC-framed sample — the shape AVC actually takes
     * inside MP4 (ISO 14496-15 §5.3.4.2): each NAL is prefixed by a
     * big-endian `lengthSize`-byte length instead of an Annex B start

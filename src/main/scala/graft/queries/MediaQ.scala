@@ -692,6 +692,56 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // H.264 STREAM GEOMETRY from the SPS (the useful 90% of "decode
+    // the video": width/height/profile/level route a corpus without
+    // touching a macroblock — what ffprobe reports). Each doc carries
+    // a REAL seq_parameter_set built bit-by-bit (Exp-Golomb fields,
+    // §7.3.2.1.1, emulation prevention applied) with id-derived
+    // profile/level/macroblock geometry — id%4==0 docs exercise the
+    // frame-cropping path (the 1080-in-1088-map-units device) — then
+    // one slice NAL per text char. The engine walks the Annex B
+    // stream, finds the type-7 NAL, strips emulation, and bit-reads
+    // the geometry back; the oracle replays it all from arithmetic.
+    "q310_h264_geometry" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.H264Codec
+          val src = text.getBytes("ISO-8859-1")
+          val profile = Array(66, 77, 88)((id % 3).toInt)
+          val level = 10 + (id % 5).toInt * 10
+          val mbW = (id % 8).toInt + 1
+          val mapH = (id % 6).toInt + 1
+          val crop = id % 4 == 0
+          val sps = H264Codec.synthSps(profile, level, mbW, mapH,
+            cropRight = if (crop) 1 else 0,
+            cropBottom = if (crop) 1 else 0)
+          val slices = H264Codec.synth(src.toSeq.map { b =>
+            val v = b & 0xff
+            (if (v % 5 == 0) H264Codec.TypeIdr
+             else H264Codec.TypeNonIdr, v % 24 + 1)
+          }, paramSets = false)
+          val stream = Array[Byte](0, 0, 0, 1) ++ sps ++ slices
+          val nals = H264Codec.scan(stream)
+          require(nals.length == src.length + 1 &&
+            nals.head.nalType == H264Codec.TypeSps,
+            s"doc $id stream drift: ${nals.length} NALs")
+          val info = H264Codec.parseSps(stream.slice(
+            nals.head.offset + 1, nals.head.offset + nals.head.nalBytes))
+          (id, info.profile.toLong, info.level.toLong,
+            info.width.toLong, info.height.toLong,
+            nals.length.toLong,
+            nals.tail.map(_.nalBytes.toLong).sum)
+        }
+        .toDF("doc_id", "profile", "level", "width", "height",
+          "n_nals", "slice_bytes")
+        .orderBy("doc_id")
+    }),
+
     // WARC RECORD CENSUS — the container web-scale text corpora
     // actually arrive in (Common Crawl ships .warc.gz): every doc
     // becomes a WARC/1.0 archive (one warcinfo + one HTTP response
@@ -1209,6 +1259,28 @@ object MediaQ {
         | CAST(8 + list_sum(list_transform(range(1, len + 1), i ->
         |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
         |  AS BIGINT) AS mdat_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // geometry replays from id arithmetic: (id%8+1)·16 × (id%6+1)·16
+    // minus 2 per cropped edge on id%4==0; slice bytes from chars
+    "q310_h264_geometry" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+        |   ELSE 88 END AS BIGINT) AS profile,
+        | CAST(10 + (doc_id % 5) * 10 AS BIGINT) AS level,
+        | CAST((doc_id % 8 + 1) * 16 -
+        |   CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS BIGINT)
+        |  AS width,
+        | CAST((doc_id % 6 + 1) * 16 -
+        |   CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS BIGINT)
+        |  AS height,
+        | CAST(len + 1 AS BIGINT) AS n_nals,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   ord(substr(text, CAST(i AS INTEGER), 1)) % 24 + 2))
+        |  AS BIGINT) AS slice_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // char b plants codec b%4 (jpx/jbig2/ccitt-g4/flate), geometry

@@ -341,6 +341,40 @@ class FrameCensusSpec extends AnyFunSuite {
         chunking = Seq(2, 2)))
   }
 
+  test("H264 SPS: synth→parse geometry roundtrip incl. cropping") {
+    for ((p, l, mw, mh, cr, cb) <- Seq((66, 30, 8, 6, 0, 0),
+        (77, 41, 4, 3, 1, 0), (88, 51, 1, 1, 1, 1))) {
+      val sps = H264Codec.synthSps(p, l, mw, mh, cr, cb)
+      val info = H264Codec.parseSps(sps.drop(1))
+      assert(info == H264Codec.SpsInfo(p, l, mw * 16 - 2 * cr,
+        mh * 16 - 2 * cb), s"$p/$l ${mw}x$mh")
+    }
+    // the classic real-world shape: 1920x1080 is 120×68 macroblocks
+    // with frame_crop_bottom_offset 4 (1088 − 2·4 = 1080)
+    val hd = H264Codec.parseSps(
+      H264Codec.synthSps(77, 40, 120, 68, 0, 4).drop(1))
+    assert(hd.width == 1920 && hd.height == 1080)
+    // SPS NALs frame safely inside Annex B (emulation prevention):
+    // small field values produce long zero runs in the payload
+    val sps0 = H264Codec.synthSps(66, 10, 1, 1)
+    val slice = H264Codec.synth(Seq((1, 5)), paramSets = false)
+    val stream = Array[Byte](0, 0, 0, 1) ++ sps0 ++ slice
+    val nals = H264Codec.scan(stream)
+    assert(nals.length == 2 && nals.head.nalType == 7)
+    assert(nals.head.nalBytes == sps0.length)
+    val back = H264Codec.parseSps(stream.slice(nals.head.offset + 1,
+      nals.head.offset + nals.head.nalBytes))
+    assert(back == H264Codec.SpsInfo(66, 10, 16, 16))
+    // perimeter: High-family profiles (chroma branch) refuse loudly
+    val high = H264Codec.synthSps(100, 40, 8, 6)
+    val e = intercept[IllegalArgumentException](
+      H264Codec.parseSps(high.drop(1)))
+    assert(e.getMessage.contains("profile"), e.getMessage)
+    // truncation mid-field is loud
+    intercept[IllegalArgumentException](
+      H264Codec.parseSps(sps0.slice(1, 4)))
+  }
+
   test("H264 perimeter: no start code / forbidden bit are loud") {
     val e1 = intercept[IllegalArgumentException](
       H264Codec.scan(Array[Byte](1, 2, 3, 4)))
