@@ -45,7 +45,8 @@ object Mp4Codec {
     * caller passes — AVCC length-prefixed NALs for avc1, ADTS frames
     * for the dirty-but-common ADTS-in-MP4 shape. */
   def synthSamples(samples: Seq[Array[Byte]], delta: Int,
-      video: Boolean, chunking: Seq[Int]): Array[Byte] = {
+      video: Boolean, chunking: Seq[Int],
+      avcSps: Option[Array[Byte]] = None): Array[Byte] = {
     require(samples.forall(_.length >= 1), "samples must be non-empty")
     require(delta >= 1, s"bad sample delta $delta")
     require(chunking.forall(_ >= 1) && chunking.sum == samples.length,
@@ -115,11 +116,45 @@ object Mp4Codec {
       else box("smhd", bb(8) { b =>
         b.putInt(0); b.putShort(0); b.putShort(0)
       })
-    val entry = box(if (video) "avc1" else "mp4a", bb(16) { b =>
-      b.putInt(0); b.putShort(0) // 6 reserved bytes
-      b.putShort(1) // data_reference_index
-      b.putLong(0) // minimal body (census reads only the fourcc)
-    })
+    // with an SPS the avc1 entry is a REAL VisualSampleEntry (78-byte
+    // fixed fields, ISO 14496-12 §12.1.3) carrying an avcC decoder
+    // configuration child (ISO 14496-15 §5.3.3.1) — where actual MP4s
+    // keep the parameter sets; otherwise the minimal census shape
+    val entry = avcSps match {
+      case Some(sps) if video =>
+        require(sps.length >= 4 && (sps(0) & 0x1f) == 7,
+          "avcSps must be an SPS NAL (header byte included)")
+        val pps = Array[Byte](0x68, 0xce.toByte, 0x38, 0x80.toByte)
+        val avcC = box("avcC", bb(11 + sps.length + pps.length) { b =>
+          b.put(1.toByte) // configurationVersion
+          b.put(sps(1)); b.put(sps(2)); b.put(sps(3)) // profile/compat/level
+          b.put(0xff.toByte) // reserved | lengthSizeMinusOne = 3
+          b.put(0xe1.toByte) // reserved | numOfSequenceParameterSets = 1
+          b.putShort(sps.length.toShort); b.put(sps)
+          b.put(1.toByte) // numOfPictureParameterSets
+          b.putShort(pps.length.toShort); b.put(pps)
+        })
+        box("avc1", bb(78 + avcC.length) { b =>
+          b.putInt(0); b.putShort(0) // 6 reserved bytes
+          b.putShort(1) // data_reference_index
+          b.putShort(0); b.putShort(0) // pre_defined, reserved
+          (0 until 3).foreach(_ => b.putInt(0)) // pre_defined[3]
+          b.putShort(16); b.putShort(16) // width, height
+          b.putInt(0x00480000); b.putInt(0x00480000) // 72 dpi
+          b.putInt(0) // reserved
+          b.putShort(1) // frame_count
+          (0 until 8).foreach(_ => b.putInt(0)) // compressorname (32 B)
+          b.putShort(0x18) // depth
+          b.putShort(-1) // pre_defined
+          b.put(avcC)
+        })
+      case _ =>
+        box(if (video) "avc1" else "mp4a", bb(16) { b =>
+          b.putInt(0); b.putShort(0) // 6 reserved bytes
+          b.putShort(1) // data_reference_index
+          b.putLong(0) // minimal body (census reads only the fourcc)
+        })
+    }
     val stsd = box("stsd", bb(8 + entry.length) { b =>
       b.putInt(0); b.putInt(1); b.put(entry)
     })
@@ -296,6 +331,91 @@ object Mp4Codec {
           s"past EOF ${bytes.length}")
     }
     (codec, out)
+  }
+
+  final case class AvcConfig(profile: Int, level: Int, lengthSize: Int,
+      sps: Seq[Array[Byte]], pps: Seq[Array[Byte]])
+
+  /** The avcC decoder configuration from the first avc1 sample entry
+    * (ISO 14496-15 §5.3.3.1) — its lengthSizeMinusOne governs how
+    * scanAvcc frames the mdat samples, and the inline SPS NALs carry
+    * the stream geometry (H264Codec.parseSps). The child-box walk
+    * starts after the 78 fixed VisualSampleEntry bytes (§12.1.3).
+    * None when the track's first entry is not avc1 or carries no
+    * avcC; loud on a malformed record. */
+  def avcConfig(bytes: Array[Byte]): Option[AvcConfig] = {
+    def u32(at: Int): Long =
+      ((bytes(at) & 0xffL) << 24) | ((bytes(at + 1) & 0xffL) << 16) |
+        ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
+    def u16(at: Int): Int =
+      ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+    def typ(at: Int): String = new String(
+      java.util.Arrays.copyOfRange(bytes, at, at + 4), "US-ASCII")
+    var found: Option[AvcConfig] = None
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos < end && found.isEmpty) {
+        require(pos + 8 <= end, s"truncated box header at offset $pos")
+        val size0 = u32(pos)
+        val t = typ(pos + 4)
+        val (size, hdr) =
+          if (size0 == 1) (u32(pos + 8) << 32 | u32(pos + 12), 16)
+          else if (size0 == 0) ((end - pos).toLong, 8)
+          else (size0, 8)
+        require(size >= hdr && pos + size <= end,
+          s"box '$t' at $pos declares $size bytes past offset $end")
+        val bodyAt = pos + hdr
+        val bodyEnd = pos + size.toInt
+        if (Containers(t)) walk(bodyAt, bodyEnd)
+        else if (t == "stsd") {
+          require(bodyAt + 16 <= bodyEnd, "stsd too small")
+          if (typ(bodyAt + 12) == "avc1") {
+            val entryAt = bodyAt + 8
+            val entryEnd = entryAt + u32(entryAt).toInt
+            require(entryEnd <= bodyEnd, "sample entry overruns stsd")
+            var c = entryAt + 8 + 78 // past the VisualSampleEntry fields
+            while (c + 8 <= entryEnd && found.isEmpty) {
+              val csz = u32(c).toInt
+              require(csz >= 8 && c + csz <= entryEnd,
+                s"sample-entry child box at $c declares $csz bytes")
+              if (typ(c + 4) == "avcC") {
+                val at = c + 8
+                require(at + 7 <= entryEnd, "avcC too small")
+                require((bytes(at) & 0xff) == 1,
+                  s"avcC configurationVersion ${bytes(at) & 0xff}")
+                val profile = bytes(at + 1) & 0xff
+                val level = bytes(at + 3) & 0xff
+                val lengthSize = (bytes(at + 4) & 3) + 1
+                var p = at + 6
+                def takeNals(count: Int): Seq[Array[Byte]] =
+                  (0 until count).map { _ =>
+                    require(p + 2 <= entryEnd,
+                      "avcC parameter-set length truncated")
+                    val len = u16(p); p += 2
+                    require(p + len <= entryEnd,
+                      s"avcC parameter set of $len bytes overruns")
+                    val a = java.util.Arrays.copyOfRange(bytes, p, p + len)
+                    p += len
+                    a
+                  }
+                val sps = takeNals(bytes(at + 5) & 0x1f)
+                require(p < entryEnd, "avcC missing numPPS")
+                val nPps = bytes(p) & 0xff
+                p += 1
+                val pps = takeNals(nPps)
+                found = Some(AvcConfig(profile, level, lengthSize,
+                  sps, pps))
+              }
+              c += csz
+            }
+          }
+        }
+        pos += size.toInt
+      }
+    }
+    require(bytes.length >= 8, s"not a BMFF file: ${bytes.length} bytes")
+    walk(0, bytes.length)
+    found
   }
 
   /** Walk the box tree and report the routing metadata. Counts every

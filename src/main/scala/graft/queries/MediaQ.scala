@@ -742,6 +742,67 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // MP4 VIDEO, FULLY ROUTED (q305 × q310 composed the way a real
+    // MP4 demands): the avc1 sample entry is a conformant
+    // VisualSampleEntry carrying the avcC decoder configuration
+    // (ISO 14496-15 §5.3.3.1) — the ONLY place an MP4 keeps the
+    // parameter sets. The engine reads avcC for profile/level, the
+    // NAL length size, and the inline SPS; bit-reads the geometry
+    // from the SPS (q310's Exp-Golomb parser); then walks every
+    // mdat sample with THAT length size. Nothing is assumed: a wrong
+    // lengthSize desyncs scanAvcc loudly, a wrong SPS breaks the
+    // geometry hash.
+    "q311_mp4_video_geometry" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.{Mp4Codec, H264Codec}
+          val src = text.getBytes("ISO-8859-1")
+          val profile = Array(66, 77, 88)((id % 3).toInt)
+          val level = 10 + (id % 5).toInt * 10
+          val mbW = (id % 8).toInt + 1
+          val mapH = (id % 6).toInt + 1
+          val crop = id % 4 == 0
+          val sps = H264Codec.synthSps(profile, level, mbW, mapH,
+            cropRight = if (crop) 1 else 0,
+            cropBottom = if (crop) 1 else 0)
+          val samples = src.toSeq.map { b =>
+            val v = b & 0xff
+            H264Codec.synthAvccSample(Seq(
+              (if (v % 5 == 0) 3 else 2,
+                if (v % 5 == 0) H264Codec.TypeIdr
+                else H264Codec.TypeNonIdr, v % 24 + 1)))
+          }
+          val csize = (id % 4).toInt + 1
+          val mp4 = Mp4Codec.synthSamples(samples, 40, video = true,
+            chunking = samples.indices.grouped(csize).map(_.size).toSeq,
+            avcSps = Some(sps))
+          // ---- the route proper: fixtures end here ----
+          val cfg = Mp4Codec.avcConfig(mp4).getOrElse(
+            throw new IllegalArgumentException(
+              s"doc $id: avc1 track without avcC"))
+          val info = H264Codec.parseSps(cfg.sps.head.drop(1))
+          val (codec, slices) = Mp4Codec.sampleTable(mp4)
+          require(codec == "avc1" && slices.length == samples.length,
+            s"doc $id sample drift")
+          val nals = slices.map(sl => H264Codec.scanAvcc(
+            java.util.Arrays.copyOfRange(mp4, sl.offset.toInt,
+              (sl.offset + sl.size).toInt), cfg.lengthSize))
+          (id, cfg.profile.toLong, cfg.level.toLong,
+            info.width.toLong, info.height.toLong,
+            nals.map(_.length.toLong).sum,
+            nals.flatten.count(_.nalType == H264Codec.TypeIdr).toLong,
+            nals.flatten.map(_.nalBytes.toLong).sum)
+        }
+        .toDF("doc_id", "profile", "level", "width", "height",
+          "n_nals", "n_idr", "nal_bytes")
+        .orderBy("doc_id")
+    }),
+
     // WARC RECORD CENSUS — the container web-scale text corpora
     // actually arrive in (Common Crawl ships .warc.gz): every doc
     // becomes a WARC/1.0 archive (one warcinfo + one HTTP response
@@ -1259,6 +1320,31 @@ object MediaQ {
         | CAST(8 + list_sum(list_transform(range(1, len + 1), i ->
         |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
         |  AS BIGINT) AS mdat_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q310's geometry arithmetic + q296's NAL arithmetic, no SPS/PPS
+    // riding the samples (they live in avcC)
+    "q311_mp4_video_geometry" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+        |   ELSE 88 END AS BIGINT) AS profile,
+        | CAST(10 + (doc_id % 5) * 10 AS BIGINT) AS level,
+        | CAST((doc_id % 8 + 1) * 16 -
+        |   CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS BIGINT)
+        |  AS width,
+        | CAST((doc_id % 6 + 1) * 16 -
+        |   CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS BIGINT)
+        |  AS height,
+        | CAST(len AS BIGINT) AS n_nals,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   CASE WHEN ord(substr(text, CAST(i AS INTEGER), 1)) % 5 = 0
+        |    THEN 1 ELSE 0 END)) AS BIGINT) AS n_idr,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   ord(substr(text, CAST(i AS INTEGER), 1)) % 24 + 2))
+        |  AS BIGINT) AS nal_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // geometry replays from id arithmetic: (id%8+1)·16 × (id%6+1)·16

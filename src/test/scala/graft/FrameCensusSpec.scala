@@ -375,6 +375,34 @@ class FrameCensusSpec extends AnyFunSuite {
       H264Codec.parseSps(sps0.slice(1, 4)))
   }
 
+  test("MP4 avcC: decoder config routes geometry and NAL framing") {
+    import graft.multimodal.Mp4Codec
+    val sps = H264Codec.synthSps(77, 40, 120, 68, 0, 4) // 1920x1080
+    val samples = Seq(
+      H264Codec.synthAvccSample(Seq((3, 5, 9))),
+      H264Codec.synthAvccSample(Seq((2, 1, 4))))
+    val mp4 = Mp4Codec.synthSamples(samples, 40, video = true,
+      chunking = Seq(2), avcSps = Some(sps))
+    val cfg = Mp4Codec.avcConfig(mp4).get
+    assert(cfg.profile == 77 && cfg.level == 40 && cfg.lengthSize == 4)
+    assert(cfg.sps.length == 1 && cfg.pps.length == 1)
+    val info = H264Codec.parseSps(cfg.sps.head.drop(1))
+    assert(info.width == 1920 && info.height == 1080)
+    // the census and the sample walk still read the extended entry
+    assert(Mp4Codec.census(mp4).codec == "avc1")
+    val (codec, slices) = Mp4Codec.sampleTable(mp4)
+    assert(codec == "avc1" && slices.length == 2)
+    val nals = slices.map(s => H264Codec.scanAvcc(
+      java.util.Arrays.copyOfRange(mp4, s.offset.toInt,
+        (s.offset + s.size).toInt), cfg.lengthSize))
+    assert(nals.map(_.map(_.nalType)) == Seq(Seq(5), Seq(1)))
+    // audio / minimal entries carry no avcC
+    assert(Mp4Codec.avcConfig(Mp4Codec.synth(Seq(3), 23,
+      video = false)).isEmpty)
+    assert(Mp4Codec.avcConfig(Mp4Codec.synth(Seq(3), 40,
+      video = true)).isEmpty)
+  }
+
   test("H264 perimeter: no start code / forbidden bit are loud") {
     val e1 = intercept[IllegalArgumentException](
       H264Codec.scan(Array[Byte](1, 2, 3, 4)))
