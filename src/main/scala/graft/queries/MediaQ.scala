@@ -803,6 +803,55 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // TAR SHARD CENSUS — the OTHER container training corpora ship
+    // (WebDataset-style .tar of samples, .tar.gz crawl shards):
+    // POSIX ustar 512-byte headers with octal sizes, the header
+    // checksum RECOMPUTED per member (the one integrity bit the
+    // format carries — a flipped header byte is loud, a flipped data
+    // byte is the downstream codec's problem), data skipped whole.
+    // Each doc becomes an archive of one member per text char (dirs
+    // on b%16==0, files of b%200+1 bytes otherwise), whole-archive
+    // gzip on odd ids; every count replays from arithmetic.
+    "q312_tar_census" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.TarCodec
+          val src = text.getBytes("ISO-8859-1")
+          val members = src.toSeq.zipWithIndex.map { case (b, k) =>
+            val v = b & 0xff
+            if (v % 16 == 0) (s"shard/d$k/", '5', Array.empty[Byte])
+            else (s"shard/m$k.bin", '0',
+              Array.tabulate[Byte](v % 200 + 1)(i =>
+                ((i * 73 + v) % 251).toByte))
+          }
+          val got = TarCodec.census(
+            TarCodec.synth(members, gzipped = id % 2 == 1))
+          require(got.length == members.length,
+            s"doc $id tar census found ${got.length} of " +
+              s"${members.length}")
+          got.zip(members).foreach { case (m, (n, t, p)) =>
+            require(m.name == n && m.typeflag == t &&
+              m.size == p.length,
+              s"doc $id member drift: $m vs ($n, $t, ${p.length})")
+          }
+          (id, got.length.toLong,
+            got.count(_.typeflag == '0').toLong,
+            got.count(_.typeflag == '5').toLong,
+            got.map(_.size).sum,
+            got.zipWithIndex.map { case (m, k) =>
+              (k + 1).toLong * m.size
+            }.sum)
+        }
+        .toDF("doc_id", "n_members", "n_files", "n_dirs",
+          "data_bytes", "size_checksum")
+        .orderBy("doc_id")
+    }),
+
     // WARC RECORD CENSUS — the container web-scale text corpora
     // actually arrive in (Common Crawl ships .warc.gz): every doc
     // becomes a WARC/1.0 archive (one warcinfo + one HTTP response
@@ -1321,6 +1370,30 @@ object MediaQ {
         |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
         |  AS BIGINT) AS mdat_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // char b: dir (size 0) on b%16==0, else file of b%200+1 bytes
+    "q312_tar_census" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, unnest(range(1, len + 1)) AS i, text
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg)
+        |SELECT doc_id,
+        | CAST(max(len) AS BIGINT) AS n_members,
+        | CAST(sum(CASE WHEN b % 16 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_files,
+        | CAST(sum(CASE WHEN b % 16 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dirs,
+        | CAST(sum(CASE WHEN b % 16 = 0 THEN 0 ELSE b % 200 + 1 END)
+        |  AS BIGINT) AS data_bytes,
+        | CAST(sum(CASE WHEN b % 16 = 0 THEN 0
+        |   ELSE i * (b % 200 + 1) END) AS BIGINT) AS size_checksum
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q310's geometry arithmetic + q296's NAL arithmetic, no SPS/PPS
     // riding the samples (they live in avcC)

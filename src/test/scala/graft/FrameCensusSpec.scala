@@ -403,6 +403,69 @@ class FrameCensusSpec extends AnyFunSuite {
       video = true)).isEmpty)
   }
 
+  test("codec fuzz: mutated MP4/SPS bytes are loud or parse, never hang") {
+    // the r14 parsers (xref-stream style discipline): any mutation
+    // must either parse to SOMETHING or refuse with the family's
+    // IllegalArgumentException — no raw AIOOBE, no negative-size
+    // crash, no infinite walk
+    import graft.multimodal.Mp4Codec
+    val rnd = new scala.util.Random(1404)
+    val sps = H264Codec.synthSps(77, 40, 120, 68, 0, 4)
+    val mp4 = Mp4Codec.synthSamples(Seq(
+      H264Codec.synthAvccSample(Seq((2, 1, 9))),
+      H264Codec.synthAvccSample(Seq((3, 5, 4)))),
+      40, video = true, chunking = Seq(1, 1), avcSps = Some(sps))
+    (1 to 600).foreach { trial =>
+      val video = trial % 2 == 0
+      val base = if (video) mp4 else sps
+      val m = base.clone()
+      (0 to rnd.nextInt(4)).foreach(_ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      try {
+        if (video) {
+          Mp4Codec.avcConfig(m)
+          Mp4Codec.sampleTable(m)
+          Mp4Codec.census(m)
+        } else H264Codec.parseSps(m.drop(1))
+      } catch {
+        case _: IllegalArgumentException => () // the loud contract
+        case e: Throwable =>
+          fail(s"trial $trial video=$video: ${e.getClass.getName} " +
+            s"${e.getMessage}")
+      }
+    }
+  }
+
+  test("tar census: ustar roundtrip, checksum verified, gzip sniffs") {
+    import graft.multimodal.TarCodec
+    val members = Seq(
+      ("data/", '5', Array.empty[Byte]),
+      ("data/a.bin", '0', Array.tabulate[Byte](700)(i => (i % 251).toByte)),
+      ("data/b.txt", '0', "hello tar".getBytes("US-ASCII")),
+      ("data/empty", '0', Array.empty[Byte]))
+    for (gz <- Seq(false, true)) {
+      val got = TarCodec.census(TarCodec.synth(members, gzipped = gz))
+      assert(got == members.map { case (n, t, p) =>
+        TarCodec.TarMember(n, t, p.length.toLong)
+      }, s"gz=$gz")
+    }
+    val raw = TarCodec.synth(members)
+    // 700 bytes pad to 1024: blocks = 4 headers + 2 + 0 + 1 + 2 end
+    assert(raw.length == 512 * (4 + 2 + 0 + 1 + 2))
+    // a flipped payload byte keeps the census green (data is opaque)…
+    val dataFlip = raw.clone(); dataFlip(512 * 2 + 7) = 99
+    assert(TarCodec.census(dataFlip).length == 4)
+    // …but a flipped HEADER byte breaks the checksum loudly
+    val hdrFlip = raw.clone(); hdrFlip(0) = 'X'
+    val e = intercept[IllegalArgumentException](TarCodec.census(hdrFlip))
+    assert(e.getMessage.contains("checksum"), e.getMessage)
+    // truncation mid-member and missing end marker are loud
+    intercept[IllegalArgumentException](
+      TarCodec.census(raw.take(512 * 3 - 8)))
+    intercept[IllegalArgumentException](
+      TarCodec.census(raw.dropRight(512)))
+  }
+
   test("H264 perimeter: no start code / forbidden bit are loud") {
     val e1 = intercept[IllegalArgumentException](
       H264Codec.scan(Array[Byte](1, 2, 3, 4)))
