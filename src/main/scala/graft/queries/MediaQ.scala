@@ -852,6 +852,45 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // WEBM / EBML CENSUS — the dominant open web video container
+    // (every <video> webm; RFC 8794 element framing + the IANA
+    // Matroska element registry): variable-length IDs and sizes, the
+    // streamed-webm UNKNOWN Segment size honored (id%5==0 docs emit
+    // that shape — same census either way), DocType / timescale /
+    // per-track codec IDs / cluster + SimpleBlock counts / frame
+    // bytes, no frame decoded. Codec mix and every count replay from
+    // id/char arithmetic.
+    "q313_webm_census" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.EbmlCodec
+          val src = text.getBytes("ISO-8859-1")
+          val tracks = Seq(
+            (1, if (id % 2 == 0) "V_VP9" else "V_AV1"),
+            (2, if (id % 3 != 0) "A_OPUS" else "A_VORBIS"))
+          val blocks = src.toSeq.zipWithIndex.map { case (b, k) =>
+            val v = b & 0xff
+            (k / 8, if (v % 3 != 0) 1 else 2, v % 64 + 1)
+          }
+          val webm = EbmlCodec.synth("webm", 1000000L, tracks, blocks,
+            unknownSegmentSize = id % 5 == 0)
+          val c = EbmlCodec.census(webm)
+          require(c.docType == "webm" && c.tracks == tracks,
+            s"doc $id webm census drift: $c")
+          (id, c.docType, c.tracks.length.toLong,
+            c.tracks.head._2, c.tracks(1)._2,
+            c.nClusters.toLong, c.nBlocks.toLong, c.frameBytes)
+        }
+        .toDF("doc_id", "doc_type", "n_tracks", "video_codec",
+          "audio_codec", "n_clusters", "n_blocks", "frame_bytes")
+        .orderBy("doc_id")
+    }),
+
     // WARC RECORD CENSUS — the container web-scale text corpora
     // actually arrive in (Common Crawl ships .warc.gz): every doc
     // becomes a WARC/1.0 archive (one warcinfo + one HTTP response
@@ -1369,6 +1408,24 @@ object MediaQ {
         | CAST(8 + list_sum(list_transform(range(1, len + 1), i ->
         |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
         |  AS BIGINT) AS mdat_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // clusters hold 8 chars each; frame bytes are b%64+1
+    "q313_webm_census" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, 'webm' AS doc_type,
+        | CAST(2 AS BIGINT) AS n_tracks,
+        | CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_AV1' END
+        |  AS video_codec,
+        | CASE WHEN doc_id % 3 != 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+        |  AS audio_codec,
+        | CAST((len + 7) // 8 AS BIGINT) AS n_clusters,
+        | CAST(len AS BIGINT) AS n_blocks,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
+        |  AS BIGINT) AS frame_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // char b: dir (size 0) on b%16==0, else file of b%200+1 bytes

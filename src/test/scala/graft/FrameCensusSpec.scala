@@ -466,6 +466,45 @@ class FrameCensusSpec extends AnyFunSuite {
       TarCodec.census(raw.dropRight(512)))
   }
 
+  test("WebM/EBML census: roundtrip, streamed segment, loud perimeter") {
+    import graft.multimodal.EbmlCodec
+    val tracks = Seq((1, "V_VP9"), (2, "A_OPUS"))
+    val blocks = Seq((0, 1, 10), (0, 2, 3), (1, 1, 7))
+    for (unk <- Seq(false, true)) {
+      val c = EbmlCodec.census(EbmlCodec.synth("webm", 1000000L,
+        tracks, blocks, unknownSegmentSize = unk))
+      assert(c == EbmlCodec.WebmCensus("webm", 1000000L, tracks,
+        2, 3, 20), s"unknownSegmentSize=$unk")
+    }
+    val good = EbmlCodec.synth("webm", 1000000L, tracks, blocks)
+    // an unknown-size element that is NOT the Segment refuses: make
+    // the Info element stream (its 1-byte size becomes the reserved
+    // all-ones VINT)
+    val infoAt = {
+      val raw = good.map(_ & 0xff)
+      (0 until good.length - 4).find(i => raw(i) == 0x15 &&
+        raw(i + 1) == 0x49 && raw(i + 2) == 0xA9 && raw(i + 3) == 0x66)
+        .get
+    }
+    val badInfo = good.clone(); badInfo(infoAt + 4) = 0xff.toByte
+    val e = intercept[IllegalArgumentException](
+      EbmlCodec.census(badInfo))
+    assert(e.getMessage.contains("unknown-size"), e.getMessage)
+    // truncation and a non-EBML leader are loud
+    intercept[IllegalArgumentException](
+      EbmlCodec.census(good.take(good.length - 3)))
+    intercept[IllegalArgumentException](
+      EbmlCodec.census("RIFF1234AVI LIST".getBytes("US-ASCII")))
+    // a TrackEntry without a codec is loud
+    val noCodec = EbmlCodec.synth("webm", 1L, Seq((1, "V_VP9")), Nil)
+    val cAt = new String(noCodec, "ISO-8859-1").indexOf("V_VP9")
+    val mangled = noCodec.clone()
+    mangled(cAt - 2) = 0xEC.toByte // CodecID id byte -> Void id
+    val e2 = intercept[IllegalArgumentException](
+      EbmlCodec.census(mangled))
+    assert(e2.getMessage.contains("TrackEntry"), e2.getMessage)
+  }
+
   test("H264 perimeter: no start code / forbidden bit are loud") {
     val e1 = intercept[IllegalArgumentException](
       H264Codec.scan(Array[Byte](1, 2, 3, 4)))
