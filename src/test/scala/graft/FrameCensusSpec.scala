@@ -434,6 +434,29 @@ class FrameCensusSpec extends AnyFunSuite {
             s"${e.getMessage}")
       }
     }
+    // same contract for the tar and EBML walks (uncompressed shapes,
+    // so mutations hit the parsers, not the gzip CRC)
+    import graft.multimodal.{EbmlCodec, TarCodec}
+    val tar = TarCodec.synth(Seq(
+      ("a/", '5', Array.empty[Byte]),
+      ("a/x.bin", '0', Array.tabulate[Byte](600)(i => (i % 251).toByte))))
+    val webm = EbmlCodec.synth("webm", 1000000L,
+      Seq((1, "V_VP9"), (2, "A_OPUS")),
+      Seq((0, 1, 10), (0, 2, 3), (1, 1, 7)))
+    (1 to 400).foreach { trial =>
+      val isTar = trial % 2 == 0
+      val m = (if (isTar) tar else webm).clone()
+      (0 to rnd.nextInt(4)).foreach(_ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      try {
+        if (isTar) TarCodec.census(m) else EbmlCodec.census(m)
+      } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"trial $trial tar=$isTar: ${e.getClass.getName} " +
+            s"${e.getMessage}")
+      }
+    }
   }
 
   test("tar census: ustar roundtrip, checksum verified, gzip sniffs") {

@@ -519,7 +519,9 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q294_aac_scan", "q295_h264_scan", "q298_mp4_boxes",
         "q299_warc_census", "q300_robots_admission",
         "q304_pdf_xref_stream", "q305_mp4_sample_census",
-        "q306_crawl_spine", "q307_pdf_image_census")) {
+        "q306_crawl_spine", "q307_pdf_image_census",
+        "q310_h264_geometry", "q311_mp4_video_geometry",
+        "q312_tar_census", "q313_webm_census")) {
       val p = planOf(q)
       val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
         p.linesIterator.count(_.trim.startsWith("Exchange"))
