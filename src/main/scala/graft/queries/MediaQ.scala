@@ -891,6 +891,54 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // ZIP PARSER-DIFFERENTIAL CENSUS — the central directory is the
+    // authoritative member list (APPNOTE / ISO 21320-1), but
+    // streaming extractors trust LOCAL headers, and hostile archives
+    // exploit the disagreement to smuggle content past corpus
+    // filters. The census walks EOCD → central directory → each
+    // entry's local header and REPORTS the differential: id%7==3
+    // docs carry one member whose local-header name is tampered
+    // (central untouched), and the flagged index + the authoritative
+    // names must both survive. Trailing archive comments on id%3==0
+    // force the real backward EOCD search.
+    "q314_zip_census" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.ZipCodec
+          val src = text.getBytes("ISO-8859-1")
+          val members = src.toSeq.zipWithIndex.map { case (b, k) =>
+            val v = b & 0xff
+            (s"m$k.bin", Array.tabulate[Byte](v % 128 + 1)(i =>
+              ((i * 73 + v) % 251).toByte))
+          }
+          val zip = ZipCodec.synth(members,
+            comment = if (id % 3 == 0) s"doc $id" else "",
+            tamperLocal = if (id % 7 == 3)
+              Some((id % members.length).toInt) else None)
+          val got = ZipCodec.census(zip)
+          require(got.length == members.length,
+            s"doc $id zip census found ${got.length}")
+          require(got.map(_.name) == members.map(_._1),
+            s"doc $id central names drifted")
+          val mism = got.count(_.localMismatch)
+          require(mism == (if (id % 7 == 3) 1 else 0),
+            s"doc $id differential miscount: $mism")
+          (id, got.length.toLong, got.map(_.usize).sum, mism.toLong,
+            got.map(_.name).mkString(";"))
+        }
+        .toDF("doc_id", "n_members", "data_bytes", "n_mismatch",
+          "names")
+        .select(col("doc_id"), col("n_members"), col("data_bytes"),
+          col("n_mismatch"),
+          md5(col("names").cast("binary")).as("names_md5"))
+        .orderBy("doc_id")
+    }),
+
     // WARC RECORD CENSUS — the container web-scale text corpora
     // actually arrive in (Common Crawl ships .warc.gz): every doc
     // becomes a WARC/1.0 archive (one warcinfo + one HTTP response
@@ -1409,6 +1457,30 @@ object MediaQ {
         |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
         |  AS BIGINT) AS mdat_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // member k holds b%128+1 bytes; exactly the id%7==3 docs carry
+    // one local-header differential
+    "q314_zip_census" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, unnest(range(1, len + 1)) AS i, text
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg)
+        |SELECT doc_id,
+        | CAST(max(len) AS BIGINT) AS n_members,
+        | CAST(sum(b % 128 + 1) AS BIGINT) AS data_bytes,
+        | CAST(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS BIGINT)
+        |  AS n_mismatch,
+        | md5(string_agg(
+        |   CASE WHEN i = 1 THEN 'm0.bin'
+        |        ELSE ';m' || CAST(i - 1 AS VARCHAR) || '.bin' END,
+        |   '' ORDER BY i)) AS names_md5
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // clusters hold 8 chars each; frame bytes are b%64+1
     "q313_webm_census" ->

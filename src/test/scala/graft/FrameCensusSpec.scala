@@ -528,6 +528,38 @@ class FrameCensusSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("TrackEntry"), e2.getMessage)
   }
 
+  test("ZIP census: central directory authoritative, differential flagged") {
+    import graft.multimodal.ZipCodec
+    val members = Seq(
+      ("a.txt", "hello zip".getBytes("US-ASCII")),
+      ("dir/b.bin", Array.tabulate[Byte](300)(i => (i % 251).toByte)),
+      ("c", Array[Byte](7)))
+    for (comment <- Seq("", "trailing archive comment")) {
+      val got = ZipCodec.census(ZipCodec.synth(members, comment))
+      assert(got.map(e => (e.name, e.method, e.usize, e.localMismatch)) ==
+        members.map { case (n, d) => (n, 0, d.length.toLong, false) },
+        s"comment='$comment'")
+      // crc matches the real CRC32 of the data
+      got.zip(members).foreach { case (e, (_, d)) =>
+        val c = new java.util.zip.CRC32(); c.update(d)
+        assert(e.crc == c.getValue, e.name)
+      }
+    }
+    // the parser differential: a tampered LOCAL name flags exactly
+    // that member, and the central (authoritative) name is reported
+    val evil = ZipCodec.synth(members, tamperLocal = Some(1))
+    val got = ZipCodec.census(evil)
+    assert(got.map(_.localMismatch) == Seq(false, true, false))
+    assert(got(1).name == "dir/b.bin") // central view, not the decoy
+    // perimeter: no EOCD / truncated directory / bad local pointer
+    intercept[IllegalArgumentException](
+      ZipCodec.census("PKgarbagegarbagegarbage"
+        .getBytes("US-ASCII")))
+    val raw = ZipCodec.synth(members)
+    intercept[IllegalArgumentException](
+      ZipCodec.census(raw.drop(10))) // local offsets now point wrong
+  }
+
   test("H264 perimeter: no start code / forbidden bit are loud") {
     val e1 = intercept[IllegalArgumentException](
       H264Codec.scan(Array[Byte](1, 2, 3, 4)))
