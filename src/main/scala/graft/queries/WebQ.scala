@@ -219,6 +219,70 @@ object WebQ {
         .orderBy("host")
     }),
 
+    // SITEMAP-SEEDED FRONTIER (the discovery half q306's fetch half
+    // assumes): a real sitemaps.org urlset XML per doc — one <url>
+    // per text char with <loc>/<priority> — parsed by the generic
+    // HtmlCodec element machinery, then every loc gated through the
+    // SAME robots policy the q306 spine fetches (RFC 9309, graftbot
+    // group, even-id Allow override). The seed report is what a
+    // crawler enqueues: per-doc URL counts, admitted counts, DISTINCT
+    // admitted paths (the dedup a frontier does before scheduling),
+    // and the admitted priority mass. All gates replay from
+    // arithmetic.
+    "q315_sitemap_seeds" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.ingest.{HtmlCodec, Robots}
+          val src = text.getBytes("ISO-8859-1")
+          val host = s"https://site$id.example"
+          val paths = Array("/", "/public/page", "/private",
+            "/private/pub", "/privateer", "/tmp/x", "/pub",
+            "/private/pub/deep")
+          val xml = ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            src.toSeq.map { b =>
+              val v = b & 0xff
+              s"<url><loc>$host${paths(v % 8)}</loc>" +
+                s"<priority>0.${v % 10}</priority></url>"
+            }.mkString + "</urlset>")
+          val robotsTxt =
+            "User-Agent: graftbot\r\n" +
+            "Disallow: /private*\r\n" +
+            (if (id % 2 == 0) "Allow: /private/pub$\r\n" else "") +
+            "\r\nUser-agent: *\r\nDisallow: /\r\n"
+          // ---- the frontier proper: fixtures end here ----
+          val urls = HtmlCodec.extractItems(xml,
+            HtmlCodec.HtmlConfig(
+              itemContainerSelector = Some("urlset > url"),
+              fields = Map("loc" -> "loc::text",
+                "pri" -> "priority::text")))
+          require(urls.length == src.length,
+            s"doc $id sitemap parse drift: ${urls.length}")
+          val groups = Robots.parse(robotsTxt)
+          val admitted = urls.flatMap { u =>
+            val loc = u.getOrElse("loc", "")
+            val path = loc.substring(loc.indexOf('/', "https://".length))
+            if (Robots.allowed(groups, "graftbot", path))
+              Some((path, u.getOrElse("pri", "0.0")))
+            else None
+          }
+          val priDeci = admitted.map { case (_, p) =>
+            require(p.length == 3 && p.startsWith("0."), s"bad pri $p")
+            (p.charAt(2) - '0').toLong
+          }.sum
+          (id, urls.length.toLong, admitted.length.toLong,
+            admitted.map(_._1).distinct.length.toLong, priDeci)
+        }
+        .toDF("doc_id", "n_urls", "n_admitted", "n_distinct_paths",
+          "pri_deci_sum")
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization as a codegen expression: four deterministic
     // dirt classes (scheme/host case, default ports, duplicate and ./
     // path segments, tracking params, unsorted query, fragments) are
@@ -615,6 +679,34 @@ object WebQ {
         | CAST(sum(ft - tus) AS BIGINT) AS total_wait_us,
         | CAST(sum(ft % 1000000007) AS BIGINT) AS sched_checksum
         |FROM f GROUP BY host ORDER BY host""".stripMargin,
+
+    // same admission truth table as q306 (graftbot: paths 2/4/7
+    // denied, 3 denied on odd ids); distinct admitted paths count
+    // path CLASSES (b%8), priority mass sums b%10 over admitted
+    "q315_sitemap_seeds" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, unnest(range(1, len + 1)) AS i, text
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg),
+        |f AS (
+        | SELECT doc_id, len, i, b,
+        |  CASE WHEN NOT (b % 8 IN (2, 4, 7) OR
+        |    (doc_id % 2 = 1 AND b % 8 = 3)) THEN 1 ELSE 0 END AS adm
+        | FROM a)
+        |SELECT doc_id,
+        | CAST(max(len) AS BIGINT) AS n_urls,
+        | CAST(sum(adm) AS BIGINT) AS n_admitted,
+        | CAST(count(DISTINCT CASE WHEN adm = 1 THEN b % 8 END)
+        |  AS BIGINT) AS n_distinct_paths,
+        | CAST(sum(CASE WHEN adm = 1 THEN b % 10 ELSE 0 END) AS BIGINT)
+        |  AS pri_deci_sum
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // admission truth from arithmetic: the fixed graftbot crawl
     // denies paths 2/4/7 (Disallow /private*) and path 3 on odd ids
