@@ -443,17 +443,30 @@ class FrameCensusSpec extends AnyFunSuite {
     val webm = EbmlCodec.synth("webm", 1000000L,
       Seq((1, "V_VP9"), (2, "A_OPUS")),
       Seq((0, 1, 10), (0, 2, 3), (1, 1, 7)))
-    (1 to 400).foreach { trial =>
-      val isTar = trial % 2 == 0
-      val m = (if (isTar) tar else webm).clone()
+    import graft.multimodal.ZipCodec
+    val zip = ZipCodec.synth(Seq(
+      ("a.txt", "hello".getBytes("US-ASCII")),
+      ("b.bin", Array.tabulate[Byte](90)(i => (i % 251).toByte))),
+      comment = "c")
+    (1 to 600).foreach { trial =>
+      val which = trial % 3
+      val m = (which match {
+        case 0 => tar
+        case 1 => webm
+        case _ => zip
+      }).clone()
       (0 to rnd.nextInt(4)).foreach(_ =>
         m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
       try {
-        if (isTar) TarCodec.census(m) else EbmlCodec.census(m)
+        which match {
+          case 0 => TarCodec.census(m)
+          case 1 => EbmlCodec.census(m)
+          case _ => ZipCodec.census(m)
+        }
       } catch {
         case _: IllegalArgumentException => ()
         case e: Throwable =>
-          fail(s"trial $trial tar=$isTar: ${e.getClass.getName} " +
+          fail(s"trial $trial which=$which: ${e.getClass.getName} " +
             s"${e.getMessage}")
       }
     }
