@@ -939,6 +939,41 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // PNG STRUCTURE CENSUS — the one common image format with
+    // per-chunk integrity (CRC-32 over type+data, ISO 15948): the
+    // walk VERIFIES every chunk's CRC (a census that skips the check
+    // blesses silently corrupted rasters), reads IHDR geometry and
+    // pixel format, counts IDAT chunks/bytes, and requires the IEND
+    // terminator — pixel data never inflated (the decode perimeter
+    // stays where r12 drew it: JPEG decodes in-engine, PNG rasters
+    // are IDAT-opaque). Geometry and chunking replay from arithmetic.
+    "q316_png_census" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.PngCodec
+          val src = text.getBytes("ISO-8859-1")
+          val w = (id % 512) + 16
+          val h = (id % 256) + 16
+          val ct = Array(0, 2, 6)((id % 3).toInt)
+          val png = PngCodec.synth(w, h, 8, ct,
+            src.toSeq.map(b => (b & 0xff) % 64 + 1))
+          val c = PngCodec.census(png)
+          require(c.width == w && c.height == h && c.colorType == ct,
+            s"doc $id png census drift: $c")
+          (id, c.width, c.height, c.bitDepth.toLong,
+            c.colorType.toLong, c.nChunks.toLong, c.nIdat.toLong,
+            c.idatBytes)
+        }
+        .toDF("doc_id", "width", "height", "bit_depth", "color_type",
+          "n_chunks", "n_idat", "idat_bytes")
+        .orderBy("doc_id")
+    }),
+
     // WARC RECORD CENSUS — the container web-scale text corpora
     // actually arrive in (Common Crawl ships .warc.gz): every doc
     // becomes a WARC/1.0 archive (one warcinfo + one HTTP response
@@ -1456,6 +1491,25 @@ object MediaQ {
         | CAST(8 + list_sum(list_transform(range(1, len + 1), i ->
         |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
         |  AS BIGINT) AS mdat_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // geometry from id, one IDAT of b%64+1 bytes per char, IHDR+IEND
+    // bracket the chunk count
+    "q316_png_census" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        | CAST(doc_id % 512 + 16 AS BIGINT) AS width,
+        | CAST(doc_id % 256 + 16 AS BIGINT) AS height,
+        | CAST(8 AS BIGINT) AS bit_depth,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2
+        |   ELSE 6 END AS BIGINT) AS color_type,
+        | CAST(len + 2 AS BIGINT) AS n_chunks,
+        | CAST(len AS BIGINT) AS n_idat,
+        | CAST(list_sum(list_transform(range(1, len + 1), i ->
+        |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
+        |  AS BIGINT) AS idat_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // member k holds b%128+1 bytes; exactly the id%7==3 docs carry

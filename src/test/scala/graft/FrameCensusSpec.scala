@@ -573,6 +573,38 @@ class FrameCensusSpec extends AnyFunSuite {
       ZipCodec.census(raw.drop(10))) // local offsets now point wrong
   }
 
+  test("PNG census: chunk walk with real CRCs, loud perimeter") {
+    import graft.multimodal.PngCodec
+    val png = PngCodec.synth(640L, 480L, 8, 6, Seq(100, 7, 300))
+    val c = PngCodec.census(png)
+    assert(c == PngCodec.PngCensus(640L, 480L, 8, 6, 5, 3, 407L))
+    // a flipped DATA byte fails that chunk's CRC loudly
+    val bad = png.clone()
+    bad(8 + 25 + 8 + 3) = (bad(8 + 25 + 8 + 3) ^ 1).toByte // in IDAT 1
+    val e = intercept[IllegalArgumentException](PngCodec.census(bad))
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+    // signature, truncation, trailing garbage, missing IHDR
+    intercept[IllegalArgumentException](
+      PngCodec.census("JFIFJFIFJFIFJFIFJFIF".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      PngCodec.census(png.take(png.length - 6)))
+    intercept[IllegalArgumentException](
+      PngCodec.census(png ++ Array[Byte](0)))
+    // fuzz: parse-or-IAE, never a raw crash
+    val rnd = new scala.util.Random(1406)
+    (1 to 300).foreach { trial =>
+      val m = png.clone()
+      (0 to rnd.nextInt(4)).foreach(_ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      try PngCodec.census(m)
+      catch {
+        case _: IllegalArgumentException => ()
+        case ex: Throwable =>
+          fail(s"trial $trial: ${ex.getClass.getName} ${ex.getMessage}")
+      }
+    }
+  }
+
   test("H264 perimeter: no start code / forbidden bit are loud") {
     val e1 = intercept[IllegalArgumentException](
       H264Codec.scan(Array[Byte](1, 2, 3, 4)))
