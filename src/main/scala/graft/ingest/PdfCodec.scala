@@ -370,7 +370,11 @@ object PdfCodec {
     val (top, _) = topLevelDictText(raw, dictStart)
     require("""/Type\s*/XRef""".r.findFirstIn(top).isDefined,
       s"chain head object at offset $p is not /Type /XRef")
-    val len = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r.findFirstMatchIn(top)
+    // (?!\d) forbids partial digit consumption: without it, an indirect
+    // '/Length 123 0 R' backtracks to match '12' (lookahead only fails
+    // for the full digit run) and silently truncates the stream instead
+    // of refusing as §7.5.8.2 requires
+    val len = """/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)""".r.findFirstMatchIn(top)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(
         "xref stream without a direct /Length — §7.5.8.2 requires " +
@@ -643,7 +647,13 @@ object PdfCodec {
   private val CcittK = """/K\s+(-?\d+)""".r
   private val ColorSpaceName = """/ColorSpace\s*/(\w+)""".r
 
-  private def imageInfoOf(dict: String, dataBytes: Int): ImageInfo = {
+  /** `requireGeometry = false` (the extractImages undecoded path)
+    * reports a missing /Width or /Height as -1 instead of refusing:
+    * an unsupported-codec XObject with a malformed dict stays a
+    * counted UNDECODED row rather than poisoning the whole document.
+    * The census path stays strict — there the dict IS the result. */
+  private def imageInfoOf(dict: String, dataBytes: Int,
+      requireGeometry: Boolean = true): ImageInfo = {
     val filters = FilterVal.findFirstMatchIn(dict)
       .map(m => NameTok.findAllIn(m.group(1)).toList)
       .getOrElse(Nil)
@@ -661,7 +671,7 @@ object PdfCodec {
       }
     val w = intParm(dict, "/Width", -1)
     val h = intParm(dict, "/Height", -1)
-    require(w > 0 && h > 0,
+    require(!requireGeometry || (w > 0 && h > 0),
       s"image XObject without /Width //Height in $dict")
     val bpcDefault = codec match {
       case "jbig2" | "ccitt-g4" | "ccitt-g3" | "ccitt-g3-2d" => 1
@@ -875,14 +885,16 @@ object PdfCodec {
                 s"embedded JPEG geometry ${dw}x$dh contradicts dict " +
                   s"${w}x$h")
               images += PdfImage(dw, dh, pix)
-            case None => undecoded += imageInfoOf(dict, e - s)
+            case None =>
+              undecoded += imageInfoOf(dict, e - s, requireGeometry = false)
           }
         } else if (isFlateGray && w > 0 && h > 0) {
           val pix = decodeFiltered(dict, seg)
           require(pix.length >= w * h,
             s"flate image has ${pix.length} samples for ${w}x$h")
           images += PdfImage(w, h, pix.take(w * h))
-        } else undecoded += imageInfoOf(dict, e - s)
+        } else undecoded += imageInfoOf(dict, e - s,
+          requireGeometry = false)
       }
       from = end + "endstream".length
       true

@@ -359,7 +359,10 @@ object Mp4Codec {
         val size0 = u32(pos)
         val t = typ(pos + 4)
         val (size, hdr) =
-          if (size0 == 1) (u32(pos + 8) << 32 | u32(pos + 12), 16)
+          if (size0 == 1) {
+            require(pos + 16 <= end, s"truncated largesize at $pos")
+            (u32(pos + 8) << 32 | u32(pos + 12), 16)
+          }
           else if (size0 == 0) ((end - pos).toLong, 8)
           else (size0, 8)
         require(size >= hdr && pos + size <= end,

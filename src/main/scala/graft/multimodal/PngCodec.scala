@@ -88,6 +88,11 @@ object PngCodec {
       require(crc.getValue == u32((dataAt + len).toInt),
         s"chunk $typ at offset $pos fails its CRC-32")
       nChunks += 1
+      // enforced for EVERY chunk type, not just the unknown catch-all:
+      // a CRC-valid IDAT-first PNG with no IHDR must refuse here, not
+      // return a census row with -1 geometry
+      require(nChunks > 1 || typ == "IHDR",
+        s"first chunk is $typ, not IHDR")
       typ match {
         case "IHDR" =>
           require(nChunks == 1, s"IHDR is chunk $nChunks, not first")
@@ -105,8 +110,7 @@ object PngCodec {
           require(dataAt + 4 == bytes.length,
             s"${bytes.length - dataAt - 4} trailing bytes after IEND")
           ended = true
-        case _ =>
-          require(nChunks > 1, s"first chunk is $typ, not IHDR")
+        case _ => () // unknown ancillary chunk: CRC-checked, counted
       }
       pos = (dataAt + len + 4).toInt
     }

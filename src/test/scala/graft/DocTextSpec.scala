@@ -1170,6 +1170,18 @@ class DocTextSpec extends SparkSpec {
     val short = raw2.replace("/W [1 4 1]", "/W [2 4 4]")
     val e4 = intercept[IllegalArgumentException](liveOf(short))
     assert(e4.getMessage.contains("rows"), e4.getMessage)
+    // an INDIRECT /Length in an xref-stream dict refuses per §7.5.8.2
+    // — the pre-r15 regex backtracked to a digit PREFIX ('12' of
+    // '123 0 R'), silently truncating the stream instead of refusing
+    val li = raw.lastIndexOf("/Length ")
+    var digEnd = li + "/Length ".length
+    while (raw.charAt(digEnd).isDigit) digEnd += 1
+    assert(digEnd - li - "/Length ".length >= 2,
+      "fixture needs a multi-digit /Length for the backtrack case")
+    val indirect = raw.substring(0, digEnd) + " 0 R" +
+      raw.substring(digEnd)
+    val e5 = intercept[IllegalArgumentException](liveOf(indirect))
+    assert(e5.getMessage.contains("direct /Length"), e5.getMessage)
   }
 
   test("parseDocxFrame: executor-side decode over a binary column") {

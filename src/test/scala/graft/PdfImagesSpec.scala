@@ -96,4 +96,24 @@ class PdfImagesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(images.head.width == w && images.head.height == h)
     assert(images.head.gray.toSeq == pix.toSeq)
   }
+
+  test("unsupported codec with missing geometry stays an UNDECODED row") {
+    import graft.ingest.PdfCodec
+    // a JPX XObject whose dict omits /Width and /Height: the undecoded
+    // census path must report geometry -1, not refuse the document
+    // (the strict require belongs to the census API, where the dict IS
+    // the result)
+    val pdf = ("%PDF-1.5\n" +
+      "5 0 obj << /Type /XObject /Subtype /Image /Filter /JPXDecode " +
+      "/Length 4 >> stream\nabcd\nendstream endobj\n" +
+      "4 0 obj << /Length 11 >> stream\n(x) Tj BT ET\nendstream endobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    val (images, skipped) = PdfCodec.extractImages(pdf)
+    assert(images.isEmpty && skipped.size == 1)
+    assert(skipped.head.codec == "jpx")
+    assert(skipped.head.width == -1 && skipped.head.height == -1)
+    // the census API stays strict: same document refuses there
+    val e = intercept[IllegalArgumentException](PdfCodec.imageCensus(pdf))
+    assert(e.getMessage.contains("/Width"), e.getMessage)
+  }
 }
