@@ -811,7 +811,13 @@ object MediaQ {
     // byte is the downstream codec's problem), data skipped whole.
     // Each doc becomes an archive of one member per text char (dirs
     // on b%16==0, files of b%200+1 bytes otherwise), whole-archive
-    // gzip on odd ids; every count replays from arithmetic.
+    // gzip on odd ids. r15 re-gate: modern GNU/bsdtar extension
+    // headers are planted by char class — b%16==1 a PAX `x` path
+    // override (name >100 bytes), b%16==2 a GNU `L` long name,
+    // b%16==3 a PAX `size` override with the header size field
+    // ZEROED (the >8 GiB shape) — and the census must report the
+    // LOGICAL member list: extension headers applied and hidden,
+    // overridden names in the hash, overridden sizes in both sums.
     "q312_tar_census" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Partitioning.ensureParallel(
@@ -824,17 +830,22 @@ object MediaQ {
           val src = text.getBytes("ISO-8859-1")
           val members = src.toSeq.zipWithIndex.map { case (b, k) =>
             val v = b & 0xff
-            if (v % 16 == 0) (s"shard/d$k/", '5', Array.empty[Byte])
-            else (s"shard/m$k.bin", '0',
-              Array.tabulate[Byte](v % 200 + 1)(i =>
-                ((i * 73 + v) % 251).toByte))
+            val data = Array.tabulate[Byte](v % 200 + 1)(i =>
+              ((i * 73 + v) % 251).toByte)
+            (v % 16) match {
+              case 0 => (s"shard/d$k/", '5', Array.empty[Byte], ' ')
+              case 1 => (s"shard/${"x" * 95}/p$k.bin", '0', data, 'x')
+              case 2 => (s"shard/${"y" * 95}/g$k.bin", '0', data, 'L')
+              case 3 => (s"shard/s$k.bin", '0', data, 's')
+              case _ => (s"shard/m$k.bin", '0', data, ' ')
+            }
           }
           val got = TarCodec.census(
-            TarCodec.synth(members, gzipped = id % 2 == 1))
+            TarCodec.synthExt(members, gzipped = id % 2 == 1))
           require(got.length == members.length,
             s"doc $id tar census found ${got.length} of " +
               s"${members.length}")
-          got.zip(members).foreach { case (m, (n, t, p)) =>
+          got.zip(members).foreach { case (m, (n, t, p, _)) =>
             require(m.name == n && m.typeflag == t &&
               m.size == p.length,
               s"doc $id member drift: $m vs ($n, $t, ${p.length})")
@@ -845,10 +856,14 @@ object MediaQ {
             got.map(_.size).sum,
             got.zipWithIndex.map { case (m, k) =>
               (k + 1).toLong * m.size
-            }.sum)
+            }.sum,
+            got.map(_.name).mkString("", ";", ";"))
         }
         .toDF("doc_id", "n_members", "n_files", "n_dirs",
-          "data_bytes", "size_checksum")
+          "data_bytes", "size_checksum", "names")
+        .select(col("doc_id"), col("n_members"), col("n_files"),
+          col("n_dirs"), col("data_bytes"), col("size_checksum"),
+          md5(col("names").cast("binary")).as("names_md5"))
         .orderBy("doc_id")
     }),
 
@@ -858,7 +873,12 @@ object MediaQ {
     // streamed-webm UNKNOWN Segment size honored (id%5==0 docs emit
     // that shape — same census either way), DocType / timescale /
     // per-track codec IDs / cluster + SimpleBlock counts / frame
-    // bytes, no frame decoded. Codec mix and every count replay from
+    // bytes, no frame decoded. r15 re-gate: blocks carry all FOUR
+    // lacing modes by char class (none / Xiph 255-run / fixed-size /
+    // EBML signed-VINT deltas — standard in real webm audio tracks),
+    // so the frame COUNT and the frame-bytes sum (lace table
+    // excluded) only match the oracle if the lace parser walks every
+    // size table exactly. Codec mix and every count replay from
     // id/char arithmetic.
     "q313_webm_census" -> ((s, dir) => {
       import s.implicits._
@@ -875,19 +895,29 @@ object MediaQ {
             (2, if (id % 3 != 0) "A_OPUS" else "A_VORBIS"))
           val blocks = src.toSeq.zipWithIndex.map { case (b, k) =>
             val v = b & 0xff
-            (k / 8, if (v % 3 != 0) 1 else 2, v % 64 + 1)
+            val tn = if (v % 3 != 0) 1 else 2
+            val nf = v % 3 + 2
+            val (frames, mode) = (v % 4) match {
+              case 0 => (Seq(v % 64 + 1), 0)
+              case 1 => ((0 until nf).map(j => (v + j) % 48 + 1), 1)
+              case 2 => (Seq.fill(nf)(v % 48 + 1), 2)
+              case _ => ((0 until nf).map(j => (v + 7 * j) % 48 + 1), 3)
+            }
+            (k / 8, tn, frames, mode)
           }
-          val webm = EbmlCodec.synth("webm", 1000000L, tracks, blocks,
-            unknownSegmentSize = id % 5 == 0)
+          val webm = EbmlCodec.synthLaced("webm", 1000000L, tracks,
+            blocks, unknownSegmentSize = id % 5 == 0)
           val c = EbmlCodec.census(webm)
           require(c.docType == "webm" && c.tracks == tracks,
             s"doc $id webm census drift: $c")
           (id, c.docType, c.tracks.length.toLong,
             c.tracks.head._2, c.tracks(1)._2,
-            c.nClusters.toLong, c.nBlocks.toLong, c.frameBytes)
+            c.nClusters.toLong, c.nBlocks.toLong, c.nFrames.toLong,
+            c.frameBytes)
         }
         .toDF("doc_id", "doc_type", "n_tracks", "video_codec",
-          "audio_codec", "n_clusters", "n_blocks", "frame_bytes")
+          "audio_codec", "n_clusters", "n_blocks", "n_frames",
+          "frame_bytes")
         .orderBy("doc_id")
     }),
 
@@ -900,7 +930,12 @@ object MediaQ {
     // docs carry one member whose local-header name is tampered
     // (central untouched), and the flagged index + the authoritative
     // names must both survive. Trailing archive comments on id%3==0
-    // force the real backward EOCD search.
+    // force the real backward EOCD search. r15 re-gate: even ids ship
+    // the zip64 SHAPE — sentinel EOCD fields resolved through the
+    // zip64 EOCD locator + record (APPNOTE §4.3.14/15), every 5th
+    // entry's central sizes routed through the 0x0001 extra field —
+    // with the same logical truth, so a reader that misses the
+    // locator or the extra-field indirection breaks the hash.
     "q314_zip_census" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Partitioning.ensureParallel(
@@ -919,7 +954,8 @@ object MediaQ {
           val zip = ZipCodec.synth(members,
             comment = if (id % 3 == 0) s"doc $id" else "",
             tamperLocal = if (id % 7 == 3)
-              Some((id % members.length).toInt) else None)
+              Some((id % members.length).toInt) else None,
+            zip64 = id % 2 == 0, zip64SizeEvery = 5)
           val got = ZipCodec.census(zip)
           require(got.length == members.length,
             s"doc $id zip census found ${got.length}")
@@ -1536,25 +1572,49 @@ object MediaQ {
         |   '' ORDER BY i)) AS names_md5
         |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // clusters hold 8 chars each; frame bytes are b%64+1
+    // clusters hold 8 chars each; per char b the lacing mode is b%4
+    // (0 none: 1 frame of b%64+1; 1 Xiph / 3 EBML: b%3+2 frames of
+    // (b+j)%48+1 resp. (b+7j)%48+1; 2 fixed: b%3+2 equal frames of
+    // b%48+1) — frame bytes EXCLUDE the lace size tables
     "q313_webm_census" ->
       """WITH d AS (
         | SELECT doc_id, text, length(text) AS len
-        | FROM documents WHERE length(text) > 0)
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, unnest(range(1, len + 1)) AS i, text
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg),
+        |f AS (
+        | SELECT doc_id, len, i, b,
+        |  CASE WHEN b % 4 = 0 THEN 1 ELSE b % 3 + 2 END AS nf,
+        |  CASE b % 4
+        |   WHEN 0 THEN b % 64 + 1
+        |   WHEN 1 THEN list_sum(list_transform(range(0, b % 3 + 2),
+        |     j -> (b + j) % 48 + 1))
+        |   WHEN 2 THEN (b % 3 + 2) * (b % 48 + 1)
+        |   ELSE list_sum(list_transform(range(0, b % 3 + 2),
+        |     j -> (b + 7 * j) % 48 + 1))
+        |  END AS fb
+        | FROM a)
         |SELECT doc_id, 'webm' AS doc_type,
         | CAST(2 AS BIGINT) AS n_tracks,
         | CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_AV1' END
         |  AS video_codec,
         | CASE WHEN doc_id % 3 != 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
         |  AS audio_codec,
-        | CAST((len + 7) // 8 AS BIGINT) AS n_clusters,
-        | CAST(len AS BIGINT) AS n_blocks,
-        | CAST(list_sum(list_transform(range(1, len + 1), i ->
-        |   ord(substr(text, CAST(i AS INTEGER), 1)) % 64 + 1))
-        |  AS BIGINT) AS frame_bytes
-        |FROM d ORDER BY doc_id""".stripMargin,
+        | CAST((max(len) + 7) // 8 AS BIGINT) AS n_clusters,
+        | CAST(max(len) AS BIGINT) AS n_blocks,
+        | CAST(sum(nf) AS BIGINT) AS n_frames,
+        | CAST(sum(fb) AS BIGINT) AS frame_bytes
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // char b: dir (size 0) on b%16==0, else file of b%200+1 bytes
+    // char b: dir (size 0) on b%16==0, else file of b%200+1 bytes;
+    // member k's LOGICAL name by class (PAX/GNU overrides applied):
+    // 1 → shard/xxx…/p{k}.bin, 2 → shard/yyy…/g{k}.bin,
+    // 3 → shard/s{k}.bin, else shard/m{k}.bin / shard/d{k}/
     "q312_tar_census" ->
       """WITH d AS (
         | SELECT doc_id, text, length(text) AS len
@@ -1565,7 +1625,19 @@ object MediaQ {
         |a AS (
         | SELECT doc_id, len, i,
         |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
-        | FROM pg)
+        | FROM pg),
+        |n AS (
+        | SELECT doc_id, len, i, b,
+        |  CASE b % 16
+        |   WHEN 0 THEN 'shard/d' || CAST(i - 1 AS VARCHAR) || '/'
+        |   WHEN 1 THEN 'shard/' || repeat('x', 95) || '/p' ||
+        |     CAST(i - 1 AS VARCHAR) || '.bin'
+        |   WHEN 2 THEN 'shard/' || repeat('y', 95) || '/g' ||
+        |     CAST(i - 1 AS VARCHAR) || '.bin'
+        |   WHEN 3 THEN 'shard/s' || CAST(i - 1 AS VARCHAR) || '.bin'
+        |   ELSE 'shard/m' || CAST(i - 1 AS VARCHAR) || '.bin'
+        |  END AS name
+        | FROM a)
         |SELECT doc_id,
         | CAST(max(len) AS BIGINT) AS n_members,
         | CAST(sum(CASE WHEN b % 16 != 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1575,8 +1647,9 @@ object MediaQ {
         | CAST(sum(CASE WHEN b % 16 = 0 THEN 0 ELSE b % 200 + 1 END)
         |  AS BIGINT) AS data_bytes,
         | CAST(sum(CASE WHEN b % 16 = 0 THEN 0
-        |   ELSE i * (b % 200 + 1) END) AS BIGINT) AS size_checksum
-        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |   ELSE i * (b % 200 + 1) END) AS BIGINT) AS size_checksum,
+        | md5(string_agg(name || ';', '' ORDER BY i)) AS names_md5
+        |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q310's geometry arithmetic + q296's NAL arithmetic, no SPS/PPS
     // riding the samples (they live in avcC)

@@ -440,27 +440,48 @@ class FrameCensusSpec extends AnyFunSuite {
     val tar = TarCodec.synth(Seq(
       ("a/", '5', Array.empty[Byte]),
       ("a/x.bin", '0', Array.tabulate[Byte](600)(i => (i % 251).toByte))))
+    // the r15 extension surfaces fuzz too: PAX path+size records and
+    // a GNU long name (the parsePax walk), laced size tables, zip64
+    // locator/EOCD/extra indirection
+    val tarPax = TarCodec.synthExt(Seq(
+      ("deep/" + ("p" * 110) + "/a.bin", '0',
+        Array.tabulate[Byte](300)(i => (i % 251).toByte), 'x'),
+      ("deep/" + ("q" * 105) + "/b.bin", '0',
+        Array.tabulate[Byte](80)(i => (i % 97).toByte), 'L'),
+      ("sized.bin", '0',
+        Array.tabulate[Byte](200)(i => (i % 89).toByte), 's')))
     val webm = EbmlCodec.synth("webm", 1000000L,
       Seq((1, "V_VP9"), (2, "A_OPUS")),
       Seq((0, 1, 10), (0, 2, 3), (1, 1, 7)))
+    val webmLaced = EbmlCodec.synthLaced("webm", 1000000L,
+      Seq((1, "V_VP9"), (2, "A_OPUS")),
+      Seq((0, 1, Seq(10), 0), (0, 2, Seq(300, 255, 4), 1),
+        (1, 2, Seq(6, 6, 6, 6), 2), (1, 1, Seq(100, 900, 3), 3)))
     import graft.multimodal.ZipCodec
     val zip = ZipCodec.synth(Seq(
       ("a.txt", "hello".getBytes("US-ASCII")),
       ("b.bin", Array.tabulate[Byte](90)(i => (i % 251).toByte))),
       comment = "c")
-    (1 to 600).foreach { trial =>
-      val which = trial % 3
+    val zip64 = ZipCodec.synth(Seq(
+      ("a.txt", "hello".getBytes("US-ASCII")),
+      ("b.bin", Array.tabulate[Byte](90)(i => (i % 251).toByte))),
+      comment = "c", zip64 = true, zip64SizeEvery = 1)
+    (1 to 1200).foreach { trial =>
+      val which = trial % 6
       val m = (which match {
         case 0 => tar
         case 1 => webm
-        case _ => zip
+        case 2 => zip
+        case 3 => tarPax
+        case 4 => webmLaced
+        case _ => zip64
       }).clone()
       (0 to rnd.nextInt(4)).foreach(_ =>
         m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
       try {
         which match {
-          case 0 => TarCodec.census(m)
-          case 1 => EbmlCodec.census(m)
+          case 0 | 3 => TarCodec.census(m)
+          case 1 | 4 => EbmlCodec.census(m)
           case _ => ZipCodec.census(m)
         }
       } catch {
@@ -502,6 +523,131 @@ class FrameCensusSpec extends AnyFunSuite {
       TarCodec.census(raw.dropRight(512)))
   }
 
+  test("tar census: PAX x/size, GNU L, and g-global extensions apply") {
+    import graft.multimodal.TarCodec
+    val longA = "deep/" + ("a" * 120) + "/file-a.bin"
+    val longB = "deep/" + ("b" * 110) + "/file-b.bin"
+    val data = Array.tabulate[Byte](700)(i => (i % 251).toByte)
+    val members = Seq(
+      ("plain.bin", '0', "hi".getBytes("US-ASCII"), ' '),
+      (longA, '0', data, 'x'), // PAX path override
+      (longB, '0', data.take(90), 'L'), // GNU long name
+      ("sized.bin", '0', data.take(333), 's')) // PAX size, hdr size 0
+    for (gz <- Seq(false, true)) {
+      val got = TarCodec.census(TarCodec.synthExt(members, gz))
+      assert(got == members.map { case (n, t, p, _) =>
+        TarCodec.TarMember(n, t, p.length.toLong) }, s"gz=$gz")
+    }
+    // a PAX 'g' global applies to every later member lacking its own
+    val g = {
+      val out = new java.io.ByteArrayOutputStream()
+      val recs = TarCodec.paxRecords(Seq("path" -> "global/name"))
+      // build by hand: g header + 2 classic members
+      out.write(TarCodec.synthExt(Seq(
+        ("ignored", 'g', recs, ' '),
+        ("m1", '0', "x".getBytes, ' '),
+        ("m2", '0', "y".getBytes, ' '))))
+      out.toByteArray
+    }
+    val gGot = TarCodec.census(g)
+    assert(gGot.map(_.name) == Seq("global/name", "global/name"))
+    // loud perimeter: malformed PAX record length / missing '=' /
+    // dangling override / truncated long name
+    intercept[IllegalArgumentException](
+      TarCodec.parsePax("7 x=y\n".getBytes("US-ASCII"))) // len drift
+    intercept[IllegalArgumentException](
+      TarCodec.parsePax("6 xy~z\n".getBytes("US-ASCII"))) // no '='
+    intercept[IllegalArgumentException](TarCodec.census(
+      TarCodec.synthExt(Seq((longA, '0', data, 'x'))) match {
+        case b => // drop the member that follows the x header:
+          // keep x header block + its one data block + end marker
+          b.take(512 * 2) ++ Array.fill[Byte](1024)(0)
+      }))
+    // non-decimal PAX size is loud
+    val badSize = TarCodec.synthExt(Seq(("n", '0', Array[Byte](1), ' ')))
+    val hand = {
+      val recs = TarCodec.paxRecords(Seq("size" -> "12x4"))
+      TarCodec.synthExt(Seq(("hdr", 'x', recs, ' '),
+        ("m", '0', Array[Byte](1, 2), ' ')))
+    }
+    val e = intercept[IllegalArgumentException](TarCodec.census(hand))
+    assert(e.getMessage.contains("non-decimal pax size"), e.getMessage)
+    assert(TarCodec.census(badSize).length == 1)
+  }
+
+  test("EBML lacing: Xiph, fixed, EBML size tables counted exactly") {
+    import graft.multimodal.EbmlCodec
+    val tracks = Seq((1, "V_VP9"), (2, "A_OPUS"))
+    // one block per mode, frame sizes chosen to exercise the 255-run
+    // (Xiph needs a >=255 frame) and negative EBML deltas
+    val blocks = Seq(
+      (0, 1, Seq(10), 0), // none
+      (0, 2, Seq(300, 255, 4), 1), // Xiph: 300 = 255+45, 255 = 255+0
+      (1, 2, Seq(6, 6, 6, 6), 2), // fixed
+      (1, 1, Seq(100, 900, 3), 3)) // EBML: +800 then -897
+    val c = EbmlCodec.census(
+      EbmlCodec.synthLaced("webm", 1000000L, tracks, blocks))
+    assert(c.nBlocks == 4 && c.nFrames == 1 + 3 + 4 + 3)
+    assert(c.frameBytes == 10L + (300 + 255 + 4) + 24 + (100 + 900 + 3))
+    // fixed lacing with a non-divisible remainder is loud: in a
+    // single-fixed-block file the nf byte sits exactly 25 bytes from
+    // the end (1 nf + 24 frame bytes); bump 4 frames -> 5
+    val fixedOnly = EbmlCodec.synthLaced("webm", 1000000L, tracks,
+      Seq((0, 2, Seq(6, 6, 6, 6), 2)))
+    val bad = fixedOnly.clone()
+    bad(bad.length - 25) = 4 // nf-1: 3 -> 4
+    val e = intercept[IllegalArgumentException](EbmlCodec.census(bad))
+    assert(e.getMessage.contains("divisible"), e.getMessage)
+    // a Xiph size table that overruns its block is loud: nf byte sits
+    // before the 4-byte size table (255,45 then 255,0) + 559 frame
+    // bytes; claiming 61 frames reads frame data as sizes and overruns
+    val xiphOnly = EbmlCodec.synthLaced("webm", 1000000L, tracks,
+      Seq((0, 2, Seq(300, 255, 4), 1)))
+    val bad2 = xiphOnly.clone()
+    bad2(bad2.length - 559 - 4 - 1) = 60
+    intercept[IllegalArgumentException](EbmlCodec.census(bad2))
+  }
+
+  test("zip64: locator + EOCD record + 0x0001 extra resolve exactly") {
+    import graft.multimodal.ZipCodec
+    val members = Seq(
+      ("a.txt", "hello zip64".getBytes("US-ASCII")),
+      ("dir/b.bin", Array.tabulate[Byte](300)(i => (i % 251).toByte)),
+      ("c", Array[Byte](7)),
+      ("d.bin", Array.tabulate[Byte](64)(i => (i % 97).toByte)))
+    for (every <- Seq(0, 1, 2)) {
+      val got = ZipCodec.census(ZipCodec.synth(members,
+        comment = "trailing", zip64 = true, zip64SizeEvery = every))
+      assert(got.map(e => (e.name, e.usize, e.localMismatch)) ==
+        members.map { case (n, d) => (n, d.length.toLong, false) },
+        s"every=$every")
+    }
+    // the differential still flags under zip64 framing
+    val evil = ZipCodec.synth(members, tamperLocal = Some(1),
+      zip64 = true, zip64SizeEvery = 2)
+    assert(ZipCodec.census(evil).map(_.localMismatch) ==
+      Seq(false, true, false, false))
+    // loud perimeter: sentinel EOCD with the locator clobbered
+    val raw = ZipCodec.synth(members, zip64 = true)
+    val locAt = raw.length - 22 - 20
+    val noLoc = raw.clone(); noLoc(locAt) = 'X'
+    val e = intercept[IllegalArgumentException](ZipCodec.census(noLoc))
+    assert(e.getMessage.contains("locator"), e.getMessage)
+    // sentinel central sizes with the 0x0001 extra id clobbered
+    val viaExtra = ZipCodec.synth(members, zip64 = true,
+      zip64SizeEvery = 1)
+    val s = viaExtra.clone()
+    // find the first central-dir extra header id 0x0001 after the sig
+    val cdSig = Array[Byte](0x50, 0x4b, 1, 2)
+    val cd = (0 until s.length - 4).find(i =>
+      s(i) == cdSig(0) && s(i + 1) == cdSig(1) && s(i + 2) == cdSig(2)
+        && s(i + 3) == cdSig(3)).get
+    val nameLen = (s(cd + 28) & 0xff) | ((s(cd + 29) & 0xff) << 8)
+    s(cd + 46 + nameLen) = 0x77 // extra id 0x0001 -> 0x0077
+    val e2 = intercept[IllegalArgumentException](ZipCodec.census(s))
+    assert(e2.getMessage.contains("0x0001"), e2.getMessage)
+  }
+
   test("WebM/EBML census: roundtrip, streamed segment, loud perimeter") {
     import graft.multimodal.EbmlCodec
     val tracks = Seq((1, "V_VP9"), (2, "A_OPUS"))
@@ -510,7 +656,7 @@ class FrameCensusSpec extends AnyFunSuite {
       val c = EbmlCodec.census(EbmlCodec.synth("webm", 1000000L,
         tracks, blocks, unknownSegmentSize = unk))
       assert(c == EbmlCodec.WebmCensus("webm", 1000000L, tracks,
-        2, 3, 20), s"unknownSegmentSize=$unk")
+        2, 3, 3, 20), s"unknownSegmentSize=$unk")
     }
     val good = EbmlCodec.synth("webm", 1000000L, tracks, blocks)
     // an unknown-size element that is NOT the Segment refuses: make
@@ -603,6 +749,38 @@ class FrameCensusSpec extends AnyFunSuite {
           fail(s"trial $trial: ${ex.getClass.getName} ${ex.getMessage}")
       }
     }
+    // a CRC-VALID PNG whose first chunk is IDAT (no IHDR anywhere)
+    // must refuse — not return a census row with -1 geometry
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def u32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      u32(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      u32(crc.getValue)
+    }
+    chunk("IDAT", Array[Byte](1, 2, 3))
+    chunk("IEND", Array.empty[Byte])
+    val eFirst = intercept[IllegalArgumentException](
+      PngCodec.census(out.toByteArray))
+    assert(eFirst.getMessage.contains("first chunk is IDAT"),
+      eFirst.getMessage)
+  }
+
+  test("MP4 avcConfig: truncated largesize header is loud, not AIOOBE") {
+    import graft.multimodal.Mp4Codec
+    // size0 == 1 declares a 64-bit largesize, but the buffer ends at
+    // the 8-byte header — the guard must refuse before reading it
+    val b = Array[Byte](0, 0, 0, 1, 'm', 'o', 'o', 'v')
+    val e = intercept[IllegalArgumentException](Mp4Codec.avcConfig(b))
+    assert(e.getMessage.contains("truncated largesize"), e.getMessage)
   }
 
   test("H264 perimeter: no start code / forbidden bit are loud") {
