@@ -88,23 +88,37 @@ object Bench {
     // all tasks; per-query deltas are snapshotted around the timed runs
     // behind a listener-bus flush barrier (events are async).
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-query GC time (r14 verdict #1): the r14 headline artifact
+    // recorded a 2.4x total regression that the per-run spreads said
+    // was GC thrash or external CPU pressure, but the artifact itself
+    // couldn't prove which. Two additions make it self-adjudicating:
+    // task-attributed jvmGCTime (snapshotted per query, like task_sec)
+    // separates "the JVM was collecting during this query's tasks"
+    // from plan cost, and a /proc/loadavg sample before EVERY run
+    // (not just at launch) timestamps external pressure onto the
+    // specific runs it poisoned.
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null) taskMs.addAndGet(m.executorRunTime)
+          if (m != null) {
+            taskMs.addAndGet(m.executorRunTime)
+            gcMs.addAndGet(m.jvmGCTime)
+          }
         }
       })
-    def taskMsNow(): Long = {
+    def taskMsNow(): (Long, Long) = {
       org.apache.spark.graftglue.ListenerGlue
         .waitUntilListenerBusEmpty(spark.sparkContext)
-      taskMs.get()
+      (taskMs.get(), gcMs.get())
     }
-    val load1 = try {
+    def loadNow(): Double = try {
       java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
+    val load1 = loadNow()
     if (load1 > 1.5) System.err.println(
       f"BENCH WARNING: /proc/loadavg=$load1%.2f at start — external CPU " +
         "interference will inflate these numbers (see SCALING.md, r5 incident)")
@@ -123,8 +137,10 @@ object Bench {
       case c => c.toString
     }
     val allRuns = selected.map { case (name, fn) =>
-      val task0 = taskMsNow()
+      val (task0, gc0) = taskMsNow()
+      val loads = Seq.newBuilder[Double]
       val times = (1 to runs).flatMap { _ =>
+        loads += loadNow()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
@@ -137,10 +153,12 @@ object Bench {
       // mean task seconds per run (the per-run split isn't observable
       // from one accumulator, and the median-vs-mean gap is noise at
       // task granularity — the signal is round-over-round level shifts)
-      val taskSec = (taskMsNow() - task0) / 1e3 / runs
-      name -> (times, taskSec)
+      val (task1, gc1) = taskMsNow()
+      val taskSec = (task1 - task0) / 1e3 / runs
+      val gcSec = (gc1 - gc0) / 1e3 / runs
+      name -> (times, taskSec, gcSec, loads.result())
     }
-    val results = allRuns.map { case (name, (times, _)) =>
+    val results = allRuns.map { case (name, (times, _, _, _)) =>
       // ANY failed run marks the query failed in the artifact (-1.0):
       // a median over the surviving runs would make an intermittently
       // OOMing query look healthy to JSON-only round-over-round tooling
@@ -149,6 +167,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + jesc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val gcTotal = allRuns.valuesIterator.map(_._3).sum
     // Full per-query artifact on disk (r9 verdict #2): the driver's
     // BENCH tail truncates to ~2000 chars (~54 of 274 queries), so
     // round-over-round adjudication needs the complete medians AND the
@@ -163,15 +182,17 @@ object Bench {
       else "/tmp/bench_subset.json")
     if (outPath.nonEmpty) try {
       val detail = allRuns.toSeq.sortBy(_._1).map {
-        case (name, (times, taskSec)) =>
+        case (name, (times, taskSec, gcSec, loads)) =>
           val med = results(name)
-          s"""  "${jesc(name)}": {"median": $med, "task_sec": ${f"$taskSec%.3f"}, "runs": [${times.mkString(", ")}]}"""
+          s"""  "${jesc(name)}": {"median": $med, "task_sec": ${f"$taskSec%.3f"}, "gc_sec": ${f"$gcSec%.3f"}, "load1_runs": [${loads.map(l => f"$l%.2f").mkString(", ")}], "runs": [${times.mkString(", ")}]}"""
       }.mkString(",\n")
       val json =
         s"""{
            |"sf": "${jesc(sfDir)}",
            |"runs_per_query": $runs,
            |"load1_at_start": $load1,
+           |"load1_at_end": ${f"${loadNow()}%.2f"},
+           |"gc_sec_total": ${f"$gcTotal%.3f"},
            |"total_of_medians": $total,
            |"n_queries": ${results.size},
            |"queries": {
@@ -189,7 +210,7 @@ object Bench {
     // tail-capture always sees a complete, parseable total (BENCH_r02 lost
     // its headline number to a front-loaded total on one very long line).
     println(s"""{"metric":"queries","queries":$qs,"sf":"${jesc(sfDir)}"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${jesc(sfDir)}","runs_per_query":$runs,"load1_at_start":$load1}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${jesc(sfDir)}","runs_per_query":$runs,"load1_at_start":$load1,"load1_at_end":${f"${loadNow()}%.2f"},"gc_sec_total":${f"$gcTotal%.3f"}}""")
     spark.stop()
   }
 }
