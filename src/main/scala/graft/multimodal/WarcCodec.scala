@@ -63,21 +63,47 @@ object WarcCodec {
     out.toByteArray
   }
 
+  private def reasonOf(status: Int): String = status match {
+    case 200 => "OK"
+    case 404 => "Not Found"
+    case _ => "Status"
+  }
+
   /** An HTTP response payload with explicit headers and body — the
     * record shape the crawl-spine fixtures plant (httpPayload keeps
     * the fixed-header q299 shape). */
   def httpResponse(status: Int, headers: Seq[(String, String)],
       body: Array[Byte]): Array[Byte] = {
-    val reason = status match {
-      case 200 => "OK"
-      case 404 => "Not Found"
-      case _ => "Status"
-    }
     val out = new ByteArrayOutputStream()
-    out.write((s"HTTP/1.1 $status $reason\r\n" +
+    out.write((s"HTTP/1.1 $status ${reasonOf(status)}\r\n" +
       headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1"))
     out.write(body)
+    out.toByteArray
+  }
+
+  /** An HTTP response with `Transfer-Encoding: chunked` framing
+    * (RFC 9112 §7.1) — the body split into `chunkSize`-byte chunks,
+    * each preceded by its hex size line, closed by the 0-chunk and a
+    * blank line. Real crawl WARCs carry this shape routinely; a spine
+    * that hands the framed bytes to HTML extraction corrupts every
+    * page. */
+  def httpResponseChunked(status: Int, headers: Seq[(String, String)],
+      body: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize >= 1, s"chunk size $chunkSize")
+    val out = new ByteArrayOutputStream()
+    out.write((s"HTTP/1.1 $status ${reasonOf(status)}\r\n" +
+      headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+      "Transfer-Encoding: chunked\r\n\r\n").getBytes("ISO-8859-1"))
+    var off = 0
+    while (off < body.length) {
+      val n = math.min(chunkSize, body.length - off)
+      out.write(s"${n.toHexString}\r\n".getBytes("ISO-8859-1"))
+      out.write(body, off, n)
+      out.write("\r\n".getBytes("ISO-8859-1"))
+      off += n
+    }
+    out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
     out.toByteArray
   }
 
@@ -113,8 +139,60 @@ object WarcCodec {
         h.substring(colon + 1).trim)
       h = line()
     }
-    (digits.toInt, headers.result(),
-      java.util.Arrays.copyOfRange(payload, pos, payload.length))
+    val hdrs = headers.result()
+    // Transfer-Encoding: chunked (RFC 9112 §7.1) — de-chunk before
+    // anything consumes the body. Loud on a non-hex size line, a
+    // truncated chunk, a chunk not CRLF-terminated, or bytes after
+    // the terminal 0-chunk's trailer section (the WARC Content-Length
+    // frames the payload exactly).
+    val chunked = hdrs.get("transfer-encoding").exists(
+      _.toLowerCase.split(",").map(_.trim).contains("chunked"))
+    val body =
+      if (!chunked)
+        java.util.Arrays.copyOfRange(payload, pos, payload.length)
+      else {
+        val out = new ByteArrayOutputStream(payload.length - pos)
+        var doneChunks = false
+        while (!doneChunks) {
+          val eol = indexOfCrlf(payload, pos)
+          require(eol >= 0, s"truncated chunk-size line at offset $pos")
+          val sline = new String(payload, pos, eol - pos, "ISO-8859-1")
+          // chunk extensions after ';' are legal — ignored
+          val sizeTok = sline.takeWhile(_ != ';').trim
+          require(sizeTok.nonEmpty &&
+            sizeTok.forall(c => Character.digit(c, 16) >= 0),
+            s"non-hex chunk size '${sizeTok.take(20)}' at offset $pos")
+          require(sizeTok.length <= 8,
+            s"implausible ${sizeTok.length}-digit chunk size at $pos")
+          val sz = java.lang.Long.parseLong(sizeTok, 16)
+          pos = eol + 2
+          if (sz == 0) {
+            // trailer fields: zero or more lines, then a blank line
+            var tl = indexOfCrlf(payload, pos)
+            require(tl >= 0, s"truncated chunked trailer at offset $pos")
+            while (tl != pos) {
+              pos = tl + 2
+              tl = indexOfCrlf(payload, pos)
+              require(tl >= 0,
+                s"truncated chunked trailer at offset $pos")
+            }
+            pos = tl + 2
+            require(pos == payload.length,
+              s"${payload.length - pos} bytes after the chunked body")
+            doneChunks = true
+          } else {
+            require(pos + sz + 2 <= payload.length,
+              s"chunk of $sz bytes truncated at offset $pos")
+            out.write(payload, pos, sz.toInt)
+            pos += sz.toInt
+            require(payload(pos) == '\r' && payload(pos + 1) == '\n',
+              s"chunk data not CRLF-terminated at offset $pos")
+            pos += 2
+          }
+        }
+        out.toByteArray
+      }
+    (digits.toInt, hdrs, body)
   }
 
   /** Walk the records, payloads included — the census() metadata plus

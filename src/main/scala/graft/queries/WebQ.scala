@@ -85,8 +85,11 @@ object WebQ {
     // allows the path for our agent — the * group's Disallow / is a
     // trap that fires if group selection slips), every extracted
     // page body is checked against its planted truth, and the
-    // admitted titles hash in record order. Per-row executor work;
-    // the only shuffle is the final orderBy.
+    // admitted titles hash in record order. r15 re-gate: v%7<3 pages
+    // arrive Transfer-Encoding: chunked and must be de-chunked before
+    // extraction — same logical truth, so the oracle is untouched and
+    // any framing bytes reaching the HTML parser break the hash.
+    // Per-row executor work; the only shuffle is the final orderBy.
     "q306_crawl_spine" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Partitioning.ensureParallel(
@@ -120,11 +123,18 @@ object WebQ {
                   .getBytes("ISO-8859-1")
               else Array.tabulate[Byte](v % 32 + 1)(i =>
                 ((i * 73 + v) % 251).toByte)
+            val ctype = Seq("Content-Type" ->
+              (if (html) "text/html; charset=utf-8"
+               else "application/octet-stream"))
+            // r15: v%7<3 pages ship Transfer-Encoding: chunked with
+            // 3..7-byte chunks (RFC 9112 §7.1) — the size lines land
+            // INSIDE every tag, so a spine that skips de-chunking
+            // fails the extraction equality check below loudly
             ("response", host + paths(v % 8),
-              WarcCodec.httpResponse(status,
-                Seq("Content-Type" ->
-                  (if (html) "text/html; charset=utf-8"
-                   else "application/octet-stream")), body))
+              if (v % 7 < 3)
+                WarcCodec.httpResponseChunked(status, ctype, body,
+                  v % 5 + 3)
+              else WarcCodec.httpResponse(status, ctype, body))
           }
           val archive = WarcCodec.synth(
             ("warcinfo", "", "software: graft\r\n".getBytes("ISO-8859-1"))

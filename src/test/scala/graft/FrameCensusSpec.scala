@@ -204,6 +204,35 @@ class FrameCensusSpec extends AnyFunSuite {
       WarcCodec.httpParts("not http at all, way too long".getBytes))
   }
 
+  test("httpParts: Transfer-Encoding chunked de-chunks exactly") {
+    import graft.multimodal.WarcCodec
+    val body = ("<html><head><title>Chunky</title></head>" +
+      "<body><p>hello chunked world</p></body></html>")
+      .getBytes("ISO-8859-1")
+    for (cs <- Seq(1, 3, 7, 1000)) {
+      val payload = WarcCodec.httpResponseChunked(200,
+        Seq("Content-Type" -> "text/html"), body, cs)
+      val (status, headers, got) = WarcCodec.httpParts(payload)
+      assert(status == 200 && got.sameElements(body), s"chunkSize=$cs")
+      assert(headers("transfer-encoding") == "chunked")
+      assert(!headers.contains("content-length"))
+    }
+    val base = WarcCodec.httpResponseChunked(200, Nil, body, 5)
+    // a chunk extension after ';' is legal and ignored
+    val raw = new String(base, "ISO-8859-1")
+    val withExt = raw.replaceFirst("\r\n5\r\n", "\r\n5;ext=1\r\n")
+      .getBytes("ISO-8859-1")
+    assert(WarcCodec.httpParts(withExt)._3.sameElements(body))
+    // loud: truncated chunk, non-hex size, bytes after the 0-chunk
+    intercept[IllegalArgumentException](
+      WarcCodec.httpParts(base.take(base.length - 9)))
+    val badHex = raw.replaceFirst("\r\n5\r\n", "\r\nzz\r\n")
+      .getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException](WarcCodec.httpParts(badHex))
+    intercept[IllegalArgumentException](WarcCodec.httpParts(
+      base ++ "junk".getBytes("ISO-8859-1")))
+  }
+
   test("WARC perimeter: truncation and bad version line are loud") {
     import graft.multimodal.WarcCodec
     val bytes = WarcCodec.synth(Seq(
