@@ -23,16 +23,25 @@ package graft.ingest
 object Robots {
 
   final case class Rule(allow: Boolean, pattern: String)
-  final case class Group(agents: Seq[String], rules: Seq[Rule])
+
+  /** `crawlDelay`: the group's Crawl-delay directive in seconds —
+    * non-standard but near-universal (Yandex/Bing honor it), and the
+    * per-host politeness constant a frontier scheduler needs. A
+    * malformed value is IGNORED, not loud: robots.txt is dirty
+    * external input and the crawl gate must not become an outage. */
+  final case class Group(agents: Seq[String], rules: Seq[Rule],
+      crawlDelay: Option[Double] = None)
 
   def parse(text: String): Seq[Group] = {
     val groups = Seq.newBuilder[Group]
     var agents = List.empty[String]
     var rules = List.empty[Rule]
+    var delay: Option[Double] = None
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents.reverse, rules.reverse)
-      agents = Nil; rules = Nil; inRules = false
+      if (agents.nonEmpty)
+        groups += Group(agents.reverse, rules.reverse, delay)
+      agents = Nil; rules = Nil; delay = None; inRules = false
     }
     text.linesIterator.foreach { raw =>
       val line = {
@@ -55,12 +64,31 @@ object Robots {
             inRules = true
             // an empty Disallow means allow-all: no rule
             if (value.nonEmpty) rules ::= Rule(allow = false, value)
-          case _ => () // crawl-delay, sitemap, unknown fields
+          case "crawl-delay" if agents.nonEmpty =>
+            inRules = true
+            val d = try Some(value.toDouble)
+              catch { case _: NumberFormatException => None }
+            // a finite non-negative delay; garbage is ignored
+            delay = d.filter(v => v >= 0 && v.isFinite).orElse(delay)
+          case _ => () // sitemap, unknown fields
         }
       }
     }
     flush()
     groups.result()
+  }
+
+  /** The Crawl-delay for `agent` under the same group selection as
+    * [[allowed]] (specific groups, else the `*` groups); when several
+    * chosen groups declare one, the MAX wins — the conservative read
+    * a polite crawler takes. None when no chosen group declares it. */
+  def crawlDelay(groups: Seq[Group], agent: String): Option[Double] = {
+    val a = agent.toLowerCase
+    val mine = groups.filter(_.agents.contains(a))
+    val chosen = if (mine.nonEmpty) mine
+      else groups.filter(_.agents.contains("*"))
+    val ds = chosen.flatMap(_.crawlDelay)
+    if (ds.isEmpty) None else Some(ds.max)
   }
 
   /** RFC 9309 §2.2.2 comparison normalization (via RFC 3986

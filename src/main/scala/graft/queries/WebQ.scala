@@ -229,6 +229,62 @@ object WebQ {
         .orderBy("host")
     }),
 
+    // ROBOTS-FED POLITENESS SCHEDULER (r14 verdict #3): q308's
+    // prefix-max rewrite with the per-host delay PARSED from each
+    // host's robots.txt instead of a synthetic knob — the directive
+    // Robots.parse already sees is the "constant per-host d" the
+    // rewrite requires. Per host the policy is planted by arithmetic:
+    // host%7==0 declares no Crawl-delay (default 1 s), host%5==0
+    // declares one only in the `*` group while graftbot has its OWN
+    // delay-less group (so the fallback must NOT fire — this breaks
+    // if group selection degrades to line scraping), everyone else
+    // declares host%4+1 s for graftbot with a decoy 9 s in the `*`
+    // group. The distinct-host policy table is tiny → broadcast back
+    // onto events; window + groupBy on host share ONE exchange.
+    "q317_crawl_schedule_robots" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val delays = t(s, dir, "events")
+        .select(col("user_id").as("host")).distinct()
+        .as[Long]
+        .map { host =>
+          import graft.ingest.Robots
+          val declared = host % 4 + 1
+          val robotsTxt =
+            if (host % 7 == 0)
+              "User-Agent: graftbot\r\nDisallow: /private*\r\n"
+            else if (host % 5 == 0)
+              "User-Agent: graftbot\r\nDisallow: /private*\r\n\r\n" +
+                s"User-agent: *\r\nCrawl-delay: $declared\r\n" +
+                "Disallow: /\r\n"
+            else
+              s"User-Agent: graftbot\r\nCrawl-delay: $declared\r\n" +
+                "Disallow: /private*\r\n\r\n" +
+                "User-agent: *\r\nCrawl-delay: 9\r\nDisallow: /\r\n"
+          // ---- fixtures end: the policy feed proper ----
+          val groups = Robots.parse(robotsTxt)
+          val d = Robots.crawlDelay(groups, "graftbot").getOrElse(1.0)
+          (host, math.round(d * 1000000))
+        }
+        .toDF("host", "delay_us")
+      val e = t(s, dir, "events").select(col("user_id").as("host"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      val w = Window.partitionBy("host").orderBy("tus", "event_id")
+      val wc = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val sched = e.join(broadcast(delays), Seq("host"))
+        .withColumn("idx", row_number().over(w).cast("long") - 1)
+        .withColumn("fetch", col("delay_us") * col("idx") +
+          max(col("tus") - col("delay_us") * col("idx")).over(wc))
+      sched.groupBy("host")
+        .agg(max("delay_us").as("delay_us"),
+          count(lit(1)).as("n_urls"),
+          (max("fetch") - min("tus")).as("makespan_us"),
+          sum(col("fetch") - col("tus")).as("total_wait_us"),
+          sum(col("fetch") % 1000000007L).as("sched_checksum"))
+        .orderBy("host")
+    }),
+
     // SITEMAP-SEEDED FRONTIER (the discovery half q306's fetch half
     // assumes): a real sitemaps.org urlset XML per doc — one <url>
     // per text char with <loc>/<priority> — parsed by the generic
@@ -664,6 +720,34 @@ object WebQ {
         | CAST(list_sum(list_transform(range(1, len + 1), i ->
         |   i * dny[CAST(i AS INTEGER)])) AS BIGINT) AS denied_checksum
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // q308's rewrite with the delay replayed from the planted robots
+    // truth: no-delay hosts (…%7=0) and *-group-only hosts (…%5=0)
+    // fall back to 1 s; everyone else gets their graftbot-group
+    // host%4+1 (the 9 s `*` decoy must never win)
+    "q317_crawl_schedule_robots" ->
+      """WITH e AS (
+        | SELECT user_id AS host, epoch_us(ts) AS tus, event_id,
+        |  CASE WHEN user_id % 7 = 0 OR user_id % 5 = 0 THEN 1000000
+        |   ELSE (user_id % 4 + 1) * 1000000 END AS d
+        | FROM events),
+        |s AS (
+        | SELECT host, tus, d,
+        |  row_number() OVER (PARTITION BY host
+        |    ORDER BY tus, event_id) - 1 AS idx
+        | FROM e),
+        |f AS (
+        | SELECT host, tus, d,
+        |  d * idx + max(tus - d * idx) OVER (PARTITION BY host
+        |    ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS ft
+        | FROM s)
+        |SELECT host, CAST(max(d) AS BIGINT) AS delay_us,
+        | CAST(count(*) AS BIGINT) AS n_urls,
+        | CAST(max(ft) - min(tus) AS BIGINT) AS makespan_us,
+        | CAST(sum(ft - tus) AS BIGINT) AS total_wait_us,
+        | CAST(sum(ft % 1000000007) AS BIGINT) AS sched_checksum
+        |FROM f GROUP BY host ORDER BY host""".stripMargin,
 
     // the same prefix-max rewrite replayed in SQL; integer micros so
     // both engines agree bit-for-bit

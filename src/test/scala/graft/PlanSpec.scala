@@ -238,6 +238,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("robots-fed schedule: policy join broadcasts, one host exchange") {
+    // q317 adds the parsed per-host Crawl-delay as a broadcast-joined
+    // column; the events side must still see exactly one host hash
+    // exchange shared by the window and the rollup (the policy side's
+    // distinct() exchange is over the tiny host set, not the log)
+    val p = planOf("q317_crawl_schedule_robots")
+    assert(p.contains("BroadcastHashJoin"),
+      s"policy join is not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    // exactly 2: the event log's host exchange (shared by both
+    // windows AND the partial/final rollup pair) + the tiny
+    // distinct-host policy aggregation
+    assert(n == 2 && p.contains("Window"),
+      s"expected exactly 2 hash exchanges, got $n:\n${p.take(3000)}")
+  }
+
   test("shingle guard filters rewrite to token-count checks (no double eval)") {
     // ShingleFilterSimplify: the explode-inferred guard must test the
     // cheap token array, not re-run the O(n·k) shingle construction —

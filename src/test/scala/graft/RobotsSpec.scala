@@ -159,4 +159,45 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.allowed(g, "a", "/x") && Robots.allowed(g, "a", "/y"))
     assert(Robots.allowed(g, "b", "/x") && !Robots.allowed(g, "b", "/y"))
   }
+
+  test("Crawl-delay: parsed per group, selected like allowed()") {
+    val g = Robots.parse(
+      """User-agent: fast
+        |Crawl-delay: 0.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 9
+        |Disallow: /
+        |""".stripMargin)
+    // the agent's own group wins; strangers fall back to the * group
+    assert(Robots.crawlDelay(g, "Fast").contains(0.5))
+    assert(Robots.crawlDelay(g, "other").contains(9.0))
+    // an agent with its OWN delay-less group does NOT inherit the *
+    // group's delay — group selection, not line scraping
+    val own = Robots.parse(
+      "User-agent: bot\nDisallow: /x\n\n" +
+        "User-agent: *\nCrawl-delay: 7\nDisallow: /\n")
+    assert(Robots.crawlDelay(own, "bot").isEmpty)
+    assert(Robots.crawlDelay(own, "anyone").contains(7.0))
+    // several matching groups: the conservative MAX wins
+    val multi = Robots.parse(
+      "User-agent: bot\nCrawl-delay: 2\nDisallow: /a\n\n" +
+        "User-agent: bot\nCrawl-delay: 5\nDisallow: /b\n")
+    assert(Robots.crawlDelay(multi, "bot").contains(5.0))
+    // malformed / negative / non-finite values are ignored, not loud
+    assert(Robots.crawlDelay(Robots.parse(
+      "User-agent: bot\nCrawl-delay: soon\nDisallow: /\n"),
+      "bot").isEmpty)
+    assert(Robots.crawlDelay(Robots.parse(
+      "User-agent: bot\nCrawl-delay: -3\nDisallow: /\n"),
+      "bot").isEmpty)
+    // a crawl-delay line still belongs to its group: a user-agent
+    // line AFTER it starts a new group
+    val split = Robots.parse(
+      "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nDisallow: /\n")
+    assert(split.length == 2 &&
+      Robots.crawlDelay(split, "a").contains(2.0) &&
+      Robots.crawlDelay(split, "b").isEmpty)
+  }
 }
