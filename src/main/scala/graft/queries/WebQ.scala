@@ -349,6 +349,97 @@ object WebQ {
         .orderBy("doc_id")
     }),
 
+    // SITEMAP INDEX DISCOVERY (r14 verdict #2): real discovery starts
+    // at a <sitemapindex> of .xml.gz members, not a flat urlset —
+    // q315's composition gap. Per doc: chars shard round-robin onto
+    // m = 1+id%3 GZIPPED child urlsets behind a root index; id%5==0
+    // docs interpose a SECOND index level (depth 3 proves the
+    // recursion recurses). Sitemap.expand walks it depth-bounded and
+    // cycle-loud, inflating each gz member; skipping the inflate
+    // hands HtmlCodec gzip bytes and the count require refuses, and
+    // a walk that stops at one level loses every URL of the nested
+    // class. Admission replays q315's robots gates so the frontier
+    // halves stay one truth table.
+    "q318_sitemap_index" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.ingest.{Robots, Sitemap}
+          val src = text.getBytes("ISO-8859-1")
+          val host = s"https://site$id.example"
+          val paths = Array("/", "/public/page", "/private",
+            "/private/pub", "/privateer", "/tmp/x", "/pub",
+            "/private/pub/deep")
+          val m = (1 + id % 3).toInt
+          def urlset(part: Int): String =
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              src.indices.filter(_ % m == part).map { k =>
+                val v = src(k) & 0xff
+                s"<url><loc>$host${paths(v % 8)}</loc>" +
+                  s"<priority>0.${v % 10}</priority></url>"
+              }.mkString + "</urlset>"
+          def gz(sxml: String): Array[Byte] = {
+            val bo = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bo)
+            g.write(sxml.getBytes("UTF-8")); g.close()
+            bo.toByteArray
+          }
+          val children = (0 until m).map { p =>
+            s"$host/sitemaps/part$p.xml.gz" -> gz(urlset(p))
+          }.toMap
+          def index(locs: Seq[String]): Array[Byte] =
+            ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              locs.map(l => s"<sitemap><loc>$l</loc></sitemap>")
+                .mkString + "</sitemapindex>").getBytes("UTF-8")
+          val rootUrl = s"$host/sitemap_index.xml"
+          val nested = id % 5 == 0
+          val fetched: Map[String, Array[Byte]] =
+            if (nested)
+              children +
+                (s"$host/sitemaps/mid.xml" ->
+                  index(children.keys.toSeq.sorted)) +
+                (rootUrl -> index(Seq(s"$host/sitemaps/mid.xml")))
+            else children + (rootUrl -> index(children.keys.toSeq.sorted))
+          val robotsTxt =
+            "User-Agent: graftbot\r\n" +
+            "Disallow: /private*\r\n" +
+            (if (id % 2 == 0) "Allow: /private/pub$\r\n" else "") +
+            "\r\nUser-agent: *\r\nDisallow: /\r\n"
+          // ---- the frontier proper: fixtures end here ----
+          var nFetched = 0L
+          val urls = Sitemap.expand(u => {
+            nFetched += 1
+            fetched.getOrElse(u,
+              throw new IllegalArgumentException(s"404 $u"))
+          }, rootUrl)
+          require(urls.length == src.length,
+            s"doc $id discovery drift: ${urls.length} of ${src.length}")
+          val groups = Robots.parse(robotsTxt)
+          val admitted = urls.flatMap { u =>
+            val loc = u.getOrElse("loc", "")
+            val path = loc.substring(loc.indexOf('/', "https://".length))
+            if (Robots.allowed(groups, "graftbot", path))
+              Some(u.getOrElse("pri", "0.0"))
+            else None
+          }
+          val priDeci = admitted.map { p =>
+            require(p.length == 3 && p.startsWith("0."), s"bad pri $p")
+            (p.charAt(2) - '0').toLong
+          }.sum
+          (id, nFetched, urls.length.toLong, admitted.length.toLong,
+            priDeci)
+        }
+        .toDF("doc_id", "n_fetched", "n_urls", "n_admitted",
+          "pri_deci_sum")
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization as a codegen expression: four deterministic
     // dirt classes (scheme/host case, default ports, duplicate and ./
     // path segments, tracking params, unsorted query, fragments) are
@@ -798,6 +889,35 @@ object WebQ {
         | CAST(sum(adm) AS BIGINT) AS n_admitted,
         | CAST(count(DISTINCT CASE WHEN adm = 1 THEN b % 8 END)
         |  AS BIGINT) AS n_distinct_paths,
+        | CAST(sum(CASE WHEN adm = 1 THEN b % 10 ELSE 0 END) AS BIGINT)
+        |  AS pri_deci_sum
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q315's admission truth over the index-discovered corpus: the
+    // round-robin shard split never changes the totals, so only the
+    // fetch count is new — 1 root + (nested mid on id%5=0) + 1+id%3
+    // gzipped children
+    "q318_sitemap_index" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, unnest(range(1, len + 1)) AS i, text
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg),
+        |f AS (
+        | SELECT doc_id, len, i, b,
+        |  CASE WHEN NOT (b % 8 IN (2, 4, 7) OR
+        |    (doc_id % 2 = 1 AND b % 8 = 3)) THEN 1 ELSE 0 END AS adm
+        | FROM a)
+        |SELECT doc_id,
+        | CAST(1 + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+        |   + 1 + doc_id % 3 AS BIGINT) AS n_fetched,
+        | CAST(max(len) AS BIGINT) AS n_urls,
+        | CAST(sum(adm) AS BIGINT) AS n_admitted,
         | CAST(sum(CASE WHEN adm = 1 THEN b % 10 ELSE 0 END) AS BIGINT)
         |  AS pri_deci_sum
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
