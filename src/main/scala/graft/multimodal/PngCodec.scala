@@ -3,16 +3,28 @@ package graft.multimodal
 import java.io.ByteArrayOutputStream
 import java.util.zip.CRC32
 
-/** PNG structure census (ISO/IEC 15948 / RFC 2083): the 8-byte
-  * signature, then length-type-data-CRC chunks — IHDR geometry and
-  * pixel format, IDAT count/bytes, the IEND terminator — with every
-  * chunk's CRC-32 RECOMPUTED over type+data (PNG is the one common
-  * image format that carries per-chunk integrity; a census that
-  * skips the check would bless silently corrupted rasters). Pixel
-  * data is never inflated or unfiltered — the decode perimeter stays
-  * where r12 drew it (JPEG decodes in-engine; PNG rasters are
-  * IDAT-opaque). Loud on a bad signature, CRC mismatch, truncation,
-  * a non-IHDR first chunk, or a missing/early IEND. */
+/** PNG structure census AND raster codec (ISO/IEC 15948 / RFC 2083).
+  *
+  * Census: the 8-byte signature, then length-type-data-CRC chunks —
+  * IHDR geometry and pixel format, IDAT count/bytes, the IEND
+  * terminator — with every chunk's CRC-32 RECOMPUTED over type+data
+  * (PNG is the one common image format that carries per-chunk
+  * integrity; a census that skips the check would bless silently
+  * corrupted rasters). Loud on a bad signature, CRC mismatch,
+  * truncation, a non-IHDR first chunk, or a missing/early IEND.
+  *
+  * Raster (r15, closing the r14 verdict's IDAT-opaque perimeter):
+  * [[decode]] inflates the concatenated IDAT zlib stream, applies the
+  * five §9 row filters (None/Sub/Up/Average/Paeth), and expands
+  * palette indices through PLTE — 8-bit samples, interlace 0, the
+  * five §11.2.2 colour types. 16-bit samples and Adam7 refuse loudly
+  * (a documented perimeter, not silence). [[encode]] is the genuine
+  * inverse — forward-filtered scanlines, deflate, multi-IDAT split —
+  * so planted-pixel oracles exercise every filter on both sides.
+  * Part of the engine's multimodal extension beyond the reference
+  * surface (the reference pipeline is text-only): PNG now decodes
+  * in-engine like JPEG has since r12, giving the second major image
+  * format pixel-level parity. */
 object PngCodec {
 
   final case class PngCensus(width: Long, height: Long, bitDepth: Int,
@@ -117,5 +129,249 @@ object PngCodec {
     require(nIdat >= 1, "PNG without IDAT")
     PngCensus(width, height, bitDepth, colorType, nChunks, nIdat,
       idatBytes)
+  }
+
+  // ---- raster codec (§9 filters, §11.2.2 colour types) ---------------
+
+  /** Decoded raster: 8-bit interleaved samples, `channels` per pixel
+    * (palette images come back EXPANDED to 3-channel RGB — the
+    * indices are an encoding detail, not pixel truth). */
+  final case class PngImage(width: Int, height: Int, colorType: Int,
+      channels: Int, pix: Array[Byte])
+
+  /** Samples per pixel for each §11.2.2 colour type (palette counts
+    * its index byte here; decode expands it to 3 afterwards). */
+  private def rawChannels(colorType: Int): Int = colorType match {
+    case 0 => 1 // greyscale
+    case 2 => 3 // truecolour
+    case 3 => 1 // indexed
+    case 4 => 2 // greyscale + alpha
+    case 6 => 4 // truecolour + alpha
+    case t => throw new IllegalArgumentException(
+      s"colour type $t is not in ISO 15948 §11.2.2")
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    // §9.4: the neighbour (left, above, upper-left) nearest to the
+    // linear gradient prediction, ties broken left, above, upper-left
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit raster as a real PNG: per-row §9 forward filter
+    * chosen by `filterOfRow` (cycle it over 0..4 to put every filter
+    * under a planted-pixel hash), zlib deflate, the stream split over
+    * `nIdat` IDAT chunks (reassembly is part of what decode must get
+    * right). `pix` is interleaved samples, [[rawChannels]] per pixel;
+    * colour type 3 requires an RGB `palette` (length 3·n, n ≤ 256)
+    * and `pix` of indices into it. */
+  def encode(width: Int, height: Int, colorType: Int,
+      pix: Array[Byte], filterOfRow: Int => Int = _ % 5,
+      palette: Array[Byte] = Array.empty, nIdat: Int = 2)
+      : Array[Byte] = {
+    val ch = rawChannels(colorType)
+    require(width >= 1 && height >= 1 && pix.length == width * height * ch,
+      s"bad raster: ${pix.length} samples for ${width}x$height ct=$colorType")
+    require(colorType != 3 || (palette.length % 3 == 0 &&
+      palette.length >= 3 && palette.length <= 768),
+      s"colour type 3 needs an RGB palette, got ${palette.length} bytes")
+    val stride = width * ch
+    val raw = new Array[Byte]((1 + stride) * height)
+    var y = 0
+    while (y < height) {
+      val f = filterOfRow(y)
+      require(f >= 0 && f <= 4, s"filter $f is not in §9 (row $y)")
+      raw(y * (1 + stride)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = pix(y * stride + i) & 0xff
+        val left = if (i >= ch) pix(y * stride + i - ch) & 0xff else 0
+        val up = if (y > 0) pix((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= ch) pix((y - 1) * stride + i - ch) & 0xff
+          else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (1 + stride) + 1 + i) = (cur - pred).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = zbuf.toByteArray
+
+    val out = new ByteArrayOutputStream()
+    out.write(Signature)
+    def u32(b: ByteArrayOutputStream, v: Long): Unit = {
+      b.write(((v >> 24) & 0xff).toInt); b.write(((v >> 16) & 0xff).toInt)
+      b.write(((v >> 8) & 0xff).toInt); b.write((v & 0xff).toInt)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      u32(out, data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new CRC32()
+      crc.update(tb); crc.update(data)
+      u32(out, crc.getValue)
+    }
+    val ihdr = new ByteArrayOutputStream()
+    u32(ihdr, width.toLong); u32(ihdr, height.toLong)
+    ihdr.write(8); ihdr.write(colorType)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate, filter 0, no Adam7
+    chunk("IHDR", ihdr.toByteArray)
+    if (colorType == 3) chunk("PLTE", palette)
+    val n = math.max(1, math.min(nIdat, z.length))
+    val per = (z.length + n - 1) / n
+    var off = 0
+    while (off < z.length) {
+      val take = math.min(per, z.length - off)
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, off, off + take))
+      off += take
+    }
+    if (z.length == 0) chunk("IDAT", Array.empty[Byte])
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Decode a PNG raster: chunk walk with every CRC re-verified (the
+    * census contract), IDAT streams concatenated and zlib-inflated,
+    * §9 row filters inverted, palette expanded. Loud on 16-bit or
+    * sub-byte samples, Adam7 interlace, a filter byte outside 0..4,
+    * an inflated size that disagrees with the geometry, a palette
+    * index past PLTE, or any census refusal. */
+  def decode(bytes: Array[Byte]): PngImage = {
+    // reuse the census walk for structure + CRC enforcement
+    val cen = census(bytes)
+    require(cen.bitDepth == 8,
+      s"bit depth ${cen.bitDepth}: only 8-bit samples decode (documented perimeter)")
+    val ch = rawChannels(cen.colorType)
+    // second pass: gather PLTE + IDAT + interlace (census keeps none)
+    def u32(at: Int): Long =
+      ((bytes(at) & 0xffL) << 24) | ((bytes(at + 1) & 0xffL) << 16) |
+        ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
+    var pos = Signature.length
+    var palette: Array[Byte] = Array.empty
+    val z = new ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      val len = u32(pos).toInt
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          // IHDR data: w(4) h(4) depth(1) colour(1) comp(1) filt(1) il(1)
+          require((bytes(pos + 18) & 0xff) == 0,
+            s"compression method ${bytes(pos + 18) & 0xff}, not deflate")
+          require((bytes(pos + 19) & 0xff) == 0,
+            s"filter method ${bytes(pos + 19) & 0xff}, not 0")
+          require((bytes(pos + 20) & 0xff) == 0,
+            "Adam7 interlace does not decode (documented perimeter)")
+        case "PLTE" =>
+          require(len % 3 == 0 && len >= 3 && len <= 768,
+            s"PLTE carries $len bytes")
+          palette = java.util.Arrays.copyOfRange(bytes, pos + 8,
+            pos + 8 + len)
+        case "IDAT" => z.write(bytes, pos + 8, len)
+        case "IEND" => ended = true
+        case _ => ()
+      }
+      pos += 12 + len
+    }
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(z.toByteArray)
+    val w = cen.width.toInt; val h = cen.height.toInt
+    val stride = w * ch
+    val raw = new Array[Byte]((1 + stride) * h)
+    var got = 0
+    try {
+      while (got < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, got, raw.length - got)
+        require(n > 0 || infl.finished(), "truncated IDAT zlib stream")
+        got += n
+      }
+      require(got == raw.length && (infl.finished() ||
+        infl.inflate(new Array[Byte](1)) == 0),
+        s"IDAT inflates to $got bytes, geometry needs ${raw.length}")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt IDAT zlib: ${e.getMessage}")
+    } finally infl.end()
+
+    // invert the per-row filter in place over a clean pixel buffer
+    val pix = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + stride)) & 0xff
+      require(f <= 4, s"row $y carries filter $f, not in §9")
+      var i = 0
+      while (i < stride) {
+        val x = raw(y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= ch) pix(y * stride + i - ch) & 0xff else 0
+        val up = if (y > 0) pix((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= ch) pix((y - 1) * stride + i - ch) & 0xff
+          else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        pix(y * stride + i) = ((x + pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    if (cen.colorType == 3) {
+      require(palette.nonEmpty, "colour type 3 without PLTE")
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < pix.length) {
+        val idx = pix(i) & 0xff
+        require(idx * 3 + 2 < palette.length,
+          s"palette index $idx past PLTE (${palette.length / 3} entries)")
+        rgb(3 * i) = palette(3 * idx)
+        rgb(3 * i + 1) = palette(3 * idx + 1)
+        rgb(3 * i + 2) = palette(3 * idx + 2)
+        i += 1
+      }
+      PngImage(w, h, cen.colorType, 3, rgb)
+    } else PngImage(w, h, cen.colorType, ch, pix)
+  }
+
+  /** Greyscale convenience matching [[ImageCodec.decodeGray]]'s
+    * contract: direct samples for grey sources, integer ITU-R 601
+    * luma otherwise — so the two decoders are comparable
+    * sample-for-sample in the dual-decoder certificate. Alpha is
+    * ignored (the planted rasters are opaque). */
+  def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = decode(bytes)
+    val out = new Array[Byte](img.width * img.height)
+    val ch = img.channels
+    var i = 0
+    while (i < out.length) {
+      out(i) = ch match {
+        case 1 => img.pix(i)
+        case 2 => img.pix(2 * i) // grey + alpha
+        case _ =>
+          val r = img.pix(ch * i) & 0xff
+          val g = img.pix(ch * i + 1) & 0xff
+          val b = img.pix(ch * i + 2) & 0xff
+          (if (r == g && g == b) r
+           else (r * 299 + g * 587 + b * 114) / 1000).toByte
+      }
+      i += 1
+    }
+    (img.width, img.height, out)
   }
 }

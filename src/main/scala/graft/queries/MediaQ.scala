@@ -113,6 +113,67 @@ object MediaQ {
         .orderBy("doc_id")
     }),
 
+    // The PNG RASTER under the driver hash (r14 verdict #5 — the
+    // IDAT-opaque perimeter retired): image docs become one real PNG
+    // each, pix(x,y) = (byte_x + 3x + 7y) mod 256 so both gradients
+    // are live, rows cycle ALL FIVE §9 filters, and the zlib stream
+    // splits over 1+id%3 IDAT chunks (reassembly under the hash).
+    // Our inflate+unfilter must agree with the JDK decoder
+    // sample-for-sample before stats are emitted — the q281 pattern
+    // for the second image format. A defect anywhere (a filter
+    // inverse, stride math, chunk reassembly, the zlib walk) shifts
+    // a pixel and breaks the hash.
+    "q319_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("ISO-8859-1")
+          val w = b.length; val h = 8
+          val pix = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              pix(y * w + x) =
+                (((b(x) & 0xff) + 3 * x + 7 * y) & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val m = (1 + id % 3).toInt
+          val enc = graft.multimodal.PngCodec.encode(w, h, 0, pix,
+            _ % 5, nIdat = m)
+          val cen = graft.multimodal.PngCodec.census(enc)
+          require(cen.nIdat == m,
+            s"doc $id split to ${cen.nIdat} IDATs, not $m")
+          val img = graft.multimodal.PngCodec.decode(enc)
+          require(img.width == w && img.height == h && img.channels == 1,
+            s"png roundtrip drifted to ${img.width}x${img.height} for doc $id")
+          // independent decoder must agree sample-for-sample
+          val (iw, ih, ref) = graft.multimodal.ImageCodec.decodeGray(enc)
+          require(iw == w && ih == h &&
+            java.util.Arrays.equals(img.pix, ref),
+            s"PngCodec and ImageIO disagree on doc $id")
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < img.pix.length) {
+            val v = (img.pix(i) & 0xff).toLong
+            sum += v
+            chk += (i + 1) * v
+            i += 1
+          }
+          (id, w.toLong, 8L, m.toLong, sum, chk)
+        }
+        .toDF("doc_id", "width", "height", "n_idat", "pix_sum",
+          "pos_checksum")
+        .orderBy("doc_id")
+    }),
+
     // Motion JPEG under the driver hash — q220's shape with a genuinely
     // COMPRESSED payload: video-kind docs become nf 16×8 gray frames of
     // two constant blocks (bytes 2f, 2f+1 of the text, cycled), ride an
@@ -1271,6 +1332,26 @@ object MediaQ {
         |      * (1792 * length(text) + 512 * (i - 1) + 288))) AS BIGINT)
         |   AS pos_checksum
         |FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // pixel truth replayed directly: v(i,y) = (b_i + 3(i-1) + 7y) mod
+    // 256 over an 8-row image of width len; position of (i,y) is
+    // y·len + i (1-based)
+    "q319_png_decode" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS width,
+        | CAST(8 AS BIGINT) AS height,
+        | CAST(1 + doc_id % 3 AS BIGINT) AS n_idat,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1), i ->
+        |   list_sum(list_transform(range(0, 8), y ->
+        |     (ord(substr(text, CAST(i AS INTEGER), 1)) + 3 * (i - 1)
+        |       + 7 * y) % 256)))) AS BIGINT) AS pix_sum,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1), i ->
+        |   list_sum(list_transform(range(0, 8), y ->
+        |     (y * length(text) + i) *
+        |     ((ord(substr(text, CAST(i AS INTEGER), 1)) + 3 * (i - 1)
+        |       + 7 * y) % 256))))) AS BIGINT) AS pos_checksum
+        |FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // frame f: blocks v0 = char((2f) mod len), v1 = char((2f+1) mod len);

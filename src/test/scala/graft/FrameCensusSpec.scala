@@ -803,6 +803,148 @@ class FrameCensusSpec extends AnyFunSuite {
       eFirst.getMessage)
   }
 
+  test("PNG raster: all five filters roundtrip; dual-decoder certificate") {
+    import graft.multimodal.{ImageCodec, PngCodec}
+    val w = 23; val h = 11 // odd sizes so strides exercise edges
+    val pix = Array.tabulate[Byte](w * h)(i => ((i * 37 + 11) % 256).toByte)
+    // every §9 filter appears (rows cycle 0..4); three IDAT chunks
+    val enc = PngCodec.encode(w, h, 0, pix, _ % 5, nIdat = 3)
+    assert(PngCodec.census(enc).nIdat == 3)
+    val dec = PngCodec.decode(enc)
+    assert(dec.width == w && dec.height == h && dec.channels == 1)
+    assert(java.util.Arrays.equals(dec.pix, pix))
+    // certificate 1: the JDK decoder agrees with ours on OUR stream
+    val (iw, ih, ref) = ImageCodec.decodeGray(enc)
+    assert(iw == w && ih == h && java.util.Arrays.equals(ref, pix))
+    // certificate 2: OUR decoder agrees on the JDK ENCODER's stream
+    // (ImageIO picks its own filters — real-world PNG, not ours)
+    val theirs = ImageCodec.encodeGray(w, h, pix, "png")
+    val (ow, oh, ours) = PngCodec.decodeGray(theirs)
+    assert(ow == w && oh == h && java.util.Arrays.equals(ours, pix))
+    // single-filter streams each roundtrip alone too
+    (0 to 4).foreach { f =>
+      val one = PngCodec.decode(PngCodec.encode(w, h, 0, pix, _ => f))
+      assert(java.util.Arrays.equals(one.pix, pix), s"filter $f drifted")
+    }
+  }
+
+  test("PNG raster: colour types 2/3/4/6 decode; palette expands PLTE") {
+    import graft.multimodal.PngCodec
+    val w = 9; val h = 7
+    // truecolour: per-channel gradients so Sub/Paeth see bpp=3 offsets
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 53 + 5) % 256).toByte)
+    val d2 = PngCodec.decode(PngCodec.encode(w, h, 2, rgb, _ % 5))
+    assert(d2.channels == 3 && java.util.Arrays.equals(d2.pix, rgb))
+    // the JDK agrees pixel-for-pixel on the truecolour stream
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(PngCodec.encode(w, h, 2, rgb, _ % 5)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((p >> 16) & 0xff) == (rgb(o) & 0xff) &&
+        ((p >> 8) & 0xff) == (rgb(o + 1) & 0xff) &&
+        (p & 0xff) == (rgb(o + 2) & 0xff), s"($x,$y)")
+    }
+    // indexed: 5-entry palette, indices cycle; decode expands to RGB
+    val plte = Array.tabulate[Byte](15)(i => ((i * 91 + 3) % 256).toByte)
+    val idx = Array.tabulate[Byte](w * h)(i => (i % 5).toByte)
+    val d3 = PngCodec.decode(PngCodec.encode(w, h, 3, idx, _ % 5,
+      palette = plte))
+    assert(d3.channels == 3)
+    for (i <- 0 until w * h; c <- 0 to 2)
+      assert(d3.pix(3 * i + c) == plte(3 * (i % 5) + c))
+    // an index past PLTE refuses loudly
+    val over = idx.clone(); over(13) = 5
+    val eIdx = intercept[IllegalArgumentException](PngCodec.decode(
+      PngCodec.encode(w, h, 3, over, _ % 5, palette = plte)))
+    assert(eIdx.getMessage.contains("palette index"), eIdx.getMessage)
+    // grey+alpha and RGBA roundtrip; decodeGray reads the grey/luma
+    val ga = Array.tabulate[Byte](w * h * 2)(i => ((i * 29) % 256).toByte)
+    val d4 = PngCodec.decode(PngCodec.encode(w, h, 4, ga, _ % 5))
+    assert(d4.channels == 2 && java.util.Arrays.equals(d4.pix, ga))
+    val rgba = Array.tabulate[Byte](w * h * 4)(i => ((i * 17 + 9) % 256).toByte)
+    val d6 = PngCodec.decode(PngCodec.encode(w, h, 6, rgba, _ % 5))
+    assert(d6.channels == 4 && java.util.Arrays.equals(d6.pix, rgba))
+  }
+
+  test("PNG raster: loud perimeter (depth, Adam7, filter byte, zlib) + fuzz") {
+    import graft.multimodal.PngCodec
+    // 16-bit samples refuse (synth writes the declared depth)
+    val deep = PngCodec.synth(4L, 4L, 16, 0, Seq(20))
+    assert(intercept[IllegalArgumentException](PngCodec.decode(deep))
+      .getMessage.contains("bit depth"))
+    // rebuild helpers: patch one IHDR byte, re-CRC, keep the rest
+    def u32be(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def patchIhdr(png: Array[Byte], off: Int, value: Byte): Array[Byte] = {
+      val m = png.clone()
+      m(8 + 8 + off) = value // IHDR data starts at sig(8)+len/type(8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(m, 8 + 4, 4 + 13)
+      System.arraycopy(u32be(crc.getValue), 0, m, 8 + 8 + 13, 4)
+      m
+    }
+    val pix = Array.tabulate[Byte](16)(i => (i * 7).toByte)
+    val ok = PngCodec.encode(4, 4, 0, pix)
+    // Adam7 (interlace byte = 1) refuses with the perimeter message
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(patchIhdr(ok, 12, 1)))
+      .getMessage.contains("Adam7"))
+    // a filter byte outside 0..4: hand-build the raw stream
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val t = new Array[Byte](256)
+      while (!d.finished()) o.write(t, 0, d.deflate(t))
+      d.end(); o.toByteArray
+    }
+    def wrap(z: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(u32be(data.length.toLong))
+        val tb = typ.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.write(u32be(crc.getValue))
+      }
+      val ihdr = new java.io.ByteArrayOutputStream()
+      ihdr.write(u32be(2L)); ihdr.write(u32be(2L))
+      ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      chunk("IHDR", ihdr.toByteArray)
+      chunk("IDAT", z)
+      chunk("IEND", Array.empty[Byte])
+      out.toByteArray
+    }
+    val badFilter = wrap(deflate(Array[Byte](9, 1, 2, 0, 3, 4)))
+    assert(intercept[IllegalArgumentException](PngCodec.decode(badFilter))
+      .getMessage.contains("filter 9"))
+    // a zlib stream shorter than the geometry demands is loud
+    val short = wrap(deflate(Array[Byte](0, 1, 2))) // 3 of 6 raw bytes
+    assert(intercept[IllegalArgumentException](PngCodec.decode(short))
+      .getMessage.toLowerCase.contains("idat"))
+    // corrupt deflate bytes are IAE, not DataFormatException
+    val corrupt = wrap("notzlibatall".getBytes("US-ASCII"))
+    intercept[IllegalArgumentException](PngCodec.decode(corrupt))
+    // fuzz: mutate the valid stream — decode-or-IAE, never a raw crash
+    val rnd = new scala.util.Random(1509)
+    val base = PngCodec.encode(23, 11,
+      0, Array.tabulate[Byte](253)(i => (i * 3).toByte), _ % 5)
+    (1 to 300).foreach { trial =>
+      val m = base.clone()
+      (0 to rnd.nextInt(4)).foreach(_ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      try PngCodec.decode(m)
+      catch {
+        case _: IllegalArgumentException => ()
+        case ex: Throwable =>
+          fail(s"trial $trial: ${ex.getClass.getName} ${ex.getMessage}")
+      }
+    }
+  }
+
   test("MP4 avcConfig: truncated largesize header is loud, not AIOOBE") {
     import graft.multimodal.Mp4Codec
     // size0 == 1 declares a 64-bit largesize, but the buffer ends at

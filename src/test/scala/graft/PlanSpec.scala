@@ -539,7 +539,8 @@ class PlanSpec extends SparkSpec {
         "q306_crawl_spine", "q307_pdf_image_census",
         "q310_h264_geometry", "q311_mp4_video_geometry",
         "q312_tar_census", "q313_webm_census", "q314_zip_census",
-        "q315_sitemap_seeds", "q316_png_census")) {
+        "q315_sitemap_seeds", "q316_png_census",
+        "q318_sitemap_index", "q319_png_decode")) {
       val p = planOf(q)
       val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
         p.linesIterator.count(_.trim.startsWith("Exchange"))
