@@ -118,6 +118,20 @@ object Bench {
       java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
+    // (steal_jiffies, total_jiffies) from /proc/stat's aggregate cpu
+    // line — per-query deltas put HYPERVISOR pressure in the artifact.
+    // loadavg can't see it (a guest under 50% steal reports an idle
+    // loadavg while every wall clock doubles) and jvmGCTime can't
+    // either; steal% is the one signal that separates "the host took
+    // our cycles" from every in-JVM explanation. On a bare machine
+    // the column reads 0.0 and costs nothing.
+    def stealNow(): (Long, Long) = try {
+      val p = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/stat")).linesIterator.next()
+        .split("\\s+")
+      val vals = p.drop(1).take(8).map(_.toLong)
+      (if (vals.length >= 8) vals(7) else 0L, vals.sum)
+    } catch { case _: Throwable => (0L, 0L) }
     val load1 = loadNow()
     if (load1 > 1.5) System.err.println(
       f"BENCH WARNING: /proc/loadavg=$load1%.2f at start — external CPU " +
@@ -136,8 +150,10 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    val stealStart = stealNow()
     val allRuns = selected.map { case (name, fn) =>
       val (task0, gc0) = taskMsNow()
+      val (steal0, jif0) = stealNow()
       val loads = Seq.newBuilder[Double]
       val times = (1 to runs).flatMap { _ =>
         loads += loadNow()
@@ -154,11 +170,14 @@ object Bench {
       // from one accumulator, and the median-vs-mean gap is noise at
       // task granularity — the signal is round-over-round level shifts)
       val (task1, gc1) = taskMsNow()
+      val (steal1, jif1) = stealNow()
       val taskSec = (task1 - task0) / 1e3 / runs
       val gcSec = (gc1 - gc0) / 1e3 / runs
-      name -> (times, taskSec, gcSec, loads.result())
+      val stealPct =
+        if (jif1 > jif0) 100.0 * (steal1 - steal0) / (jif1 - jif0) else 0.0
+      name -> (times, taskSec, gcSec, loads.result(), stealPct)
     }
-    val results = allRuns.map { case (name, (times, _, _, _)) =>
+    val results = allRuns.map { case (name, (times, _, _, _, _)) =>
       // ANY failed run marks the query failed in the artifact (-1.0):
       // a median over the surviving runs would make an intermittently
       // OOMing query look healthy to JSON-only round-over-round tooling
@@ -182,9 +201,9 @@ object Bench {
       else "/tmp/bench_subset.json")
     if (outPath.nonEmpty) try {
       val detail = allRuns.toSeq.sortBy(_._1).map {
-        case (name, (times, taskSec, gcSec, loads)) =>
+        case (name, (times, taskSec, gcSec, loads, stealPct)) =>
           val med = results(name)
-          s"""  "${jesc(name)}": {"median": $med, "task_sec": ${f"$taskSec%.3f"}, "gc_sec": ${f"$gcSec%.3f"}, "load1_runs": [${loads.map(l => f"$l%.2f").mkString(", ")}], "runs": [${times.mkString(", ")}]}"""
+          s"""  "${jesc(name)}": {"median": $med, "task_sec": ${f"$taskSec%.3f"}, "gc_sec": ${f"$gcSec%.3f"}, "steal_pct": ${f"$stealPct%.2f"}, "load1_runs": [${loads.map(l => f"$l%.2f").mkString(", ")}], "runs": [${times.mkString(", ")}]}"""
       }.mkString(",\n")
       val json =
         s"""{
@@ -192,6 +211,10 @@ object Bench {
            |"runs_per_query": $runs,
            |"load1_at_start": $load1,
            |"load1_at_end": ${f"${loadNow()}%.2f"},
+           |"steal_pct_overall": ${
+             val (s1, j1) = stealNow()
+             f"${if (j1 > stealStart._2) 100.0 * (s1 - stealStart._1) /
+               (j1 - stealStart._2) else 0.0}%.2f"},
            |"gc_sec_total": ${f"$gcTotal%.3f"},
            |"total_of_medians": $total,
            |"n_queries": ${results.size},
