@@ -80,13 +80,23 @@ object BinaryOps {
       }.toDF("media_id", "kind", "content")
   }
 
-  /** One real ImageIO roundtrip (PNG for even ids, BMP for odd) of a
+  /** One real codec roundtrip (PNG for even ids, BMP for odd) of a
     * byte stream as a 1×len gray image — shared by withImageRoundtrip
-    * and withMediaRoundtrip so both certify the SAME codec path. */
+    * and withMediaRoundtrip so both certify the SAME codec path. The
+    * PNG leg is a CROSS-codec certificate since r15: OUR encoder
+    * ([[PngCodec.encode]], filter choice varied by id) feeds the JDK
+    * decoder, so every driver-hashed roundtrip row proves the
+    * in-engine PNG writer against an independent reader — the q281
+    * dual-decoder discipline inside the hot seam. BMP stays ImageIO
+    * both ways (no in-engine BMP codec). */
   private def imageRoundtrip(id: Long, bytes: Array[Byte]): Array[Byte] = {
-    val fmt = if (id % 2 == 0) "png" else "bmp"
-    val (w, h, pix) = ImageCodec.decodeGray(
-      ImageCodec.encodeGray(bytes.length, 1, bytes, fmt))
+    val (w, h, pix) =
+      if (id % 2 == 0)
+        ImageCodec.decodeGray(PngCodec.encode(bytes.length, 1, 0, bytes,
+          y => ((id + y) % 5).toInt))
+      else
+        ImageCodec.decodeGray(
+          ImageCodec.encodeGray(bytes.length, 1, bytes, "bmp"))
     require(w == bytes.length && h == 1,
       s"image roundtrip drifted to ${w}x$h for media $id")
     pix
