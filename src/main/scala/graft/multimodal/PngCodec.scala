@@ -16,9 +16,10 @@ import java.util.zip.CRC32
   * Raster (r15, closing the r14 verdict's IDAT-opaque perimeter):
   * [[decode]] inflates the concatenated IDAT zlib stream, applies the
   * five §9 row filters (None/Sub/Up/Average/Paeth), and expands
-  * palette indices through PLTE — 8-bit samples, interlace 0, the
-  * five §11.2.2 colour types. 16-bit samples and Adam7 refuse loudly
-  * (a documented perimeter, not silence). [[encode]] is the genuine
+  * palette indices through PLTE — 8-bit samples, both interlace
+  * methods (progressive §8.2 Adam7 included), the five §11.2.2
+  * colour types. 16-bit samples refuse loudly (a documented
+  * perimeter, not silence). [[encode]] is the genuine
   * inverse — forward-filtered scanlines, deflate, multi-IDAT split —
   * so planted-pixel oracles exercise every filter on both sides.
   * Part of the engine's multimodal extension beyond the reference
@@ -160,30 +161,24 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode an 8-bit raster as a real PNG: per-row §9 forward filter
-    * chosen by `filterOfRow` (cycle it over 0..4 to put every filter
-    * under a planted-pixel hash), zlib deflate, the stream split over
-    * `nIdat` IDAT chunks (reassembly is part of what decode must get
-    * right). `pix` is interleaved samples, [[rawChannels]] per pixel;
-    * colour type 3 requires an RGB `palette` (length 3·n, n ≤ 256)
-    * and `pix` of indices into it. */
-  def encode(width: Int, height: Int, colorType: Int,
-      pix: Array[Byte], filterOfRow: Int => Int = _ % 5,
-      palette: Array[Byte] = Array.empty, nIdat: Int = 2)
-      : Array[Byte] = {
-    val ch = rawChannels(colorType)
-    require(width >= 1 && height >= 1 && pix.length == width * height * ch,
-      s"bad raster: ${pix.length} samples for ${width}x$height ct=$colorType")
-    require(colorType != 3 || (palette.length % 3 == 0 &&
-      palette.length >= 3 && palette.length <= 768),
-      s"colour type 3 needs an RGB palette, got ${palette.length} bytes")
+  /** §8.2 Adam7 pass grid: (x0, y0, dx, dy) per pass. A pass whose
+    * reduced image is zero-width or zero-height contributes NO
+    * scanlines at all (not even filter bytes). */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Forward-filter one (sub-)image into `out` at `off`; returns the
+    * bytes written = (1 + width·ch)·height. */
+  private def filterSub(pix: Array[Byte], width: Int, height: Int,
+      ch: Int, filterOfRow: Int => Int, out: Array[Byte], off: Int)
+      : Int = {
     val stride = width * ch
-    val raw = new Array[Byte]((1 + stride) * height)
     var y = 0
     while (y < height) {
       val f = filterOfRow(y)
       require(f >= 0 && f <= 4, s"filter $f is not in §9 (row $y)")
-      raw(y * (1 + stride)) = f.toByte
+      out(off + y * (1 + stride)) = f.toByte
       var i = 0
       while (i < stride) {
         val cur = pix(y * stride + i) & 0xff
@@ -198,11 +193,100 @@ object PngCodec {
           case 3 => (left + up) / 2
           case 4 => paeth(left, up, ul)
         }
-        raw(y * (1 + stride) + 1 + i) = (cur - pred).toByte
+        out(off + y * (1 + stride) + 1 + i) = (cur - pred).toByte
         i += 1
       }
       y += 1
     }
+    (1 + stride) * height
+  }
+
+  /** Invert the per-row filter of one (sub-)image read from `raw` at
+    * `off`; returns (pixels, bytes consumed). */
+  private def unfilterSub(raw: Array[Byte], off: Int, width: Int,
+      height: Int, ch: Int): (Array[Byte], Int) = {
+    val stride = width * ch
+    val pix = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val f = raw(off + y * (1 + stride)) & 0xff
+      require(f <= 4, s"row $y carries filter $f, not in §9")
+      var i = 0
+      while (i < stride) {
+        val x = raw(off + y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= ch) pix(y * stride + i - ch) & 0xff else 0
+        val up = if (y > 0) pix((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= ch) pix((y - 1) * stride + i - ch) & 0xff
+          else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        pix(y * stride + i) = ((x + pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    (pix, (1 + stride) * height)
+  }
+
+  /** Encode an 8-bit raster as a real PNG: per-row §9 forward filter
+    * chosen by `filterOfRow` (cycle it over 0..4 to put every filter
+    * under a planted-pixel hash), zlib deflate, the stream split over
+    * `nIdat` IDAT chunks (reassembly is part of what decode must get
+    * right). `pix` is interleaved samples, [[rawChannels]] per pixel;
+    * colour type 3 requires an RGB `palette` (length 3·n, n ≤ 256)
+    * and `pix` of indices into it. `interlace` emits the §8.2 Adam7
+    * pass structure (filter choice applies per within-pass row). */
+  def encode(width: Int, height: Int, colorType: Int,
+      pix: Array[Byte], filterOfRow: Int => Int = _ % 5,
+      palette: Array[Byte] = Array.empty, nIdat: Int = 2,
+      interlace: Boolean = false): Array[Byte] = {
+    val ch = rawChannels(colorType)
+    require(width >= 1 && height >= 1 && pix.length == width * height * ch,
+      s"bad raster: ${pix.length} samples for ${width}x$height ct=$colorType")
+    require(colorType != 3 || (palette.length % 3 == 0 &&
+      palette.length >= 3 && palette.length <= 768),
+      s"colour type 3 needs an RGB palette, got ${palette.length} bytes")
+    val raw =
+      if (!interlace) {
+        val out = new Array[Byte]((1 + width * ch) * height)
+        filterSub(pix, width, height, ch, filterOfRow, out, 0)
+        out
+      } else {
+        val passes = Adam7.map { case (x0, y0, dx, dy) =>
+          ((width - x0 + dx - 1) / dx, (height - y0 + dy - 1) / dy)
+        }
+        val total = passes.map { case (pw, ph) =>
+          if (pw > 0 && ph > 0) (1 + pw * ch) * ph else 0
+        }.sum
+        val out = new Array[Byte](total)
+        var off = 0
+        Adam7.zip(passes).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](pw * ph * ch)
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                val sy = y0 + j * dy; val sx = x0 + i * dx
+                var c = 0
+                while (c < ch) {
+                  sub((j * pw + i) * ch + c) = pix((sy * width + sx) * ch + c)
+                  c += 1
+                }
+                i += 1
+              }
+              j += 1
+            }
+            off += filterSub(sub, pw, ph, ch, filterOfRow, out, off)
+          }
+        }
+        out
+      }
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zbuf = new ByteArrayOutputStream(raw.length / 2 + 64)
@@ -228,7 +312,8 @@ object PngCodec {
     val ihdr = new ByteArrayOutputStream()
     u32(ihdr, width.toLong); u32(ihdr, height.toLong)
     ihdr.write(8); ihdr.write(colorType)
-    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate, filter 0, no Adam7
+    ihdr.write(0); ihdr.write(0) // deflate, filter method 0
+    ihdr.write(if (interlace) 1 else 0)
     chunk("IHDR", ihdr.toByteArray)
     if (colorType == 3) chunk("PLTE", palette)
     val n = math.max(1, math.min(nIdat, z.length))
@@ -246,10 +331,12 @@ object PngCodec {
 
   /** Decode a PNG raster: chunk walk with every CRC re-verified (the
     * census contract), IDAT streams concatenated and zlib-inflated,
-    * §9 row filters inverted, palette expanded. Loud on 16-bit or
-    * sub-byte samples, Adam7 interlace, a filter byte outside 0..4,
-    * an inflated size that disagrees with the geometry, a palette
-    * index past PLTE, or any census refusal. */
+    * §9 row filters inverted (per reduced image under Adam7, then
+    * scattered onto the full grid), palette expanded. Loud on 16-bit
+    * or sub-byte samples, an interlace method past §8.2's two, a
+    * filter byte outside 0..4, an inflated size that disagrees with
+    * the (pass-structure) geometry, a palette index past PLTE, or
+    * any census refusal. */
   def decode(bytes: Array[Byte]): PngImage = {
     // reuse the census walk for structure + CRC enforcement
     val cen = census(bytes)
@@ -262,6 +349,7 @@ object PngCodec {
         ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
     var pos = Signature.length
     var palette: Array[Byte] = Array.empty
+    var interlace = 0
     val z = new ByteArrayOutputStream()
     var ended = false
     while (!ended) {
@@ -274,8 +362,9 @@ object PngCodec {
             s"compression method ${bytes(pos + 18) & 0xff}, not deflate")
           require((bytes(pos + 19) & 0xff) == 0,
             s"filter method ${bytes(pos + 19) & 0xff}, not 0")
-          require((bytes(pos + 20) & 0xff) == 0,
-            "Adam7 interlace does not decode (documented perimeter)")
+          interlace = bytes(pos + 20) & 0xff
+          require(interlace <= 1,
+            s"interlace method $interlace is not in §8.2 (0 or 1)")
         case "PLTE" =>
           require(len % 3 == 0 && len >= 3 && len <= 768,
             s"PLTE carries $len bytes")
@@ -287,11 +376,22 @@ object PngCodec {
       }
       pos += 12 + len
     }
-    val infl = new java.util.zip.Inflater()
-    infl.setInput(z.toByteArray)
     val w = cen.width.toInt; val h = cen.height.toInt
     val stride = w * ch
-    val raw = new Array[Byte]((1 + stride) * h)
+    // Adam7 reduced-image geometry (empty passes carry no scanlines)
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (interlace == 0) Nil
+      else Adam7.map { case (x0, y0, dx, dy) =>
+        (x0, y0, dx, dy, (w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
+      }
+    val rawLen =
+      if (interlace == 0) (1 + stride) * h
+      else passes.map { case (_, _, _, _, pw, ph) =>
+        if (pw > 0 && ph > 0) (1 + pw * ch) * ph else 0
+      }.sum
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(z.toByteArray)
+    val raw = new Array[Byte](rawLen)
     var got = 0
     try {
       while (got < raw.length && !infl.finished()) {
@@ -307,31 +407,35 @@ object PngCodec {
         throw new IllegalArgumentException(s"corrupt IDAT zlib: ${e.getMessage}")
     } finally infl.end()
 
-    // invert the per-row filter in place over a clean pixel buffer
-    val pix = new Array[Byte](stride * h)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (1 + stride)) & 0xff
-      require(f <= 4, s"row $y carries filter $f, not in §9")
-      var i = 0
-      while (i < stride) {
-        val x = raw(y * (1 + stride) + 1 + i) & 0xff
-        val left = if (i >= ch) pix(y * stride + i - ch) & 0xff else 0
-        val up = if (y > 0) pix((y - 1) * stride + i) & 0xff else 0
-        val ul = if (y > 0 && i >= ch) pix((y - 1) * stride + i - ch) & 0xff
-          else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+    val pix =
+      if (interlace == 0) unfilterSub(raw, 0, w, h, ch)._1
+      else {
+        // §8.2: each pass is an independently-filtered reduced image;
+        // unfilter it alone, then scatter onto the full-size grid
+        val full = new Array[Byte](stride * h)
+        var off = 0
+        passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+          if (pw > 0 && ph > 0) {
+            val (sub, used) = unfilterSub(raw, off, pw, ph, ch)
+            off += used
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                val sy = y0 + j * dy; val sx = x0 + i * dx
+                var c = 0
+                while (c < ch) {
+                  full((sy * w + sx) * ch + c) = sub((j * pw + i) * ch + c)
+                  c += 1
+                }
+                i += 1
+              }
+              j += 1
+            }
+          }
         }
-        pix(y * stride + i) = ((x + pred) & 0xff).toByte
-        i += 1
+        full
       }
-      y += 1
-    }
     if (cen.colorType == 3) {
       require(palette.nonEmpty, "colour type 3 without PLTE")
       val rgb = new Array[Byte](w * h * 3)

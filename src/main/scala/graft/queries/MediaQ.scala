@@ -118,11 +118,15 @@ object MediaQ {
     // each, pix(x,y) = (byte_x + 3x + 7y) mod 256 so both gradients
     // are live, rows cycle ALL FIVE §9 filters, and the zlib stream
     // splits over 1+id%3 IDAT chunks (reassembly under the hash).
+    // Odd ids write §8.2 Adam7 PROGRESSIVE streams (seven
+    // independently-filtered reduced images scattered back onto the
+    // grid — the pixel truth is identical, so the oracle doesn't
+    // care, but a pass-geometry or scatter defect shifts pixels).
     // Our inflate+unfilter must agree with the JDK decoder
     // sample-for-sample before stats are emitted — the q281 pattern
     // for the second image format. A defect anywhere (a filter
-    // inverse, stride math, chunk reassembly, the zlib walk) shifts
-    // a pixel and breaks the hash.
+    // inverse, stride math, chunk reassembly, the zlib walk, the
+    // interlace walk) shifts a pixel and breaks the hash.
     "q319_png_decode" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Partitioning.ensureParallel(
@@ -146,7 +150,7 @@ object MediaQ {
           }
           val m = (1 + id % 3).toInt
           val enc = graft.multimodal.PngCodec.encode(w, h, 0, pix,
-            _ % 5, nIdat = m)
+            _ % 5, nIdat = m, interlace = id % 2 == 1)
           val cen = graft.multimodal.PngCodec.census(enc)
           require(cen.nIdat == m,
             s"doc $id split to ${cen.nIdat} IDATs, not $m")

@@ -867,6 +867,47 @@ class FrameCensusSpec extends AnyFunSuite {
     assert(d6.channels == 4 && java.util.Arrays.equals(d6.pix, rgba))
   }
 
+  test("PNG raster: Adam7 interlace roundtrips and matches the JDK") {
+    import graft.multimodal.{ImageCodec, PngCodec}
+    // sizes straddling the 8x8 pass grid, including sub-5 dimensions
+    // where whole passes are EMPTY (the spec's edge), and sizes that
+    // exercise every pass's ceil-division geometry
+    for ((w, h) <- Seq((1, 1), (3, 2), (4, 9), (7, 5), (8, 8), (9, 7),
+        (16, 3), (23, 11), (31, 17))) {
+      val pix = Array.tabulate[Byte](w * h)(i => ((i * 41 + 13) % 256).toByte)
+      val enc = PngCodec.encode(w, h, 0, pix, _ % 5, interlace = true)
+      val dec = PngCodec.decode(enc)
+      assert(dec.width == w && dec.height == h, s"${w}x$h geometry")
+      assert(java.util.Arrays.equals(dec.pix, pix), s"${w}x$h pixels drifted")
+      // the JDK reads progressive PNG — certificate on OUR writer
+      val (iw, ih, ref) = ImageCodec.decodeGray(enc)
+      assert(iw == w && ih == h && java.util.Arrays.equals(ref, pix),
+        s"${w}x$h: ImageIO disagrees with the planted raster")
+    }
+    // interlaced truecolour: bpp=3 sub-images per pass
+    val w = 13; val h = 6
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 59 + 7) % 256).toByte)
+    val d2 = PngCodec.decode(PngCodec.encode(w, h, 2, rgb, _ % 5,
+      interlace = true))
+    assert(java.util.Arrays.equals(d2.pix, rgb))
+    // interlaced fuzz: decode-or-IAE, never a raw crash
+    val rnd = new scala.util.Random(1510)
+    val base = PngCodec.encode(23, 11, 0,
+      Array.tabulate[Byte](253)(i => (i * 3).toByte), _ % 5,
+      interlace = true)
+    (1 to 200).foreach { trial =>
+      val m = base.clone()
+      (0 to rnd.nextInt(4)).foreach(_ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      try PngCodec.decode(m)
+      catch {
+        case _: IllegalArgumentException => ()
+        case ex: Throwable =>
+          fail(s"trial $trial: ${ex.getClass.getName} ${ex.getMessage}")
+      }
+    }
+  }
+
   test("PNG raster: loud perimeter (depth, Adam7, filter byte, zlib) + fuzz") {
     import graft.multimodal.PngCodec
     // 16-bit samples refuse (synth writes the declared depth)
@@ -886,10 +927,15 @@ class FrameCensusSpec extends AnyFunSuite {
     }
     val pix = Array.tabulate[Byte](16)(i => (i * 7).toByte)
     val ok = PngCodec.encode(4, 4, 0, pix)
-    // Adam7 (interlace byte = 1) refuses with the perimeter message
+    // lying about interlace (byte = 1 on a sequential stream) changes
+    // the expected pass geometry — the inflate-size check is loud
     assert(intercept[IllegalArgumentException](
       PngCodec.decode(patchIhdr(ok, 12, 1)))
-      .getMessage.contains("Adam7"))
+      .getMessage.contains("inflates"))
+    // an interlace method past Adam7 refuses by name
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(patchIhdr(ok, 12, 2)))
+      .getMessage.contains("interlace"))
     // a filter byte outside 0..4: hand-build the raw stream
     def deflate(b: Array[Byte]): Array[Byte] = {
       val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
