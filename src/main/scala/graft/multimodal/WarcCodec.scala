@@ -107,10 +107,43 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** An HTTP response whose body carries a Content-Encoding
+    * (RFC 9110 §8.4.1): gzip or deflate (zlib-wrapped), optionally
+    * ALSO chunk-framed — the real-world stacking order, content
+    * coding applied first and the transfer coding framing the coded
+    * bytes on the wire. */
+  def httpResponseCoded(status: Int, headers: Seq[(String, String)],
+      body: Array[Byte], coding: String, chunkSize: Int = 0)
+      : Array[Byte] = {
+    val coded = coding match {
+      case "gzip" =>
+        val bo = new ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(body); g.close()
+        bo.toByteArray
+      case "deflate" =>
+        val d = new java.util.zip.Deflater()
+        d.setInput(body); d.finish()
+        val bo = new ByteArrayOutputStream()
+        val t = new Array[Byte](8192)
+        while (!d.finished()) bo.write(t, 0, d.deflate(t))
+        d.end(); bo.toByteArray
+      case other => throw new IllegalArgumentException(
+        s"synth supports gzip/deflate, not '$other'")
+    }
+    val hs = headers :+ ("Content-Encoding" -> coding)
+    if (chunkSize > 0) httpResponseChunked(status, hs, coded, chunkSize)
+    else httpResponse(status, hs, coded)
+  }
+
   /** Split an HTTP response payload into (status, lowercased headers,
     * body) — the step between the WARC walk and whatever consumes the
-    * body (HTML extraction, binary routing). Loud on a payload that
-    * is not an HTTP response. */
+    * body (HTML extraction, binary routing). Transfer-Encoding:
+    * chunked is de-framed and Content-Encoding gzip/deflate is
+    * decoded (in that order — the inverse of how the wire was built);
+    * br/compress/stacked content codings refuse loudly as a
+    * documented perimeter. Loud on a payload that is not an HTTP
+    * response. */
   def httpParts(payload: Array[Byte])
       : (Int, Map[String, String], Array[Byte]) = {
     require(payload.length >= 12 &&
@@ -192,7 +225,55 @@ object WarcCodec {
         }
         out.toByteArray
       }
-    (digits.toInt, hdrs, body)
+    // Content-Encoding (RFC 9110 §8.4) — decode AFTER de-framing.
+    // "deflate" officially means zlib-wrapped (RFC 1950), but a long
+    // tail of servers ships raw RFC 1951 streams; sniff the zlib
+    // header (low nibble 8 = deflate method, header checksum % 31
+    // == 0) and fall back to raw — the tolerance every browser
+    // implements. Truncated/corrupt streams and codings we don't
+    // carry (br, compress, stacked lists) refuse loudly.
+    val decoded = hdrs.get("content-encoding")
+      .map(_.trim.toLowerCase).filter(c => c.nonEmpty && c != "identity")
+      match {
+      case None => body
+      case Some(c @ ("gzip" | "x-gzip")) =>
+        require(body.length >= 2 && (body(0) & 0xff) == 0x1f &&
+          (body(1) & 0xff) == 0x8b, s"Content-Encoding $c body lacks " +
+          "the RFC 1952 magic")
+        try {
+          val in = new GZIPInputStream(new ByteArrayInputStream(body))
+          val out = new ByteArrayOutputStream(body.length * 4)
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } catch { case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"truncated/corrupt gzip body: ${e.getMessage}")
+        }
+      case Some("deflate") =>
+        val zlibWrapped = body.length >= 2 && (body(0) & 0x0f) == 8 &&
+          (((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31 == 0
+        val infl = new java.util.zip.Inflater(!zlibWrapped)
+        infl.setInput(body)
+        try {
+          val out = new ByteArrayOutputStream(body.length * 4)
+          val buf = new Array[Byte](8192)
+          var n = infl.inflate(buf)
+          while (n > 0 || (!infl.finished() && !infl.needsInput())) {
+            out.write(buf, 0, n); n = infl.inflate(buf)
+          }
+          require(infl.finished(), "truncated deflate body")
+          out.toByteArray
+        } catch { case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"corrupt deflate body: ${e.getMessage}")
+        } finally infl.end()
+      case Some(other) => throw new IllegalArgumentException(
+        s"Content-Encoding '$other' is outside the carried set " +
+          "(gzip, deflate, identity)")
+    }
+    (digits.toInt, hdrs, decoded)
   }
 
   /** Walk the records, payloads included — the census() metadata plus

@@ -126,15 +126,28 @@ object WebQ {
             val ctype = Seq("Content-Type" ->
               (if (html) "text/html; charset=utf-8"
                else "application/octet-stream"))
-            // r15: v%7<3 pages ship Transfer-Encoding: chunked with
-            // 3..7-byte chunks (RFC 9112 §7.1) — the size lines land
-            // INSIDE every tag, so a spine that skips de-chunking
-            // fails the extraction equality check below loudly
+            // r15: the wire shapes real crawls actually serve, split
+            // by v%7 — 0: chunked with 3..7-byte chunks (RFC 9112
+            // §7.1; the size lines land INSIDE every tag), 1: gzip
+            // content-coded (RFC 9110 §8.4 — the body bytes on the
+            // wire are compressed), 2: gzip coded THEN chunked (the
+            // stacking order browsers see: content coding first,
+            // transfer coding framing the coded bytes), 3: deflate
+            // (zlib-wrapped). A spine that skips any decode step
+            // hands garbage to HTML extraction and fails the
+            // equality check below loudly.
             ("response", host + paths(v % 8),
-              if (v % 7 < 3)
-                WarcCodec.httpResponseChunked(status, ctype, body,
-                  v % 5 + 3)
-              else WarcCodec.httpResponse(status, ctype, body))
+              (v % 7) match {
+                case 0 => WarcCodec.httpResponseChunked(status, ctype,
+                  body, v % 5 + 3)
+                case 1 => WarcCodec.httpResponseCoded(status, ctype,
+                  body, "gzip")
+                case 2 => WarcCodec.httpResponseCoded(status, ctype,
+                  body, "gzip", chunkSize = v % 5 + 3)
+                case 3 => WarcCodec.httpResponseCoded(status, ctype,
+                  body, "deflate")
+                case _ => WarcCodec.httpResponse(status, ctype, body)
+              })
           }
           val archive = WarcCodec.synth(
             ("warcinfo", "", "software: graft\r\n".getBytes("ISO-8859-1"))

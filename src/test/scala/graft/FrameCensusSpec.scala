@@ -233,6 +233,48 @@ class FrameCensusSpec extends AnyFunSuite {
       base ++ "junk".getBytes("ISO-8859-1")))
   }
 
+  test("httpParts: Content-Encoding gzip/deflate decode; stacking; perimeter") {
+    import graft.multimodal.WarcCodec
+    val body = ("<html><head><title>Coded</title></head>" +
+      "<body><p>content coding round trip</p></body></html>")
+      .getBytes("ISO-8859-1")
+    // gzip, deflate, and gzip-then-chunked all hand back the page
+    for ((coding, cs) <- Seq(("gzip", 0), ("deflate", 0), ("gzip", 4))) {
+      val payload = WarcCodec.httpResponseCoded(200,
+        Seq("Content-Type" -> "text/html"), body, coding, cs)
+      val (status, headers, got) = WarcCodec.httpParts(payload)
+      assert(status == 200 && got.sameElements(body),
+        s"coding=$coding chunk=$cs")
+      assert(headers("content-encoding") == coding)
+    }
+    // RAW-deflate tolerance (the server tail that skips the zlib
+    // wrapper): build by hand with nowrap=true
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(body); d.finish()
+    val bo = new java.io.ByteArrayOutputStream()
+    val t = new Array[Byte](4096)
+    while (!d.finished()) bo.write(t, 0, d.deflate(t))
+    d.end()
+    val rawDeflate = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
+      s"Content-Length: ${bo.size()}\r\n\r\n").getBytes("ISO-8859-1") ++
+      bo.toByteArray
+    assert(WarcCodec.httpParts(rawDeflate)._3.sameElements(body))
+    // loud: truncated gzip, a coding outside the carried set, and a
+    // gzip header on a body without the magic
+    val okGzip = WarcCodec.httpResponseCoded(200, Nil, body, "gzip")
+    intercept[IllegalArgumentException](
+      WarcCodec.httpParts(okGzip.take(okGzip.length - 6)))
+    val br = ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n" +
+      "Content-Length: 4\r\n\r\nXXXX").getBytes("ISO-8859-1")
+    assert(intercept[IllegalArgumentException](WarcCodec.httpParts(br))
+      .getMessage.contains("br"))
+    val lying = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Content-Length: 5\r\n\r\nplain").getBytes("ISO-8859-1")
+    assert(intercept[IllegalArgumentException](WarcCodec.httpParts(lying))
+      .getMessage.contains("1952"))
+  }
+
   test("WARC perimeter: truncation and bad version line are loud") {
     import graft.multimodal.WarcCodec
     val bytes = WarcCodec.synth(Seq(
