@@ -78,6 +78,27 @@ object Robots {
     groups.result()
   }
 
+  /** `Sitemap:` directives (sitemaps.org protocol; RFC 9309 §2.3
+    * carries them as "other records"): GLOBAL, not group-scoped —
+    * they apply regardless of which user-agent group they sit inside,
+    * so this is a line scan, not a group walk. Values are returned in
+    * file order, trimmed; empty values are dropped. This is the
+    * discovery entry point a crawler actually starts from: robots.txt
+    * names the sitemaps, [[Sitemap.expand]] walks them. */
+  def sitemaps(text: String): Seq[String] =
+    text.linesIterator.flatMap { raw =>
+      val line = {
+        val hash = raw.indexOf('#')
+        (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toSeq
+
   /** The Crawl-delay for `agent` under the same group selection as
     * [[allowed]] (specific groups, else the `*` groups); when several
     * chosen groups declare one, the MAX wins — the conservative read

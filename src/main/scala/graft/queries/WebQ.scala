@@ -453,6 +453,103 @@ object WebQ {
         .orderBy("doc_id")
     }),
 
+    // DISCOVERY FROM robots.txt (the true crawl entry point): the
+    // protocol's own `Sitemap:` directives — global, not group-scoped
+    // — seed the frontier, composing q300's admission, q318's index
+    // walk, and the sitemaps.org vocabulary end-to-end: robots names
+    // the sitemaps, Sitemap.expand walks them (gz members included),
+    // and every discovered loc gates back through the SAME robots
+    // text. Even ids declare ONE directive at a sitemapindex of
+    // m = 1+id%3 gzipped children (round-robin shard); odd ids
+    // declare TWO directives, each a flat gz urlset splitting chars
+    // by parity — so both the one-root-index and the many-directives
+    // shapes are under the hash. A line scan that group-scopes the
+    // directive loses the odd-id second directive planted INSIDE the
+    // `*` group.
+    "q320_robots_sitemap_discovery" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.ingest.{Robots, Sitemap}
+          val src = text.getBytes("ISO-8859-1")
+          val host = s"https://site$id.example"
+          val paths = Array("/", "/public/page", "/private",
+            "/private/pub", "/privateer", "/tmp/x", "/pub",
+            "/private/pub/deep")
+          def urlsetOf(ks: Seq[Int]): String =
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              ks.map { k =>
+                val v = src(k) & 0xff
+                s"<url><loc>$host${paths(v % 8)}</loc>" +
+                  s"<priority>0.${v % 10}</priority></url>"
+              }.mkString + "</urlset>"
+          def gz(sxml: String): Array[Byte] = {
+            val bo = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bo)
+            g.write(sxml.getBytes("UTF-8")); g.close()
+            bo.toByteArray
+          }
+          val even = id % 2 == 0
+          val m = (1 + id % 3).toInt
+          val fetched: Map[String, Array[Byte]] =
+            if (even) {
+              val children = (0 until m).map { p =>
+                s"$host/sitemaps/part$p.xml.gz" ->
+                  gz(urlsetOf(src.indices.filter(_ % m == p)))
+              }.toMap
+              children + (s"$host/sitemap_index.xml" ->
+                ("<?xml version=\"1.0\"?><sitemapindex>" +
+                  children.keys.toSeq.sorted.map(l =>
+                    s"<sitemap><loc>$l</loc></sitemap>").mkString +
+                  "</sitemapindex>").getBytes("UTF-8"))
+            } else Map(
+              s"$host/sm_even.xml.gz" ->
+                gz(urlsetOf(src.indices.filter(_ % 2 == 0))),
+              s"$host/sm_odd.xml.gz" ->
+                gz(urlsetOf(src.indices.filter(_ % 2 == 1))))
+          val robotsTxt =
+            "User-Agent: graftbot\r\n" +
+            "Disallow: /private*\r\n" +
+            (if (even) "Allow: /private/pub$\r\n" else "") +
+            (if (even) s"Sitemap: $host/sitemap_index.xml\r\n" else
+              s"Sitemap: $host/sm_even.xml.gz\r\n") +
+            "\r\nUser-agent: *\r\nDisallow: /\r\n" +
+            (if (!even) s"Sitemap: $host/sm_odd.xml.gz\r\n" else "")
+          // ---- the discovery proper: fixtures end here ----
+          val roots = Robots.sitemaps(robotsTxt)
+          var nFetched = 0L
+          val urls = roots.flatMap(Sitemap.expand(u => {
+            nFetched += 1
+            fetched.getOrElse(u,
+              throw new IllegalArgumentException(s"404 $u"))
+          }, _))
+          require(urls.length == src.length,
+            s"doc $id discovery drift: ${urls.length} of ${src.length}")
+          val groups = Robots.parse(robotsTxt)
+          val admitted = urls.flatMap { u =>
+            val loc = u.getOrElse("loc", "")
+            val path = loc.substring(loc.indexOf('/', "https://".length))
+            if (Robots.allowed(groups, "graftbot", path))
+              Some(u.getOrElse("pri", "0.0"))
+            else None
+          }
+          val priDeci = admitted.map { p =>
+            require(p.length == 3 && p.startsWith("0."), s"bad pri $p")
+            (p.charAt(2) - '0').toLong
+          }.sum
+          (id, roots.length.toLong, nFetched, urls.length.toLong,
+            admitted.length.toLong, priDeci)
+        }
+        .toDF("doc_id", "n_directives", "n_fetched", "n_urls",
+          "n_admitted", "pri_deci_sum")
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization as a codegen expression: four deterministic
     // dirt classes (scheme/host case, default ports, duplicate and ./
     // path segments, tracking params, unsorted query, fragments) are
@@ -929,6 +1026,36 @@ object WebQ {
         |SELECT doc_id,
         | CAST(1 + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
         |   + 1 + doc_id % 3 AS BIGINT) AS n_fetched,
+        | CAST(max(len) AS BIGINT) AS n_urls,
+        | CAST(sum(adm) AS BIGINT) AS n_admitted,
+        | CAST(sum(CASE WHEN adm = 1 THEN b % 10 ELSE 0 END) AS BIGINT)
+        |  AS pri_deci_sum
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the q315 admission truth reached FROM the robots file's own
+    // Sitemap: directives; only the directive/fetch counts are new —
+    // even ids: one directive, an index + 1+id%3 children; odd ids:
+    // two directives, one gz urlset each
+    "q320_robots_sitemap_discovery" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, unnest(range(1, len + 1)) AS i, text
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg),
+        |f AS (
+        | SELECT doc_id, len, i, b,
+        |  CASE WHEN NOT (b % 8 IN (2, 4, 7) OR
+        |    (doc_id % 2 = 1 AND b % 8 = 3)) THEN 1 ELSE 0 END AS adm
+        | FROM a)
+        |SELECT doc_id,
+        | CAST(1 + doc_id % 2 AS BIGINT) AS n_directives,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 3
+        |   ELSE 2 END AS BIGINT) AS n_fetched,
         | CAST(max(len) AS BIGINT) AS n_urls,
         | CAST(sum(adm) AS BIGINT) AS n_admitted,
         | CAST(sum(CASE WHEN adm = 1 THEN b % 10 ELSE 0 END) AS BIGINT)

@@ -160,6 +160,28 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed(g, "b", "/x") && !Robots.allowed(g, "b", "/y"))
   }
 
+  test("Sitemap directives: global line scan, not group-scoped") {
+    val t =
+      """User-agent: a
+        |Sitemap: https://x/one.xml
+        |Disallow: /p
+        |
+        |User-agent: *
+        |Disallow: /
+        |SITEMAP: https://x/two.xml.gz   # trailing comment
+        |sitemap:
+        |Sitemap: https://x/three.xml
+        |""".stripMargin
+    // all three, in file order, regardless of the group they sit in;
+    // the empty value and the comment are dropped; case-insensitive
+    assert(Robots.sitemaps(t) == Seq("https://x/one.xml",
+      "https://x/two.xml.gz", "https://x/three.xml"))
+    // the URL's own colon must not be mistaken for the field colon
+    assert(Robots.sitemaps("Sitemap: https://h:8443/s.xml") ==
+      Seq("https://h:8443/s.xml"))
+    assert(Robots.sitemaps("User-agent: *\nDisallow: /\n").isEmpty)
+  }
+
   test("Crawl-delay: parsed per group, selected like allowed()") {
     val g = Robots.parse(
       """User-agent: fast
