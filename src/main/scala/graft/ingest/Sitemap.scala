@@ -47,7 +47,8 @@ object Sitemap {
           HtmlCodec.extractItems(xml, HtmlCodec.HtmlConfig(
             itemContainerSelector = Some("urlset > url"),
             fields = Map("loc" -> "loc::text",
-              "pri" -> "priority::text")))
+              "pri" -> "priority::text",
+              "lastmod" -> "lastmod::text")))
         case other => throw new IllegalArgumentException(
           s"sitemap root element is <$other>, not urlset/sitemapindex ($url)")
       }

@@ -550,6 +550,77 @@ object WebQ {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL RECRAWL from sitemap <lastmod> (the delta frontier
+    // a production crawler computes instead of refetching the world):
+    // every url carries a W3C-datetime lastmod day planted from its
+    // byte; the crawler holds a per-site last-crawl cutoff planted
+    // from the id; the recrawl set is the admitted urls STRICTLY
+    // newer than the cutoff. Freshness math runs on the PARSED date
+    // (a string compare on the raw value would pass these fixtures —
+    // the parse require pins real ISO handling), and the checksum
+    // weights each recrawled url by its day-of-month so an off-by-one
+    // in either the date parse or the strict inequality breaks the
+    // hash.
+    "q321_recrawl_delta" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.ingest.{Robots, Sitemap}
+          val src = text.getBytes("ISO-8859-1")
+          val host = s"https://site$id.example"
+          val paths = Array("/", "/public/page", "/private",
+            "/private/pub", "/privateer", "/tmp/x", "/pub",
+            "/private/pub/deep")
+          val xml = ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            src.toSeq.map { b =>
+              val v = b & 0xff
+              f"<url><loc>$host${paths(v % 8)}</loc>" +
+                f"<lastmod>2026-07-${v % 28 + 1}%02d</lastmod>" +
+                s"<priority>0.${v % 10}</priority></url>"
+            }.mkString + "</urlset>")
+          val robotsTxt =
+            "User-Agent: graftbot\r\n" +
+            "Disallow: /private*\r\n" +
+            (if (id % 2 == 0) "Allow: /private/pub$\r\n" else "") +
+            "\r\nUser-agent: *\r\nDisallow: /\r\n"
+          // ---- the delta frontier proper: fixtures end here ----
+          val urls = Sitemap.expand(
+            _ => xml.getBytes("UTF-8"), s"$host/sitemap.xml")
+          require(urls.length == src.length,
+            s"doc $id discovery drift: ${urls.length}")
+          val groups = Robots.parse(robotsTxt)
+          val cutoff = java.time.LocalDate.of(2026, 7, (id % 28 + 1).toInt)
+          var nAdmitted = 0L
+          var nRecrawl = 0L
+          var daySum = 0L
+          urls.foreach { u =>
+            val loc = u.getOrElse("loc", "")
+            val path = loc.substring(loc.indexOf('/', "https://".length))
+            if (Robots.allowed(groups, "graftbot", path)) {
+              nAdmitted += 1
+              val lm = java.time.LocalDate.parse(u.getOrElse("lastmod",
+                throw new IllegalArgumentException(s"no lastmod in $loc")))
+              require(lm.getYear == 2026 && lm.getMonthValue == 7,
+                s"doc $id lastmod drifted to $lm")
+              if (lm.isAfter(cutoff)) {
+                nRecrawl += 1
+                daySum += lm.getDayOfMonth
+              }
+            }
+          }
+          (id, (id % 28 + 1), urls.length.toLong, nAdmitted, nRecrawl,
+            daySum)
+        }
+        .toDF("doc_id", "cutoff_day", "n_urls", "n_admitted",
+          "n_recrawl", "recrawl_day_sum")
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization as a codegen expression: four deterministic
     // dirt classes (scheme/host case, default ports, duplicate and ./
     // path segments, tracking params, unsorted query, fragments) are
@@ -1030,6 +1101,34 @@ object WebQ {
         | CAST(sum(adm) AS BIGINT) AS n_admitted,
         | CAST(sum(CASE WHEN adm = 1 THEN b % 10 ELSE 0 END) AS BIGINT)
         |  AS pri_deci_sum
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // freshness truth from arithmetic: lastmod day = b%28+1, cutoff
+    // day = doc_id%28+1, recrawl = admitted AND day > cutoff (strict)
+    "q321_recrawl_delta" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, unnest(range(1, len + 1)) AS i, text
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg),
+        |f AS (
+        | SELECT doc_id, len, b % 28 + 1 AS day,
+        |  CASE WHEN NOT (b % 8 IN (2, 4, 7) OR
+        |    (doc_id % 2 = 1 AND b % 8 = 3)) THEN 1 ELSE 0 END AS adm
+        | FROM a)
+        |SELECT doc_id,
+        | CAST(doc_id % 28 + 1 AS BIGINT) AS cutoff_day,
+        | CAST(max(len) AS BIGINT) AS n_urls,
+        | CAST(sum(adm) AS BIGINT) AS n_admitted,
+        | CAST(sum(CASE WHEN adm = 1 AND day > doc_id % 28 + 1
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_recrawl,
+        | CAST(sum(CASE WHEN adm = 1 AND day > doc_id % 28 + 1
+        |   THEN day ELSE 0 END) AS BIGINT) AS recrawl_day_sum
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the q315 admission truth reached FROM the robots file's own
