@@ -16,21 +16,51 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 object WarcCodec {
 
   final case class WarcRecord(warcType: String, targetUri: String,
-      contentLength: Int, httpStatus: Int)
+      contentLength: Int, httpStatus: Int,
+      payloadDigest: String = "", refersToUri: String = "")
+
+  /** WARC-Payload-Digest in the form Common Crawl ships:
+    * `sha1:` + RFC 4648 base32 (unpadded) of the SHA-1 over the HTTP
+    * entity body. */
+  def payloadDigest(body: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(body)
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder("sha1:")
+    var buf = 0L; var nbits = 0
+    d.foreach { b =>
+      buf = (buf << 8) | (b & 0xff); nbits += 8
+      while (nbits >= 5) {
+        nbits -= 5
+        sb.append(alpha(((buf >> nbits) & 31).toInt))
+      }
+    }
+    if (nbits > 0) sb.append(alpha(((buf << (5 - nbits)) & 31).toInt))
+    sb.toString
+  }
 
   /** Synthesize a WARC/1.0 archive: one record per (type, uri,
     * payload); headers CRLF-delimited, records separated by the
     * mandated blank CRLF pair. `gzipped` wraps the whole archive in
     * one gzip stream (the census inflates it back). */
   def synth(records: Seq[(String, String, Array[Byte])],
+      gzipped: Boolean = false): Array[Byte] =
+    synthWithHeaders(records.map { case (t, u, p) => (t, u, p, Nil) },
+      gzipped)
+
+  /** [[synth]] with per-record extra WARC headers — the revisit
+    * vocabulary (WARC-Payload-Digest, WARC-Refers-To-Target-URI)
+    * needs them; the plain triple form stays the common path. */
+  def synthWithHeaders(
+      records: Seq[(String, String, Array[Byte], Seq[(String, String)])],
       gzipped: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    records.zipWithIndex.foreach { case ((typ, uri, payload), i) =>
+    records.zipWithIndex.foreach { case ((typ, uri, payload, extra), i) =>
       val hdr = new StringBuilder()
       hdr ++= "WARC/1.0\r\n"
       hdr ++= s"WARC-Type: $typ\r\n"
       if (uri.nonEmpty) hdr ++= s"WARC-Target-URI: $uri\r\n"
       hdr ++= s"WARC-Record-ID: <urn:graft:$i>\r\n"
+      extra.foreach { case (k, v) => hdr ++= s"$k: $v\r\n" }
       hdr ++= s"Content-Length: ${payload.length}\r\n"
       hdr ++= "\r\n"
       out.write(hdr.toString.getBytes("ISO-8859-1"))
@@ -303,6 +333,7 @@ object WarcCodec {
       require(ver.startsWith("WARC/"),
         s"not a WARC record: version line '${ver.take(20)}'")
       var typ = ""; var uri = ""; var clen = -1
+      var digest = ""; var refersTo = ""
       var h = line()
       while (h.nonEmpty) {
         val colon = h.indexOf(':')
@@ -313,6 +344,8 @@ object WarcCodec {
           case "warc-type" => typ = v
           case "warc-target-uri" => uri = v
           case "content-length" => clen = v.toInt
+          case "warc-payload-digest" => digest = v
+          case "warc-refers-to-target-uri" => refersTo = v
           case _ => ()
         }
         h = line()
@@ -336,7 +369,7 @@ object WarcCodec {
           }
           st
         } else 0
-      recs += ((WarcRecord(typ, uri, clen, status),
+      recs += ((WarcRecord(typ, uri, clen, status, digest, refersTo),
         java.util.Arrays.copyOfRange(bytes, pos, pos + clen)))
       pos += clen
       // the mandated record separator: two CRLFs

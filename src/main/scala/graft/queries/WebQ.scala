@@ -550,6 +550,91 @@ object WebQ {
         .orderBy("doc_id")
     }),
 
+    // WARC REVISIT RESOLUTION (ISO 28500 §6.7.2 — Common Crawl's
+    // archive-level dedup): a re-fetch whose payload matches an
+    // earlier capture is stored as a `revisit` record carrying only
+    // WARC-Payload-Digest + WARC-Refers-To-Target-URI; the bytes live
+    // once. Per doc: each char's page body derives from its BYTE
+    // VALUE alone, so repeated bytes are true duplicate fetches — the
+    // first occurrence lands as a response (digest header included,
+    // REVERIFIED against the recomputed sha1/base32 on read), later
+    // ones as revisits. The spine builds the digest store from
+    // responses and resolves every revisit against it — loud on a
+    // dangling digest or a refers-to mismatch — and reports the
+    // dedup ledger (stored vs saved bytes) the archive achieves.
+    "q322_warc_revisit" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.multimodal.WarcCodec
+          val src = text.getBytes("ISO-8859-1")
+          val host = s"https://site$id.example"
+          val firstUri = scala.collection.mutable.Map.empty[Int, String]
+          val pageRecs = src.toSeq.zipWithIndex.map { case (b, k) =>
+            val v = b & 0xff
+            val body = Array.tabulate[Byte](v % 16 + 4)(i =>
+              ((i * 31 + v) % 251).toByte)
+            val uri = s"$host/p$k"
+            val digest = WarcCodec.payloadDigest(body)
+            firstUri.get(v) match {
+              case None =>
+                firstUri(v) = uri
+                (("response"), uri,
+                  WarcCodec.httpResponse(200,
+                    Seq("Content-Type" -> "application/octet-stream"),
+                    body),
+                  Seq("WARC-Payload-Digest" -> digest))
+              case Some(orig) =>
+                (("revisit"), uri, Array.empty[Byte],
+                  Seq("WARC-Payload-Digest" -> digest,
+                    "WARC-Refers-To-Target-URI" -> orig))
+            }
+          }
+          val archive = WarcCodec.synthWithHeaders(pageRecs,
+            gzipped = id % 2 == 1)
+          // ---- the dedup spine proper: fixtures end here ----
+          val recs = WarcCodec.records(archive)
+          val store = scala.collection.mutable.Map
+            .empty[String, (String, Long)]
+          var nResp = 0L; var stored = 0L
+          recs.foreach { case (rec, payload) =>
+            if (rec.warcType == "response") {
+              val (st, _, body) = WarcCodec.httpParts(payload)
+              require(st == 200, s"doc $id status $st")
+              val computed = WarcCodec.payloadDigest(body)
+              require(rec.payloadDigest == computed,
+                s"doc $id ${rec.targetUri}: stored digest " +
+                  s"${rec.payloadDigest} != recomputed $computed")
+              require(!store.contains(computed),
+                s"doc $id duplicate response for digest $computed")
+              store(computed) = (rec.targetUri, body.length.toLong)
+              nResp += 1; stored += body.length
+            }
+          }
+          var nRev = 0L; var saved = 0L; var chk = 0L
+          recs.zipWithIndex.foreach { case ((rec, _), k0) =>
+            if (rec.warcType == "revisit") {
+              val (origUri, blen) = store.getOrElse(rec.payloadDigest,
+                throw new IllegalArgumentException(
+                  s"doc $id dangling revisit digest ${rec.payloadDigest}"))
+              require(rec.refersToUri == origUri,
+                s"doc $id revisit refers to ${rec.refersToUri}, " +
+                  s"store says $origUri")
+              nRev += 1; saved += blen
+              chk += (k0 + 1) * blen
+            }
+          }
+          (id, nResp, nRev, stored, saved, chk)
+        }
+        .toDF("doc_id", "n_responses", "n_revisits", "stored_bytes",
+          "saved_bytes", "revisit_chk")
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL RECRAWL from sitemap <lastmod> (the delta frontier
     // a production crawler computes instead of refetching the world):
     // every url carries a W3C-datetime lastmod day planted from its
@@ -1102,6 +1187,38 @@ object WebQ {
         | CAST(sum(CASE WHEN adm = 1 THEN b % 10 ELSE 0 END) AS BIGINT)
         |  AS pri_deci_sum
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // dedup ledger from arithmetic: body length = b%16+4 derives from
+    // the byte value alone, so occurrence rank per (doc, byte) splits
+    // response (rn=1) from revisit (rn>1); the checksum weights each
+    // revisit by its 1-based record position
+    "q322_warc_revisit" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, unnest(range(1, len + 1)) AS i, text
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg),
+        |r AS (
+        | SELECT doc_id, i, b, b % 16 + 4 AS blen,
+        |  row_number() OVER (PARTITION BY doc_id, b ORDER BY i) AS rn
+        | FROM a)
+        |SELECT doc_id,
+        | CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT)
+        |   AS n_responses,
+        | CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT)
+        |   AS n_revisits,
+        | CAST(sum(CASE WHEN rn = 1 THEN blen ELSE 0 END) AS BIGINT)
+        |   AS stored_bytes,
+        | CAST(sum(CASE WHEN rn > 1 THEN blen ELSE 0 END) AS BIGINT)
+        |   AS saved_bytes,
+        | CAST(sum(CASE WHEN rn > 1 THEN i * blen ELSE 0 END) AS BIGINT)
+        |   AS revisit_chk
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // freshness truth from arithmetic: lastmod day = b%28+1, cutoff
     // day = doc_id%28+1, recrawl = admitted AND day > cutoff (strict)

@@ -275,6 +275,35 @@ class FrameCensusSpec extends AnyFunSuite {
       .getMessage.contains("1952"))
   }
 
+  test("WARC revisit vocabulary: digest vector, header roundtrip") {
+    import graft.multimodal.WarcCodec
+    // the canonical empty-payload digest every WARC tool agrees on
+    // (SHA-1 of zero bytes, RFC 4648 base32 unpadded)
+    assert(WarcCodec.payloadDigest(Array.empty) ==
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    // 20 SHA-1 bytes = 160 bits = exactly 32 base32 chars, no pad
+    val d = WarcCodec.payloadDigest("hello".getBytes("US-ASCII"))
+    assert(d.startsWith("sha1:") && d.length == 5 + 32 &&
+      d.drop(5).forall(c => (c >= 'A' && c <= 'Z') || (c >= '2' && c <= '7')))
+    // revisit headers survive synth -> records
+    val body = "payload bytes".getBytes("US-ASCII")
+    val dig = WarcCodec.payloadDigest(body)
+    val archive = WarcCodec.synthWithHeaders(Seq(
+      ("response", "https://x/a",
+        WarcCodec.httpResponse(200, Nil, body),
+        Seq("WARC-Payload-Digest" -> dig)),
+      ("revisit", "https://x/a2", Array.empty[Byte],
+        Seq("WARC-Payload-Digest" -> dig,
+          "WARC-Refers-To-Target-URI" -> "https://x/a"))))
+    val recs = WarcCodec.records(archive)
+    assert(recs.map(_._1.warcType) == Seq("response", "revisit"))
+    assert(recs(0)._1.payloadDigest == dig &&
+      recs(0)._1.refersToUri.isEmpty)
+    assert(recs(1)._1.payloadDigest == dig &&
+      recs(1)._1.refersToUri == "https://x/a" &&
+      recs(1)._1.contentLength == 0)
+  }
+
   test("WARC perimeter: truncation and bad version line are loud") {
     import graft.multimodal.WarcCodec
     val bytes = WarcCodec.synth(Seq(

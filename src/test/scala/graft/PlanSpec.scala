@@ -541,7 +541,8 @@ class PlanSpec extends SparkSpec {
         "q312_tar_census", "q313_webm_census", "q314_zip_census",
         "q315_sitemap_seeds", "q316_png_census",
         "q318_sitemap_index", "q319_png_decode",
-        "q320_robots_sitemap_discovery", "q321_recrawl_delta")) {
+        "q320_robots_sitemap_discovery", "q321_recrawl_delta",
+        "q322_warc_revisit")) {
       val p = planOf(q)
       val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
         p.linesIterator.count(_.trim.startsWith("Exchange"))
