@@ -550,6 +550,91 @@ object WebQ {
         .orderBy("doc_id")
     }),
 
+    // IN-PAGE INDEXING DIRECTIVES (the gate AFTER robots.txt): a
+    // page the crawl admits can still refuse the index from inside —
+    // <meta name=robots content=noindex> — and declare its dedup
+    // identity via <link rel=canonical>. Per char: v%11 picks the
+    // meta directive (0 noindex, 1 nofollow, else index,follow) and
+    // (v//8)%8 the canonical target class; the indexer keeps pages
+    // that are robots-ADMITTED and not noindexed, counts the distinct
+    // canonical targets it would collapse to, and the checksum
+    // position-weights each indexed page's canonical class. The meta
+    // walk runs on REAL parsed HTML attributes (void tags, attribute
+    // maps) — a parser that drops <meta>/<link> in <head> or
+    // case-folds wrong breaks the hash.
+    "q323_meta_robots_canonical" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.ingest.{HtmlCodec, Robots}
+          val src = text.getBytes("ISO-8859-1")
+          val host = s"https://site$id.example"
+          val paths = Array("/", "/public/page", "/private",
+            "/private/pub", "/privateer", "/tmp/x", "/pub",
+            "/private/pub/deep")
+          val robotsTxt =
+            "User-Agent: graftbot\r\n" +
+            "Disallow: /private*\r\n" +
+            (if (id % 2 == 0) "Allow: /private/pub$\r\n" else "") +
+            "\r\nUser-agent: *\r\nDisallow: /\r\n"
+          val groups = Robots.parse(robotsTxt)
+          var nAdmitted = 0L; var nNoindex = 0L; var nNofollow = 0L
+          var nIndexed = 0L; var canonChk = 0L
+          val canonSeen = scala.collection.mutable.Set.empty[Int]
+          src.toSeq.zipWithIndex.foreach { case (b, k) =>
+            val v = b & 0xff
+            val directive =
+              if (v % 11 == 0) "noindex, follow"
+              else if (v % 11 == 1) "index, nofollow"
+              else "index, follow"
+            val canonClass = (v / 8) % 8
+            val html =
+              s"""<html><head><title>P $id-$k</title>
+                 |<META Name="ROBOTS" Content="$directive">
+                 |<link rel="canonical" href="$host${paths(canonClass)}">
+                 |</head><body><p>page $k</p></body></html>""".stripMargin
+            // ---- the indexer proper: fixtures end above ----
+            val root = HtmlCodec.parse(html)
+            val tokens = HtmlCodec.select(root, "meta")
+              .filter(_.el.attrs.get("name")
+                .exists(_.equalsIgnoreCase("robots")))
+              .flatMap(_.el.attrs.get("content"))
+              .flatMap(_.toLowerCase.split(",").map(_.trim))
+              .toSet
+            val canon = HtmlCodec.select(root, "link")
+              .filter(_.el.attrs.get("rel")
+                .exists(_.equalsIgnoreCase("canonical")))
+              .flatMap(_.el.attrs.get("href"))
+              .headOption.getOrElse(
+                throw new IllegalArgumentException(s"no canonical $id-$k"))
+            val path = paths(v % 8)
+            if (Robots.allowed(groups, "graftbot", path)) {
+              nAdmitted += 1
+              if (tokens("noindex")) nNoindex += 1
+              if (tokens("nofollow")) nNofollow += 1
+              if (!tokens("noindex")) {
+                nIndexed += 1
+                val cPath = canon.substring(
+                  canon.indexOf('/', "https://".length))
+                val c = paths.indexOf(cPath)
+                require(c >= 0, s"unknown canonical $canon")
+                canonSeen += c
+                canonChk += (k + 1).toLong * c
+              }
+            }
+          }
+          (id, src.length.toLong, nAdmitted, nNoindex, nNofollow,
+            nIndexed, canonSeen.size.toLong, canonChk)
+        }
+        .toDF("doc_id", "n_pages", "n_admitted", "n_noindexed",
+          "n_nofollow", "n_indexed", "n_canonical_targets", "canon_chk")
+        .orderBy("doc_id")
+    }),
+
     // WARC REVISIT RESOLUTION (ISO 28500 §6.7.2 — Common Crawl's
     // archive-level dedup): a re-fetch whose payload matches an
     // earlier capture is stored as a `revisit` record carrying only
@@ -1186,6 +1271,40 @@ object WebQ {
         | CAST(sum(adm) AS BIGINT) AS n_admitted,
         | CAST(sum(CASE WHEN adm = 1 THEN b % 10 ELSE 0 END) AS BIGINT)
         |  AS pri_deci_sum
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // index-gate truth from arithmetic: admitted as q315; noindex =
+    // b%11=0, nofollow = b%11=1; canonical class = (b//8)%8 (exact
+    // integer division both engines)
+    "q323_meta_robots_canonical" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS len
+        | FROM documents WHERE length(text) > 0),
+        |pg AS (
+        | SELECT doc_id, len, unnest(range(1, len + 1)) AS i, text
+        | FROM d),
+        |a AS (
+        | SELECT doc_id, len, i,
+        |  ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+        | FROM pg),
+        |f AS (
+        | SELECT doc_id, len, i, b, (b // 8) % 8 AS c,
+        |  CASE WHEN NOT (b % 8 IN (2, 4, 7) OR
+        |    (doc_id % 2 = 1 AND b % 8 = 3)) THEN 1 ELSE 0 END AS adm
+        | FROM a)
+        |SELECT doc_id,
+        | CAST(max(len) AS BIGINT) AS n_pages,
+        | CAST(sum(adm) AS BIGINT) AS n_admitted,
+        | CAST(sum(CASE WHEN adm = 1 AND b % 11 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_noindexed,
+        | CAST(sum(CASE WHEN adm = 1 AND b % 11 = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_nofollow,
+        | CAST(sum(CASE WHEN adm = 1 AND b % 11 != 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_indexed,
+        | CAST(count(DISTINCT CASE WHEN adm = 1 AND b % 11 != 0
+        |   THEN c END) AS BIGINT) AS n_canonical_targets,
+        | CAST(sum(CASE WHEN adm = 1 AND b % 11 != 0 THEN i * c
+        |   ELSE 0 END) AS BIGINT) AS canon_chk
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // dedup ledger from arithmetic: body length = b%16+4 derives from

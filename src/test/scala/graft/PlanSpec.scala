@@ -542,7 +542,7 @@ class PlanSpec extends SparkSpec {
         "q315_sitemap_seeds", "q316_png_census",
         "q318_sitemap_index", "q319_png_decode",
         "q320_robots_sitemap_discovery", "q321_recrawl_delta",
-        "q322_warc_revisit")) {
+        "q322_warc_revisit", "q323_meta_robots_canonical")) {
       val p = planOf(q)
       val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
         p.linesIterator.count(_.trim.startsWith("Exchange"))
