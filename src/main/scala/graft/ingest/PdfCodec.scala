@@ -464,13 +464,7 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val d = new Deflater()
-    d.setInput(content); d.finish()
-    val cOut = new ByteArrayOutputStream(content.length)
-    val tmp = new Array[Byte](8192)
-    while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
-    d.end()
-    val data = cOut.toByteArray
+    val data = graft.multimodal.Zlib.deflate(content)
     val out = new ByteArrayOutputStream()
     out.write(base)
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -501,15 +495,8 @@ object PdfCodec {
       case ')' => "\\)"
       case c => c.toString
     }
-    def deflated(b: Array[Byte]): Array[Byte] = {
-      val d = new Deflater()
-      d.setInput(b); d.finish()
-      val o = new ByteArrayOutputStream(b.length)
-      val tmp = new Array[Byte](8192)
-      while (!d.finished()) o.write(tmp, 0, d.deflate(tmp))
-      d.end()
-      o.toByteArray
-    }
+    def deflated(b: Array[Byte]): Array[Byte] =
+      graft.multimodal.Zlib.deflate(b)
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
@@ -581,15 +568,8 @@ object PdfCodec {
       case ')' => "\\)"
       case c => c.toString
     }
-    def deflated(b: Array[Byte]): Array[Byte] = {
-      val d = new Deflater()
-      d.setInput(b); d.finish()
-      val o = new ByteArrayOutputStream(b.length)
-      val tmp = new Array[Byte](8192)
-      while (!d.finished()) o.write(tmp, 0, d.deflate(tmp))
-      d.end()
-      o.toByteArray
-    }
+    def deflated(b: Array[Byte]): Array[Byte] =
+      graft.multimodal.Zlib.deflate(b)
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
@@ -746,13 +726,7 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val d = new Deflater()
-    d.setInput(content); d.finish()
-    val cOut = new ByteArrayOutputStream(content.length)
-    val tmp = new Array[Byte](8192)
-    while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
-    d.end()
-    val cData = cOut.toByteArray
+    val cData = graft.multimodal.Zlib.deflate(content)
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val offsets = Array.newBuilder[Int]
@@ -1402,29 +1376,29 @@ object PdfCodec {
     out
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(data)
-    val out = new ByteArrayOutputStream(data.length * 4)
-    val tmp = new Array[Byte](8192)
-    try {
-      while (!inf.finished()) {
-        val n = inf.inflate(tmp)
-        if (n == 0 && inf.needsInput())
-          throw new IllegalArgumentException("truncated Flate stream")
-        out.write(tmp, 0, n)
+  private def inflate(data: Array[Byte]): Array[Byte] =
+    graft.multimodal.Zlib.withInflater(nowrap = false) { inf =>
+      inf.setInput(data)
+      val out = new ByteArrayOutputStream(data.length * 4)
+      val tmp = new Array[Byte](8192)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(tmp)
+          if (n == 0 && inf.needsInput())
+            throw new IllegalArgumentException("truncated Flate stream")
+          out.write(tmp, 0, n)
+        }
+      } catch {
+        // zlib's checked exception (bad header, dictionary mismatch,
+        // failed adler check — what RC4 garbage from a corrupted
+        // encrypted stream produces) is a perimeter hit like any other:
+        // refuse loudly with the standard exception type
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"corrupt Flate stream: ${e.getMessage}")
       }
-    } catch {
-      // zlib's checked exception (bad header, dictionary mismatch,
-      // failed adler check — what RC4 garbage from a corrupted
-      // encrypted stream produces) is a perimeter hit like any other:
-      // refuse loudly with the standard exception type
-      case e: java.util.zip.DataFormatException =>
-        throw new IllegalArgumentException(
-          s"corrupt Flate stream: ${e.getMessage}")
-    } finally inf.end()
-    out.toByteArray
-  }
+      out.toByteArray
+    }
 
   /** ASCIIHexDecode (PDF 32000-1 §7.4.2): hex digit pairs, whitespace
     * ignored, `>` is EOD; an odd trailing digit implies a final 0. */
@@ -1732,13 +1706,7 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val d = new Deflater()
-    d.setInput(content); d.finish()
-    val cOut = new ByteArrayOutputStream(content.length)
-    val tmp = new Array[Byte](8192)
-    while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
-    d.end()
-    val plain = cOut.toByteArray
+    val plain = graft.multimodal.Zlib.deflate(content)
     val p = -44 // typical permissions word (print/modify denied)
     val id0 = PdfCrypt.md5(("graft-pdf-" + mode).getBytes("ISO-8859-1"),
       content).take(16)
@@ -1845,13 +1813,7 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val d = new Deflater()
-    d.setInput(content); d.finish()
-    val cOut = new ByteArrayOutputStream(content.length)
-    val tmp = new Array[Byte](8192)
-    while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
-    d.end()
-    val cData = cOut.toByteArray
+    val cData = graft.multimodal.Zlib.deflate(content)
     // fake JPEG: SOI marker, traps for a naive text scanner, EOI marker
     val img = (Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
         0xE0.toByte) ++
@@ -1905,13 +1867,7 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val d = new Deflater()
-    d.setInput(content); d.finish()
-    val cOut = new ByteArrayOutputStream(content.length)
-    val tmp = new Array[Byte](8192)
-    while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
-    d.end()
-    val cData = cOut.toByteArray
+    val cData = graft.multimodal.Zlib.deflate(content)
     val img = graft.multimodal.JpegCodec.encodeGray(imgW, imgH, imgPix)
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -1964,15 +1920,8 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val data = if (!compress) content else {
-      val d = new Deflater()
-      d.setInput(content); d.finish()
-      val cOut = new ByteArrayOutputStream(content.length)
-      val tmp = new Array[Byte](8192)
-      while (!d.finished()) cOut.write(tmp, 0, d.deflate(tmp))
-      d.end()
-      cOut.toByteArray
-    }
+    val data = if (!compress) content
+      else graft.multimodal.Zlib.deflate(content)
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val offs = new Array[Int](6) // ids 0..5; 0 unused
@@ -2020,15 +1969,8 @@ object PdfCodec {
       case ')' => "\\)"
       case c => c.toString
     }
-    def deflated(b: Array[Byte]): Array[Byte] = {
-      val d = new Deflater()
-      d.setInput(b); d.finish()
-      val out = new ByteArrayOutputStream(b.length)
-      val tmp = new Array[Byte](8192)
-      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-      d.end()
-      out.toByteArray
-    }
+    def deflated(b: Array[Byte]): Array[Byte] =
+      graft.multimodal.Zlib.deflate(b)
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
@@ -2071,15 +2013,8 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    def deflated(b: Array[Byte]): Array[Byte] = {
-      val d = new Deflater()
-      d.setInput(b); d.finish()
-      val out = new ByteArrayOutputStream(b.length)
-      val tmp = new Array[Byte](8192)
-      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-      d.end()
-      out.toByteArray
-    }
+    def deflated(b: Array[Byte]): Array[Byte] =
+      graft.multimodal.Zlib.deflate(b)
     // predictor fixtures tile the content into predCols-byte rows;
     // trailing space padding lands AFTER the final ET so the decoded
     // text is unchanged (showOps only emits on Tj)

@@ -1,7 +1,5 @@
 package graft.ingest
 
-import java.io.ByteArrayInputStream
-import java.util.zip.GZIPInputStream
 
 /** Sitemap discovery per sitemaps.org protocol 0.9: a root document
   * is either a `<urlset>` of leaf `<url>` entries or a
@@ -59,14 +57,8 @@ object Sitemap {
   /** RFC 1952 magic sniff; non-gzip bytes pass through untouched. */
   def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-        (bytes(1) & 0xff) == 0x8b) {
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    } else bytes
+        (bytes(1) & 0xff) == 0x8b) graft.multimodal.Zlib.gunzip(bytes)
+    else bytes
 
   /** First element name past the XML declaration / comments — the
     * two-word vocabulary dispatch needs only this, not a full parse. */

@@ -287,13 +287,7 @@ object PngCodec {
         }
         out
       }
-    val defl = new java.util.zip.Deflater()
-    defl.setInput(raw); defl.finish()
-    val zbuf = new ByteArrayOutputStream(raw.length / 2 + 64)
-    val tmp = new Array[Byte](8192)
-    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
-    defl.end()
-    val z = zbuf.toByteArray
+    val z = Zlib.deflate(raw) // zlib-wrapped, default level
 
     val out = new ByteArrayOutputStream()
     out.write(Signature)
@@ -389,23 +383,25 @@ object PngCodec {
       else passes.map { case (_, _, _, _, pw, ph) =>
         if (pw > 0 && ph > 0) (1 + pw * ch) * ph else 0
       }.sum
-    val infl = new java.util.zip.Inflater()
-    infl.setInput(z.toByteArray)
     val raw = new Array[Byte](rawLen)
-    var got = 0
-    try {
-      while (got < raw.length && !infl.finished()) {
-        val n = infl.inflate(raw, got, raw.length - got)
-        require(n > 0 || infl.finished(), "truncated IDAT zlib stream")
-        got += n
+    Zlib.withInflater(nowrap = false) { infl =>
+      infl.setInput(z.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !infl.finished()) {
+          val n = infl.inflate(raw, got, raw.length - got)
+          require(n > 0 || infl.finished(), "truncated IDAT zlib stream")
+          got += n
+        }
+        require(got == raw.length && (infl.finished() ||
+          infl.inflate(new Array[Byte](1)) == 0),
+          s"IDAT inflates to $got bytes, geometry needs ${raw.length}")
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"corrupt IDAT zlib: ${e.getMessage}")
       }
-      require(got == raw.length && (infl.finished() ||
-        infl.inflate(new Array[Byte](1)) == 0),
-        s"IDAT inflates to $got bytes, geometry needs ${raw.length}")
-    } catch {
-      case e: java.util.zip.DataFormatException =>
-        throw new IllegalArgumentException(s"corrupt IDAT zlib: ${e.getMessage}")
-    } finally infl.end()
+    }
 
     val pix =
       if (interlace == 0) unfilterSub(raw, 0, w, h, ch)._1

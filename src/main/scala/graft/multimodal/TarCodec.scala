@@ -1,7 +1,6 @@
 package graft.multimodal
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.io.ByteArrayOutputStream
 
 /** POSIX ustar archive census — the shard container training corpora
   * actually ship (WebDataset-style .tar of samples; the IEEE 1003.1
@@ -76,13 +75,7 @@ object TarCodec {
 
   private def gzipMaybe(raw: Array[Byte], gzipped: Boolean)
       : Array[Byte] =
-    if (!gzipped) raw
-    else {
-      val gz = new ByteArrayOutputStream()
-      val g = new GZIPOutputStream(gz)
-      g.write(raw); g.close()
-      gz.toByteArray
-    }
+    if (!gzipped) raw else Zlib.gzip(raw)
 
   /** A pax Interchange Format extended-header payload: one
     * "%d key=value\n" record per pair, where %d is the decimal length
@@ -198,14 +191,8 @@ object TarCodec {
   def census(bytesIn: Array[Byte]): Seq[TarMember] = {
     val bytes =
       if (bytesIn.length >= 2 && (bytesIn(0) & 0xff) == 0x1f &&
-        (bytesIn(1) & 0xff) == 0x8b) {
-        val in = new GZIPInputStream(new ByteArrayInputStream(bytesIn))
-        val out = new ByteArrayOutputStream(bytesIn.length * 4)
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toByteArray
-      } else bytesIn
+        (bytesIn(1) & 0xff) == 0x8b) Zlib.gunzip(bytesIn)
+      else bytesIn
     val members = Seq.newBuilder[TarMember]
     var pos = 0
     def zeroBlock(at: Int): Boolean = {

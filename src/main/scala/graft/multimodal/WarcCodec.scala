@@ -1,7 +1,6 @@
 package graft.multimodal
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.io.ByteArrayOutputStream
 
 /** WARC (ISO 28500) record census — the container every web-scale
   * text corpus actually arrives in (Common Crawl ships .warc.gz).
@@ -68,13 +67,7 @@ object WarcCodec {
       out.write("\r\n\r\n".getBytes("ISO-8859-1"))
     }
     val raw = out.toByteArray
-    if (!gzipped) raw
-    else {
-      val gz = new ByteArrayOutputStream()
-      val g = new GZIPOutputStream(gz)
-      g.write(raw); g.close()
-      gz.toByteArray
-    }
+    if (!gzipped) raw else Zlib.gzip(raw)
   }
 
   /** An HTTP response payload: status line + headers + CRLF CRLF +
@@ -146,18 +139,8 @@ object WarcCodec {
       body: Array[Byte], coding: String, chunkSize: Int = 0)
       : Array[Byte] = {
     val coded = coding match {
-      case "gzip" =>
-        val bo = new ByteArrayOutputStream()
-        val g = new java.util.zip.GZIPOutputStream(bo)
-        g.write(body); g.close()
-        bo.toByteArray
-      case "deflate" =>
-        val d = new java.util.zip.Deflater()
-        d.setInput(body); d.finish()
-        val bo = new ByteArrayOutputStream()
-        val t = new Array[Byte](8192)
-        while (!d.finished()) bo.write(t, 0, d.deflate(t))
-        d.end(); bo.toByteArray
+      case "gzip" => Zlib.gzip(body)
+      case "deflate" => Zlib.deflate(body) // zlib-wrapped (RFC 1950)
       case other => throw new IllegalArgumentException(
         s"synth supports gzip/deflate, not '$other'")
     }
@@ -270,35 +253,20 @@ object WarcCodec {
         require(body.length >= 2 && (body(0) & 0xff) == 0x1f &&
           (body(1) & 0xff) == 0x8b, s"Content-Encoding $c body lacks " +
           "the RFC 1952 magic")
-        try {
-          val in = new GZIPInputStream(new ByteArrayInputStream(body))
-          val out = new ByteArrayOutputStream(body.length * 4)
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          out.toByteArray
-        } catch { case e: java.io.IOException =>
+        try Zlib.gunzip(body)
+        catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(
             s"truncated/corrupt gzip body: ${e.getMessage}")
         }
       case Some("deflate") =>
         val zlibWrapped = body.length >= 2 && (body(0) & 0x0f) == 8 &&
           (((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31 == 0
-        val infl = new java.util.zip.Inflater(!zlibWrapped)
-        infl.setInput(body)
-        try {
-          val out = new ByteArrayOutputStream(body.length * 4)
-          val buf = new Array[Byte](8192)
-          var n = infl.inflate(buf)
-          while (n > 0 || (!infl.finished() && !infl.needsInput())) {
-            out.write(buf, 0, n); n = infl.inflate(buf)
-          }
-          require(infl.finished(), "truncated deflate body")
-          out.toByteArray
-        } catch { case e: java.util.zip.DataFormatException =>
+        try Zlib.inflate(body, nowrap = !zlibWrapped,
+          sizeHint = body.length * 4)
+        catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(
             s"corrupt deflate body: ${e.getMessage}")
-        } finally infl.end()
+        }
       case Some(other) => throw new IllegalArgumentException(
         s"Content-Encoding '$other' is outside the carried set " +
           "(gzip, deflate, identity)")
@@ -311,14 +279,8 @@ object WarcCodec {
   def records(bytesIn: Array[Byte]): Seq[(WarcRecord, Array[Byte])] = {
     val bytes =
       if (bytesIn.length >= 2 && (bytesIn(0) & 0xff) == 0x1f &&
-        (bytesIn(1) & 0xff) == 0x8b) {
-        val in = new GZIPInputStream(new ByteArrayInputStream(bytesIn))
-        val out = new ByteArrayOutputStream(bytesIn.length * 4)
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toByteArray
-      } else bytesIn
+        (bytesIn(1) & 0xff) == 0x8b) Zlib.gunzip(bytesIn)
+      else bytesIn
     val recs = Seq.newBuilder[(WarcRecord, Array[Byte])]
     var pos = 0
     def line(): String = {

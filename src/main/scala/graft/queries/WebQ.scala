@@ -396,12 +396,8 @@ object WebQ {
                 s"<url><loc>$host${paths(v % 8)}</loc>" +
                   s"<priority>0.${v % 10}</priority></url>"
               }.mkString + "</urlset>"
-          def gz(sxml: String): Array[Byte] = {
-            val bo = new java.io.ByteArrayOutputStream()
-            val g = new java.util.zip.GZIPOutputStream(bo)
-            g.write(sxml.getBytes("UTF-8")); g.close()
-            bo.toByteArray
-          }
+          def gz(sxml: String): Array[Byte] =
+            graft.multimodal.Zlib.gzip(sxml.getBytes("UTF-8"))
           val children = (0 until m).map { p =>
             s"$host/sitemaps/part$p.xml.gz" -> gz(urlset(p))
           }.toMap
@@ -488,12 +484,8 @@ object WebQ {
                 s"<url><loc>$host${paths(v % 8)}</loc>" +
                   s"<priority>0.${v % 10}</priority></url>"
               }.mkString + "</urlset>"
-          def gz(sxml: String): Array[Byte] = {
-            val bo = new java.io.ByteArrayOutputStream()
-            val g = new java.util.zip.GZIPOutputStream(bo)
-            g.write(sxml.getBytes("UTF-8")); g.close()
-            bo.toByteArray
-          }
+          def gz(sxml: String): Array[Byte] =
+            graft.multimodal.Zlib.gzip(sxml.getBytes("UTF-8"))
           val even = id % 2 == 0
           val m = (1 + id % 3).toInt
           val fetched: Map[String, Array[Byte]] =
