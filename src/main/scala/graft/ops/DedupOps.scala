@@ -294,12 +294,22 @@ object DedupOps {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (not persist): iterative plans nest their inputs, so
     // without lineage truncation the plan tree grows exponentially with
-    // rounds (planning itself OOMs long before the data does)
+    // rounds (planning itself OOMs long before the data does).
+    // The edge list is keyed by dst ONCE before the checkpoint (which
+    // preserves the partitioning): every round's neighbor-label join then
+    // meets the edge side in place, so only node-sized label frames ever
+    // shuffle — the same only-shuffle-the-small-frame discipline as
+    // q100's rank loop. Unkeyed, each round re-exchanged the full edge
+    // list (guide §2.4: two operations keyed the same way share one
+    // exchange).
     val sym = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
+    // sym is symmetric, so its dst side already carries every node —
+    // and it is dst-partitioned, so this distinct needs no exchange
+    var labels = sym.select(col("dst").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint()
     var iter = 0
     var converged = false
@@ -339,10 +349,19 @@ object DedupOps {
     * Same output contract as [[connectedComponents]]: (node, cluster). */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30)
       : DataFrame = {
+    // every canon() repartitions by u before the pair-distinct:
+    // HashPartitioning(u) satisfies the distinct's (u, v) clustering,
+    // so the distinct aggregates in place, and every downstream
+    // grouped-min and u-keyed join in the SAME round reuses that one
+    // exchange (guide §2.4). The star contractions re-key edges, so one
+    // exchange per canon is the floor — this form hits it, where the
+    // unkeyed original paid ~5 per round ((u,v)-hashed distincts that
+    // no consumer could reuse, plus per-join re-exchanges).
     def canon(df: DataFrame): DataFrame = df
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
+      .repartition(col("u"))
       .distinct()
     var e = canon(edges.select(col("a_id").as("u"), col("b_id").as("v")))
       .localCheckpoint() // truncate lineage per round — see above
@@ -351,6 +370,7 @@ object DedupOps {
     var converged = false
     while (!converged && iter < maxIter) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val m1 = sym.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
       val ls = sym.join(m1, "u").filter(col("v") > col("u"))

@@ -509,9 +509,15 @@ object SimilarityOps {
     require(k >= 1, s"semanticDedup needs k >= 1, got $k")
     import graft.Tables.ldiv
     import graft.functions.LongDotExpr.longDot
-    val base = Partitioning.ensureParallel(
-        vectors.select(col(idCol).as("vec_id"),
-          latticeVec(col(vecCol)).as("q")))
+    // keyed by vec_id (not round-robin) before the checkpoint, which
+    // preserves the partitioning: all three assignment rounds' per-
+    // vector argmins and the pair-stage join-back then meet the base
+    // in place instead of re-exchanging n·k scored rows per round
+    // (guide §2.4); the hash key is unique, so the spread matches
+    // round-robin at any scale
+    val base = vectors.select(col(idCol).as("vec_id"),
+        latticeVec(col(vecCol)).as("q"))
+      .repartition(col("vec_id"))
       .localCheckpoint()
     val c0 = base.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("q").as("cent"))
