@@ -608,9 +608,8 @@ object CurateQ {
       val spans = t(s, dir, "documents")
         .select(col("doc_id"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 8)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("tk")) - 7),
-          i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("ng"))
+        .select(col("doc_id"), explode(graft.functions.ShinglesExpr
+          .ngrams(col("tk"), 8)).as("ng")) // codegen'd, not the HOF chain
       val perDoc = spans.groupBy("doc_id", "ng")
         .agg(count(lit(1)).as("c"))
       val docFreq = perDoc.groupBy("ng")
@@ -686,9 +685,8 @@ object CurateQ {
         .select(col("doc_id"), col("split"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 8)
         .select(col("doc_id"), col("split"),
-          explode(array_distinct(transform(
-            sequence(lit(1), size(col("tk")) - 7),
-            i => concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("ng"))
+          explode(graft.functions.ShinglesExpr.shingles(col("tk"), 8))
+            .as("ng")) // codegen'd distinct shingles, not the HOF chain
       // one ng-keyed exchange builds both posting lists AND applies the
       // hub guard; the train×eval product explodes IN-ROW, bounded at
       // 16×16 by the guard (the q128 lesson: posting-list pair explode
@@ -851,13 +849,16 @@ object CurateQ {
     // Counts cap at ~1e12 bigram occurrences before the ·10⁶ quantizer
     // would overflow BIGINT — beyond that, widen SCALE down, not up.
     "q178_lm_fluency" -> ((s, dir) => {
+      // bigrams via the codegen'd ShinglesExpr — the HOF
+      // transform/slice/concat_ws chain evaluates interpreted per
+      // element (HigherOrderFunction is outside whole-stage codegen)
+      // and this relation is the query's hot pass, consumed twice
       val bg = graft.ops.Partitioning.ensureParallel(
         t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("tk")) - 1),
-          i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("b"))
+        .select(col("doc_id"), explode(graft.functions.ShinglesExpr
+          .ngrams(col("tk"), 2)).as("b"))
       val bc = bg.groupBy("b").agg(count(lit(1)).as("cb"))
       val cc = bc.groupBy(substring_index(col("b"), " ", 1).as("w"))
         .agg(sum(col("cb")).as("cw"))

@@ -167,8 +167,16 @@ object MetricsQ {
     * join (a target bucket can serve several quantiles — ranking after
     * the join would count the duplicated rows). */
   private def quantilesPerGroup(vIn: DataFrame, key: String, bucketW: Long,
+      qs: Seq[(String, Long, Long)]): DataFrame =
+    quantilesPerGroupW(vIn, key, lit(bucketW), qs)
+
+  /** [[quantilesPerGroup]] with a per-row bucket width column, so
+    * heterogeneous metrics (different natural bucket sizes) can stack
+    * into ONE long-format pass keyed by metric name — the q279 shape:
+    * three metrics' fences from one histogram-selection machinery run
+    * instead of three. */
+  private def quantilesPerGroupW(vIn: DataFrame, key: String, w: Column,
       qs: Seq[(String, Long, Long)]): DataFrame = {
-    val w = lit(bucketW)
     val wB = Window.partitionBy(key, "bk").orderBy("cents")
     val v = vIn
       .withColumn("bk", ldiv(col("cents") - pmod(col("cents"), w), w))
@@ -564,7 +572,12 @@ object MetricsQ {
         .select(col("i"), col("qi"), (col("i") + 1 + col("k")).as("j"),
           col("qj"))
         .groupBy("i", "j")
-        .agg(sum(col("qi").cast(dec) * col("qj")).as("sp"))
+        // product in LONG (lattice components are bounded by the
+        // float-embedding domain, so qi·qj cannot overflow per row at
+        // any corpus size), accumulated in DECIMAL for the scale-safe
+        // sum — drops ~2000 decimal multiplies per input row from the
+        // partial-agg hot loop
+        .agg(sum((col("qi") * col("qj")).cast(dec)).as("sp"))
       val sj = sums.select(col("i").as("j"), col("si").as("sj"))
       pairs.join(broadcast(sums), "i").join(broadcast(sj), "j")
         .crossJoin(broadcast(nDf))
@@ -1253,18 +1266,28 @@ object MetricsQ {
         .localCheckpoint(false)
       val qs = Seq(("p20", 1L, 5L), ("p40", 2L, 5L), ("p60", 3L, 5L),
         ("p80", 4L, 5L))
-      def fences(metric: String, bucketW: Long) =
-        quantilesPerGroup(u.select(col("grp"),
-          col(metric).as("cents")), "grp", bucketW, qs)
-          .select(qs.map { case (l, _, _) =>
-            col(l).as(s"${metric}_$l") }: _*)
+      // all THREE metrics' fences from ONE histogram-selection pass:
+      // stack (metric, value, bucket-width) long-format and key the
+      // quantile machinery by metric name — one window + one histogram
+      // + one selection join instead of three of each (the former
+      // per-metric fences() ran the whole machinery 3x)
+      val metrics = Seq(("rec_days", 7L), ("freq", 8L),
+        ("cents", 100000L))
+      val long = u.select(explode(array(metrics.map { case (m, bw) =>
+          struct(lit(m).as("grp"), col(m).as("cents"), lit(bw).as("bw"))
+        }: _*)).as("x"))
+        .select(col("x.grp").as("grp"), col("x.cents").as("cents"),
+          col("x.bw").as("bw"))
+      val fenceCols = metrics.flatMap { case (m, _) =>
+        qs.map { case (l, _, _) =>
+          min(when(col("grp") === m, col(l))).as(s"${m}_$l") } }
+      val fences = quantilesPerGroupW(long, "grp", col("bw"), qs)
+        .agg(fenceCols.head, fenceCols.tail: _*)
       def score(metric: String): Column =
         qs.map { case (l, _, _) =>
           when(col(metric) > col(s"${metric}_$l"), 1L).otherwise(0L)
         }.reduce(_ + _) + 1L
-      u.crossJoin(broadcast(fences("rec_days", 7L)))
-        .crossJoin(broadcast(fences("freq", 8L)))
-        .crossJoin(broadcast(fences("cents", 100000L)))
+      u.crossJoin(broadcast(fences))
         .select(col("user_id"),
           (lit(6L) - score("rec_days")).as("r_score"),
           score("freq").as("f_score"),

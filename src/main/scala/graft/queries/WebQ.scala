@@ -1034,9 +1034,8 @@ object WebQ {
     val spans = t(s, dir, "documents")
       .select(col("source"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 8)
-      .select(col("source"), explode(transform(
-        sequence(lit(1), size(col("tk")) - 7),
-        i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("ng"))
+      .select(col("source"), explode(graft.functions.ShinglesExpr
+        .shingles(col("tk"), 8)).as("ng")) // codegen'd + pre-deduped
       .distinct()
       // three consumers (join a-side, b-side, sizes): materialize the
       // corpus-wide explode+distinct once (checkpoint-multi-consumer rule)
