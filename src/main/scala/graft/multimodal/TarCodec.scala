@@ -43,11 +43,18 @@ object TarCodec {
       val b = s.getBytes("US-ASCII")
       System.arraycopy(b, 0, hdr, at, b.length)
     }
-    def octal(at: Int, width: Int, v: Long): Unit =
+    def octal(at: Int, width: Int, v: Long): Unit = {
       // width-1 zero-padded octal digits + a SPACE terminator (POSIX
       // allows space or NUL; space keeps this source NUL-free so git
-      // diff/blame treat it as text — r14 ADVICE)
-      put(at, ("%0" + (width - 1) + "o").format(v) + " ")
+      // diff/blame treat it as text — r14 ADVICE). Digits written
+      // directly: synth runs per member on the census hot path, and
+      // java.util.Formatter there was a measurable task-time slice.
+      var i = at + width - 2
+      var x = v
+      while (i >= at) { hdr(i) = ('0' + (x & 7)).toByte; x >>= 3; i -= 1 }
+      require(x == 0, s"octal field overflow: $v in width $width")
+      hdr(at + width - 1) = ' '
+    }
     put(0, name)
     octal(100, 8, 420) // mode 0644
     octal(108, 8, 0) // uid
@@ -62,7 +69,11 @@ object TarCodec {
     var sum = 0L
     var i = 0
     while (i < Block) { sum += hdr(i) & 0xff; i += 1 }
-    put(148, "%06o".format(sum) + "  ")
+    // 6 zero-padded octal digits + ' ' + ' ' — same bytes "%06o" wrote
+    var j = 153
+    var x = sum
+    while (j >= 148) { hdr(j) = ('0' + (x & 7)).toByte; x >>= 3; j -= 1 }
+    hdr(154) = ' '; hdr(155) = ' '
     out.write(hdr)
   }
 

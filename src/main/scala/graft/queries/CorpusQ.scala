@@ -225,8 +225,8 @@ object CorpusQ {
         // note described, now the registered one — see SCALING.md)
         .repartition(s.sparkContext.defaultParallelism, col("src"))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val edgesDeg = edges.join(deg, "src")
-        .select(col("src"), col("dst"), col("deg")).localCheckpoint()
+        .localCheckpoint()
+      val edgesDeg = edges.select(col("src"), col("dst")).localCheckpoint()
       // one driver-side scalar (node count) — the only collect in the op
       val n = deg.count()
       val damp = 0.85
@@ -234,16 +234,20 @@ object CorpusQ {
       var ranks = deg.select(col("src").as("node"))
         .withColumn("r", lit(1.0 / n))
       for (_ <- 1 to 3) {
-        // the checkpointed edge list carries HashPartitioning(src), so
-        // each round shuffles only the node-sized rank table to meet it
-        // (AQE still converts ranks to a runtime broadcast when it is
-        // genuinely small) — the edge list is never re-shuffled and the
-        // same loop body holds on a billion-node graph. Checkpoint per
-        // round so round k+1 doesn't replay round k's plan.
-        ranks = edgesDeg
-          .join(ranks, edgesDeg("src") === ranks("node"))
-          .select(col("dst"),
+        // each round: the per-node contribution (r/deg, cast to exact
+        // DECIMAL once) is computed on the NODE-sized table — the same
+        // double division every edge of that src used to repeat, so the
+        // values are bit-identical — and only then joined to the edge
+        // list; the shuffle_hash hint keeps the big join a hash probe
+        // (SortMergeJoin was re-sorting the full edge list every round;
+        // strategy changes values not at all). Checkpoint per round so
+        // round k+1 doesn't replay round k's plan.
+        val contrib = deg.join(ranks, deg("src") === ranks("node"))
+          .select(col("src"),
             (col("r") / col("deg")).cast(DecimalType(38, 18)).as("c"))
+        ranks = edgesDeg
+          .join(contrib.hint("shuffle_hash"), "src")
+          .select(col("dst"), col("c"))
           .groupBy("dst")
           .agg((lit(base) + lit(damp) * sum(col("c")).cast("double"))
             .as("r"))
