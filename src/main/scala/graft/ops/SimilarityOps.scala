@@ -560,9 +560,14 @@ object SimilarityOps {
           .select(col("vec_id"), col("q"), col("cid"))
       }
     }
+    // one cid-keyed exchange serves both aggregation levels (hash(cid)
+    // satisfies the (cid, pos) clustering, so the component means
+    // aggregate in place and the array re-assembly reuses the same
+    // partitioning)
     def update(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .repartition(col("cid"))
         .groupBy("cid", "pos")
         .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
         .groupBy("cid")

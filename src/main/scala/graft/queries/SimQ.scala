@@ -715,8 +715,11 @@ object SimQ {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn", "dist")
     }
+    // one cid-keyed exchange serves both aggregation levels (hash(cid)
+    // satisfies the (cid, pos) clustering)
     def coarseUpdate(a: DataFrame): DataFrame = a
       .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+      .repartition(col("cid"))
       .groupBy("cid", "pos")
       .agg(ldiv(sum(col("v")), count(lit(1))).as("cv"))
       .groupBy("cid")
