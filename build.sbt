@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode driver IS the executor: 32 concurrent tasks share this
+  // heap, and the allocation-heavy codec queries thrash young-gen at
+  // 8g (measured: full bench 162.2s/30.0s GC at 8g vs 150.5s/21.1s GC
+  // at 16g, bench/r15opt_mid_{8g,16g}.json). 16g is 12.5% of the
+  // 128 GiB box; override via SPARK_DRIVER_MEM as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

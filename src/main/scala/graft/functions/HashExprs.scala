@@ -384,6 +384,56 @@ object ShinglesExpr {
     toCol(ShinglesExpr(toExpr(toks), k, distinct = false))
 }
 
+/** All i<j element pairs of a BIGINT array as array<struct<p1, p2>> in
+  * one tight loop — the in-row basket pair explode (q128/q241), where
+  * the nested transform/slice/struct HOF chain evaluated interpreted
+  * per element. Pair order matches the HOF formulation exactly
+  * ((a(i), a(j)) for i < j, row-major). Bounded-small arrays by the
+  * callers' contract; n(n−1)/2 output rows either way. */
+case class ArrayPairsExpr(child: Expression)
+    extends UnaryExpression with EvalCallCodegen {
+  override protected def castEval(src: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $src"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p1", LongType, nullable = false),
+    StructField("p2", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_pairs needs ARRAY<BIGINT>, got ${other.sql}")
+    }
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = InternalRow(x, arr.getLong(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ArrayPairsExpr =
+    copy(child = c)
+}
+
+object ArrayPairsExpr {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{col => toCol, expr => toExpr}
+  def pairs(arr: Column): Column = toCol(ArrayPairsExpr(toExpr(arr)))
+}
+
 /** Winnowing document fingerprints (the rolling-hash scheme of MOSS):
   * hash every k-gram, slide a window of `w` consecutive hashes, keep each
   * window's minimum (rightmost on ties), dedupe. Guarantees any shared

@@ -961,9 +961,9 @@ object MetricsQ {
         .select(explode(col("parts")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("n_item"))
       val top = basket
-        .select(explode(flatten(transform(col("parts"), (x, i) =>
-          transform(slice(col("parts"), i + 2, size(col("parts"))),
-            y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+        // codegen'd one-pass pair expansion (see q128)
+        .select(explode(graft.functions.ArrayPairsExpr
+          .pairs(col("parts"))).as("pr"))
         .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("support"))
         .orderBy(desc("support"), asc("p1"), asc("p2"))

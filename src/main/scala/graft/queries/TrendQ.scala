@@ -342,9 +342,10 @@ object TrendQ {
         .groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       basket
-        .select(explode(flatten(transform(col("parts"), (x, i) =>
-          transform(slice(col("parts"), i + 2, size(col("parts"))),
-            y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+        // codegen'd one-pass pair expansion (the nested HOF chain
+        // evaluated interpreted per element; identical pair order)
+        .select(explode(graft.functions.ArrayPairsExpr
+          .pairs(col("parts"))).as("pr"))
         .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("support"))
         .orderBy(desc("support"), asc("p1"), asc("p2"))

@@ -299,4 +299,20 @@ class PropertySpec extends SparkSpec {
       Option(ze.getCause).exists(c =>
         Option(c.getMessage).mkString.contains("zero norm")))
   }
+
+  test("ArrayPairsExpr matches the HOF pair formulation") {
+    // the q128/q241 in-row pair explode was moved from the interpreted
+    // transform/slice/struct chain to the one-pass codegen expression;
+    // pin exact value AND order equality on generated baskets
+    val gen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-5L, 99L)))
+    val baskets = samples(gen, 120).map(_.toArray)
+    val df = baskets.toDF("parts")
+    val fast = df.select(
+      graft.functions.ArrayPairsExpr.pairs($"parts").as("p")).collect()
+    val slow = df.select(flatten(transform($"parts", (x, i) =>
+      transform(slice($"parts", i + 2, size($"parts")),
+        y => struct(x.as("p1"), y.as("p2"))))).as("p")).collect()
+    fast.zip(slow).foreach { case (f, s) => assert(f == s) }
+  }
 }
