@@ -38,6 +38,36 @@ object HtmlCodec {
     "img", "input", "link", "meta", "source", "track", "wbr")
   private val rawTags = Set("script", "style")
 
+  /** toLowerCase with an allocation-free fast path for strings that are
+    * already caseless ASCII — the overwhelmingly common tag/attr case,
+    * and parse runs per document row on the crawl-spine hot paths. Any
+    * A-Z or non-ASCII char falls back to the exact original behavior. */
+  private def lowerAscii(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z' || c >= 128) return s.toLowerCase
+      i += 1
+    }
+    s
+  }
+
+  /** Case-insensitive indexOf without lowercasing the whole haystack
+    * (the raw-tag close scan did `html.toLowerCase` PER script/style
+    * tag). `needle` is ASCII by construction ("</" + tag). */
+  private def indexOfIgnoreCase(hay: String, needle: String,
+      from: Int): Int = {
+    val n = needle.length
+    var i = math.max(from, 0)
+    val max = hay.length - n
+    while (i <= max) {
+      if (hay.regionMatches(true, i, needle, 0, n)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Parse an HTML document into a synthetic root element. */
   def parse(html: String): HElem = {
     // mutable frame stack: (tag, attrs, children-so-far)
@@ -70,8 +100,8 @@ object HtmlCodec {
           i = if (e < 0) n else e + 1
         } else if (html.startsWith("</", lt)) {
           val e = html.indexOf('>', lt)
-          val tag = html.substring(lt + 2, if (e < 0) n else e)
-            .trim.toLowerCase
+          val tag = lowerAscii(html.substring(lt + 2, if (e < 0) n else e)
+            .trim)
           closeTo(tag)
           i = if (e < 0) n else e + 1
         } else {
@@ -80,7 +110,7 @@ object HtmlCodec {
           else if (rawTags(tag) && !selfClose) {
             // raw text element: consume to the matching close tag and
             // DISCARD the body — markup inside JS/CSS must never match
-            val close = html.toLowerCase.indexOf(s"</$tag", after)
+            val close = indexOfIgnoreCase(html, s"</$tag", after)
             stack.top._3 += HElem(tag, attrs, Vector.empty)
             i = if (close < 0) n
                 else html.indexOf('>', close) match {
@@ -114,7 +144,7 @@ object HtmlCodec {
     val t0 = i
     while (i < n && (html(i).isLetterOrDigit || html(i) == '-')) i += 1
     if (i == t0) return ("", Map.empty, false, i)
-    val tag = html.substring(t0, i).toLowerCase
+    val tag = lowerAscii(html.substring(t0, i))
     val attrs = Map.newBuilder[String, String]
     var selfClose = false
     var done = false
@@ -127,7 +157,7 @@ object HtmlCodec {
         val a0 = i
         while (i < n && !html(i).isWhitespace && html(i) != '=' &&
           html(i) != '>' && html(i) != '/') i += 1
-        val name = html.substring(a0, i).toLowerCase
+        val name = lowerAscii(html.substring(a0, i))
         while (i < n && html(i).isWhitespace) i += 1
         if (i < n && html(i) == '=') {
           i += 1
@@ -270,23 +300,29 @@ object HtmlCodec {
     val (sels, _) = splitPseudo(selector)
     val chain = parseSelector(sels)
     val hits = Seq.newBuilder[Hit]
-    def walk(e: HElem, anc: List[HElem]): Unit = {
-      if (chainMatches(chain, anc, e)) hits += Hit(anc, e)
-      e.children.foreach { case c: HElem => walk(c, anc :+ e); case _ => }
+    // ancestor chain as a push/pop buffer — the `anc :+ e` form copied
+    // the list per visited node; the List materializes only on a hit
+    val anc = collection.mutable.ArrayBuffer.empty[HElem]
+    def walk(e: HElem): Unit = {
+      if (chainMatches(chain, anc, e)) hits += Hit(anc.toList, e)
+      anc += e
+      e.children.foreach { case c: HElem => walk(c); case _ => }
+      anc.remove(anc.length - 1)
     }
-    walk(root, Nil)
+    walk(root)
     hits.result()
   }
 
   /** e matches last simple; earlier simples embed into the ancestor
     * list (child combinator = immediate parent). Ancestors BELOW the
     * subtree root still count for combinators, matching Scrapy. */
-  private def chainMatches(chain: Seq[Simple], anc: List[HElem],
-      e: HElem): Boolean = {
+  private def chainMatches(chain: Seq[Simple],
+      anc: scala.collection.Seq[HElem], e: HElem): Boolean = {
     if (!chain.last.matches(e)) return false
+    if (chain.length == 1) return true // fit(Nil, …) is uniformly true
     // right-to-left over remaining simples and available ancestors
-    def fit(rest: List[Simple], pool: List[HElem], mustBeLast: Boolean)
-        : Boolean = rest match {
+    def fit(rest: List[Simple], pool: scala.collection.Seq[HElem],
+        mustBeLast: Boolean): Boolean = rest match {
       case Nil => true
       case s :: tail =>
         if (mustBeLast)
@@ -344,11 +380,15 @@ object HtmlCodec {
     // ancestor chain so combinators can reach above it (Scrapy allows it)
     val chain = parseSelector(sels)
     val hits = Seq.newBuilder[Hit]
-    def walk(e: HElem, anc: List[HElem]): Unit = {
-      if (chainMatches(chain, anc, e)) hits += Hit(anc, e)
-      e.children.foreach { case c: HElem => walk(c, anc :+ e); case _ => }
+    val anc = collection.mutable.ArrayBuffer.empty[HElem]
+    anc ++= scope.ancestors
+    def walk(e: HElem): Unit = {
+      if (chainMatches(chain, anc, e)) hits += Hit(anc.toList, e)
+      anc += e
+      e.children.foreach { case c: HElem => walk(c); case _ => }
+      anc.remove(anc.length - 1)
     }
-    walk(scope.el, scope.ancestors)
+    walk(scope.el)
     hits.result()
   }
 

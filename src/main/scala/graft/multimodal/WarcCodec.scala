@@ -21,8 +21,14 @@ object WarcCodec {
   /** WARC-Payload-Digest in the form Common Crawl ships:
     * `sha1:` + RFC 4648 base32 (unpadded) of the SHA-1 over the HTTP
     * entity body. */
+  private val Sha1 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("SHA-1"))
+
   def payloadDigest(body: Array[Byte]): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-1").digest(body)
+    // pooled per thread (getInstance is a provider lookup + allocation,
+    // and the revisit spine digests every page body); digest() resets
+    val d = Sha1.get().digest(body)
     val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
     val sb = new StringBuilder("sha1:")
     var buf = 0L; var nbits = 0
