@@ -281,6 +281,57 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Edge-count bound under which a component search finishes LOCALLY
+    * with one union-find pass instead of more distributed rounds — the
+    * standard two-phase shape of CC at scale (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", §6 "finishing the
+    * computation locally once the data fits in memory"; GraphFrames
+    * ships the same switch). 65 536 canonical edges ≈ 1 MB collected —
+    * inside the repo's bounded-collect discipline — and the gate is
+    * re-checked per contraction round, so a 100 TB run still does its
+    * heavy shrinking distributed and only the residual ever lands on
+    * the driver. Env-tunable like the other scale knobs. */
+  private val LocalFinishEdges =
+    sys.env.getOrElse("SPARK_GRAFT_CC_LOCAL_EDGES", "65536").toLong
+
+  /** One union-find pass over a collected edge set: (node, cluster =
+    * component minimum) for every endpoint — exactly the distributed
+    * loops' output contract, order-independent and deterministic. */
+  private def localComponents(pairs: Array[(Long, Long)],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x0
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // root → component minimum (roots are minima already under the
+    // min-link union above, but derive it explicitly for clarity)
+    val minOf = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val it0 = parent.keySet().iterator()
+    while (it0.hasNext) {
+      val n = it0.next().longValue()
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur == null || n < cur) minOf.put(r, n)
+    }
+    val out = Seq.newBuilder[(Long, Long)]
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val n = it.next().longValue()
+      out += ((n, minOf.get(find(n)).longValue()))
+    }
+    import spark.implicits._
+    out.result().toDF("node", "cluster")
+  }
+
   /** Connected components over an undirected edge list (a_id, b_id) by
     * iterative min-label propagation: every node repeatedly adopts the
     * smallest label among itself and its neighbors until a fixpoint. Each
@@ -288,10 +339,13 @@ object DedupOps {
     * only checks a change count, so the loop runs diameter-many rounds —
     * small for near-dup clusters, which are dense by construction. (For
     * graphs with long chains the large-star/small-star variant halves the
-    * round count; not needed here.) Returns (node, cluster) with cluster
-    * = the component's minimum node id — a deterministic representative,
-    * which is what makes the op oracle-checkable. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * round count; not needed here.) A bounded edge set short-circuits to
+    * the local union-find finish (see [[LocalFinishEdges]]). Returns
+    * (node, cluster) with cluster = the component's minimum node id — a
+    * deterministic representative, which is what makes the op
+    * oracle-checkable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     // localCheckpoint (not persist): iterative plans nest their inputs, so
     // without lineage truncation the plan tree grows exponentially with
     // rounds (planning itself OOMs long before the data does).
@@ -307,6 +361,12 @@ object DedupOps {
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint()
+    // bounded edge set: one local union-find pass replaces
+    // diameter-many distributed rounds (the count rides on the
+    // checkpoint just materialized)
+    if (sym.count() <= 2 * localFinishEdges)
+      return localComponents(sym.collect()
+        .map(r => (r.getLong(0), r.getLong(1))), edges.sparkSession)
     // sym is symmetric, so its dst side already carries every node —
     // and it is dst-partitioned, so this distinct needs no exchange
     var labels = sym.select(col("dst").as("node")).distinct()
@@ -347,8 +407,8 @@ object DedupOps {
     *   converges to stars rooted at each component's minimum id.
     *
     * Same output contract as [[connectedComponents]]: (node, cluster). */
-  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30)
-      : DataFrame = {
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30,
+      localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     // every canon() repartitions by u before the pair-distinct:
     // HashPartitioning(u) satisfies the distinct's (u, v) clustering,
     // so the distinct aggregates in place, and every downstream
@@ -366,6 +426,15 @@ object DedupOps {
     var e = canon(edges.select(col("a_id").as("u"), col("b_id").as("v")))
       .localCheckpoint() // truncate lineage per round — see above
     var eCount = e.count()
+    // the star rounds preserve the endpoint set (every non-root node
+    // keeps its (u, min) edge, roots stay on the v side), so a bounded
+    // residual can finish locally at ANY round with the same (node,
+    // cluster-min) output — Kiveris et al. §6; the heavy shrinking
+    // stays distributed at scale
+    def localGate(): Boolean = eCount <= localFinishEdges
+    if (localGate())
+      return localComponents(e.collect()
+        .map(r => (r.getLong(0), r.getLong(1))), edges.sparkSession)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -393,6 +462,9 @@ object DedupOps {
       eCount = newCount
       converged = changed == 0
       iter += 1
+      if (!converged && localGate())
+        return localComponents(e.collect()
+          .map(r => (r.getLong(0), r.getLong(1))), edges.sparkSession)
     }
     if (!converged)
       throw new IllegalStateException(

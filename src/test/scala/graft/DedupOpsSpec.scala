@@ -149,14 +149,43 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("connectedComponents throws on non-convergence instead of lying") {
+    // localFinishEdges = 0 forces the distributed rounds (a 25-edge
+    // graph would otherwise take the bounded local-union-find finish)
     val chain = (0L until 25L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     intercept[IllegalStateException] {
-      DedupOps.connectedComponents(chain, maxIter = 5).collect()
+      DedupOps.connectedComponents(chain, maxIter = 5,
+        localFinishEdges = 0L).collect()
     }
     // the star variant handles the same chain within its round budget
-    val ok = DedupOps.connectedComponentsStar(chain, maxIter = 10)
+    val ok = DedupOps.connectedComponentsStar(chain, maxIter = 10,
+      localFinishEdges = 0L)
       .as[(Long, Long)].collect()
     assert(ok.length == 26 && ok.forall(_._2 == 0L))
+  }
+
+  test("local union-find finish matches the distributed rounds exactly") {
+    // mixed shapes: two chains, a clique, a star, cross-links — the
+    // label set (node -> component min) must be identical whether the
+    // gate fires at entry (default) or never (localFinishEdges = 0)
+    val rnd = new scala.util.Random(7)
+    val edges = (
+      (0L until 40L).map(i => (i, i + 1)) ++ // chain 0..40
+      (100L to 110L).flatMap(a => (a + 1 to 110L).map(b => (a, b))) ++
+      (200L to 230L).map(b => (231L, b)) ++ // star rooted above its leaves
+      Seq((40L, 100L)) ++ // chain–clique bridge
+      (0 until 50).map(_ => (300L + rnd.nextInt(30), 300L + rnd.nextInt(30)))
+    ).filter(p => p._1 != p._2).toDF("a_id", "b_id")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().sortBy(identity).toSeq
+    val viaLocal = sorted(DedupOps.connectedComponentsStar(edges))
+    val viaDist = sorted(DedupOps.connectedComponentsStar(edges,
+      localFinishEdges = 0L))
+    assert(viaLocal == viaDist)
+    val viaLocalML = sorted(DedupOps.connectedComponents(edges))
+    val viaDistML = sorted(DedupOps.connectedComponents(edges,
+      maxIter = 60, localFinishEdges = 0L)) // 41-chain > default budget
+    assert(viaLocalML == viaDistML)
+    assert(viaLocal == viaLocalML)
   }
 
   test("winnowing: shared long substring guarantees a shared fingerprint") {
