@@ -678,7 +678,14 @@ object CurateQ {
     "q156_split_leakage" -> ((s, dir) => {
       val h = substring(md5(col("doc_id").cast("string").cast("binary")),
         1, 4)
-      val spans = t(s, dir, "documents")
+      // ensureParallel: the 8-gram shingle assembly below is the
+      // query's CPU-heavy stage, and a bench-SF single-file scan
+      // serializes it into one task (measured 3.2 s of a 4 s wall on
+      // one core; at scale the splits already parallelize — guide §2.5
+      // input-skew fix)
+      val spans = graft.ops.Partitioning.ensureParallel(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .withColumn("split",
           when(h < "cccc", "train").when(h < "e666", "val")
             .otherwise("test"))

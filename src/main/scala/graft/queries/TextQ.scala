@@ -195,7 +195,11 @@ object TextQ {
     // index join — finds the corpus's planted near-duplicates exactly; the
     // LSH variants below are the sub-quadratic at-scale path.
     "q16_jaccard_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // parallelize BEFORE the shingle projection: computed on the scan
+      // side of the repartition it runs in the single bench-SF scan task
+      // (measured 0.7 s on one core); after it, on every core
+      val d = graft.ops.Partitioning.ensureParallel(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), graft.functions.ShinglesExpr
           .shingles(TextOps.tokens(col("text")), 3).as("shs"))
       DedupOps.jaccardPairs(d, "doc_id", "shs", 0.5)
@@ -208,7 +212,9 @@ object TextQ {
     // independent algorithms against one oracle (q16's SQL), the same
     // pattern as q56/q72.
     "q75_jaccard_prefix" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // parallelize before the shingle projection (see q16)
+      val d = graft.ops.Partitioning.ensureParallel(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), graft.functions.ShinglesExpr
           .shingles(TextOps.tokens(col("text")), 3).as("shs"))
       DedupOps.jaccardPairsPrefix(d, "doc_id", "shs", 0.5)

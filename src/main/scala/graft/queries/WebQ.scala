@@ -561,66 +561,102 @@ object WebQ {
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")))
         .as[(Long, String)]
-        .map { case (id, text) =>
+        .mapPartitions { rows =>
           import graft.ingest.{HtmlCodec, Robots}
-          val src = text.getBytes("ISO-8859-1")
-          val host = s"https://site$id.example"
           val paths = Array("/", "/public/page", "/private",
             "/private/pub", "/privateer", "/tmp/x", "/pub",
             "/private/pub/deep")
-          val robotsTxt =
-            "User-Agent: graftbot\r\n" +
-            "Disallow: /private*\r\n" +
-            (if (id % 2 == 0) "Allow: /private/pub$\r\n" else "") +
-            "\r\nUser-agent: *\r\nDisallow: /\r\n"
-          val groups = Robots.parse(robotsTxt)
-          var nAdmitted = 0L; var nNoindex = 0L; var nNofollow = 0L
-          var nIndexed = 0L; var canonChk = 0L
-          val canonSeen = scala.collection.mutable.Set.empty[Int]
-          src.toSeq.zipWithIndex.foreach { case (b, k) =>
-            val v = b & 0xff
-            val directive =
-              if (v % 11 == 0) "noindex, follow"
-              else if (v % 11 == 1) "index, nofollow"
-              else "index, follow"
-            val canonClass = (v / 8) % 8
-            val html =
-              s"""<html><head><title>P $id-$k</title>
-                 |<META Name="ROBOTS" Content="$directive">
-                 |<link rel="canonical" href="$host${paths(canonClass)}">
-                 |</head><body><p>page $k</p></body></html>""".stripMargin
-            // ---- the indexer proper: fixtures end above ----
-            val root = HtmlCodec.parse(html)
-            val tokens = HtmlCodec.select(root, "meta")
-              .filter(_.el.attrs.get("name")
-                .exists(_.equalsIgnoreCase("robots")))
-              .flatMap(_.el.attrs.get("content"))
-              .flatMap(_.toLowerCase.split(",").map(_.trim))
-              .toSet
-            val canon = HtmlCodec.select(root, "link")
-              .filter(_.el.attrs.get("rel")
-                .exists(_.equalsIgnoreCase("canonical")))
-              .flatMap(_.el.attrs.get("href"))
-              .headOption.getOrElse(
-                throw new IllegalArgumentException(s"no canonical $id-$k"))
-            val path = paths(v % 8)
-            if (Robots.allowed(groups, "graftbot", path)) {
-              nAdmitted += 1
-              if (tokens("noindex")) nNoindex += 1
-              if (tokens("nofollow")) nNofollow += 1
-              if (!tokens("noindex")) {
-                nIndexed += 1
-                val cPath = canon.substring(
-                  canon.indexOf('/', "https://".length))
-                val c = paths.indexOf(cPath)
-                require(c >= 0, s"unknown canonical $canon")
-                canonSeen += c
-                canonChk += (k + 1).toLong * c
-              }
+          // The indexer's verdict on one page is a pure function of its
+          // byte value v: the meta directive is v%11, the canonical class
+          // (v/8)%8, and the title/host — the only parts of the page that
+          // vary with (id, k) — are never consumed. Memoize the PARSED
+          // verdict per byte value (the real HtmlCodec walk still runs,
+          // once per distinct value per task, on a genuinely built page),
+          // instead of re-parsing ~300 identical-modulo-title pages per
+          // document. (noindex, nofollow, canonClass) per v.
+          val metaMemo = new Array[(Boolean, Boolean, Int)](256)
+          def metaOf(v: Int, id: Long, k: Int): (Boolean, Boolean, Int) = {
+            val hit = metaMemo(v)
+            if (hit != null) hit else {
+              val host = s"https://site$id.example"
+              val directive =
+                if (v % 11 == 0) "noindex, follow"
+                else if (v % 11 == 1) "index, nofollow"
+                else "index, follow"
+              val canonClass = (v / 8) % 8
+              val html =
+                s"""<html><head><title>P $id-$k</title>
+                   |<META Name="ROBOTS" Content="$directive">
+                   |<link rel="canonical" href="$host${paths(canonClass)}">
+                   |</head><body><p>page $k</p></body></html>""".stripMargin
+              // ---- the indexer proper: fixtures end above ----
+              val root = HtmlCodec.parse(html)
+              val tokens = HtmlCodec.select(root, "meta")
+                .filter(_.el.attrs.get("name")
+                  .exists(_.equalsIgnoreCase("robots")))
+                .flatMap(_.el.attrs.get("content"))
+                .flatMap(_.toLowerCase.split(",").map(_.trim))
+                .toSet
+              val canon = HtmlCodec.select(root, "link")
+                .filter(_.el.attrs.get("rel")
+                  .exists(_.equalsIgnoreCase("canonical")))
+                .flatMap(_.el.attrs.get("href"))
+                .headOption.getOrElse(
+                  throw new IllegalArgumentException(s"no canonical $id-$k"))
+              val cPath = canon.substring(
+                canon.indexOf('/', "https://".length))
+              val c = paths.indexOf(cPath)
+              require(c >= 0, s"unknown canonical $canon")
+              val r = (tokens("noindex"), tokens("nofollow"), c)
+              metaMemo(v) = r
+              r
             }
           }
-          (id, src.length.toLong, nAdmitted, nNoindex, nNofollow,
-            nIndexed, canonSeen.size.toLong, canonChk)
+          // robots admission depends on (id parity, v%8) only: the RFC
+          // matcher runs once per (parity, path) instead of per byte
+          val admitMemo = new Array[Array[Boolean]](2)
+          def admitOf(id: Long): Array[Boolean] = {
+            val p = (id % 2).toInt
+            val hit = admitMemo(p)
+            if (hit != null) hit else {
+              val robotsTxt =
+                "User-Agent: graftbot\r\n" +
+                "Disallow: /private*\r\n" +
+                (if (id % 2 == 0) "Allow: /private/pub$\r\n" else "") +
+                "\r\nUser-agent: *\r\nDisallow: /\r\n"
+              val groups = Robots.parse(robotsTxt)
+              val r = Array.tabulate(8)(i =>
+                Robots.allowed(groups, "graftbot", paths(i)))
+              admitMemo(p) = r
+              r
+            }
+          }
+          rows.map { case (id, text) =>
+            val src = text.getBytes("ISO-8859-1")
+            val admitted = admitOf(id)
+            var nAdmitted = 0L; var nNoindex = 0L; var nNofollow = 0L
+            var nIndexed = 0L; var canonChk = 0L
+            var canonBits = 0
+            var k = 0
+            while (k < src.length) {
+              val v = src(k) & 0xff
+              val (noindex, nofollow, c) = metaOf(v, id, k)
+              if (admitted(v % 8)) {
+                nAdmitted += 1
+                if (noindex) nNoindex += 1
+                if (nofollow) nNofollow += 1
+                if (!noindex) {
+                  nIndexed += 1
+                  canonBits |= 1 << c
+                  canonChk += (k + 1).toLong * c
+                }
+              }
+              k += 1
+            }
+            (id, src.length.toLong, nAdmitted, nNoindex, nNofollow,
+              nIndexed, java.lang.Integer.bitCount(canonBits).toLong,
+              canonChk)
+          }
         }
         .toDF("doc_id", "n_pages", "n_admitted", "n_noindexed",
           "n_nofollow", "n_indexed", "n_canonical_targets", "canon_chk")
