@@ -214,44 +214,53 @@ object CorpusQ {
       // cached edge block instead of re-deriving the lineitem⋈orders
       // join per round (the same lineage-cut discipline as
       // DedupOps.connectedComponents)
+      // NO repartition before the checkpoint: localCheckpoint reports
+      // UnknownPartitioning, so a pre-checkpoint src exchange is pure
+      // build cost the rounds can't reuse (r15 measured the re-exchange;
+      // this round removes the dead one — two 1.17M-record shuffles per
+      // execution). The union is narrow over the checkpointed e0.
       val edges = e0.union(e0.select(col("dst").as("src"),
         col("src").as("dst")))
-        // co-partition the edge list on src ONCE — the deg join and all
-        // three rank iterations then reuse this partitioning, so only
-        // node-sized frames ever shuffle and the registered form is the
-        // one that holds on a billion-node graph (r9: the former
-        // broadcast(deg)/broadcast(ranks) hints were the node-sized
-        // declared boundary; this is the scale-out form the old in-code
-        // note described, now the registered one — see SCALING.md)
-        .repartition(s.sparkContext.defaultParallelism, col("src"))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .localCheckpoint()
-      val edgesDeg = edges.select(col("src"), col("dst")).localCheckpoint()
+      // dst-side degree attached ONCE at build: each round's output can
+      // then carry the node's degree through the aggregation, so the
+      // per-round contribution becomes a pure PROJECTION of the rank
+      // table instead of a deg⋈ranks join — minus one join and two
+      // node-sized exchanges per round (guide §2.4); the 8 extra bytes
+      // per edge row are ~9 MB per round here and SF-linear at scale.
+      val edgesDeg = edges
+        .join(deg.select(col("src").as("dst"), col("deg").as("dst_deg")),
+          "dst")
+        .select(col("src"), col("dst"), col("dst_deg"))
+        .localCheckpoint()
       // one driver-side scalar (node count) — the only collect in the op
       val n = deg.count()
       val damp = 0.85
       val base = 0.15 / n
-      var ranks = deg.select(col("src").as("node"))
+      var ranks = deg.select(col("src").as("node"), col("deg"))
         .withColumn("r", lit(1.0 / n))
       for (_ <- 1 to 3) {
         // each round: the per-node contribution (r/deg, cast to exact
-        // DECIMAL once) is computed on the NODE-sized table — the same
-        // double division every edge of that src used to repeat, so the
-        // values are bit-identical — and only then joined to the edge
-        // list; the shuffle_hash hint keeps the big join a hash probe
-        // (SortMergeJoin was re-sorting the full edge list every round;
-        // strategy changes values not at all). Checkpoint per round so
-        // round k+1 doesn't replay round k's plan.
-        val contrib = deg.join(ranks, deg("src") === ranks("node"))
-          .select(col("src"),
-            (col("r") / col("deg")).cast(DecimalType(38, 18)).as("c"))
+        // DECIMAL once) is computed on the NODE-sized rank table — the
+        // same double division every edge of that src used to repeat,
+        // so the values are bit-identical — and only then joined to the
+        // edge list; the shuffle_hash hint keeps the big join a hash
+        // probe (SortMergeJoin was re-sorting the full edge list every
+        // round; strategy changes values not at all). Checkpoint per
+        // round so round k+1 doesn't replay round k's plan. first()
+        // of dst_deg is deterministic: the degree is functionally
+        // determined by the dst key.
+        val contrib = ranks.select(col("node").as("src"),
+          (col("r") / col("deg")).cast(DecimalType(38, 18)).as("c"))
         ranks = edgesDeg
           .join(contrib.hint("shuffle_hash"), "src")
-          .select(col("dst"), col("c"))
+          .select(col("dst"), col("dst_deg"), col("c"))
           .groupBy("dst")
-          .agg((lit(base) + lit(damp) * sum(col("c")).cast("double"))
-            .as("r"))
-          .select(col("dst").as("node"), col("r"))
+          .agg(first(col("dst_deg")).as("deg"),
+            (lit(base) + lit(damp) * sum(col("c")).cast("double"))
+              .as("r"))
+          .select(col("dst").as("node"), col("deg"), col("r"))
           .localCheckpoint()
       }
       ranks
