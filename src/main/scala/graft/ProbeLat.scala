@@ -23,10 +23,39 @@ object ProbeLat {
       println(f"$label%-40s ${runs.map(r => f"$r%7.1f").mkString(" ")} ms")
     }
 
+    // decompose one job: submit→stage→task latencies
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        def now: Long = System.currentTimeMillis()
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          events.add(s"$now jobStart ${e.jobId}")
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          events.add(s"$now jobEnd ${e.jobId}")
+        override def onStageSubmitted(
+            e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          events.add(s"$now stageSubmit ${e.stageInfo.stageId} " +
+            s"${e.stageInfo.numTasks}t")
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          events.add(s"$now stageDone ${e.stageInfo.stageId} " +
+            s"sub=${e.stageInfo.submissionTime.getOrElse(-1L)} " +
+            s"done=${e.stageInfo.completionTime.getOrElse(-1L)}")
+      })
+
     val df = spark.range(100000).select(col("id"),
       (col("id") % 97).as("k"), (col("id") % 13).as("v"))
 
     time("noop count")(df.count())
+    // one instrumented agg run after warm-up
+    events.clear()
+    val t0 = System.currentTimeMillis()
+    df.groupBy("k").count().count()
+    val t1 = System.currentTimeMillis()
+    println(s"--- instrumented agg: wall ${t1 - t0} ms, t0=$t0 t1=$t1")
+    events.forEach(e => println(s"  $e"))
     time("1 exchange: groupBy(k).count")(
       df.groupBy("k").count().count())
     time("2 chained: groupBy(k),groupBy(v%)")(

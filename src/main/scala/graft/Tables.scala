@@ -18,7 +18,25 @@ object Tables {
     * session-tz TIMESTAMP with the session pinned to UTC, so cast NTZ
     * columns to TIMESTAMP: wall-clock is preserved and DuckDB sees the
     * same naive values either way. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent((spark, dir, name),
+      _ => tUncached(spark, dir, name))
+
+  // Memoized SOURCE RESOLUTION per (session, dir, table): every
+  // spark.read.parquet call lists the directory and re-reads the footer
+  // schema on the driver — ~1 400 resolutions per bench run (317 queries
+  // × 3 runs × tables), all inside the timed region. The cached value is
+  // the resolved LAZY plan (metadata only — a catalog analogue); every
+  // action still computes from the parquet bytes, so this is not result
+  // caching. The testdata dirs are immutable per session; a new session
+  // (tests, Verify vs Bench) resolves fresh via the session key, and
+  // Bench's warm-up→timed reset clears the map with the other caches.
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+  SessionCaches.register(() => tableCache.clear())
+
+  private def tUncached(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val ntzFixed = df.schema.fields.foldLeft(df) { (d, f) =>
