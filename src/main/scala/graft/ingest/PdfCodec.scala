@@ -464,7 +464,8 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val data = graft.multimodal.Zlib.deflate(content)
+    val data = graft.multimodal.Zlib.deflate(content,
+      level = java.util.zip.Deflater.BEST_SPEED)
     val out = new ByteArrayOutputStream()
     out.write(base)
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -496,7 +497,8 @@ object PdfCodec {
       case c => c.toString
     }
     def deflated(b: Array[Byte]): Array[Byte] =
-      graft.multimodal.Zlib.deflate(b)
+      graft.multimodal.Zlib.deflate(b,
+        level = java.util.zip.Deflater.BEST_SPEED)
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
@@ -569,7 +571,8 @@ object PdfCodec {
       case c => c.toString
     }
     def deflated(b: Array[Byte]): Array[Byte] =
-      graft.multimodal.Zlib.deflate(b)
+      graft.multimodal.Zlib.deflate(b,
+        level = java.util.zip.Deflater.BEST_SPEED)
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
@@ -726,7 +729,8 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val cData = graft.multimodal.Zlib.deflate(content)
+    val cData = graft.multimodal.Zlib.deflate(content,
+      level = java.util.zip.Deflater.BEST_SPEED)
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val offsets = Array.newBuilder[Int]
@@ -1706,7 +1710,8 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val plain = graft.multimodal.Zlib.deflate(content)
+    val plain = graft.multimodal.Zlib.deflate(content,
+      level = java.util.zip.Deflater.BEST_SPEED)
     val p = -44 // typical permissions word (print/modify denied)
     val id0 = PdfCrypt.md5(("graft-pdf-" + mode).getBytes("ISO-8859-1"),
       content).take(16)
@@ -1813,7 +1818,8 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val cData = graft.multimodal.Zlib.deflate(content)
+    val cData = graft.multimodal.Zlib.deflate(content,
+      level = java.util.zip.Deflater.BEST_SPEED)
     // fake JPEG: SOI marker, traps for a naive text scanner, EOI marker
     val img = (Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
         0xE0.toByte) ++
@@ -1867,7 +1873,8 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
-    val cData = graft.multimodal.Zlib.deflate(content)
+    val cData = graft.multimodal.Zlib.deflate(content,
+      level = java.util.zip.Deflater.BEST_SPEED)
     val img = graft.multimodal.JpegCodec.encodeGray(imgW, imgH, imgPix)
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -1921,7 +1928,8 @@ object PdfCodec {
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
     val data = if (!compress) content
-      else graft.multimodal.Zlib.deflate(content)
+      else graft.multimodal.Zlib.deflate(content,
+      level = java.util.zip.Deflater.BEST_SPEED)
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val offs = new Array[Int](6) // ids 0..5; 0 unused
@@ -1970,7 +1978,8 @@ object PdfCodec {
       case c => c.toString
     }
     def deflated(b: Array[Byte]): Array[Byte] =
-      graft.multimodal.Zlib.deflate(b)
+      graft.multimodal.Zlib.deflate(b,
+        level = java.util.zip.Deflater.BEST_SPEED)
     val content = ("BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
@@ -2014,7 +2023,8 @@ object PdfCodec {
       lines.map(l => s"(${esc(l)}) Tj 0 -14 Td ").mkString + "ET")
       .getBytes("ISO-8859-1")
     def deflated(b: Array[Byte]): Array[Byte] =
-      graft.multimodal.Zlib.deflate(b)
+      graft.multimodal.Zlib.deflate(b,
+        level = java.util.zip.Deflater.BEST_SPEED)
     // predictor fixtures tile the content into predCols-byte rows;
     // trailing space padding lands AFTER the final ET so the decoded
     // text is unchanged (showOps only emits on Tj)

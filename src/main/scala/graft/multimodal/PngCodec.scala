@@ -287,7 +287,8 @@ object PngCodec {
         }
         out
       }
-    val z = Zlib.deflate(raw) // zlib-wrapped, default level
+    val z = Zlib.deflate(raw, // zlib-wrapped; synthesis-side level
+      level = java.util.zip.Deflater.BEST_SPEED)
 
     val out = new ByteArrayOutputStream()
     out.write(Signature)

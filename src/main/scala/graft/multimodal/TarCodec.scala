@@ -86,7 +86,10 @@ object TarCodec {
 
   private def gzipMaybe(raw: Array[Byte], gzipped: Boolean)
       : Array[Byte] =
-    if (!gzipped) raw else Zlib.gzip(raw)
+    if (!gzipped) raw
+    // synthesis-side: the census reads the decoded bytes, which are
+    // identical at any deflate level — compress at BEST_SPEED
+    else Zlib.gzip(raw, java.util.zip.Deflater.BEST_SPEED)
 
   /** A pax Interchange Format extended-header payload: one
     * "%d key=value\n" record per pair, where %d is the decimal length

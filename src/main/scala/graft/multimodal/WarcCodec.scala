@@ -73,7 +73,9 @@ object WarcCodec {
       out.write("\r\n\r\n".getBytes("ISO-8859-1"))
     }
     val raw = out.toByteArray
-    if (!gzipped) raw else Zlib.gzip(raw)
+    if (!gzipped) raw
+    // synthesis-side: parse recovers identical record bytes at any level
+    else Zlib.gzip(raw, java.util.zip.Deflater.BEST_SPEED)
   }
 
   /** An HTTP response payload: status line + headers + CRLF CRLF +
@@ -145,8 +147,11 @@ object WarcCodec {
       body: Array[Byte], coding: String, chunkSize: Int = 0)
       : Array[Byte] = {
     val coded = coding match {
-      case "gzip" => Zlib.gzip(body)
-      case "deflate" => Zlib.deflate(body) // zlib-wrapped (RFC 1950)
+      // synthesis-side: decoded bodies are level-independent
+      case "gzip" =>
+        Zlib.gzip(body, java.util.zip.Deflater.BEST_SPEED)
+      case "deflate" => Zlib.deflate(body, // zlib-wrapped (RFC 1950)
+        level = java.util.zip.Deflater.BEST_SPEED)
       case other => throw new IllegalArgumentException(
         s"synth supports gzip/deflate, not '$other'")
     }

@@ -65,11 +65,18 @@ object Zlib {
   def withInflater[R](nowrap: Boolean)(f: Inflater => R): R =
     (if (nowrap) inflRaw else inflZlib).withOne(f)
 
-  /** One-shot deflate at the default level. `nowrap=false` = zlib-
-    * wrapped (RFC 1950) — byte-identical to `new Deflater()` drained
-    * the same way. */
-  def deflate(data: Array[Byte], nowrap: Boolean = false): Array[Byte] =
+  /** One-shot deflate. `nowrap=false` = zlib-wrapped (RFC 1950) —
+    * byte-identical to `new Deflater()` drained the same way at the
+    * default level. `level` may be lowered by SYNTHESIS-side callers
+    * (fixture archives whose downstream census never observes the
+    * compressed bytes — the decoded content is identical at any
+    * level); PARSE-side behaviour never depends on it. The pooled
+    * deflater keeps its last level across reset(), so it is set
+    * explicitly on every use. */
+  def deflate(data: Array[Byte], nowrap: Boolean = false,
+      level: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] =
     withDeflater(nowrap) { d =>
+      d.setLevel(level)
       d.setInput(data); d.finish()
       val out = new java.io.ByteArrayOutputStream(
         math.max(64, data.length / 2))
@@ -103,8 +110,9 @@ object Zlib {
   /** RFC 1952 gzip — byte-identical to GZIPOutputStream at the default
     * level (header 1f 8b 08 00 00000000 00 00, raw deflate, CRC32 +
     * ISIZE little-endian). */
-  def gzip(data: Array[Byte]): Array[Byte] = {
-    val body = deflate(data, nowrap = true)
+  def gzip(data: Array[Byte],
+      level: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] = {
+    val body = deflate(data, nowrap = true, level = level)
     val out = new Array[Byte](10 + body.length + 8)
     out(0) = 0x1f.toByte; out(1) = 0x8b.toByte; out(2) = 8
     // FLG, MTIME(4), XFL, OS all zero — what the JDK writes

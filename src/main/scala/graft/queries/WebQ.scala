@@ -397,7 +397,8 @@ object WebQ {
                   s"<priority>0.${v % 10}</priority></url>"
               }.mkString + "</urlset>"
           def gz(sxml: String): Array[Byte] =
-            graft.multimodal.Zlib.gzip(sxml.getBytes("UTF-8"))
+            graft.multimodal.Zlib.gzip(sxml.getBytes("UTF-8"),
+              java.util.zip.Deflater.BEST_SPEED)
           val children = (0 until m).map { p =>
             s"$host/sitemaps/part$p.xml.gz" -> gz(urlset(p))
           }.toMap
@@ -485,7 +486,8 @@ object WebQ {
                   s"<priority>0.${v % 10}</priority></url>"
               }.mkString + "</urlset>"
           def gz(sxml: String): Array[Byte] =
-            graft.multimodal.Zlib.gzip(sxml.getBytes("UTF-8"))
+            graft.multimodal.Zlib.gzip(sxml.getBytes("UTF-8"),
+              java.util.zip.Deflater.BEST_SPEED)
           val even = id % 2 == 0
           val m = (1 + id % 3).toInt
           val fetched: Map[String, Array[Byte]] =
