@@ -273,9 +273,12 @@ object CorpusQ {
     // one, which plain Jaccard misses. Same inverted-index posting join
     // (Σ|posting|² bound) as q16 — never a cross join.
     "q101_containment" -> ((s, dir) => {
+      // parallelize before the shingle projection (the q156 lesson)
       graft.ops.DedupOps.containmentPairs(
-        t(s, dir, "documents").select(col("doc_id"),
-          ShinglesExpr.shingles(toks, 3).as("sh")),
+        graft.ops.Partitioning.ensureParallel(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            ShinglesExpr.shingles(toks, 3).as("sh")),
         "doc_id", "sh", 0.8)
         .orderBy("a_id", "b_id")
     }),

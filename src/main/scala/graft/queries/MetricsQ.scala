@@ -1312,7 +1312,10 @@ object MetricsQ {
     // quadratic (exact pairs) → sf0.1 skip-list family.
     "q278_lsh_recall" -> ((s, dir) => {
       val exact = ScaleQ.dedupEdges(s, dir).select("a_id", "b_id")
-      val sh = t(s, dir, "documents")
+      // parallelize before the shingle+md5 signature rollup (the q156
+      // lesson): single-file bench scans otherwise run it one-task
+      val sh = graft.ops.Partitioning.ensureParallel(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(graft.functions.ShinglesExpr
           .shingles(TextOps.tokens(col("text")), 3)).as("sh"))
       val sigAggs = (0 until 8).map(r =>
