@@ -890,17 +890,29 @@ object MediaQ {
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")))
         .as[(Long, String)]
-        .map { case (id, text) =>
+        .mapPartitions { it =>
           import graft.multimodal.TarCodec
+          // per-TASK tables (rebuilt every task — no cross-run state):
+          // the member payload depends only on the byte value, and
+          // Array.tabulate[Byte] boxes every element (Function1 is not
+          // specialized on Byte) — ~150M boxed bytes per run before
+          val dataOf = Array.tabulate(256) { v =>
+            val n = v % 200 + 1
+            val a = new Array[Byte](n)
+            var i = 0
+            while (i < n) { a(i) = ((i * 73 + v) % 251).toByte; i += 1 }
+            a
+          }
+          val xs = "x" * 95; val ys = "y" * 95
+          it.map { case (id, text) =>
           val src = text.getBytes("ISO-8859-1")
           val members = src.toSeq.zipWithIndex.map { case (b, k) =>
             val v = b & 0xff
-            val data = Array.tabulate[Byte](v % 200 + 1)(i =>
-              ((i * 73 + v) % 251).toByte)
+            val data = dataOf(v) // read-only: synth copies, census copies
             (v % 16) match {
               case 0 => (s"shard/d$k/", '5', Array.empty[Byte], ' ')
-              case 1 => (s"shard/${"x" * 95}/p$k.bin", '0', data, 'x')
-              case 2 => (s"shard/${"y" * 95}/g$k.bin", '0', data, 'L')
+              case 1 => (s"shard/$xs/p$k.bin", '0', data, 'x')
+              case 2 => (s"shard/$ys/g$k.bin", '0', data, 'L')
               case 3 => (s"shard/s$k.bin", '0', data, 's')
               case _ => (s"shard/m$k.bin", '0', data, ' ')
             }
@@ -923,6 +935,7 @@ object MediaQ {
               (k + 1).toLong * m.size
             }.sum,
             got.map(_.name).mkString("", ";", ";"))
+        }
         }
         .toDF("doc_id", "n_members", "n_files", "n_dirs",
           "data_bytes", "size_checksum", "names")
