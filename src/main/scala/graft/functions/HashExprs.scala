@@ -401,8 +401,15 @@ case class ArrayPairsExpr(child: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      case ArrayType(LongType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) =>
+        // nullSafeEval reads elements with arr.getLong, which would
+        // silently turn a null element into 0 — refuse at analysis so
+        // the divergence can never happen (current callers pass
+        // sort_array(collect_set(...)), which is containsNull=false)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "array_pairs needs ARRAY<BIGINT> with non-nullable elements")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"array_pairs needs ARRAY<BIGINT>, got ${other.sql}")

@@ -18,10 +18,12 @@ import java.util.zip.{CRC32, DataFormatException, Deflater, Inflater}
   * resources. Nested use on one thread (an inflate inside an inflate)
   * falls back to a bounded per-thread stack, never to shared state.
   *
-  * Byte-compatibility: [[gzip]] emits exactly the bytes
-  * `java.util.zip.GZIPOutputStream` emits (same 10-byte header with
-  * zeroed MTIME/XFL/OS, default-level raw deflate, CRC32 + ISIZE
-  * trailer), so outputs hashed over synthesized archives are unchanged.
+  * Byte-compatibility: [[gzip]] emits the bytes
+  * `java.util.zip.GZIPOutputStream` emits (default-level raw deflate,
+  * CRC32 + ISIZE trailer) except the header's OS byte — the JDK writes
+  * 0xff (unknown), this writes 0x00; both valid RFC 1952, and the 0x00
+  * is pinned because synthesized fixtures have hashed over it since
+  * r15 (asserted byte-for-byte in ZlibSpec).
   * [[gunzip]] enforces the RFC 1952 frame (magic, method 8, optional
   * FEXTRA/FNAME/FCOMMENT/FHCRC fields, CRC32 and ISIZE trailer) and
   * throws IllegalArgumentException on any corruption — the codec
@@ -46,19 +48,30 @@ object Zlib {
   }
 
   // nowrap = raw RFC 1951 stream (what the gzip frame carries);
-  // wrapped = RFC 1950 zlib (what PDF FlateDecode / PNG IDAT carry)
-  private val deflRaw = new Pool[Deflater](
-    () => new Deflater(Deflater.DEFAULT_COMPRESSION, true), _.reset())
-  private val deflZlib = new Pool[Deflater](
-    () => new Deflater(Deflater.DEFAULT_COMPRESSION, false), _.reset())
+  // wrapped = RFC 1950 zlib (what PDF FlateDecode / PNG IDAT carry).
+  // Pools are keyed by (nowrap, level) and each instance is CONSTRUCTED
+  // at its level, never switched: Deflater.setLevel routes through
+  // zlib's deflateParams, whose mid-life semantics (JDK: "the new level
+  // takes effect only after" pending input drains) make same-level
+  // output reproducibility depend on pool history — a per-level pool
+  // sidesteps the whole question (ZlibSpec pins default-level bytes).
+  private val deflPools =
+    new java.util.concurrent.ConcurrentHashMap[(Boolean, Int),
+      Pool[Deflater]]()
+  private def deflPool(nowrap: Boolean, level: Int): Pool[Deflater] =
+    deflPools.computeIfAbsent((nowrap, level),
+      { case (nw, lv) => new Pool[Deflater](
+        () => new Deflater(lv, nw), _.reset()) })
   private val inflRaw = new Pool[Inflater](() => new Inflater(true), _.reset())
   private val inflZlib = new Pool[Inflater](() => new Inflater(false),
     _.reset())
 
-  /** Run `f` with a pooled Deflater (reset before reuse). The deflater
-    * must be fully drained inside `f`; do not call `end()` on it. */
-  def withDeflater[R](nowrap: Boolean)(f: Deflater => R): R =
-    (if (nowrap) deflRaw else deflZlib).withOne(f)
+  /** Run `f` with a pooled Deflater (reset before reuse; constructed at
+    * `level`). The deflater must be fully drained inside `f`; do not
+    * call `end()` on it. */
+  def withDeflater[R](nowrap: Boolean,
+      level: Int = Deflater.DEFAULT_COMPRESSION)(f: Deflater => R): R =
+    deflPool(nowrap, level).withOne(f)
 
   /** Run `f` with a pooled Inflater (reset before reuse). Do not call
     * `end()` on it. */
@@ -70,13 +83,11 @@ object Zlib {
     * default level. `level` may be lowered by SYNTHESIS-side callers
     * (fixture archives whose downstream census never observes the
     * compressed bytes — the decoded content is identical at any
-    * level); PARSE-side behaviour never depends on it. The pooled
-    * deflater keeps its last level across reset(), so it is set
-    * explicitly on every use. */
+    * level); PARSE-side behaviour never depends on it. Each level has
+    * its own pool — see the pool note above. */
   def deflate(data: Array[Byte], nowrap: Boolean = false,
       level: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] =
-    withDeflater(nowrap) { d =>
-      d.setLevel(level)
+    withDeflater(nowrap, level) { d =>
       d.setInput(data); d.finish()
       val out = new java.io.ByteArrayOutputStream(
         math.max(64, data.length / 2))
@@ -97,6 +108,11 @@ object Zlib {
         val buf = new Array[Byte](8192)
         var n = i.inflate(buf)
         while (n > 0 || (!i.finished() && !i.needsInput())) {
+          // a zlib header with FDICT set makes inflate return 0 with
+          // finished=false, needsInput=false forever — fail loudly
+          // instead of spinning (reachable from a WARC
+          // Content-Encoding: deflate body)
+          require(!i.needsDictionary(), "preset dictionary unsupported")
           out.write(buf, 0, n); n = i.inflate(buf)
         }
         require(i.finished(), "truncated deflate stream")
@@ -107,15 +123,17 @@ object Zlib {
       }
     }
 
-  /** RFC 1952 gzip — byte-identical to GZIPOutputStream at the default
-    * level (header 1f 8b 08 00 00000000 00 00, raw deflate, CRC32 +
-    * ISIZE little-endian). */
+  /** RFC 1952 gzip — same bytes as GZIPOutputStream at the default
+    * level except the header's OS byte (header
+    * 1f 8b 08 00 00000000 00 00 — the JDK writes OS=ff; see the
+    * object doc), raw deflate, CRC32 + ISIZE little-endian. */
   def gzip(data: Array[Byte],
       level: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] = {
     val body = deflate(data, nowrap = true, level = level)
     val out = new Array[Byte](10 + body.length + 8)
     out(0) = 0x1f.toByte; out(1) = 0x8b.toByte; out(2) = 8
-    // FLG, MTIME(4), XFL, OS all zero — what the JDK writes
+    // FLG, MTIME(4), XFL, OS all zero (the JDK writes OS=0xff;
+    // 0x00 is pinned — fixtures have hashed over it since r15)
     System.arraycopy(body, 0, out, 10, body.length)
     val crc = new CRC32(); crc.update(data)
     val c = crc.getValue; val isize = data.length.toLong
@@ -131,14 +149,42 @@ object Zlib {
 
   /** RFC 1952 gunzip with full frame validation; refuses loudly
     * (IllegalArgumentException) on bad magic, truncation, a CRC or
-    * ISIZE mismatch, or trailing garbage after the frame. */
+    * ISIZE mismatch, or non-gzip trailing garbage. Concatenated
+    * multi-member streams (RFC 1952 §2.2 allows them; Common Crawl
+    * writes one member per WARC record, pigz/WebDataset shards are
+    * routinely multi-member) inflate transparently: after a member's
+    * trailer validates, bytes beginning with the 1f 8b magic start the
+    * next member and the outputs concatenate — the behaviour of the
+    * GZIPInputStream code this replaced (r15 ADVICE). */
   def gunzip(data: Array[Byte]): Array[Byte] = {
     require(data.length >= 18, s"gzip frame of ${data.length} bytes")
-    require((data(0) & 0xff) == 0x1f && (data(1) & 0xff) == 0x8b,
+    val all = new java.io.ByteArrayOutputStream(
+      math.max(64, data.length * 4))
+    var pos = 0
+    var members = 0
+    while (members == 0 || (pos + 1 < data.length &&
+        (data(pos) & 0xff) == 0x1f && (data(pos + 1) & 0xff) == 0x8b)) {
+      pos = gunzipMember(data, pos, all)
+      members += 1
+    }
+    require(pos == data.length,
+      s"${data.length - pos} bytes after the gzip frame")
+    all.toByteArray
+  }
+
+  /** Inflate ONE member starting at `start`, append its output to
+    * `all`, validate its CRC32/ISIZE trailer, return the offset just
+    * past the trailer. */
+  private def gunzipMember(data: Array[Byte], start: Int,
+      all: java.io.ByteArrayOutputStream): Int = {
+    require(start + 18 <= data.length,
+      s"truncated gzip member at offset $start")
+    require((data(start) & 0xff) == 0x1f && (data(start + 1) & 0xff) == 0x8b,
       "not a gzip stream (bad magic)")
-    require((data(2) & 0xff) == 8, s"gzip method ${data(2) & 0xff} != 8")
-    val flg = data(3) & 0xff
-    var pos = 10
+    require((data(start + 2) & 0xff) == 8,
+      s"gzip method ${data(start + 2) & 0xff} != 8")
+    val flg = data(start + 3) & 0xff
+    var pos = start + 10
     if ((flg & 4) != 0) { // FEXTRA
       require(pos + 2 <= data.length, "truncated gzip FEXTRA")
       val xlen = (data(pos) & 0xff) | ((data(pos + 1) & 0xff) << 8)
@@ -158,10 +204,13 @@ object Zlib {
       i.setInput(data, pos, data.length - pos)
       try {
         val out = new java.io.ByteArrayOutputStream(
-          math.max(64, data.length * 4))
+          math.max(64, (data.length - pos) * 4))
         val buf = new Array[Byte](8192)
         var n = i.inflate(buf)
         while (n > 0 || (!i.finished() && !i.needsInput())) {
+          // FDICT would spin this loop forever (inflate returns 0,
+          // finished=false, needsInput=false) — refuse loudly
+          require(!i.needsDictionary(), "preset dictionary unsupported")
           out.write(buf, 0, n); n = i.inflate(buf)
         }
         require(i.finished(), "truncated gzip deflate body")
@@ -175,9 +224,8 @@ object Zlib {
         require(le32(tp) == crc.getValue, "gzip CRC mismatch")
         require(le32(tp + 4) == (res.length.toLong & 0xffffffffL),
           "gzip ISIZE mismatch")
-        require(tp + 8 == data.length,
-          s"${data.length - tp - 8} bytes after the gzip frame")
-        res
+        all.write(res, 0, res.length)
+        tp + 8
       } catch { case e: DataFormatException =>
         throw new IllegalArgumentException(
           s"corrupt gzip stream: ${e.getMessage}")

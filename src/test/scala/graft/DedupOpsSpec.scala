@@ -186,6 +186,23 @@ class DedupOpsSpec extends SparkSpec {
       maxIter = 60, localFinishEdges = 0L)) // 41-chain > default budget
     assert(viaLocalML == viaDistML)
     assert(viaLocal == viaLocalML)
+
+    // r15 ADVICE: the MID-LOOP local finish (gate first true after at
+    // least one contraction round) was untested — the cases above fire
+    // it at entry (default threshold >> graph) or never (0). A budget
+    // of one less than the entry edge count cannot fire at entry and
+    // fires on the first round that shrinks the set (the clique and
+    // star contract immediately on this graph).
+    val entryEdges = edges
+      .filter($"a_id" =!= $"b_id")
+      .select(greatest($"a_id", $"b_id"), least($"a_id", $"b_id"))
+      .distinct().count()
+    val viaMid = sorted(DedupOps.connectedComponentsStar(edges,
+      localFinishEdges = entryEdges - 1))
+    assert(viaMid == viaDist)
+    val viaMidML = sorted(DedupOps.connectedComponents(edges,
+      maxIter = 60, localFinishEdges = entryEdges - 1))
+    assert(viaMidML == viaDistML)
   }
 
   test("winnowing: shared long substring guarantees a shared fingerprint") {
