@@ -558,7 +558,12 @@ object MetricsQ {
     "q230_embedding_covariance" -> ((s, dir) => {
       val quant = transform(col("embedding"),
         v => floor(v.cast("double") * 1000).cast("long"))
-      val base = t(s, dir, "embeddings").select(quant.as("q"))
+      // parallelize before the 2016-per-row pair fan-out (the q156
+      // lesson — this partial agg measured ~1 s CPU on the single
+      // bench-SF scan task; at scale the splits already parallelize)
+      val base = graft.ops.Partitioning.ensureParallel(
+          t(s, dir, "embeddings").select(col("embedding")))
+        .select(quant.as("q"))
       val nDf = base.agg(count(lit(1)).cast(dec).as("n"))
       val ex = base.select(col("q"), posexplode(col("q")))
         .toDF("q", "i", "qi")
